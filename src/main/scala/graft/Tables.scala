@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All queries take the scale-factor directory as a parameter so the same
+  * code runs at sf0.001 (unit tests), sf0.01 (oracle) and sf0.1 (bench).
+  * At 100 TB these become partitioned/bucketed external tables; this loader
+  * is the single seam where that swap happens.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with deterministic integer time columns.
+    *
+    * The parquet stores TIMESTAMP(NANOS) which Spark cannot represent
+    * (µs precision); sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * so `ts` arrives as a raw nanosecond long. We derive:
+    *   - ts_us: integer µs (floor) — canonical time for oracle-compared
+    *     arithmetic; DuckDB's parquet reader truncates ns→µs identically
+    *     (`epoch_us(ts)`).
+    *   - ts: TimestampType at µs for Spark window()/session_window().
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** DuckDB-side equivalent of [[events]], spliced into oracle SQL. */
+  val eventsNormSql: String =
+    "(SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value," +
+      " props FROM events)"
+
+  /** Register every table as a temp view (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

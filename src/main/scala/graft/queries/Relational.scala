@@ -1,0 +1,607 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Relational operator surface Q01–Q21 (SURVEY.md §2.4).
+  *
+  * Oracle-exactness playbook (results are hash-compared against DuckDB on
+  * identical parquet inputs, so every emitted value must be bit-identical):
+  *
+  *   - Money doubles are cast to DECIMAL(18,2) before aggregation: decimal
+  *     sums are exact in both engines and the final DECIMAL→DOUBLE cast is
+  *     IEEE-deterministic. Never hash a double that went through a
+  *     non-associative floating summation.
+  *   - Averages are CAST(SUM(decimal) AS DOUBLE) / COUNT — identical double
+  *     division on identical operands in both engines.
+  *   - Counts / integer sums are BIGINT on both sides (DuckDB SUM(BIGINT)
+  *     yields HUGEINT, so oracles cast back).
+  *   - `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it as a raw
+  *     nanosecond long (legacy nanosAsLong) and we work in integer µs;
+  *     DuckDB truncates ns→µs identically via epoch_us(). Raw event
+  *     timestamps are never emitted.
+  *   - Every query ends in a total ORDER BY over non-null unique keys
+  *     (Spark asc = NULLS FIRST vs DuckDB NULLS LAST — nullable sort keys
+  *     are avoided).
+  *
+  * Scale notes (the 100 TB design intent) are in per-query scaladoc.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val D18 = "DECIMAL(18,2)"
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- Q01
+  /** Scan + projection. Column pruning must reach the parquet reader
+    * (ReadSchema carries only the 4 projected columns). */
+  def q01_scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a total, engine-independent order.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin
+
+  // ---------------------------------------------------------------- Q02
+  /** Compound predicate (AND/OR/BETWEEN/IN/LIKE). Filters push down to the
+    * scan (PushedFilters in explain); comparisons are on exact parquet
+    * values so both engines see identical booleans. */
+  def q02_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_quantity").between(10, 30) &&
+        col("l_returnflag").isin("A", "R") &&
+        (col("l_shipdate") < lit("1998-01-01").cast(TimestampType) ||
+          col("l_linestatus").like("O%")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 30
+      |  AND l_returnflag IN ('A','R')
+      |  AND (l_shipdate < TIMESTAMP '1998-01-01' OR l_linestatus LIKE 'O%')
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+      |  l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q03
+  /** TPC-H Q1 pricing summary. Hash aggregate with automatic partial
+    * (map-side) aggregation: at 100 TB the shuffle carries only
+    * |groups| × partitions rows. */
+  def q03_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q03Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18) * (1 - CAST(l_discount AS $D18))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18) * (1 - CAST(l_discount AS $D18)) * (1 + CAST(l_tax AS $D18))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q04
+  /** count(distinct) per group — Spark expands to a two-phase aggregate;
+    * the distinct shuffle is on (group, custkey) so it scales with
+    * distinct pairs, not rows. */
+  def q04_agg_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q05
+  /** ROLLUP grouping sets over a 3-way join. grouping_id disambiguates
+    * rollup-NULLs so the sort stays total without nullable keys deciding
+    * order across strata. */
+  def q05_rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    // broadcast() wraps into a new Dataset — join conditions must reference
+    // the wrapped instance or Spark 4's ambiguity detector rejects the plan.
+    val n = broadcast(t(s, dir, "nation"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      // rollup's Expand duplicates grouping attrs; rename through the
+      // pre-rollup projection, then alias back positionally at the end.
+      .select(col("n_name").as("nn"), col("o_orderpriority").as("op"),
+        col("o_totalprice").as("tp"))
+      .rollup(col("nn"), col("op"))
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        sum(dec(col("tp"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .toDF("n_name", "o_orderpriority", "gid", "revenue", "n_orders")
+      .orderBy("gid", "n_name", "o_orderpriority")
+  }
+
+  val q05Sql: String =
+    s"""SELECT n_name, o_orderpriority,
+       |  CAST(GROUPING(n_name, o_orderpriority) AS INT) AS gid,
+       |  CAST(SUM(CAST(o_totalprice AS $D18)) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name, o_orderpriority)
+       |ORDER BY gid, n_name, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q06
+  /** Row-level inner equi-join. At 100 TB this is a shuffle join on
+    * custkey; customer is small enough here that AQE may broadcast it —
+    * both plans are correct, the shuffle-free one is preferred. */
+  def q06_join_inner(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .filter(col("c_acctbal") < 0)
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  val q06Sql: String =
+    """SELECT o_orderkey, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_acctbal < 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q07
+  /** Broadcast join: part is a dimension table — explicitly broadcast so
+    * the 100 TB fact side never shuffles. */
+  def q07_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val q07Sql: String =
+    s"""SELECT p_brand,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) AS sum_qty,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- Q08
+  /** TPC-H Q5-shaped multiway chain region→nation→customer→orders→lineitem.
+    * Dimension sides broadcast; Catalyst pushes r_name and the date filter
+    * below the joins. Fact-fact join orders⋈lineitem shuffles on orderkey. */
+  def q08_join_multiway(s: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val n = broadcast(t(s, dir, "nation"))
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+    val li = t(s, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q08Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18) * (1 - CAST(l_discount AS $D18))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q09
+  /** Left outer join + null-safe aggregation (customers with zero orders
+    * keep n_orders=0, total=0). */
+  def q09_join_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))), lit(0))
+          .cast(DoubleType).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  val q09Sql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |  CAST(COALESCE(SUM(CAST(o_totalprice AS $D18)), 0) AS DOUBLE) AS total
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  /** Semi join: customers having at least one order over 450k. */
+  def q10_join_semi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q10SemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: customers with no order over 450k. */
+  def q10_join_anti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q10AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q11
+  /** Theta/range self-join: pairs of events by the same user within one
+    * hour. Planned as an equi-join on user_id with the range residual as a
+    * post-join filter — scales as sum over users of (events-per-user)²
+    * inside each partition, never a cartesian across users. */
+  def q11_join_range(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val a = e.select(col("event_id").as("id_a"), col("user_id"),
+      col("ts_us").as("ts_a"))
+    val b = e.select(col("event_id").as("id_b"),
+      col("user_id").as("user_b"), col("ts_us").as("ts_b"))
+    a.join(b, col("user_id") === col("user_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + 3600000000L)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q11Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT a.event_id AS id_a, b.event_id AS id_b
+       |FROM e a JOIN e b ON a.user_id = b.user_id
+       |  AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 3600000000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- Q12
+  /** As-of join: for each purchase event, the latest strictly-prior click
+    * by the same user. Implemented as the scalable union-and-carry pattern:
+    * one sort per user partition, last(click_id) carried forward — no
+    * range join, no per-row subquery. */
+  def q12_asof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_click_id", last(col("click_id"), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_click_id"))
+      .orderBy("event_id")
+  }
+
+  val q12Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT p.event_id, p.user_id,
+       |  (SELECT c.event_id FROM e c
+       |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |     AND (c.ts_us < p.ts_us
+       |          OR (c.ts_us = p.ts_us AND c.event_id < p.event_id))
+       |   ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS prior_click_id
+       |FROM e p WHERE p.event_type = 'purchase'
+       |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q13
+  /** Ranking window: top-3 orders per customer by totalprice. Ties broken
+    * by orderkey so both engines rank identically. */
+  def q13_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
+      |  o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |        RANK() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- Q14
+  /** Analytic window: per-customer running revenue (exact decimal running
+    * sum) + lag. One shuffle on o_custkey, one sort per partition. */
+  def q14_window_analytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("running",
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "running",
+        "prev_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q14Sql: String =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  CAST(SUM(CAST(o_totalprice AS $D18)) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey
+       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running,
+       |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+       |FROM orders
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q15
+  /** Global top-100 — TakeOrderedAndProject: each partition keeps its local
+    * top-100 and only 100×partitions rows reach the driver-side merge, so
+    * this never global-sorts 100 TB. */
+  def q15_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+
+  val q15Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- Q16
+  /** Set operations: INTERSECT / EXCEPT over two customer-key predicates,
+    * tagged and unioned into one deterministic result. */
+  def q16_setops(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val both = a.intersect(b).withColumn("op", lit("both"))
+    val onlyA = a.except(b).withColumn("op", lit("only_a"))
+    val onlyB = b.except(a).withColumn("op", lit("only_b"))
+    both.unionAll(onlyA).unionAll(onlyB)
+      .select("op", "c_custkey")
+      .orderBy("op", "c_custkey")
+  }
+
+  val q16Sql: String =
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+      |     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT 'both' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_a' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_b' AS op, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY op, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q17
+  /** Scalar string functions — all whole-stage-codegen built-ins. */
+  def q17_string(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        upper(col("p_name")).as("up"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").like("%widget%").as("is_widget"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .orderBy("p_partkey")
+
+  val q17Sql: String =
+    """SELECT p_partkey,
+      |  substring(p_name, 1, 5) AS pfx,
+      |  upper(p_name) AS up,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  (p_name LIKE '%widget%') AS is_widget,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q18
+  /** Scalar date/time functions over ms-precision timestamps (exactly
+    * representable in both engines). dayofweek normalized to Spark's
+    * 1=Sunday convention. */
+  def q18_date(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("mon_ts"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .as("days_since"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy("o_orderkey")
+
+  val q18Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_ts,
+      |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+      |  last_day(o_orderdate) AS eom
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q19
+  /** Scalar math on exact decimals: charge rounding, abs/ceil/floor/sqrt/
+    * mod. Only IEEE-deterministic double ops (sqrt) touch doubles. */
+  def q19_math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax"))), 2).cast(DoubleType).as("charge"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_orderkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "charge", "qty_ceil",
+        "price_floor")
+
+  val q19Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(round(CAST(l_extendedprice AS $D18) * (1 - CAST(l_discount AS $D18)) * (1 + CAST(l_tax AS $D18)), 2) AS DOUBLE) AS charge,
+       |  abs(l_discount - 0.05) AS disc_dev,
+       |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       |  sqrt(l_quantity) AS qty_sqrt,
+       |  l_orderkey % 7 AS mod7
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, charge, qty_ceil, price_floor""".stripMargin
+
+  // ---------------------------------------------------------------- Q20
+  /** JSON extraction + array aggregation over events.props. The collected
+    * event-type array is distinct+sorted so both engines emit identical
+    * lists. */
+  def q20_json_array(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("user_id")
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("types"),
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"))
+      .orderBy("user_id")
+
+  val q20Sql: String =
+    """SELECT user_id,
+      |  list_sort(list_distinct(list(event_type))) AS types,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_k
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q21
+  /** Correlated scalar subquery (orders above their customer's average) —
+    * Catalyst decorrelates into an aggregate + join; identical SQL text
+    * runs on both engines. */
+  def q21_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q21Sql)
+  }
+
+  val q21Sql: String =
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       |FROM orders o
+       |WHERE o.o_totalprice > (
+       |  SELECT CAST(SUM(CAST(o2.o_totalprice AS $D18)) AS DOUBLE) / COUNT(*)
+       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       |ORDER BY o.o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan" -> (q01_scan _),
+    "q02_filter" -> (q02_filter _),
+    "q03_agg" -> (q03_agg _),
+    "q04_agg_distinct" -> (q04_agg_distinct _),
+    "q05_rollup" -> (q05_rollup _),
+    "q06_join_inner" -> (q06_join_inner _),
+    "q07_join_broadcast" -> (q07_join_broadcast _),
+    "q08_join_multiway" -> (q08_join_multiway _),
+    "q09_join_outer" -> (q09_join_outer _),
+    "q10_join_semi" -> (q10_join_semi _),
+    "q10_join_anti" -> (q10_join_anti _),
+    "q11_join_range" -> (q11_join_range _),
+    "q12_asof" -> (q12_asof _),
+    "q13_window_rank" -> (q13_window_rank _),
+    "q14_window_analytic" -> (q14_window_analytic _),
+    "q15_topk" -> (q15_topk _),
+    "q16_setops" -> (q16_setops _),
+    "q17_string" -> (q17_string _),
+    "q18_date" -> (q18_date _),
+    "q19_math" -> (q19_math _),
+    "q20_json_array" -> (q20_json_array _),
+    "q21_subquery" -> (q21_subquery _))
+
+  def oracles: Map[String, String] = Map(
+    "q01_scan" -> q01Sql,
+    "q02_filter" -> q02Sql,
+    "q03_agg" -> q03Sql,
+    "q04_agg_distinct" -> q04Sql,
+    "q05_rollup" -> q05Sql,
+    "q06_join_inner" -> q06Sql,
+    "q07_join_broadcast" -> q07Sql,
+    "q08_join_multiway" -> q08Sql,
+    "q09_join_outer" -> q09Sql,
+    "q10_join_semi" -> q10SemiSql,
+    "q10_join_anti" -> q10AntiSql,
+    "q11_join_range" -> q11Sql,
+    "q12_asof" -> q12Sql,
+    "q13_window_rank" -> q13Sql,
+    "q14_window_analytic" -> q14Sql,
+    "q15_topk" -> q15Sql,
+    "q16_setops" -> q16Sql,
+    "q17_string" -> q17Sql,
+    "q18_date" -> q18Sql,
+    "q19_math" -> q19Sql,
+    "q20_json_array" -> q20Sql,
+    "q21_subquery" -> q21Sql)
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/check.py <sparkOutDir> <sfDir> [query ...]
+
+Reads <sparkOutDir>/oracle_sql.json (written by graft.Verify), registers the
+sf tables as DuckDB views, runs each oracle SQL, and compares against the
+Spark parquet output in <sparkOutDir>/<name>/ — column names (sorted),
+row count, and exact values.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return v
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        try:
+            oracle = con.sql(sql)
+            ocols = [c.lower() for c in oracle.columns]
+            orows = oracle.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [c.lower() for c in spark.columns]
+            srows = spark.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: columns oracle={sorted(ocols)} "
+                  f"spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        sperm = sorted(range(len(scols)), key=lambda i: scols[i])
+        orows = [tuple(canon(r[i]) for i in operm) for r in orows]
+        srows = [tuple(canon(r[i]) for i in sperm) for r in srows]
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (o, s) in enumerate(zip(orows, srows)):
+            if o != s:
+                bad = (i, o, s)
+                break
+        if bad:
+            i, o, s = bad
+            print(f"FAIL {name}: first diff at row {i}:")
+            print(f"  cols   {sorted(ocols)}")
+            print(f"  oracle {o}")
+            print(f"  spark  {s}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(orows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
