@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q24 family — text analysis for training-data pipelines
+  * (SURVEY.md §2.4 north star): token stats, language-ID heuristic,
+  * quality scoring, document fingerprinting.
+  *
+  * All four are pure row-local expressions + one aggregation, so they
+  * scale embarrassingly (no shuffle except the final small group-by) and
+  * are oracle-checked exactly: similarity/ratio math stays in integers.
+  */
+object TextOps {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+
+  // ------------------------------------------------------------- stats
+  /** Corpus token statistics per language: doc/token/char counts.
+    * Map-side partial agg → 5-row result. */
+  def q24_text_stats(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("n_distinct", size(array_distinct(col("toks")))
+        .cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        max(col("n_toks")).as("max_toks"),
+        min(col("n_toks")).as("min_toks"),
+        sum(col("n_distinct")).as("sum_distinct"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("lang")
+
+  val q24StatsSql: String =
+    """WITH d AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk,
+      |    length(text) AS n_chars_c
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(tk)) AS BIGINT) AS sum_toks,
+      |  CAST(MAX(len(tk)) AS BIGINT) AS max_toks,
+      |  CAST(MIN(len(tk)) AS BIGINT) AS min_toks,
+      |  CAST(SUM(len(list_distinct(tk))) AS BIGINT) AS sum_distinct,
+      |  CAST(SUM(n_chars_c) AS BIGINT) AS sum_chars
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ langid
+  /** N-gram-free language-ID heuristic: stopword-hit ratio, integer
+    * threshold (4*hits >= n_toks → 'en'-like). A real system would use
+    * char-n-gram profiles per language; the Spark shape (row-local
+    * expression, no shuffle) is identical. */
+  def q24_langid(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("en_hits",
+        size(expr(s"filter(toks, t -> t IN ($stopwordsSqlList))"))
+          .cast("long"))
+      .withColumn("pred",
+        when(col("en_hits") * 4 >= col("n_toks"), lit("en"))
+          .otherwise(lit("und")))
+      .select("doc_id", "lang", "n_toks", "en_hits", "pred")
+      .orderBy("doc_id")
+
+  val q24LangidSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(tk, t -> t IN ($stopwordsSqlList))) AS BIGINT)
+       |      AS en_hits
+       |  FROM d)
+       |SELECT doc_id, lang, n_toks, en_hits,
+       |  CASE WHEN en_hits * 4 >= n_toks THEN 'en' ELSE 'und' END AS pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- quality
+  /** Quality scoring with integer-only signals: token counts, repetition
+    * (n_toks - n_distinct), mean-token-length numerator, and a boolean
+    * gate — the length/stopword/repetition filters of a C4-style
+    * pipeline. */
+  def q24_quality(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("n_distinct", size(array_distinct(col("toks")))
+        .cast("long"))
+      .withColumn("n_repeated", col("n_toks") - col("n_distinct"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("quality_ok",
+        col("n_toks") >= 20 && col("n_repeated") * 2 < col("n_toks"))
+      .select("doc_id", "n_toks", "n_distinct", "n_repeated",
+        "alpha_chars", "quality_ok")
+      .orderBy("doc_id")
+
+  val q24QualitySql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+      |      AS alpha_chars
+      |  FROM d)
+      |SELECT doc_id, n_toks, n_distinct, n_toks - n_distinct AS n_repeated,
+      |  alpha_chars,
+      |  (n_toks >= 20 AND (n_toks - n_distinct) * 2 < n_toks) AS quality_ok
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- fingerprint
+  /** Rolling polynomial hash of the document (mod 1e9+7) — a content
+    * fingerprint whose fold both engines evaluate in the same order.
+    * Winnowing/shingled fingerprints reuse the same kernel per window. */
+  def q24_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("fp", expr(
+        """aggregate(transform(sequence(1, length(text)),
+          |            i -> ascii(substring(text, i, 1))),
+          |          0L, (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val q24FingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text)+1),
+      |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_text_stats" -> (q24_text_stats _),
+    "q24_langid" -> (q24_langid _),
+    "q24_quality" -> (q24_quality _),
+    "q24_fingerprint" -> (q24_fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "q24_text_stats" -> q24StatsSql,
+    "q24_langid" -> q24LangidSql,
+    "q24_quality" -> q24QualitySql,
+    "q24_fingerprint" -> q24FingerprintSql)
+}
