@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+
+/** S01–S06 — the streaming operator surface, executed in batch mode for
+  * the DuckDB-oracle check (SURVEY.md §2.4: "streaming rows are
+  * oracle-checked in batch mode; DuckDB has no streaming").
+  *
+  * These use the *same* Spark primitives the streaming package runs with
+  * (`window`, `session_window`, event-time semantics), so the batch result
+  * IS the converged streaming result. graft.streaming.EventStreams wires
+  * the identical logic over readStream + watermarks, and the ScalaTest
+  * suite asserts streaming output == these batch frames.
+  *
+  * Window starts are emitted as epoch seconds / µs integers — never raw
+  * ns timestamps (see Tables.events).
+  */
+object WindowedOps {
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 2))
+
+  // ------------------------------------------------------------- S01
+  /** Tumbling 1-hour windows × event_type. Epoch-aligned windows: Spark's
+    * window() and integer floor-division agree exactly. */
+  def s01_tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_sec", "event_type")
+
+  val s01Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT (ts_us // 3600000000) * 3600 AS window_start_sec, event_type,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- S02
+  /** Sliding windows: 1 hour every 15 minutes — each event lands in
+    * exactly 4 windows. */
+  def s02_sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_sec", "event_type")
+
+  val s02Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |x AS (SELECT event_type,
+       |        ((ts_us // 900000000) - unnest(range(4))) * 900
+       |          AS window_start_sec
+       |      FROM e)
+       |SELECT window_start_sec, event_type, COUNT(*) AS n
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- S03
+  /** Session windows: per-user sessions with a 30-minute gap, via Spark's
+    * native session_window. Oracle restates the semantics with
+    * lag + cumulative-sum session ids (a new session starts when
+    * ts - prev_ts >= gap, matching Spark's [ts, ts+gap) merge rule). */
+  def s03_session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  val s03Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |flagged AS (SELECT user_id, ts_us,
+       |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |sess AS (SELECT user_id, ts_us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts_us) AS start_us,
+       |  MAX(ts_us) + 1800000000 AS end_us,
+       |  COUNT(*) AS n_events
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+
+  // ------------------------------------------------------------- S04
+  /** Watermark / late-data policy in batch: drop events more than
+    * 10 minutes behind the global max event time. The global max is a
+    * tiny aggregate broadcast back — no single-partition shuffle. */
+  def s04_watermark(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val mx = e.agg(max(col("ts_us")).as("max_us"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts_us") >= col("max_us") - 600000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  val s04Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT event_type, COUNT(*) AS n_kept
+       |FROM e
+       |WHERE ts_us >= (SELECT MAX(ts_us) FROM e) - 600000000
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- S05
+  /** Ordered stateful grouping — the batch shape of CDC transaction
+    * assembly (user_id standing in for txId): deterministic in-order
+    * item list per key via sort_array over (ts, id) structs, never a
+    * bare collect_list (whose order is partition-dependent). */
+  def s05_tx_assembly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(ts_us, event_id)))," +
+          " x -> x.event_id)").as("items"),
+        count(lit(1)).as("n_items"))
+      .select("user_id", "n_items", "items")
+      .orderBy("user_id")
+
+  val s05Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT user_id, COUNT(*) AS n_items,
+       |  list(event_id ORDER BY ts_us, event_id) AS items
+       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- S06
+  /** Streaming-dedup analogue: deterministic first event per
+    * (user_id, event_type) — the batch semantics of
+    * dropDuplicates-with-watermark (earliest wins, ties by event_id). */
+  def s06_dedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_us")
+      .orderBy("user_id", "event_type")
+  }
+
+  val s06Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |r AS (SELECT user_id, event_type, event_id, ts_us,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts_us, event_id) AS rn
+       |  FROM e)
+       |SELECT user_id, event_type, event_id, ts_us
+       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_tumbling" -> (s01_tumbling _),
+    "s02_sliding" -> (s02_sliding _),
+    "s03_session" -> (s03_session _),
+    "s04_watermark" -> (s04_watermark _),
+    "s05_tx_assembly" -> (s05_tx_assembly _),
+    "s06_dedup" -> (s06_dedup _))
+
+  def oracles: Map[String, String] = Map(
+    "s01_tumbling" -> s01Sql,
+    "s02_sliding" -> s02Sql,
+    "s03_session" -> s03Sql,
+    "s04_watermark" -> s04Sql,
+    "s05_tx_assembly" -> s05Sql,
+    "s06_dedup" -> s06Sql)
+}
