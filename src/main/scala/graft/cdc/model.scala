@@ -1,0 +1,34 @@
+package graft.cdc
+
+/** Canonical change-event domain model (SURVEY.md §1.1, mirroring the
+  * envelope the reference builds at postgresql.js:471-485).
+  *
+  * `item`/`oldImage`/`schemaJson` stay raw JSON strings: CDC schemas are
+  * dynamic and out-of-band (the reference caches `schema` lines per table,
+  * postgresql.js:430-436); a typed view is applied lazily per table with
+  * from_json at query time.
+  */
+case class CdcEvent(
+    backend: String,
+    seq: Long,
+    kind: String,
+    table: String,
+    item: String,
+    oldImage: String,
+    schemaJson: String,
+    beginId: Option[Long],
+    commitId: Option[Long],
+    commitTs: Option[java.sql.Timestamp],
+    pk: String)
+
+/** One DML item inside an assembled transaction. */
+case class TxItem(seq: Long, kind: String, table: String, pk: String,
+    item: String)
+
+/** Assembled transaction — the reference's `transaction` event
+  * `{items, id, ts}` (postgresql.js:18-33, 487-501). */
+case class TxEvent(backend: String, txId: Long,
+    commitTs: Option[java.sql.Timestamp], items: Seq[TxItem])
+
+/** Open-transaction buffer carried between microbatches. */
+case class TxState(currentTxId: Option[Long], buffered: Seq[TxItem])

@@ -1,0 +1,86 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkEntry
+import graft.sinks.SinkRegistry
+import graft.streaming.CdcStream
+import graft.subscribe._
+
+/** Daemon entry point mirroring the reference CLI (index.js:5-53):
+  * `-c config.json` starts one streaming query per configured backend;
+  * `-t` parses + validates the config and exits.
+  *
+  * Config JSON shape:
+  * {"backends": [{"name": "pg1", "kind": "file-ldjson",
+  *   "options": {"path": "/data/cdc"}, "excludeTables": ["audit"],
+  *   "emit": {"emitEvents": true, "emitSchema": false},
+  *   "sinks": [{"kind": "console"}]}]}
+  */
+object Main {
+
+  def parseConfig(json: String): EngineConfig = {
+    implicit val fmts: Formats = DefaultFormats
+    val ast = JsonMethods.parse(json)
+    val backends = (ast \ "backends") match {
+      case JArray(items) => items.map { b =>
+        BackendConfig(
+          name = (b \ "name").extractOrElse[String](""),
+          kind = (b \ "kind").extractOrElse[String](""),
+          options = (b \ "options").extractOrElse[Map[String, String]](Map()),
+          excludeTables =
+            (b \ "excludeTables").extractOrElse[Seq[String]](Nil),
+          emit = (b \ "emit").extractOrElse[EmitFlags](EmitFlags()),
+          sinks = (b \ "sinks") match {
+            case JArray(ss) => ss.map(sc => SinkConfig(
+              (sc \ "kind").extractOrElse[String](""),
+              (sc \ "options").extractOrElse[Map[String, String]](Map())))
+            case _ => Seq(SinkConfig("console"))
+          })
+      }
+      case _ => Nil
+    }
+    EngineConfig(backends)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfgPath = args.sliding(2).collectFirst {
+      case Array("-c", p) => p }.getOrElse {
+      System.err.println("usage: graft.cli.Main -c config.json [-t]")
+      sys.exit(1)
+    }
+    val validateOnly = args.contains("-t")
+    val cfg = parseConfig(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cfgPath))))
+    val errors = ConfigValidation.validate(cfg)
+    if (errors.nonEmpty) {
+      errors.foreach(e => System.err.println(s"config error: $e"))
+      sys.exit(1)
+    }
+    if (validateOnly) {
+      println(s"config OK: ${cfg.backends.size} backend(s)")
+      return
+    }
+    val builder = SparkSession.builder().appName("graft-cdc")
+    // standalone launch (no spark-submit): default to local mode; under
+    // spark-submit the master comes from the submit args / conf.
+    if (!sys.props.contains("spark.master") &&
+        !sys.env.contains("SPARK_MASTER"))
+      builder.master("local[*]")
+    SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    // one streaming query per backend (reference: worker per backend)
+    val queries = cfg.backends.map { b =>
+      val env = CdcStream.forBackend(spark, b)
+      val sinks = b.sinks.map(SinkRegistry.create)
+      SinkRegistry.attach(env, b.emit, sinks)
+        .option("checkpointLocation",
+          b.options.getOrElse("checkpoint", s"/tmp/graft-ckpt-${b.name}"))
+        .start()
+    }
+    queries.foreach(_.awaitTermination())
+  }
+}

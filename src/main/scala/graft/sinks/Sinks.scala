@@ -1,0 +1,107 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.cdc.JsonCdc
+import graft.subscribe.SinkConfig
+
+/** Sink ("plugin") layer — the reference's fan-out/dispatch + plugin
+  * registry (O16/O18/O19/O20; reference src/plugins dir, loader
+  * lapidus.js:28-49).
+  *
+  * A sink consumes one microbatch of canonical envelopes. Fan-out to many
+  * sinks happens inside a single foreachBatch so the batch is computed
+  * once (the reference dispatches each event to each handler serially;
+  * Spark owns scheduling — SURVEY.md §2.2).
+  */
+trait EventSink extends Serializable {
+  def name: String
+  def write(batch: DataFrame, batchId: Long): Unit
+}
+
+/** O19 — debug/console sink. */
+class ConsoleSink(numRows: Int = 20) extends EventSink {
+  val name = "console"
+  def write(batch: DataFrame, batchId: Long): Unit =
+    batch.show(numRows, truncate = false)
+}
+
+/** Test sink: collects rows in-process (the replacement for the
+  * reference's live-DB assertions — SURVEY.md §5). */
+class CollectingSink extends EventSink {
+  val name = "collect"
+  val rows = new ConcurrentLinkedQueue[Row]()
+  def write(batch: DataFrame, batchId: Long): Unit =
+    batch.collect().foreach(rows.add)
+  def collected: Seq[Row] = rows.asScala.toSeq
+}
+
+/** O18 — NATS-style subject routing with optional cache-bus messages.
+  * subject = schema.table.pk (nats.js:17-21); cache bus publishes
+  * {prefix}.{populate|invalidate|purge}.{subject} by kind (nats.js:25-28).
+  * The producer is pluggable so tests inject an in-memory collector and
+  * production injects a real NATS/Kafka client.
+  */
+class SubjectRoutingSink(
+    publish: (String, String) => Unit,
+    schemaName: String = "public",
+    cachePrefix: Option[String] = None) extends EventSink {
+  val name = "subject-routing"
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val subj = JsonCdc.subject(lit(schemaName), col("table"), col("pk"))
+    val withSubj = batch
+      .filter(col("kind").isin("insert", "update", "delete"))
+      .withColumn("subject", subj)
+      .withColumn("cache_subject", cachePrefix.map(p =>
+        JsonCdc.cacheSubject(p, col("kind"), subj)).getOrElse(lit(null)))
+      .withColumn("payload", to_json(struct(
+        col("kind"), col("table"), col("pk"), col("item"))))
+    withSubj.select("subject", "cache_subject", "payload").collect()
+      .foreach { r =>
+        publish(r.getString(0), r.getString(2))
+        if (!r.isNullAt(1)) publish(r.getString(1), "")
+      }
+  }
+}
+
+/** Durable sink for downstream batch consumers. */
+class ParquetSink(path: String) extends EventSink {
+  val name = "parquet"
+  def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("append").parquet(path)
+}
+
+/** O20 — plugin registry: resolve a SinkConfig to an implementation. */
+object SinkRegistry {
+  def create(cfg: SinkConfig): EventSink = cfg.kind match {
+    case "console" => new ConsoleSink(
+      cfg.options.getOrElse("numRows", "20").toInt)
+    case "collect" => new CollectingSink
+    case "parquet" => new ParquetSink(cfg.options("path"))
+    case "subject-routing" =>
+      new SubjectRoutingSink(
+        (s, p) => println(s"[publish] $s $p"),
+        cfg.options.getOrElse("schema", "public"),
+        cfg.options.get("cachePrefix"))
+    case other => throw new IllegalArgumentException(
+      s"invalid plugin: $other")
+  }
+
+  /** Fan a (streaming) envelope frame out to all sinks via one
+    * foreachBatch; per-kind emit flags become a single filter. */
+  def attach(
+      envelopes: DataFrame,
+      emit: graft.subscribe.EmitFlags,
+      sinks: Seq[EventSink]): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val kinds = emit.enabledKinds
+    envelopes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val filtered = batch.filter(col("kind").isin(kinds: _*))
+      filtered.persist()
+      try sinks.foreach(_.write(filtered, id))
+      finally { filtered.unpersist(); () }
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Streaming forms of S01–S06 (SURVEY.md §2.4) over an event frame with
+  * columns (ts: timestamp, event_type: string, user_id: long,
+  * event_id: long, value: double).
+  *
+  * These are the SAME aggregations as graft.queries.WindowedOps — batch
+  * and streaming share the plan shape; streaming adds watermarks to bound
+  * state. The ScalaTest suite feeds a MemoryStream and asserts streaming
+  * output equals the batch result on converged input.
+  */
+object EventStreams {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** S01: tumbling 1h × event_type counts. Watermark bounds window state:
+    * windows more than 10 minutes behind the max event time finalize and
+    * evict. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** S02: sliding 1h / 15m counts. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("event_type"), col("n"))
+
+  /** S03: per-user session windows, 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  /** S04: the watermark itself — events later than 10 minutes behind the
+    * watermark are dropped by any downstream stateful op; exposed as a
+    * windowed count so tests can observe the drop. */
+  def lateDataCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("n"))
+
+  /** S06: streaming dedup by event_id with watermark-bounded state. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+}

@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Decoder semantics mirrored from the reference's live-DB integration
+  * tests (/root/reference/test/postgresql.test.js:213-434), replayed as a
+  * deterministic LDJSON fixture (FIXTURES.md §A.2).
+  */
+class CdcDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    // (seq, line) — one tx: insert → update → delete, plus noise
+    (0L, """{"begin": 100}"""),
+    (1L, """{"schema": {"id": "integer", "first_name": "varchar"}, "table": "test_table"}"""),
+    (2L, """{"insert": {"id": 7, "first_name": "Hayden", "sex": "M"}, "table": "test_table"}"""),
+    (3L, """{"update": {"id": 7, "first_name": "Sloan"}, "table": "test_table"}"""),
+    (4L, """{"delete": true, "@": {"nullable": null, "id": 7, "first_name": null}, "table": "test_table"}"""),
+    (5L, """{"commit": 100, "t": "2016-04-29 15:31:16.129"}"""),
+    (6L, """{"begin": 101}"""),
+    (7L, """{"insert": {"ID": 9, "first_name": "Upper"}, "table": "test_table"}"""),
+    (8L, """{"insert": {"id": 1}, "table": "pg_temp_12345"}"""),
+    (9L, """{"insert": {"id": 2}, "table": "secrets"}"""),
+    (10L, """{"commit": 101, "t": "2016-04-29 15:32:00"}"""))
+
+  private def decoded = JsonCdc.decode(
+    fixture.toDF("seq", "line").withColumn("backend", lit("pg1")))
+
+  test("kind classification covers all six jsoncdc line shapes") {
+    val kinds = decoded.orderBy("seq").select("kind").as[String].collect()
+    assert(kinds.toSeq == Seq("beginTransaction", "schema", "insert",
+      "update", "delete", "commitTransaction", "beginTransaction", "insert",
+      "insert", "insert", "commitTransaction"))
+  }
+
+  test("insert/update pk = item.id with item.ID fallback") {
+    val pks = decoded.filter($"kind".isin("insert", "update"))
+      .orderBy("seq").select("pk").as[String].collect()
+    assert(pks.toSeq == Seq("7", "7", "9", "1", "2"))
+  }
+
+  test("delete pk = value of first non-null key of the old image") {
+    // old image keys: nullable(null), id(7), first_name(null) → pk = 7
+    val pk = decoded.filter($"kind" === "delete")
+      .select("pk").as[String].head()
+    assert(pk == "7")
+  }
+
+  test("item payload survives as raw JSON") {
+    val item = decoded.filter($"seq" === 2).select("item").as[String].head()
+    assert(get_json_object(lit(item), "$.first_name") != null)
+    assert(item.contains("\"first_name\""))
+  }
+
+  test("pg_temp tables and excluded tables are filtered; txs pass") {
+    val filtered = JsonCdc.filterTables(decoded, Seq("secrets"))
+    val kept = filtered.orderBy("seq").select("seq").as[Long].collect()
+    assert(!kept.contains(8L), "pg_temp_* must drop")
+    assert(!kept.contains(9L), "excludeTables must drop")
+    assert(kept.contains(0L) && kept.contains(5L),
+      "begin/commit (no table) must pass")
+  }
+
+  test("txId carry attaches the surrounding begin id to every event") {
+    val withTx = JsonCdc.withTxId(decoded)
+    val byTx = withTx.filter($"kind".isin("insert", "update", "delete"))
+      .select("seq", "tx_id").as[(Long, Long)].collect().toMap
+    assert(byTx(2L) == 100L && byTx(3L) == 100L && byTx(4L) == 100L)
+    assert(byTx(7L) == 101L)
+  }
+
+  test("commit timestamp parses") {
+    val ts = decoded.filter($"seq" === 5).select("commit_ts").head().get(0)
+    assert(ts != null)
+  }
+}

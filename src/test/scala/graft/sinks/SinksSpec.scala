@@ -1,0 +1,61 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.cdc.JsonCdc
+
+/** Subject routing + fan-out semantics mirrored from the reference's NATS
+  * plugin (/root/reference/src/plugins/nats.js:12-29).
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelopes = JsonCdc.decode(Seq(
+    (0L, """{"insert": {"id": 5, "x": "a"}, "table": "users"}"""),
+    (1L, """{"update": {"id": 5, "x": "b"}, "table": "users"}"""),
+    (2L, """{"delete": true, "@": {"id": 5}, "table": "users"}"""),
+    (3L, """{"begin": 9}"""))
+    .toDF("seq", "line").withColumn("backend", lit("pg1")))
+
+  test("subjects are schema.table.pk; cache-bus verbs map per kind") {
+    val published = mutable.Buffer[(String, String)]()
+    val sink = new SubjectRoutingSink(
+      (s, p) => published.synchronized { published += ((s, p)); () },
+      schemaName = "public", cachePrefix = Some("cache"))
+    sink.write(envelopes, 0L)
+    val subjects = published.map(_._1).toSet
+    assert(subjects.contains("public.users.5"))
+    assert(subjects.contains("cache.populate.public.users.5"))
+    assert(subjects.contains("cache.invalidate.public.users.5"))
+    assert(subjects.contains("cache.purge.public.users.5"))
+    // begin line (no DML) publishes nothing
+    assert(published.size == 6)
+  }
+
+  test("payload carries the event envelope as JSON") {
+    val published = mutable.Buffer[(String, String)]()
+    val sink = new SubjectRoutingSink(
+      (s, p) => published.synchronized { published += ((s, p)); () })
+    sink.write(envelopes, 0L)
+    val insertPayload = published.find(_._2.contains("insert")).get._2
+    assert(insertPayload.contains("\"table\":\"users\""))
+    assert(insertPayload.contains("\"pk\":\"5\""))
+  }
+
+  test("registry resolves kinds and rejects unknown plugins") {
+    import graft.subscribe.SinkConfig
+    assert(SinkRegistry.create(SinkConfig("collect")).name == "collect")
+    intercept[IllegalArgumentException] {
+      SinkRegistry.create(SinkConfig("nope"))
+    }
+  }
+
+  test("collecting sink gathers rows across batches") {
+    val sink = new CollectingSink
+    sink.write(envelopes.filter($"kind" === "insert"), 0L)
+    sink.write(envelopes.filter($"kind" === "update"), 1L)
+    assert(sink.collected.size == 2)
+  }
+}

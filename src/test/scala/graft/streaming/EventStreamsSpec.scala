@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, event_type: String, user_id: Long,
+    event_id: Long, value: Double)
+
+/** Structured Streaming semantics for S01–S06: MemoryStream-driven,
+  * asserting streaming output matches the batch computation and that
+  * watermarks drop late data / bound dedup state.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    new Timestamp(1700000000000L + min * 60000L)
+
+  private def runStream(
+      data: Seq[Seq[Ev]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"es_${System.nanoTime()}"
+    val q = build(mem.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      data.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("S01 streaming tumbling counts match batch on converged input") {
+    val events = Seq(
+      Ev(t(5), "click", 1, 1, 1.0), Ev(t(20), "click", 1, 2, 2.0),
+      Ev(t(65), "click", 2, 3, 3.0), Ev(t(70), "error", 2, 4, 4.0),
+      // advance watermark far enough to finalize all the above
+      Ev(t(600), "click", 1, 5, 5.0))
+    val res = runStream(Seq(events.take(2), events.slice(2, 4),
+      Seq(events(4))), EventStreams.tumbling)
+    val batch = EventStreams.tumbling(events.toDF())
+      .collect().map(_.toSeq).toSet
+    // append mode only emits finalized windows; the t(600) window is open
+    val streamed = res.collect().map(_.toSeq).toSet
+    val finalized = batch.filter(r =>
+      r.head.asInstanceOf[Long] < 1700000000L + 600 * 60 - 3600)
+    assert(finalized.subsetOf(streamed))
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("S03 session window merges events within the gap") {
+    val events = Seq(
+      Ev(t(0), "click", 1, 1, 1.0), Ev(t(10), "click", 1, 2, 1.0),
+      Ev(t(29), "click", 1, 3, 1.0), // same session (gaps < 30m)
+      Ev(t(90), "click", 1, 4, 1.0), // new session
+      Ev(t(2000), "click", 9, 99, 1.0)) // watermark push
+    val res = runStream(Seq(events), EventStreams.sessions)
+    val sess = res.filter($"user_id" === 1).orderBy($"start_us")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sess.length == 2)
+    assert(sess(0)._4 == 3, "first session holds 3 events")
+    assert(sess(1)._4 == 1)
+  }
+
+  test("S04 watermark drops events >10m late") {
+    val batches = Seq(
+      Seq(Ev(t(120), "click", 1, 1, 1.0)), // watermark → t(110)
+      Seq(Ev(t(30), "click", 1, 2, 1.0), // >10m late → dropped
+        Ev(t(119), "click", 1, 3, 1.0)), // within watermark → kept
+      Seq(Ev(t(1200), "click", 1, 4, 1.0))) // finalize
+    val res = runStream(batches, EventStreams.lateDataCounts)
+    val counts = res.as[(Long, Long)].collect().toMap
+    // hour bucket of t(30) (=1700000000+1800s, bucket 472222h) must not
+    // contain the late event; bucket of t(119)/t(120) has both kept rows
+    val hour0 = (1700000000L + 30 * 60) / 3600 * 3600
+    val hour2 = (1700000000L + 120 * 60) / 3600 * 3600
+    assert(!counts.contains(hour0), "late event must be dropped")
+    assert(counts(hour2) == 2)
+  }
+
+  test("S06 streaming dedup keeps first occurrence of event_id") {
+    val batches = Seq(
+      Seq(Ev(t(0), "click", 1, 42, 1.0)),
+      Seq(Ev(t(1), "click", 1, 42, 9.0), // duplicate id → dropped
+        Ev(t(2), "click", 1, 43, 2.0)))
+    val res = runStream(batches, EventStreams.dedup)
+    val vals = res.as[Ev].collect()
+    assert(vals.map(_.event_id).sorted.toSeq == Seq(42L, 43L))
+    assert(vals.find(_.event_id == 42).get.value == 1.0)
+  }
+}

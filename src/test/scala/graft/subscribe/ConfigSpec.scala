@@ -1,0 +1,68 @@
+package graft.subscribe
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config + cascade semantics mirrored from the reference's module tests
+  * (/root/reference/test/postgresql.test.js:101-211 — flag cascade incl.
+  * "don't overwrite customized child") and config tests
+  * (/root/reference/test/config.test.js:8-50 — helpful aggregate errors).
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  test("per-kind flags follow the master switch by default") {
+    val f = EmitFlags(emitEvents = false)
+    assert(!f.insert && !f.update && !f.delete && !f.transaction)
+    val on = EmitFlags(emitEvents = true)
+    assert(on.insert && on.schema && on.commitTransaction)
+  }
+
+  test("customized child is not overwritten by the cascade") {
+    val f = EmitFlags(emitEvents = false, emitInsert = Some(true))
+    assert(f.insert, "explicit child survives master=false")
+    assert(!f.update)
+    val g = EmitFlags(emitEvents = true, emitDelete = Some(false))
+    assert(!g.delete && g.insert)
+  }
+
+  test("enabledKinds reflects resolution") {
+    val f = EmitFlags(emitEvents = false, emitInsert = Some(true),
+      emitTransaction = Some(true))
+    assert(f.enabledKinds.toSet == Set("insert", "transaction"))
+  }
+
+  test("validation requires at least one backend") {
+    val errs = ConfigValidation.validate(EngineConfig(Nil))
+    assert(errs.exists(_.contains("at least one backend")))
+  }
+
+  test("validation rejects unknown backend and plugin kinds, aggregated") {
+    val cfg = EngineConfig(Seq(BackendConfig(
+      name = "b1", kind = "oracle",
+      sinks = Seq(SinkConfig("carrier-pigeon")))))
+    val errs = ConfigValidation.validate(cfg)
+    assert(errs.exists(_.contains("invalid backend type: oracle")))
+    assert(errs.exists(_.contains("invalid plugin: carrier-pigeon")))
+    assert(errs.size == 2, "errors aggregate instead of failing fast")
+  }
+
+  test("file-ldjson backend requires a path") {
+    val cfg = EngineConfig(Seq(BackendConfig(name = "b", kind = "file-ldjson")))
+    assert(ConfigValidation.validate(cfg)
+      .exists(_.contains("requires options.path")))
+  }
+
+  test("CLI config JSON parses with nested emit flags and sinks") {
+    val json =
+      """{"backends": [{"name": "pg1", "kind": "file-ldjson",
+        |  "options": {"path": "/tmp/x"}, "excludeTables": ["audit"],
+        |  "emit": {"emitEvents": true, "emitSchema": false},
+        |  "sinks": [{"kind": "collect"}]}]}""".stripMargin
+    val cfg = graft.cli.Main.parseConfig(json)
+    assert(cfg.backends.size == 1)
+    val b = cfg.backends.head
+    assert(b.excludeTables == Seq("audit"))
+    assert(!b.emit.schema && b.emit.insert)
+    assert(b.sinks.map(_.kind) == Seq("collect"))
+    assert(ConfigValidation.validate(cfg).isEmpty)
+  }
+}
