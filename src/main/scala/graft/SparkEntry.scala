@@ -30,12 +30,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.Relational.queries ++ q.DedupOps.queries ++ q.SimilarityOps.queries ++
-      q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries
+      q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (sketch/LSH-based operators get the driver's rows-only check). */
   def oracleSql: Map[String, String] =
     q.Relational.oracles ++ q.DedupOps.oracles ++ q.SimilarityOps.oracles ++
-      q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles
+      q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

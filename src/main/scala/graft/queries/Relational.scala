@@ -128,6 +128,18 @@ object Relational {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** HLL-sketch distinct (approx_count_distinct) — the scale path for
+    * count-distinct at 100 TB (constant-size state, single shuffle of
+    * sketches instead of (group, key) pairs). Sketch internals are
+    * engine-specific → rows-only driver check; the ScalaTest suite bounds
+    * relative error against the exact count. */
+  def q04b_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderpriority")
+
   // ---------------------------------------------------------------- Q05
   /** ROLLUP grouping sets over a 3-way join. grouping_id disambiguates
     * rollup-NULLs so the sort stays total without nullable keys deciding
@@ -562,6 +574,7 @@ object Relational {
     "q02_filter" -> (q02_filter _),
     "q03_agg" -> (q03_agg _),
     "q04_agg_distinct" -> (q04_agg_distinct _),
+    "q04b_approx_distinct" -> (q04b_approx_distinct _),
     "q05_rollup" -> (q05_rollup _),
     "q06_join_inner" -> (q06_join_inner _),
     "q07_join_broadcast" -> (q07_join_broadcast _),
