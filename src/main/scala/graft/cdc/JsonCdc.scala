@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Decoder for the jsoncdc wire format the reference consumes from
   * `pg_recvlogical` (reference: /root/reference/src/postgresql.js:373-548).
@@ -14,64 +15,78 @@ import org.apache.spark.sql.functions._
   *   {"delete": true, "@": {old row, nulls for non-pk}, "table": t}
   *   {"commit": txId, "t": "timestamp"}
   *
-  * Everything here is pure Column logic (`get_json_object` — codegen'd),
-  * so the same decoder runs over a batch replay file, a Kafka value
-  * column, or a socket stream. The `item` payload stays raw JSON text:
-  * schemas are dynamic/out-of-band in CDC (reference schema-cache,
+  * Each line is parsed exactly ONCE with `from_json` into a fixed struct
+  * (sub-objects land as raw JSON strings — Spark's Jackson parser
+  * preserves the subtree text for StringType fields), then everything
+  * downstream is pure column logic. The `item` payload stays raw JSON
+  * text: schemas are dynamic/out-of-band in CDC (reference schema-cache,
   * postgresql.js:430-436), so per-table StructType application happens
   * lazily at query time — never at decode time.
   */
 object JsonCdc {
 
+  /** One-parse schema for a jsoncdc line: sub-objects (`insert`, `update`,
+    * `schema`, `@`) are captured as raw JSON strings; `delete` is the
+    * literal `true` (captured as text, only null-ness matters). */
+  private val lineSchema = StructType(Seq(
+    StructField("insert", StringType),
+    StructField("update", StringType),
+    StructField("delete", StringType),
+    StructField("schema", StringType),
+    StructField("begin", LongType),
+    StructField("commit", LongType),
+    StructField("t", StringType),
+    StructField("table", StringType),
+    StructField("@", StringType)))
+
   /** Event-kind classification — the reference's lineHandler dispatch
     * chain (postgresql.js:400-469), as a when-chain over which top-level
-    * key is present. */
-  def kindOf(line: Column): Column =
-    when(get_json_object(line, "$.insert").isNotNull, "insert")
-      .when(get_json_object(line, "$.update").isNotNull, "update")
-      .when(get_json_object(line, "$.delete").isNotNull, "delete")
-      .when(get_json_object(line, "$.schema").isNotNull, "schema")
-      .when(get_json_object(line, "$.begin").isNotNull, "beginTransaction")
-      .when(get_json_object(line, "$.commit").isNotNull, "commitTransaction")
+    * key is present in the already-parsed line struct. */
+  private def kindOf(p: Column): Column =
+    when(p.getField("insert").isNotNull, "insert")
+      .when(p.getField("update").isNotNull, "update")
+      .when(p.getField("delete").isNotNull, "delete")
+      .when(p.getField("schema").isNotNull, "schema")
+      .when(p.getField("begin").isNotNull, "beginTransaction")
+      .when(p.getField("commit").isNotNull, "commitTransaction")
       .otherwise("unknown")
 
   /** pk for insert/update: item.id || item.ID (postgresql.js:472). */
-  def pkOfItem(item: Column): Column =
-    coalesce(get_json_object(item, "$.id"), get_json_object(item, "$.ID"))
+  def pkOfItem(item: Column): Column = {
+    val m = from_json(item, MapType(StringType, StringType))
+    coalesce(element_at(m, "id"), element_at(m, "ID"))
+  }
 
   /** pk for delete: value of the first key of the old-row image whose
-    * value is non-null (postgresql.js:423-425). */
+    * value is non-null (postgresql.js:423-425). One map parse; `get` is
+    * null-safe on the (theoretical) all-null image. */
   def pkOfOldImage(old: Column): Column = {
-    // dynamic JSON paths need call_function — the Scala get_json_object
-    // helper only accepts literal paths
-    def jsonAt(path: Column): Column =
-      call_function("get_json_object", old, concat(lit("$."), path))
-    val firstKey = element_at(
-      filter(json_object_keys(old), k => jsonAt(k).isNotNull), 1)
-    jsonAt(firstKey)
+    val m = from_json(old, MapType(StringType, StringType))
+    get(map_values(map_filter(m, (_, v) => v.isNotNull)), lit(0))
   }
 
   /** Decode a frame with a string column `line` into the canonical
     * envelope (SURVEY.md §1.1): kind, table, item (raw json), old_image,
-    * begin_id / commit_id / commit_ts, pk. Extra input columns (seq,
+    * begin_id / commit_id / commit_ts, pk. Deletes carry the old-row
+    * image as `item` so downstream consumers (tx assembly, sinks) see
+    * row data, matching the reference (postgresql.js:416-420 sets
+    * msg.item = line['@'] for deletes). Extra input columns (seq,
     * offsets, ...) pass through. */
   def decode(df: DataFrame, lineCol: String = "line"): DataFrame = {
-    val line = col(lineCol)
-    df.withColumn("kind", kindOf(line))
-      .withColumn("table", get_json_object(line, "$.table"))
+    df.withColumn("_p", from_json(col(lineCol), lineSchema))
+      .withColumn("kind", kindOf(col("_p")))
+      .withColumn("table", col("_p.table"))
+      .withColumn("old_image", col("_p").getField("@"))
       .withColumn("item",
-        coalesce(get_json_object(line, "$.insert"),
-          get_json_object(line, "$.update")))
-      .withColumn("old_image", get_json_object(line, "$.@"))
-      .withColumn("schema_json", get_json_object(line, "$.schema"))
-      .withColumn("begin_id", get_json_object(line, "$.begin").cast("long"))
-      .withColumn("commit_id",
-        get_json_object(line, "$.commit").cast("long"))
-      .withColumn("commit_ts",
-        to_timestamp(get_json_object(line, "$.t")))
+        coalesce(col("_p.insert"), col("_p.update"), col("old_image")))
+      .withColumn("schema_json", col("_p.schema"))
+      .withColumn("begin_id", col("_p.begin"))
+      .withColumn("commit_id", col("_p.commit"))
+      .withColumn("commit_ts", to_timestamp(col("_p.t")))
       .withColumn("pk",
         when(col("kind").isin("insert", "update"), pkOfItem(col("item")))
           .when(col("kind") === "delete", pkOfOldImage(col("old_image"))))
+      .drop("_p")
   }
 
   /** Table filters — the reference's two stream filters:
@@ -87,16 +102,55 @@ object JsonCdc {
   }
 
   /** Attach txId to every event: the id of the most recent begin line at
-    * or before it, in stream order (`seqCol`). Batch replay uses a global
-    * carry-forward window — correct because a CDC stream is serial per
-    * backend (the reference is single-threaded per worker); the streaming
-    * path keeps the same semantics with per-batch state
-    * (graft.streaming.TxAssembly). */
-  def withTxId(df: DataFrame, seqCol: String = "seq"): DataFrame = {
+    * or before it, in stream order (`seqCol`).
+    *
+    * Scale-safe two-level prefix scan (no global unpartitioned window):
+    * rows are bucketed by `seq div bucketSize`; the carry runs inside
+    * each bucket with a PARTITIONED window, and the tiny per-bucket
+    * summary (one row per bucket that contains a begin) is resolved
+    * across buckets with a broadcast non-equi join — so no stage ever
+    * funnels the full stream through one task. The streaming path keeps
+    * the same semantics with keyed state (graft.streaming.TxAssembly). */
+  def withTxId(df: DataFrame, seqCol: String = "seq",
+               bucketSize: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(seqCol))
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
+    val wIn = Window.partitionBy("_b").orderBy(col(seqCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("tx_id", last(col("begin_id"), ignoreNulls = true).over(w))
+    val local = withB.withColumn("_tx_local",
+      last(col("begin_id"), ignoreNulls = true).over(wIn))
+    // Last carried begin per bucket = the final row's carry (null when
+    // the bucket has no begin). Derived from `local`, which is already
+    // hash-partitioned by _b — the expensive upstream exchange is
+    // computed once and reused for this aggregate.
+    val perBucket = local.groupBy("_b")
+      .agg(max_by(col("_tx_local"), col(seqCol)).as("_last"))
+    // carry-in per bucket = last begin of the latest earlier bucket that
+    // has one; tiny × tiny broadcast join, no single-partition window
+    val begins = perBucket.filter(col("_last").isNotNull)
+      .select(col("_b").as("_pb"), col("_last").as("_pl"))
+    val carryIn = perBucket.join(broadcast(begins),
+        col("_pb") < col("_b"), "left")
+      .groupBy("_b").agg(max_by(col("_pl"), col("_pb")).as("_carry_in"))
+    local.join(broadcast(carryIn), Seq("_b"), "left")
+      .withColumn("tx_id", coalesce(col("_tx_local"), col("_carry_in")))
+      .drop("_b", "_tx_local", "_carry_in")
+  }
+
+  /** O13 schema-cache attach: stamp each event with the latest schema
+    * line seen for its table at or before it in stream order — the
+    * reference caches jsoncdc schema lines per table and attaches the
+    * cached schema to every subsequent DML envelope
+    * (postgresql.js:430-436, attach at 418/477). The window partitions
+    * by table (plus any extra stream keys, e.g. backend), so it scales. */
+  def withSchemaAttached(df: DataFrame, seqCol: String = "seq",
+                         extraKeys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = (extraKeys :+ "table").map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("schema",
+      last(col("schema_json"), ignoreNulls = true).over(w))
   }
 
   /** NATS-style routing subject: schema.table.pk

@@ -41,7 +41,12 @@ object CdcOps {
     val commit = o.select((col("k") * 3 + 2).as("seq"),
       format_string("""{"commit": %d, "t": "2024-01-01 00:00:00"}""",
         col("k")).as("line"))
-    begin.unionAll(dml).unionAll(commit)
+    // The 3-way union of a single small parquet scan yields only 3 input
+    // partitions; spread the lines so the decode (the operator under
+    // measurement) runs at full parallelism, as a real multi-partition
+    // source would. Explicit N so AQE doesn't coalesce it away.
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    begin.unionAll(dml).unionAll(commit).repartition(n)
   }
 
   // -------------------------------------------------------------- CDC1

@@ -532,21 +532,22 @@ object Relational {
 
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
-    * event-type array is distinct+sorted so both engines emit identical
-    * lists. */
+    * event-type array is distinct+sorted, then joined to a single string so
+    * the driver's comparator (which can't hash array cells) gets a scalar;
+    * both engines emit the identical comma-joined list. */
   def q20_json_array(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy("user_id")
       .agg(
-        sort_array(collect_set(col("event_type"))).as("types"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
         sum(col("k")).as("sum_k"),
         count(col("k")).as("n_k"))
       .orderBy("user_id")
 
   val q20Sql: String =
     """SELECT user_id,
-      |  list_sort(list_distinct(list(event_type))) AS types,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(json_extract_string(props, '$.k')) AS n_k
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin

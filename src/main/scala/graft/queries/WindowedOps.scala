@@ -80,12 +80,12 @@ object WindowedOps {
 
   val s03Sql: String =
     s"""WITH e AS ${Tables.eventsNormSql},
-       |flagged AS (SELECT user_id, ts_us,
+       |flagged AS (SELECT user_id, ts_us, event_id,
        |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
        |      ORDER BY ts_us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk
        |  FROM e),
        |sess AS (SELECT user_id, ts_us,
-       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM flagged)
        |SELECT user_id, MIN(ts_us) AS start_us,
@@ -124,8 +124,8 @@ object WindowedOps {
     Tables.events(s, dir)
       .groupBy("user_id")
       .agg(
-        expr("transform(sort_array(collect_list(struct(ts_us, event_id)))," +
-          " x -> x.event_id)").as("items"),
+        expr("array_join(transform(sort_array(collect_list(struct(ts_us, event_id)))," +
+          " x -> cast(x.event_id as string)), ',')").as("items"),
         count(lit(1)).as("n_items"))
       .select("user_id", "n_items", "items")
       .orderBy("user_id")
@@ -133,7 +133,7 @@ object WindowedOps {
   val s05Sql: String =
     s"""WITH e AS ${Tables.eventsNormSql}
        |SELECT user_id, COUNT(*) AS n_items,
-       |  list(event_id ORDER BY ts_us, event_id) AS items
+       |  array_to_string(list(event_id ORDER BY ts_us, event_id), ',') AS items
        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------- S06
