@@ -1,53 +1,118 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Q22 family — deduplication operators for training-data pipelines
   * (SURVEY.md §2.4 north star).
   *
-  * Exact + n-gram-Jaccard are oracle-checked against DuckDB (integer-only
-  * similarity math: `2*|∩| >= |∪|` instead of a float threshold). MinHash-LSH
-  * and SimHash are sketch-based candidate generators — not SQL-expressible —
-  * so they get rows-only driver checks plus ScalaTest recall assertions
-  * against the exact-Jaccard ground truth.
+  * Exact, n-gram-Jaccard, and MinHash-LSH are oracle-checked against
+  * DuckDB (integer-only similarity math: `2*|∩| >= |∪|` instead of a float
+  * threshold; MinHash verifies candidates exactly, and its banding is
+  * tuned so the candidate set provably covers every J >= 0.5 pair with
+  * miss probability < 1e-7 — so its verified output equals the exact
+  * n-gram result and shares its oracle). SimHash is a sketch candidate
+  * generator with a ScalaTest brute-force equality check.
   *
-  * Scale design: everything is shuffle-bounded by (token/shingle, doc) or
-  * (band, doc) pairs — no cross join anywhere. At 100 TB the LSH band join
-  * is the scale path; the exact all-pairs verification only ever runs on
-  * LSH candidates, never on the full corpus.
+  * Scale design: no unbounded cross join anywhere.
+  *   - ngram uses AllPairs-style PREFIX FILTERING: shingles are globally
+  *     ordered by document frequency (rarest first) and only the prefix
+  *     that any J >= 0.5 partner must touch is indexed, so a hot shingle
+  *     at 100 TB no longer makes the inverted-index join quadratic.
+  *   - minhash/simhash signatures build in ONE row-local pass (no
+  *     per-perm explode), then shuffle only (doc, band) rows.
+  *   - embed runs an exact blocked self-join: block pairs become equi-join
+  *     buckets, spreading the O(n²) work evenly across the cluster with
+  *     no broadcast of the full vector set and no nested-loop single task.
   */
 object DedupOps {
 
-  /** doc_id + distinct 3-token shingles. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("split(trim(text), '\\\\s+')").as("toks"))
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', slice(toks, i+1, 3))))").as("shingles"))
-
-  /** Inverted-index candidate pairs with exact intersection counts.
-    * Shuffle cost ∝ Σ(shingle document-frequency²) — the standard
-    * all-pairs-similarity pattern (prefix filtering would bound the worst
-    * case at larger scale). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val ex = sh.select(col("doc_id"),
-      size(col("shingles")).cast("long").as("n"),
-      explode(col("shingles")).as("g"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"),
-      col("g"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-      col("g").as("gb"))
-    a.join(b, col("g") === col("gb") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+  /** The documents corpus spread to full parallelism: the test parquet is
+    * a single file (= one input partition), which would serialize the
+    * row-local sketch builds below onto one core. On a real cluster the
+    * scan arrives in thousands of splits and this repartition costs one
+    * cheap narrow-row shuffle; here it is the difference between 1× and
+    * 32× parallelism for the signature math. Explicit N so AQE can't
+    * coalesce it away. */
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Tables.load(s, dir, "documents").repartition(n)
   }
+
+  /** Distinct (doc_id, 3-token shingle) rows, built codegen-first:
+    * posexplode the tokens, assemble each shingle from two window leads,
+    * and distinct — every operator stays in whole-stage codegen (an
+    * equivalent per-row `transform(sequence(...), slice/concat)` lambda
+    * chain measured ~3s per pass at sf0.1, interpreted). Documents with
+    * fewer than 3 tokens simply produce no rows — matching the oracle's
+    * range(1, len-1) emptiness. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir).select(col("doc_id"),
+      posexplode(expr("split(trim(text), '\\\\s+')")).as(Seq("i", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    tok.select(col("doc_id"), col("t"),
+        lead("t", 1).over(w).as("t2"), lead("t", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+      .distinct()
+  }
+
+  /** Per-doc shingle-HASH sets for exact verification: consumers only
+    * size/intersect them, and intersecting longs is far cheaper than
+    * strings (a 64-bit collision among ~10⁶ shingles has probability
+    * ~10⁻⁷ — immaterial next to the exact-set semantics). */
+  private def shingleSets(rows: DataFrame): DataFrame =
+    rows.groupBy("doc_id")
+      .agg(collect_list(xxhash64(col("g"))).as("shingles"))
+
+  /** Candidate pairs via prefix-filtered inverted index (AllPairs /
+    * PPJoin prefix for Jaccard t = 0.5). Shingles are ordered globally by
+    * (document frequency, shingle); a doc of n shingles indexes only its
+    * first n - ceil(t*n) + 1. Guarantee: any pair with J >= t shares the
+    * globally-smallest element of its intersection, which sits inside
+    * both prefixes — so the candidate set is a strict superset of the
+    * answer while hot (frequent) shingles fall outside most prefixes,
+    * bounding the Σ df² blowup of the naive index. */
+  private def candidatePairs(ex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy("doc_id")
+    // prefix membership via window rank (stays in codegen — no
+    // collect/sort/slice array lambdas); n rides along for the
+    // PPJoin length filter: J >= 0.5 forces 2*min(na,nb) >= max(na,nb)
+    val prefix = ex.join(dfreq, "g")
+      .withColumn("n", count(lit(1)).over(wd))
+      .withColumn("rk", row_number().over(wd.orderBy("df", "g")))
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * 0.5).cast("long") + 1)
+      .select("doc_id", "g", "n")
+    prefix.as("L").join(prefix.as("R"),
+        col("L.g") === col("R.g") && col("L.doc_id") < col("R.doc_id") &&
+        col("L.n") * 2 >= col("R.n") && col("R.n") * 2 >= col("L.n"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs only: re-join the two
+    * shingle sets and intersect row-locally — never a full-corpus join.
+    * The two lookups join the SAME un-renamed `sh` subtree so the
+    * shuffle-by-doc_id exchange is computed once and reused (renaming
+    * below the exchange would defeat ReuseExchange). */
+  private def verified(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sh.as("B"), col("doc_b") === col("B.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("A.shingles"), col("B.shingles")))
+          .cast("long"))
+      .withColumn("uni",
+        size(col("A.shingles")).cast("long")
+          + size(col("B.shingles")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
 
   // ------------------------------------------------------------- exact
   /** Exact dedup by normalized text: hash-groupBy on the normalized key,
@@ -69,13 +134,14 @@ object DedupOps {
       |ORDER BY keep_id""".stripMargin
 
   // ------------------------------------------------------------- ngram
-  /** Near-dup pairs with 3-gram Jaccard >= 0.5 via inverted-index join —
-    * integer-only threshold math so both engines agree exactly. */
-  def q22_dedup_ngram(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(s, dir)
-      .filter(col("inter") * 2 >= col("uni"))
-      .select("doc_a", "doc_b", "inter", "uni")
+  /** Near-dup pairs with 3-gram Jaccard >= 0.5: prefix-filtered candidate
+    * generation + exact verification — integer-only threshold math so
+    * both engines agree exactly. */
+  def q22_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(s, dir)
+    verified(candidatePairs(rows), shingleSets(rows))
       .orderBy("doc_a", "doc_b")
+  }
 
   val q22NgramSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -93,20 +159,24 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------- minhash
-  /** MinHash(128 perms) + LSH(32 bands × 4 rows) candidate generation,
+  /** MinHash(128 perms) + LSH(64 bands × 2 rows) candidate generation,
     * then exact Jaccard verification of candidates only. Deterministic
     * permutations: h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p.
     *
-    * Output = verified near-dup pairs (J >= 0.5), same shape as
-    * q22_dedup_ngram; ScalaTest asserts LSH recall against the exact
-    * result. Not SQL-expressible → rows-only driver check.
+    * All 128 mins build as 128 aggregate columns of ONE codegen'd hash
+    * aggregate over the exploded (doc, shingle-hash) rows — map-side
+    * partial aggregation means only one 128-long signature row per doc
+    * per partition ever shuffles (vs. the naive 128-rows-per-shingle
+    * explode). Only the 64 (doc, band) rows feed the band self-join.
+    * With 2-row bands, a pair at J = 0.5 escapes all 64 bands with
+    * probability (1 - 0.5²)^64 < 1e-8, so the verified output equals the
+    * exact n-gram result — same oracle.
     *
-    * Scale: shuffle rows are (doc, band-signature) — 32 per doc — then a
-    * self-join per band bucket; candidate verification touches only
-    * bucket-mates. This is the 100 TB path where all-pairs is impossible. */
+    * Scale: this is the 100 TB path where all-pairs is impossible;
+    * tighten rows-per-band to trade candidate volume against recall. */
   def q22_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     val nPerms = 128
-    val nBands = 32 // 4 rows per band
+    val nBands = 64 // 2 rows per band
     val p = 2147483647L // 2^31-1
     // deterministic (a_i, b_i) from a fixed LCG seed
     val coef = (0 until nPerms).map { i =>
@@ -114,76 +184,59 @@ object DedupOps {
       val b = 12345L * (i + 17) % p
       (if (a == 0) 1L else a, b)
     }
-    val aArr = typedLit(coef.map(_._1))
-    val bArr = typedLit(coef.map(_._2))
-
-    val sh = shingled(s, dir)
-    // (doc, shingle-hash) → 128 permuted hashes → per-doc min per perm
-    val hashed = sh
-      .select(col("doc_id"), explode(col("shingles")).as("g"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("g")), lit(p)).as("h"))
-      .withColumn("a", aArr).withColumn("b", bArr)
-      .select(col("doc_id"), posexplode(
-        expr(s"transform(a, (ai, i) -> pmod(ai * h + element_at(b, i+1), ${p}L))"))
-        .as(Seq("perm", "hv")))
-    val sig = hashed.groupBy("doc_id", "perm").agg(min("hv").as("mh"))
-      .withColumn("band", col("perm") % nBands)
-    // band signature = hash of the band's sorted (perm, mh) pairs
-    val bands = sig.groupBy("doc_id", "band")
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(
-        col("perm"), col("mh")))))).as("band_sig"))
-    val left = bands.select(col("doc_id").as("doc_a"), col("band"),
-      col("band_sig"))
-    val right = bands.select(col("doc_id").as("doc_b"),
-      col("band").as("band_r"), col("band_sig").as("band_sig_r"))
-    val cand = left.join(right,
-        col("band") === col("band_r") &&
-        col("band_sig") === col("band_sig_r") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verification of candidates only
-    jaccardPairs(s, dir)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .filter(col("inter") * 2 >= col("uni"))
-      .select("doc_a", "doc_b", "inter", "uni")
-      .orderBy("doc_a", "doc_b")
+    val rows = shingleRows(s, dir)
+    val ex = rows.select(col("doc_id"), pmod(xxhash64(col("g")), lit(p)).as("h"))
+    val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // band signature = hash of the band's 2 consecutive minhash values
+    val bandCols = (0 until nBands).map(k =>
+      xxhash64(col(s"m${2 * k}"), col(s"m${2 * k + 1}")))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
+    val cand = bands.as("L").join(bands.as("R"),
+        col("L.band") === col("R.band") &&
+        col("L.band_sig") === col("R.band_sig") &&
+        col("L.doc_id") < col("R.doc_id"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, shingleSets(rows)).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------ simhash
   /** 64-bit SimHash over token hashes; near-dup = Hamming distance <= 3
     * found via 4-block pigeonhole blocking (any pair at distance <= 3
-    * agrees on at least one 16-bit block). Rows-only driver check +
-    * ScalaTest vs exact Hamming. */
+    * agrees on at least one 16-bit block). The 64 bit-votes accumulate as
+    * 64 sum columns of ONE codegen'd hash aggregate over the exploded
+    * (doc, token-hash) rows — map-side combine shuffles one vote row per
+    * doc per partition (vs. the naive 64-rows-per-token explode).
+    * Rows-only driver check + ScalaTest brute-force equality. */
   def q22_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
-    // weighted bit votes: for each bit, sum(+1/-1 per token occurrence)
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(
+        expr("split(trim(text), '\\\\s+')")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    // sign-safe bit extraction: shiftright + mask (bit 63 of xxhash64 is
-    // the sign bit; div/mod on negative longs would misbehave)
-    val bits = tok.select(col("doc_id"), posexplode(
-      expr("transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"))
-      .as(Seq("bit", "vote")))
-    val sim = bits.groupBy("doc_id", "bit")
-      .agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      // bitwise OR-accumulate via sum is safe: each term sets a distinct bit
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
-        .as("simhash"))
+    // vote for bit b: +1 when set, -1 when clear — sign-safe shiftright
+    val voteCols = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$b"))
+    val sim = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val blocked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftrightunsigned(simhash, k*16) & 65535)"))
         .as(Seq("blk", "blk_val")))
-    val l = blocked.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sh_a"), col("blk"), col("blk_val"))
-    val r = blocked.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sh_b"), col("blk").as("blk_r"),
-      col("blk_val").as("blk_val_r"))
-    l.join(r, col("blk") === col("blk_r") &&
-        col("blk_val") === col("blk_val_r") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    blocked.as("L").join(blocked.as("R"),
+        col("L.blk") === col("R.blk") &&
+        col("L.blk_val") === col("R.blk_val") &&
+        col("L.doc_id") < col("R.doc_id"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"),
+        col("L.simhash").as("sh_a"), col("R.simhash").as("sh_b"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
@@ -191,26 +244,55 @@ object DedupOps {
   }
 
   // ------------------------------------------------------ embedding-cos
-  /** Embedding near-dup pairs: exact cosine >= 0.5 over all pairs.
-    * Fold-order-exact double math (see SimilarityOps.cosineExpr) makes
-    * this oracle-checkable bit-for-bit. The all-pairs join is the
-    * correctness baseline; the LSH-bucketed scale path is
-    * SimilarityOps.q23_knn_lsh. */
+  /** Embedding near-dup pairs: exact cosine >= 0.5 over all pairs via a
+    * BLOCKED self-join — vectors land in `nBlocks` blocks, every block
+    * pair {p, q} becomes one equi-join bucket, and each bucket computes
+    * its local pairs with a codegen-friendly fixed-width dot product.
+    * The O(n²) work spreads evenly over n_blocks(n_blocks+1)/2 buckets
+    * with no nested-loop single task and no full-corpus broadcast.
+    * Fold-order-exact double math keeps it oracle-checkable bit-for-bit.
+    *
+    * Note on LSH here: this synthetic corpus has no tight dup clusters
+    * (top pair cos ≈ 0.51 vs runner-up 0.49), so hyperplane banding that
+    * catches the threshold also admits nearly every pair — the honest
+    * scale path for a 0.5-cosine threshold is the blocked exact join;
+    * sketch-based candidate generation (SimilarityOps.q23_knn_lsh) wins
+    * only when dups are tight (cos ≳ 0.9). */
   def q22_dedup_embed(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = 8
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), SimilarityOps.toDoubleVec(col("embedding"))
         .as("v"))
       .withColumn("nrm", SimilarityOps.normExpr(col("v")))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+    val aSide = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("nrm_a"), col("blk").as("blk_a"))
+      .withColumn("bucket", explode(expr(
+        s"transform(sequence(blk_a, ${nBlocks - 1}), x -> blk_a * $nBlocks + x)")))
+    val bSide = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("blk").as("blk_b"))
+      .withColumn("bucket", explode(expr(
+        s"transform(sequence(0, blk_b), x -> x * $nBlocks + blk_b)")))
+    // Explicit bucket partitioning: the shuffled rows are tiny but the
+    // per-bucket pair computation is O(|block|²) — AQE would coalesce
+    // the small shuffle into one partition and serialize all buckets.
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    aSide.repartition(n, col("bucket"))
+      .join(bSide.repartition(n, col("bucket")), "bucket")
+      // same-block bucket: order by id to emit each pair once;
+      // cross-block buckets already see each unordered pair exactly once
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      // fold-based dot: measured ~9× faster than an unrolled element_at
+      // chain here — the unrolled predicate gets pushed into the join
+      // condition and evaluated on every candidate pair in the join's
+      // non-codegen predicate path, while the higher-order fold stays a
+      // post-join projection evaluated once per surviving pair
       .withColumn("cos",
         SimilarityOps.dotExpr(col("va"), col("vb"))
           / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= 0.5)
-      .select("vec_a", "vec_b", "cos")
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -240,5 +322,8 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q22_dedup_exact" -> q22ExactSql,
     "q22_dedup_ngram" -> q22NgramSql,
+    // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
+    // verifies candidates exactly → its output IS the exact result
+    "q22_dedup_minhash" -> q22NgramSql,
     "q22_dedup_embed" -> q22EmbedSql)
 }
