@@ -1,0 +1,109 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoder for MySQL row-format binlog events, as serialized to JSON by an
+  * external ZongJi-style capture process (reference:
+  * /root/reference/src/mysql.js:99-270 — the Spark side consumes the
+  * capture stream; binlog tailing itself stays external, per SURVEY §0).
+  *
+  * Wire shapes (one JSON object per binlog event; a row event carries ALL
+  * rows of the statement, like ZongJi's `evt.rows`):
+  *   {"eventName":"tablemap","schemaName":db,"tableName":t,
+  *    "columns":[{"name":c,"constraint":{"type":"PRIMARY KEY",
+  *                "name":"PRIMARY","position":1}}, ...]}
+  *   {"eventName":"writerows","schemaName":db,"tableName":t,
+  *    "rows":[{row}, ...]}
+  *   {"eventName":"updaterows", ..., "rows":[{"before":{..},"after":{..}}]}
+  *   {"eventName":"deleterows", ..., "rows":[{old row}, ...]}
+  *
+  * Reference behaviors replicated:
+  *   - constraint extraction (mysql.js:113-137): PRIMARY KEY / UNIQUE
+  *     constraints keyed by name; pk = first column of PRIMARY
+  *     (mysql.js:128-130, constraints.PRIMARY[0]); no UNIQUE fallback —
+  *     the reference leaves that as a TODO (mysql.js:139), so a table
+  *     without a PRIMARY constraint decodes with a null pk.
+  *   - the pk COLUMN is stateful per (schema, table): the latest tablemap
+  *     applies to every later row event (mysql.js:140) — a partitioned
+  *     carry-forward window here.
+  *   - row expansion (mysql.js:144-269): one event per row, in row order.
+  *   - update uses the AFTER image for pk and item (mysql.js:231-236);
+  *     delete carries NO item, only {pk, table, schema} (mysql.js:148-152).
+  *   - excludeTables drops the whole event (mysql.js:107-111).
+  */
+object BinlogCdc {
+
+  private val constraintType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("name", StringType),
+    StructField("position", IntegerType)))
+
+  private val columnType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("constraint", constraintType)))
+
+  /** One-parse schema; row objects land as raw JSON strings. */
+  private val eventSchema = StructType(Seq(
+    StructField("eventName", StringType),
+    StructField("schemaName", StringType),
+    StructField("tableName", StringType),
+    StructField("columns", ArrayType(columnType)),
+    StructField("rows", ArrayType(StringType))))
+
+  /** pk column from a tablemap's columns: the position-1 column of the
+    * PRIMARY constraint (constraints.PRIMARY[0] in the reference). */
+  private def pkColumnOf(columns: Column): Column =
+    get(transform(filter(columns, c =>
+      c.getField("constraint").getField("name") === "PRIMARY" &&
+      c.getField("constraint").getField("position") === 1),
+      c => c.getField("name")), lit(0))
+
+  /** Decode a frame with a string column `line` (ordered by `seqCol`) into
+    * per-row canonical envelopes: kind, schema, table, pk, item. Tablemap
+    * events contribute the stateful pk column and are not emitted. */
+  def decode(df: DataFrame, excludeTables: Seq[String] = Nil,
+             lineCol: String = "line", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parsed = df.withColumn("_p", from_json(col(lineCol), eventSchema))
+      .withColumn("event_name", col("_p.eventName"))
+      .withColumn("schema", col("_p.schemaName"))
+      .withColumn("table", col("_p.tableName"))
+    val filtered =
+      if (excludeTables.isEmpty) parsed
+      else parsed.filter(!col("table").isin(excludeTables: _*))
+    // stateful pk column per (schema, table): latest tablemap wins —
+    // partitioned window, same scale shape as JsonCdc.withSchemaAttached
+    val w = Window.partitionBy("schema", "table").orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPkCol = filtered
+      .withColumn("_pk_col",
+        when(col("event_name") === "tablemap", pkColumnOf(col("_p.columns"))))
+      .withColumn("pk_col", last(col("_pk_col"), ignoreNulls = true).over(w))
+    // row expansion: one envelope per row, in statement row order
+    val rows = withPkCol
+      .filter(col("event_name").isin("writerows", "updaterows", "deleterows"))
+      .select(col(seqCol), col("schema"), col("table"), col("pk_col"),
+        col("event_name"),
+        posexplode(col("_p.rows")).as(Seq("row_idx", "row_json")))
+    val kind = when(col("event_name") === "writerows", "insert")
+      .when(col("event_name") === "updaterows", "update")
+      .otherwise("delete")
+    // update rows are {"before":{..},"after":{..}}; pk and item both come
+    // from the after image (mysql.js:231-236)
+    val image = when(col("event_name") === "updaterows",
+      get_json_object(col("row_json"), "$.after")).otherwise(col("row_json"))
+    rows
+      .withColumn("kind", kind)
+      .withColumn("_image", image)
+      .withColumn("pk",
+        when(col("pk_col").isNotNull,
+          element_at(from_json(col("_image"),
+            MapType(StringType, StringType)), col("pk_col"))))
+      .withColumn("item",
+        when(col("event_name") =!= "deleterows", col("_image")))
+      .select(col(seqCol), col("row_idx"), col("kind"), col("schema"),
+        col("table"), col("pk"), col("item"))
+  }
+}

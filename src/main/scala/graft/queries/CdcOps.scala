@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.cdc.JsonCdc
+import graft.cdc.{BinlogCdc, JsonCdc, OplogCdc}
 
 /** CDC1/CDC2 — the reference's decode + routing pipeline as oracle-checked
   * batch queries (SURVEY.md §2.4).
@@ -102,12 +102,127 @@ object CdcOps {
       |WHERE o_orderkey % 10 NOT IN (8, 9)
       |ORDER BY pk""".stripMargin
 
+  // -------------------------------------------------------------- CDC3
+  /** A deterministic MySQL binlog replay synthesized from `orders`:
+    * 2 leading tablemap events (PRIMARY KEY on id), then one multi-row
+    * event per batch of 4 orders (kind cycles by batch; every 10th batch
+    * targets an excluded table), decoded by the REAL normalizer
+    * (graft.cdc.BinlogCdc — constraint pk, stateful tablemap carry, row
+    * expansion, after-image updates, item-less deletes). */
+  private[graft] def syntheticBinlog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .withColumn("bk", expr("k div 4"))
+      .withColumn("tbl",
+        when(pmod(col("bk"), lit(10)) === 7, lit("audit_log"))
+          .otherwise(lit("orders")))
+      .withColumn("ev",
+        when(pmod(col("bk"), lit(3)) === 0, lit("writerows"))
+          .when(pmod(col("bk"), lit(3)) === 1, lit("updaterows"))
+          .otherwise(lit("deleterows")))
+      .withColumn("row_json",
+        when(col("ev") === "updaterows", format_string(
+          """{"before": {"id": %d, "status": "XX"}, "after": {"id": %d, "status": "%s"}}""",
+          col("k"), col("k"), col("st")))
+          .otherwise(format_string(
+            """{"id": %d, "status": "%s"}""", col("k"), col("st"))))
+    val batches = o.groupBy("bk", "tbl", "ev")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(k, row_json))), x -> x.row_json), ',')").as("rows_str"))
+      .select((col("bk") + 2).as("seq"), format_string(
+        """{"eventName": "%s", "schemaName": "lapidus", "tableName": "%s", "rows": [%s]}""",
+        col("ev"), col("tbl"), col("rows_str")).as("line"))
+    val colsJson = """[{"name": "id", "constraint": {"type": "PRIMARY KEY", "name": "PRIMARY", "position": 1}}, {"name": "status", "constraint": {"type": "UNIQUE", "name": "uq_status", "position": 1}}]"""
+    val tablemaps = Seq("orders", "audit_log").zipWithIndex.map {
+      case (t, i) => (i.toLong,
+        s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "$t", "columns": $colsJson}""")
+    }.toDF("seq", "line")
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    tablemaps.unionAll(batches).repartition(n)
+  }
+
+  def cdc3_mysql(s: SparkSession, dir: String): DataFrame =
+    BinlogCdc.decode(syntheticBinlog(s, dir),
+        excludeTables = Seq("audit_log"))
+      .select(col("pk").cast("long").as("pk"), col("kind"), col("table"),
+        get_json_object(col("item"), "$.status").as("status"))
+      .orderBy("pk")
+
+  val cdc3Sql: String =
+    """SELECT o_orderkey AS pk,
+      |  CASE ((o_orderkey // 4) % 3) WHEN 0 THEN 'insert'
+      |       WHEN 1 THEN 'update' ELSE 'delete' END AS kind,
+      |  'orders' AS "table",
+      |  CASE WHEN (o_orderkey // 4) % 3 = 2 THEN NULL
+      |       ELSE o_orderstatus END AS status
+      |FROM orders
+      |WHERE (o_orderkey // 4) % 10 != 7
+      |ORDER BY pk""".stripMargin
+
+  // -------------------------------------------------------------- CDC4
+  /** A deterministic Mongo oplog replay synthesized from `orders`:
+    * op cycles i/u/d by orderkey; every 10th+8 key lands in a
+    * dotted-name collection; updates carry the operation document in `o`
+    * and the selector in `o2` — decoded by the REAL normalizer
+    * (graft.cdc.OplogCdc: pk = o._id || o2._id, item = o2 || o for
+    * updates per the reference, ns split on the first dot, ns.pk
+    * subject). */
+  private[graft] def syntheticOplog(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .withColumn("ns",
+        when(pmod(col("k"), lit(10)) === 8, lit("app.audit.v2"))
+          .otherwise(lit("app.orders")))
+    val line =
+      when(pmod(col("k"), lit(3)) === 0, format_string(
+        """{"op": "i", "ns": "%s", "o": {"_id": %d, "status": "%s"}}""",
+        col("ns"), col("k"), col("st")))
+        .when(pmod(col("k"), lit(3)) === 1, format_string(
+          """{"op": "u", "ns": "%s", "o": {"$set": {"status": "%s"}}, "o2": {"_id": %d}}""",
+          col("ns"), col("st"), col("k")))
+        .otherwise(format_string(
+          """{"op": "d", "ns": "%s", "o": {"_id": %d}}""",
+          col("ns"), col("k")))
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    o.select(col("k").as("seq"), line.as("line")).repartition(n)
+  }
+
+  def cdc4_mongo(s: SparkSession, dir: String): DataFrame =
+    OplogCdc.decode(syntheticOplog(s, dir))
+      .select(col("pk").cast("long").as("pk"), col("kind"), col("ns"),
+        col("db"), col("collection"), col("subject"),
+        get_json_object(col("item"), "$.status").as("item_status"),
+        get_json_object(col("item"), "$._id").cast("long").as("item_id"))
+      .orderBy("pk")
+
+  val cdc4Sql: String =
+    """SELECT o_orderkey AS pk,
+      |  CASE (o_orderkey % 3) WHEN 0 THEN 'insert'
+      |       WHEN 1 THEN 'update' ELSE 'delete' END AS kind,
+      |  CASE WHEN o_orderkey % 10 = 8 THEN 'app.audit.v2'
+      |       ELSE 'app.orders' END AS ns,
+      |  'app' AS db,
+      |  CASE WHEN o_orderkey % 10 = 8 THEN 'audit.v2'
+      |       ELSE 'orders' END AS collection,
+      |  CASE WHEN o_orderkey % 10 = 8 THEN 'app.audit.v2'
+      |       ELSE 'app.orders' END || '.' || CAST(o_orderkey AS VARCHAR)
+      |    AS subject,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS item_status,
+      |  CASE WHEN o_orderkey % 3 != 2 THEN o_orderkey END AS item_id
+      |FROM orders
+      |ORDER BY pk""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
-    "cdc2_routing" -> (cdc2_routing _))
+    "cdc2_routing" -> (cdc2_routing _),
+    "cdc3_mysql" -> (cdc3_mysql _),
+    "cdc4_mongo" -> (cdc4_mongo _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
-    "cdc2_routing" -> cdc2Sql)
+    "cdc2_routing" -> cdc2Sql,
+    "cdc3_mysql" -> cdc3Sql,
+    "cdc4_mongo" -> cdc4Sql)
 }
