@@ -142,7 +142,11 @@ object JsonCdc {
     * reference caches jsoncdc schema lines per table and attaches the
     * cached schema to every subsequent DML envelope
     * (postgresql.js:430-436, attach at 418/477). The window partitions
-    * by table (plus any extra stream keys, e.g. backend), so it scales. */
+    * by table (plus any extra stream keys, e.g. backend), so it scales —
+    * restrict the input to table-bearing rows (schema + DML) first, or
+    * every begin/commit row lands in one null-table window partition.
+    * Streaming path: graft.streaming.CdcPipeline keeps the same cache as
+    * keyed state. */
   def withSchemaAttached(df: DataFrame, seqCol: String = "seq",
                          extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

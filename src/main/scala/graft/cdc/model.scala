@@ -32,3 +32,29 @@ case class TxEvent(backend: String, txId: Long,
 
 /** Open-transaction buffer carried between microbatches. */
 case class TxState(currentTxId: Option[Long], buffered: Seq[TxItem])
+
+/** Combined streaming-pipeline state: the open-transaction buffer plus the
+  * per-table schema cache (O13 — the reference keeps both on the same
+  * single-threaded worker: schema cache postgresql.js:430-436, tx buffer
+  * postgresql.js:18-33). One keyed state per backend holds both so the
+  * stream shuffles once, not once per concern. */
+case class PipeState(tx: TxState, schemas: Map[String, String])
+
+/** Fully-dispatched envelope: a CdcEvent stamped with the latest cached
+  * schema for its table and the surrounding transaction id; assembled
+  * `transaction` rows (kind = "transaction") carry their items in
+  * `txItems`. */
+case class EnvelopeEvent(
+    backend: String,
+    seq: Long,
+    kind: String,
+    table: String,
+    pk: String,
+    item: String,
+    oldImage: String,
+    schema: String,
+    beginId: Option[Long],
+    commitId: Option[Long],
+    commitTs: Option[java.sql.Timestamp],
+    txId: Option[Long],
+    txItems: Seq[TxItem])

@@ -72,6 +72,8 @@ object Main {
       builder.master("local[*]")
     SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    // O5/O23 — progress/failure observability for every query
+    spark.streams.addListener(new graft.streaming.GraftQueryListener())
     // one streaming query per backend (reference: worker per backend)
     val queries = cfg.backends.map { b =>
       val env = CdcStream.forBackend(spark, b)

@@ -18,17 +18,22 @@ import graft.cdc.{BinlogCdc, JsonCdc, OplogCdc}
   */
 object CdcOps {
 
-  /** 3 jsoncdc lines per order, globally ordered by seq. */
+  /** 3 jsoncdc lines per order on a stride-4 seq grid (begin=4k, dml=4k+2,
+    * commit=4k+3; lane 4k+1 is reserved), plus two out-of-band `schema`
+    * lines for `orders` on the free lane: v1 at seq=1 (before everything)
+    * and v2 at seq=4001 — so v2 governs every DML with orderkey >= 1000,
+    * exercising the O13 supersession rule at any SF. */
   private[graft] def syntheticLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
       .withColumn("tbl",
         when(col("k") % 10 === 9, lit("pg_temp_refresh"))
           .when(col("k") % 10 === 8, lit("audit_log"))
           .otherwise(lit("orders")))
-    val begin = o.select((col("k") * 3).as("seq"),
+    val begin = o.select((col("k") * 4).as("seq"),
       format_string("""{"begin": %d}""", col("k")).as("line"))
-    val dml = o.select((col("k") * 3 + 1).as("seq"),
+    val dml = o.select((col("k") * 4 + 2).as("seq"),
       when(col("k") % 3 === 0, format_string(
         """{"insert": {"id": %d, "status": "%s"}, "table": "%s"}""",
         col("k"), col("st"), col("tbl")))
@@ -38,28 +43,38 @@ object CdcOps {
         .otherwise(format_string(
           """{"delete": true, "@": {"note": null, "id": %d}, "table": "%s"}""",
           col("k"), col("tbl"))).as("line"))
-    val commit = o.select((col("k") * 3 + 2).as("seq"),
+    val commit = o.select((col("k") * 4 + 3).as("seq"),
       format_string("""{"commit": %d, "t": "2024-01-01 00:00:00"}""",
         col("k")).as("line"))
-    // The 3-way union of a single small parquet scan yields only 3 input
+    val schemaLines = Seq(
+      (1L, """{"schema": {"id": "integer", "status": "varchar", "v": "1"}, "table": "orders"}"""),
+      (4001L, """{"schema": {"id": "integer", "status": "varchar", "v": "2"}, "table": "orders"}"""))
+      .toDF("seq", "line")
+    // The union of a single small parquet scan yields only a few input
     // partitions; spread the lines so the decode (the operator under
     // measurement) runs at full parallelism, as a real multi-partition
     // source would. Explicit N so AQE doesn't coalesce it away.
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    begin.unionAll(dml).unionAll(commit).repartition(n)
+    begin.unionAll(dml).unionAll(commit).unionAll(schemaLines).repartition(n)
   }
 
   // -------------------------------------------------------------- CDC1
   /** Decode the replay stream into canonical envelopes: classification,
     * table/pg_temp/exclude filtering, pk extraction (incl. the
-    * first-non-null-key delete rule), txId carry from begin lines. */
+    * first-non-null-key delete rule), txId carry from begin lines, and the
+    * O13 schema-cache attach — every DML envelope carries the latest
+    * `schema` line seen for its table (postgresql.js:430-436). The attach
+    * window runs over table-bearing rows only (schema + DML), so no
+    * null-table rows funnel into one window partition. */
   def cdc1_decode(s: SparkSession, dir: String): DataFrame = {
     val decoded = JsonCdc.decode(syntheticLines(s, dir))
     val filtered = JsonCdc.filterTables(decoded, Seq("audit_log"))
-    JsonCdc.withTxId(filtered, "seq")
+    val withTx = JsonCdc.withTxId(filtered, "seq")
+    JsonCdc.withSchemaAttached(withTx.filter(col("table").isNotNull), "seq")
       .filter(col("kind").isin("insert", "update", "delete"))
       .select(col("pk").cast("long").as("pk"), col("kind"), col("table"),
-        col("tx_id"))
+        col("tx_id"),
+        get_json_object(col("schema"), "$.v").as("schema_v"))
       .orderBy("pk")
   }
 
@@ -69,7 +84,8 @@ object CdcOps {
       |       WHEN o_orderkey % 3 = 1 THEN 'update'
       |       ELSE 'delete' END AS kind,
       |  'orders' AS "table",
-      |  o_orderkey AS tx_id
+      |  o_orderkey AS tx_id,
+      |  CASE WHEN o_orderkey >= 1000 THEN '2' ELSE '1' END AS schema_v
       |FROM orders
       |WHERE o_orderkey % 10 NOT IN (8, 9)
       |ORDER BY pk""".stripMargin

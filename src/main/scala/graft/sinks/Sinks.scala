@@ -46,7 +46,7 @@ class CollectingSink extends EventSink {
   * production injects a real NATS/Kafka client.
   */
 class SubjectRoutingSink(
-    publish: (String, String) => Unit,
+    publisherFactory: () => (String, String) => Unit,
     schemaName: String = "public",
     cachePrefix: Option[String] = None) extends EventSink {
   val name = "subject-routing"
@@ -59,10 +59,17 @@ class SubjectRoutingSink(
         JsonCdc.cacheSubject(p, col("kind"), subj)).getOrElse(lit(null)))
       .withColumn("payload", to_json(struct(
         col("kind"), col("table"), col("pk"), col("item"))))
-    withSubj.select("subject", "cache_subject", "payload").collect()
-      .foreach { r =>
-        publish(r.getString(0), r.getString(2))
-        if (!r.isNullAt(1)) publish(r.getString(1), "")
+    // publish from the executors — never funnel the batch through the
+    // driver. One producer per partition; the factory runs executor-side
+    // so connection state is never serialized.
+    val factory = publisherFactory
+    withSubj.select("subject", "cache_subject", "payload")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val publish = factory()
+        it.foreach { r =>
+          publish(r.getString(0), r.getString(2))
+          if (!r.isNullAt(1)) publish(r.getString(1), "")
+        }
       }
   }
 }
@@ -83,7 +90,7 @@ object SinkRegistry {
     case "parquet" => new ParquetSink(cfg.options("path"))
     case "subject-routing" =>
       new SubjectRoutingSink(
-        (s, p) => println(s"[publish] $s $p"),
+        () => (s, p) => println(s"[publish] $s $p"),
         cfg.options.getOrElse("schema", "public"),
         cfg.options.get("cachePrefix"))
     case other => throw new IllegalArgumentException(
@@ -91,17 +98,28 @@ object SinkRegistry {
   }
 
   /** Fan a (streaming) envelope frame out to all sinks via one
-    * foreachBatch; per-kind emit flags become a single filter. */
+    * foreachBatch; per-kind emit flags become a single filter. When the
+    * generic `event` flag is on, every row is ALSO re-dispatched as a
+    * type-stamped `event` envelope (kind = "event", original kind in
+    * `type`) regardless of the per-kind flags — the reference's
+    * unconditional `emit('event', msg)` path (postgresql.js:515-547,
+    * including the transaction re-emit). */
   def attach(
       envelopes: DataFrame,
       emit: graft.subscribe.EmitFlags,
       sinks: Seq[EventSink]): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val kinds = emit.enabledKinds
     envelopes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val filtered = batch.filter(col("kind").isin(kinds: _*))
-      filtered.persist()
-      try sinks.foreach(_.write(filtered, id))
-      finally { filtered.unpersist(); () }
+      val named = batch.filter(col("kind").isin(kinds: _*))
+      val dispatched =
+        if (!emit.event) named
+        else named.withColumn("type", lit(null).cast("string"))
+          .unionByName(batch
+            .withColumn("type", col("kind"))
+            .withColumn("kind", lit("event")))
+      dispatched.persist()
+      try sinks.foreach(_.write(dispatched, id))
+      finally { dispatched.unpersist(); () }
     }
   }
 }

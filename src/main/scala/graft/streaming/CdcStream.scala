@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.cdc.JsonCdc
 import graft.subscribe.BackendConfig
 
 /** Source builders: raw CDC line streams → canonical envelope streams.
@@ -27,16 +26,11 @@ object CdcStream {
   def fileLines(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(lineSchema).json(path)
 
-  /** Raw lines → filtered canonical envelopes (decode + pg_temp +
-    * excludeTables). */
-  def envelopes(lines: DataFrame, excludeTables: Seq[String]): DataFrame =
-    JsonCdc.filterTables(JsonCdc.decode(lines), excludeTables)
-      .select("backend", "seq", "kind", "table", "pk", "item",
-        "old_image", "begin_id", "commit_id", "commit_ts")
-
-  /** Build the full pipeline for one configured backend: source →
-    * envelopes; the caller attaches sinks (SinkRegistry.attach) and
-    * starts the query. */
+  /** Build the full pipeline for one configured backend: source → decode
+    * + table filters → the one stateful dispatch op (schema attach, tx-id
+    * carry, and — when `emitTransaction` is on — assembled `transaction`
+    * rows, CdcPipeline). The caller attaches sinks (SinkRegistry.attach)
+    * and starts the query. */
   def forBackend(spark: SparkSession, cfg: BackendConfig): DataFrame = {
     val lines = cfg.kind match {
       case "file-ldjson" => fileLines(spark, cfg.options("path"))
@@ -50,6 +44,7 @@ object CdcStream {
       case other =>
         throw new IllegalArgumentException(s"invalid backend type: $other")
     }
-    envelopes(lines, cfg.excludeTables)
+    val events = TxAssembly.decodeToEvents(lines, cfg.excludeTables)
+    CdcPipeline.run(events, cfg.emit.transaction)
   }
 }

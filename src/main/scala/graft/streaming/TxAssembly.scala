@@ -60,12 +60,17 @@ object TxAssembly {
         GroupStateTimeout.NoTimeout())(assembleGroup)
   }
 
-  /** Decode a raw line frame (backend, seq, line) into Dataset[CdcEvent];
-    * shared by the file/Kafka stream builders and tests. */
+  /** Decode a raw line frame (backend, seq, line) into Dataset[CdcEvent],
+    * applying the pg_temp/excludeTables filters BEFORE any stateful op —
+    * the reference returns early for filtered tables so they never reach
+    * the tx buffer either (postgresql.js:386-397). Shared by the
+    * file/Kafka stream builders and tests. */
   def decodeToEvents(
-      lines: org.apache.spark.sql.DataFrame): Dataset[CdcEvent] = {
+      lines: org.apache.spark.sql.DataFrame,
+      excludeTables: Seq[String] = Nil): Dataset[CdcEvent] = {
     implicit val enc = Encoders.product[CdcEvent]
-    graft.cdc.JsonCdc.decode(lines)
+    graft.cdc.JsonCdc.filterTables(
+        graft.cdc.JsonCdc.decode(lines), excludeTables)
       .select(
         col("backend"), col("seq"), col("kind"), col("table"),
         col("item"), col("old_image").as("oldImage"),

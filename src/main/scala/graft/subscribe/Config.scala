@@ -45,7 +45,7 @@ case class SinkConfig(kind: String, options: Map[String, String] = Map.empty)
   */
 case class BackendConfig(
     name: String,
-    kind: String, // "file-ldjson" | "kafka" | "memory"
+    kind: String, // "file-ldjson" | "kafka"
     options: Map[String, String] = Map.empty,
     excludeTables: Seq[String] = Nil,
     emit: EmitFlags = EmitFlags(),
@@ -54,7 +54,9 @@ case class BackendConfig(
 case class EngineConfig(backends: Seq[BackendConfig])
 
 object ConfigValidation {
-  val supportedBackends: Set[String] = Set("file-ldjson", "kafka", "memory")
+  // exactly the kinds CdcStream.forBackend can build — a kind that passes
+  // `-t` validation must not crash at daemon start
+  val supportedBackends: Set[String] = Set("file-ldjson", "kafka")
   val supportedSinks: Set[String] =
     Set("console", "collect", "subject-routing", "parquet")
 

@@ -70,6 +70,24 @@ class CdcDecodeSpec extends SparkSpec {
     assert(byTx(7L) == 101L)
   }
 
+  test("O13: the latest schema line per table governs subsequent DML; " +
+      "a second schema line supersedes the first") {
+    val lines = Seq(
+      (0L, """{"schema": {"id": "integer", "v": "1"}, "table": "t"}"""),
+      (1L, """{"insert": {"id": 1}, "table": "t"}"""),
+      (2L, """{"schema": {"id": "integer", "v": "2"}, "table": "t"}"""),
+      (3L, """{"insert": {"id": 2}, "table": "t"}"""),
+      (4L, """{"insert": {"id": 3}, "table": "u"}"""))
+      .toDF("seq", "line")
+    val out = JsonCdc.withSchemaAttached(JsonCdc.decode(lines))
+      .filter($"kind" === "insert")
+      .select($"seq", get_json_object($"schema", "$.v").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "1")
+    assert(out(3L) == "2", "second schema line must supersede the first")
+    assert(out(4L) == null, "tables with no schema line carry none")
+  }
+
   test("commit timestamp parses") {
     val ts = decoded.filter($"seq" === 5).select("commit_ts").head().get(0)
     assert(ts != null)

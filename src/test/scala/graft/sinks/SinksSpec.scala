@@ -1,10 +1,18 @@
 package graft.sinks
 
-import scala.collection.mutable
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.cdc.JsonCdc
+
+/** Shared executor-visible bus: SubjectRoutingSink publishes from
+  * foreachPartition, so the collector must be reachable as a static
+  * singleton (same JVM in local mode), not a serialized closure capture. */
+object SinksSpec {
+  val bus = new ConcurrentLinkedQueue[(String, String)]()
+}
 
 /** Subject routing + fan-out semantics mirrored from the reference's NATS
   * plugin (/root/reference/src/plugins/nats.js:12-29).
@@ -19,12 +27,19 @@ class SinksSpec extends SparkSpec {
     (3L, """{"begin": 9}"""))
     .toDF("seq", "line").withColumn("backend", lit("pg1")))
 
+  private def drainBus(): Seq[(String, String)] = {
+    val out = SinksSpec.bus.asScala.toSeq
+    SinksSpec.bus.clear()
+    out
+  }
+
   test("subjects are schema.table.pk; cache-bus verbs map per kind") {
-    val published = mutable.Buffer[(String, String)]()
+    SinksSpec.bus.clear()
     val sink = new SubjectRoutingSink(
-      (s, p) => published.synchronized { published += ((s, p)); () },
+      () => (s, p) => { SinksSpec.bus.add((s, p)); () },
       schemaName = "public", cachePrefix = Some("cache"))
     sink.write(envelopes, 0L)
+    val published = drainBus()
     val subjects = published.map(_._1).toSet
     assert(subjects.contains("public.users.5"))
     assert(subjects.contains("cache.populate.public.users.5"))
@@ -35,10 +50,11 @@ class SinksSpec extends SparkSpec {
   }
 
   test("payload carries the event envelope as JSON") {
-    val published = mutable.Buffer[(String, String)]()
+    SinksSpec.bus.clear()
     val sink = new SubjectRoutingSink(
-      (s, p) => published.synchronized { published += ((s, p)); () })
+      () => (s, p) => { SinksSpec.bus.add((s, p)); () })
     sink.write(envelopes, 0L)
+    val published = drainBus()
     val insertPayload = published.find(_._2.contains("insert")).get._2
     assert(insertPayload.contains("\"table\":\"users\""))
     assert(insertPayload.contains("\"pk\":\"5\""))
