@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, UnaryExpression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * evaluate their lambda bodies INTERPRETED — fine for occasional use,
+  * but a dot product inside an O(n²) near-dup join, or a per-character
+  * fold over every document, pays the interpreter per element. These
+  * expressions generate a tight Java loop inside whole-stage codegen
+  * (preference order per the brief: builtin > native Expression > UDF),
+  * with interpreted eval kept bit-identical as the fallback.
+  *
+  * Numerical contract: both kernels fold STRICTLY left-to-right, matching
+  * the `aggregate(zip_with(...))` forms they replace and DuckDB's
+  * `list_reduce` — results stay bit-exact across engines, so the oracle
+  * hash compare still holds.
+  */
+
+/** Σ aᵢ·bᵢ over two array<double> columns, left-to-right. Inputs must
+  * already be array<double> (callers widen with toDoubleVec) — no
+  * ExpectsInputTypes because AbstractDataType is private[sql] in Spark 4;
+  * these are internal kernels with controlled call sites. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rolling polynomial hash acc ← (acc·31 + codepoint) mod 1e9+7 over a
+  * string — the document-fingerprint kernel (TextOps.q24_fingerprint),
+  * previously an O(len²) `transform(sequence(...), substring)` fold. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $str = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  $acc = ($acc * 31 + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingHash = copy(child = newChild)
+}
+
+/** 64-bit FNV-1a over a string's UTF-16 code units — the internal shingle
+  * hash (consistency is all that matters: every consumer of a shingle uses
+  * the same function; a collision among ~10⁶ shingles has probability
+  * ~10⁻⁷, immaterial next to exact-set verification). */
+object Fnv64 {
+  final val Offset = -3750763034362895579L // 0xcbf29ce484222325
+  final val Prime = 1099511628211L
+  def hash(s: String): Long = {
+    var h = Offset
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * Prime; i += 1 }
+    h
+  }
+}
+
+/** text → array<long> of DISTINCT k-token-shingle hashes, in ONE row-local
+  * pass: tokenize (trim + `\s+` split, same semantics as the SQL
+  * `split(trim(text), '\\s+')` both engines use), slide a k-window,
+  * FNV-hash each shingle, dedupe. Replaces a
+  * posexplode → window-lead → concat → distinct pipeline (a full shuffle
+  * by doc plus a sort) with zero shuffles.
+  *
+  * CodegenFallback is deliberate: the per-ROW work (hundreds of tokens)
+  * amortizes one boxed call, unlike per-ELEMENT lambda interpretation —
+  * and the loop body itself is plain compiled JVM code. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim
+      .split("\\s+")
+    if (toks.length < k) {
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[Long])
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(Fnv64.hash(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = it.next(); n += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
+}
+
+/** array<long> of shingle hashes → array<long> MinHash signature
+  * (nPerms permutations h_i(x) = (a_i·x + b_i) mod p over Z_p,
+  * p = 2³¹−1, deterministic LCG coefficients), computed row-locally —
+  * replaces a 128-aggregate-column groupBy (a full shuffle by doc) with
+  * an nPerms × |shingles| register loop. Same CodegenFallback rationale
+  * as ShingleHashes. */
+case class MinHashSignature(child: Expression, nPerms: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  private val p = 2147483647L // 2^31 - 1
+  private lazy val coef: Array[(Long, Long)] = (0 until nPerms).map { i =>
+    val a = 1103515245L * (i + 1) % p
+    val b = 12345L * (i + 17) % p
+    (if (a == 0) 1L else a, b)
+  }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sig = Array.fill(nPerms)(p) // empty set → sentinel p (> any hash)
+    var j = 0
+    while (j < m) {
+      val h = ((arr.getLong(j) % p) + p) % p
+      var i = 0
+      while (i < nPerms) {
+        val v = (coef(i)._1 * h + coef(i)._2) % p
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+/** Column-level entry points (no session registration required). */
+object native {
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def rollingHash(c: Column): Column =
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+
+  def shingleHashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashes(GraftColumnBridge.expression(text), k))
+
+  def minhashSignature(shingles: Column, nPerms: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(shingles), nPerms))
+}
+
+/** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions`) exposes `graft_dot` / `graft_rolling_hash` to
+  * `spark.sql(...)` users. The DataFrame paths above work without it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)))
+  }
+}

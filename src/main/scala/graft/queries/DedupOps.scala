@@ -40,33 +40,25 @@ object DedupOps {
     Tables.load(s, dir, "documents").repartition(n)
   }
 
-  /** Distinct (doc_id, 3-token shingle) rows, built codegen-first:
-    * posexplode the tokens, assemble each shingle from two window leads,
-    * and distinct — every operator stays in whole-stage codegen (an
-    * equivalent per-row `transform(sequence(...), slice/concat)` lambda
-    * chain measured ~3s per pass at sf0.1, interpreted). Documents with
-    * fewer than 3 tokens simply produce no rows — matching the oracle's
-    * range(1, len-1) emptiness. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs(s, dir).select(col("doc_id"),
-      posexplode(expr("split(trim(text), '\\\\s+')")).as(Seq("i", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    tok.select(col("doc_id"), col("t"),
-        lead("t", 1).over(w).as("t2"), lead("t", 2).over(w).as("t3"))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
-      .distinct()
-  }
+  /** Per-doc DISTINCT 3-gram shingle-hash sets, built in ONE row-local
+    * codegen-friendly pass (graft.functions.ShingleHashes: tokenize →
+    * slide → FNV64 → dedupe) — zero shuffles, vs the previous
+    * posexplode → window-lead → distinct → collect_list pipeline (two
+    * full shuffles by doc). Documents with fewer than 3 tokens yield an
+    * empty set — matching the oracle's range(1, len-1) emptiness.
+    * Consumers only size/intersect the hash sets; a 64-bit collision
+    * among ~10⁶ shingles has probability ~10⁻⁷ — immaterial next to the
+    * exact-set semantics. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.native.shingleHashes(col("text"), 3).as("shingles"))
 
-  /** Per-doc shingle-HASH sets for exact verification: consumers only
-    * size/intersect them, and intersecting longs is far cheaper than
-    * strings (a 64-bit collision among ~10⁶ shingles has probability
-    * ~10⁻⁷ — immaterial next to the exact-set semantics). */
-  private def shingleSets(rows: DataFrame): DataFrame =
-    rows.groupBy("doc_id")
-      .agg(collect_list(xxhash64(col("g"))).as("shingles"))
+  /** Exploded (doc_id, set size, shingle hash) view, derived narrowly
+    * from the set frame so the row-local build is shared by every
+    * consumer. Empty-set docs vanish here (explode of an empty array). */
+  private def shingleEx(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+      explode(col("shingles")).as("h"))
 
   /** Candidate pairs via prefix-filtered inverted index (AllPairs /
     * PPJoin prefix for Jaccard t = 0.5). Shingles are ordered globally by
@@ -78,19 +70,21 @@ object DedupOps {
     * bounding the Σ df² blowup of the naive index. */
   private def candidatePairs(ex: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val wd = Window.partitionBy("doc_id")
     // prefix membership via window rank (stays in codegen — no
-    // collect/sort/slice array lambdas); n rides along for the
-    // PPJoin length filter: J >= 0.5 forces 2*min(na,nb) >= max(na,nb)
-    val prefix = ex.join(dfreq, "g")
-      .withColumn("n", count(lit(1)).over(wd))
-      .withColumn("rk", row_number().over(wd.orderBy("df", "g")))
+    // collect/sort/slice array lambdas); the global shingle order is
+    // (document frequency, hash) — ANY total order preserves the prefix
+    // guarantee, rarest-first minimizes candidates. n (the set size)
+    // rides along for the PPJoin length filter: J >= 0.5 forces
+    // 2*min(na,nb) >= max(na,nb).
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(wd.orderBy("df", "h")))
       .filter(col("rk") <=
         col("n") - ceil(col("n") * 0.5).cast("long") + 1)
-      .select("doc_id", "g", "n")
+      .select("doc_id", "h", "n")
     prefix.as("L").join(prefix.as("R"),
-        col("L.g") === col("R.g") && col("L.doc_id") < col("R.doc_id") &&
+        col("L.h") === col("R.h") && col("L.doc_id") < col("R.doc_id") &&
         col("L.n") * 2 >= col("R.n") && col("R.n") * 2 >= col("L.n"))
       .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
       .distinct()
@@ -138,8 +132,8 @@ object DedupOps {
     * generation + exact verification — integer-only threshold math so
     * both engines agree exactly. */
   def q22_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
-    val rows = shingleRows(s, dir)
-    verified(candidatePairs(rows), shingleSets(rows))
+    val sh = shingleSets(s, dir)
+    verified(candidatePairs(shingleEx(sh)), sh)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -161,13 +155,13 @@ object DedupOps {
   // ----------------------------------------------------------- minhash
   /** MinHash(128 perms) + LSH(64 bands × 2 rows) candidate generation,
     * then exact Jaccard verification of candidates only. Deterministic
-    * permutations: h_i(x) = (a_i * xxhash64(shingle) + b_i) mod p.
+    * permutations: h_i(x) = (a_i * shingle_hash + b_i) mod p.
     *
-    * All 128 mins build as 128 aggregate columns of ONE codegen'd hash
-    * aggregate over the exploded (doc, shingle-hash) rows — map-side
-    * partial aggregation means only one 128-long signature row per doc
-    * per partition ever shuffles (vs. the naive 128-rows-per-shingle
-    * explode). Only the 64 (doc, band) rows feed the band self-join.
+    * The whole 128-min signature builds ROW-LOCALLY from the per-doc
+    * shingle-hash set (graft.functions.MinHashSignature) — no shuffle at
+    * all before banding (vs. the naive 128-rows-per-shingle explode, or
+    * even a 128-aggregate-column groupBy). Only the 64 (doc, band) rows
+    * feed the band self-join.
     * With 2-row bands, a pair at J = 0.5 escapes all 64 bands with
     * probability (1 - 0.5²)^64 < 1e-8, so the verified output equals the
     * exact n-gram result — same oracle.
@@ -177,22 +171,19 @@ object DedupOps {
   def q22_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     val nPerms = 128
     val nBands = 64 // 2 rows per band
-    val p = 2147483647L // 2^31-1
-    // deterministic (a_i, b_i) from a fixed LCG seed
-    val coef = (0 until nPerms).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = 12345L * (i + 17) % p
-      (if (a == 0) 1L else a, b)
-    }
-    val rows = shingleRows(s, dir)
-    val ex = rows.select(col("doc_id"), pmod(xxhash64(col("g")), lit(p)).as("h"))
-    val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
-    }
-    val sig = ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sh = shingleSets(s, dir)
+    // whole signature row-locally (graft.functions.MinHashSignature) —
+    // zero shuffles before banding. Empty shingle sets are excluded: they
+    // share the all-sentinel signature, but have no J>=0.5 partners
+    // (the oracle's empty range emits no pairs).
+    val sig = sh.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.native.minhashSignature(col("shingles"), nPerms)
+          .as("sig"))
     // band signature = hash of the band's 2 consecutive minhash values
     val bandCols = (0 until nBands).map(k =>
-      xxhash64(col(s"m${2 * k}"), col(s"m${2 * k + 1}")))
+      xxhash64(element_at(col("sig"), 2 * k + 1),
+        element_at(col("sig"), 2 * k + 2)))
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
     val cand = bands.as("L").join(bands.as("R"),
@@ -201,7 +192,7 @@ object DedupOps {
         col("L.doc_id") < col("R.doc_id"))
       .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
       .distinct()
-    verified(cand, shingleSets(rows)).orderBy("doc_a", "doc_b")
+    verified(cand, sh).orderBy("doc_a", "doc_b")
   }
 
   // ------------------------------------------------------------ simhash

@@ -19,13 +19,17 @@ object SimilarityOps {
   def toDoubleVec(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** Left-to-right fold dot product — deterministic summation order. */
-  def dotExpr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right dot product as a native codegen'd Expression
+    * (graft.functions.DotProduct): identical fold order to the
+    * `aggregate(zip_with(...))` form it replaces (and to DuckDB's
+    * `list_reduce`), but the loop compiles into whole-stage codegen
+    * instead of paying the higher-order-lambda interpreter per element —
+    * this sits inside O(n²) pair joins, so it's the hottest kernel in the
+    * engine. */
+  def dotExpr(a: Column, b: Column): Column = graft.functions.native.dot(a, b)
 
-  /** ||v|| with the same fold order. */
-  def normExpr(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** ||v|| with the same fold order (Σx² ≡ dot(v, v) term-for-term). */
+  def normExpr(v: Column): Column = sqrt(dotExpr(v, v))
 
   private def normalized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")

@@ -118,10 +118,10 @@ object TextOps {
     * Winnowing/shingled fingerprints reuse the same kernel per window. */
   def q24_fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .withColumn("fp", expr(
-        """aggregate(transform(sequence(1, length(text)),
-          |            i -> ascii(substring(text, i, 1))),
-          |          0L, (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+      // native codegen'd kernel (graft.functions.RollingHash): one pass
+      // over the string, vs the O(len²) interpreted
+      // transform(sequence, substring) fold it replaces
+      .withColumn("fp", graft.functions.native.rollingHash(col("text")))
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
