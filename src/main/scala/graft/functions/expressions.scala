@@ -215,6 +215,43 @@ case class MinHashSignature(child: Expression, nPerms: Int)
       newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
+/** text → 64-bit SimHash, row-locally: tokenize (trim + `\s+`), FNV-hash
+  * each token, accumulate ±1 votes per bit, pack the vote signs.
+  * Replaces an explode → 64-aggregate-column groupBy (a full shuffle of
+  * every (doc, token) row) with zero shuffles. Same CodegenFallback
+  * rationale as ShingleHashes. */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = Fnv64.hash(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
 /** Column-level entry points (no session registration required). */
 object native {
   def dot(a: Column, b: Column): Column =
@@ -231,6 +268,9 @@ object native {
   def minhashSignature(shingles: Column, nPerms: Int): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(shingles), nPerms))
+
+  def simhash(text: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`

@@ -25,8 +25,15 @@ object CdcOps {
     * exercising the O13 supersession rule at any SF. */
   private[graft] def syntheticLines(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Repartition the NARROW key frame before formatting: the three line
+    // branches then derive narrowly from one reused exchange, instead of
+    // shuffling 3× as many fully-formatted JSON strings afterwards. The
+    // spread exists because the test parquet is a single file (one input
+    // partition) — a real multi-partition source arrives pre-spread.
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .repartition(n)
       .withColumn("tbl",
         when(col("k") % 10 === 9, lit("pg_temp_refresh"))
           .when(col("k") % 10 === 8, lit("audit_log"))
@@ -50,12 +57,7 @@ object CdcOps {
       (1L, """{"schema": {"id": "integer", "status": "varchar", "v": "1"}, "table": "orders"}"""),
       (4001L, """{"schema": {"id": "integer", "status": "varchar", "v": "2"}, "table": "orders"}"""))
       .toDF("seq", "line")
-    // The union of a single small parquet scan yields only a few input
-    // partitions; spread the lines so the decode (the operator under
-    // measurement) runs at full parallelism, as a real multi-partition
-    // source would. Explicit N so AQE doesn't coalesce it away.
-    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    begin.unionAll(dml).unionAll(commit).unionAll(schemaLines).repartition(n)
+    begin.unionAll(dml).unionAll(commit).unionAll(schemaLines)
   }
 
   // -------------------------------------------------------------- CDC1
@@ -154,8 +156,9 @@ object CdcOps {
       case (t, i) => (i.toLong,
         s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "$t", "columns": $colsJson}""")
     }.toDF("seq", "line")
-    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    tablemaps.unionAll(batches).repartition(n)
+    // batches is already spread by the groupBy(bk) shuffle — no extra
+    // repartition of formatted strings needed
+    tablemaps.unionAll(batches)
   }
 
   def cdc3_mysql(s: SparkSession, dir: String): DataFrame =
@@ -185,8 +188,11 @@ object CdcOps {
     * updates per the reference, ns split on the first dot, ns.pk
     * subject). */
   private[graft] def syntheticOplog(s: SparkSession, dir: String): DataFrame = {
+    // narrow-row repartition before formatting (see syntheticLines)
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .repartition(n)
       .withColumn("ns",
         when(pmod(col("k"), lit(10)) === 8, lit("app.audit.v2"))
           .otherwise(lit("app.orders")))
@@ -200,8 +206,7 @@ object CdcOps {
         .otherwise(format_string(
           """{"op": "d", "ns": "%s", "o": {"_id": %d}}""",
           col("ns"), col("k")))
-    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    o.select(col("k").as("seq"), line.as("line")).repartition(n)
+    o.select(col("k").as("seq"), line.as("line"))
   }
 
   def cdc4_mongo(s: SparkSession, dir: String): DataFrame =

@@ -196,27 +196,21 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------ simhash
-  /** 64-bit SimHash over token hashes; near-dup = Hamming distance <= 3
-    * found via 4-block pigeonhole blocking (any pair at distance <= 3
-    * agrees on at least one 16-bit block). The 64 bit-votes accumulate as
-    * 64 sum columns of ONE codegen'd hash aggregate over the exploded
-    * (doc, token-hash) rows — map-side combine shuffles one vote row per
-    * doc per partition (vs. the naive 64-rows-per-token explode).
-    * Rows-only driver check + ScalaTest brute-force equality. */
+  /** Per-doc 64-bit SimHash sketch, built ROW-LOCALLY
+    * (graft.functions.SimHash64: tokenize → FNV per token → 64 bit-votes
+    * → pack) — zero shuffles, vs the previous explode + 64-sum-column
+    * groupBy. Exposed to the spec so its brute-force ground truth uses
+    * the operator's own sketch values. */
+  private[graft] def simhashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.native.simhash(col("text")).as("simhash"))
+
+  /** 64-bit SimHash near-dup: Hamming distance <= 3 found via 4-block
+    * pigeonhole blocking (any pair at distance <= 3 agrees on at least
+    * one 16-bit block). Rows-only driver check + ScalaTest brute-force
+    * equality on the blocking. */
   def q22_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(
-        expr("split(trim(text), '\\\\s+')")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    // vote for bit b: +1 when set, -1 when clear — sign-safe shiftright
-    val voteCols = (0 until 64).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"v$b"))
-    val sim = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    val sim = simhashes(s, dir)
     val blocked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftrightunsigned(simhash, k*16) & 65535)"))

