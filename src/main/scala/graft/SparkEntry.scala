@@ -21,7 +21,10 @@ object SparkEntry {
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // native kernels for SQL users + the per-key top-k plan rewrite
+    // (graft.plans.TopKPerKey); queries stay correct without it
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

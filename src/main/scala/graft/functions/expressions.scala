@@ -273,9 +273,14 @@ object native {
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
 }
 
-/** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+/** Session extension pack: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `.withExtensions`) exposes `graft_dot` / `graft_rolling_hash` to
-  * `spark.sql(...)` users. The DataFrame paths above work without it. */
+  * `spark.sql(...)` users and installs the per-key TOP-K rewrite
+  * (graft.plans.TopKPerKey: optimizer rule + planner strategy — the
+  * declarative `row_number().over(...) <= k` form plans as a bounded-heap
+  * operator instead of a full per-key sort). The DataFrame-level native
+  * kernels above work without registration, and every query stays
+  * correct (window plan) when the extension is absent. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -286,5 +291,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
