@@ -112,6 +112,35 @@ object TextOps {
       |  (n_toks >= 20 AND (n_toks - n_distinct) * 2 < n_toks) AS quality_ok
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ token count
+  /** Token counting two ways per doc: whitespace tokens and a BPE-ish
+    * regex segmentation (letter runs, digit runs, single
+    * non-alphanumeric marks — the coarse shape of a byte-pair pretoken
+    * split). Row-local; the pattern is deliberately RE2/Java-portable so
+    * both engines segment identically. */
+  def q24_token_count(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("n_bpe", size(expr(
+        """regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"""))
+        .cast("long"))
+      // `div` (integer division) matches DuckDB's `//` — `/` on longs
+      // would widen to double and break the hash compare
+      .withColumn("pct_vs_ws",
+        when(col("n_toks") > 0, expr("n_bpe * 100 div n_toks")))
+      .select("doc_id", "n_toks", "n_bpe", "pct_vs_ws")
+      .orderBy("doc_id")
+
+  val q24TokenCountSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+      |      AS BIGINT) AS n_bpe
+      |  FROM documents)
+      |SELECT doc_id, n_toks, n_bpe,
+      |  CASE WHEN n_toks > 0 THEN n_bpe * 100 // n_toks END AS pct_vs_ws
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- fingerprint
   /** Rolling polynomial hash of the document (mod 1e9+7) — a content
     * fingerprint whose fold both engines evaluate in the same order.
@@ -139,11 +168,13 @@ object TextOps {
     "q24_text_stats" -> (q24_text_stats _),
     "q24_langid" -> (q24_langid _),
     "q24_quality" -> (q24_quality _),
+    "q24_token_count" -> (q24_token_count _),
     "q24_fingerprint" -> (q24_fingerprint _))
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> q24StatsSql,
     "q24_langid" -> q24LangidSql,
     "q24_quality" -> q24QualitySql,
+    "q24_token_count" -> q24TokenCountSql,
     "q24_fingerprint" -> q24FingerprintSql)
 }
