@@ -115,24 +115,33 @@ object JsonCdc {
                bucketSize: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
-    val wIn = Window.partitionBy("_b").orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = withB.withColumn("_tx_local",
-      last(col("begin_id"), ignoreNulls = true).over(wIn))
-    // Last carried begin per bucket = the final row's carry (null when
-    // the bucket has no begin). Derived from `local`, which is already
-    // hash-partitioned by _b — the expensive upstream exchange is
-    // computed once and reused for this aggregate.
-    val perBucket = local.groupBy("_b")
-      .agg(max_by(col("_tx_local"), col(seqCol)).as("_last"))
+    // Per-bucket last begin from a NARROW pre-window branch: only
+    // (bucket, seq, begin_id) survive the projection, so Catalyst prunes
+    // this branch's decode down to the begin field — the full decode and
+    // the (expensive) sort+window below run exactly ONCE, on the main
+    // branch. (Aggregating the window's own output instead would make
+    // the sort+window execute twice, once per consumer.)
+    val perBucket = withB
+      .select(col("_b"), col(seqCol).as("_s"), col("begin_id").as("_bid"))
+      .filter(col("_bid").isNotNull)
+      .groupBy("_b").agg(max_by(col("_bid"), col("_s")).as("_last"))
     // carry-in per bucket = last begin of the latest earlier bucket that
-    // has one; tiny × tiny broadcast join, no single-partition window
-    val begins = perBucket.filter(col("_last").isNotNull)
+    // has one; tiny × tiny broadcast join, no single-partition window.
+    // Keyed over ALL buckets present (a begin-free bucket still needs a
+    // carry-in): the _b-only projection needs nothing but `seq`, so this
+    // branch prunes the decode away entirely.
+    val allBuckets = withB.select("_b").distinct()
+    val begins = perBucket
       .select(col("_b").as("_pb"), col("_last").as("_pl"))
-    val carryIn = perBucket.join(broadcast(begins),
+    val carryIn = allBuckets.join(broadcast(begins),
         col("_pb") < col("_b"), "left")
       .groupBy("_b").agg(max_by(col("_pl"), col("_pb")).as("_carry_in"))
-    local.join(broadcast(carryIn), Seq("_b"), "left")
+    val wIn = Window.partitionBy("_b").orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB
+      .withColumn("_tx_local",
+        last(col("begin_id"), ignoreNulls = true).over(wIn))
+      .join(broadcast(carryIn), Seq("_b"), "left")
       .withColumn("tx_id", coalesce(col("_tx_local"), col("_carry_in")))
       .drop("_b", "_tx_local", "_carry_in")
   }
