@@ -71,6 +71,10 @@ object Main {
         !sys.env.contains("SPARK_MASTER"))
       builder.master("local[*]")
     SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    // RocksDB-backed keyed state (SURVEY §7 risk register): tx/schema
+    // state spills off-heap instead of living in executor JVM memory
+    builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     // O5/O23 — progress/failure observability for every query
     spark.streams.addListener(new graft.streaming.GraftQueryListener())

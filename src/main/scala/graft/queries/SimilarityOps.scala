@@ -139,6 +139,12 @@ object SimilarityOps {
         if ((x >> 16) % 2 == 0) 1.0 else -1.0
       }
     }
+    // Deliberately the interpreted aggregate-over-transform form: a
+    // measured comparison against 16 native DotProduct calls (one per
+    // plane, literal plane arrays) showed the native variant ~40% SLOWER
+    // here — the per-plane work is small enough that literal-array
+    // plumbing outweighs the lambda interpreter. Native kernels are for
+    // measured hot loops (see DedupOps/q23 exact), not a default.
     val planesLit = typedLit(planes)
     val e = normalized(s, dir).withColumn("planes", planesLit)
       .withColumn("sig",

@@ -22,10 +22,21 @@ import graft.cdc.{CdcEvent, EnvelopeEvent, PipeState, TxItem, TxState}
   */
 object CdcPipeline {
 
-  def processGroup(emitTransaction: Boolean)(
+  def processGroup(emitTransaction: Boolean, txTimeoutMs: Option[Long])(
       backend: String,
       rows: Iterator[CdcEvent],
       state: GroupState[PipeState]): Iterator[EnvelopeEvent] = {
+    // State bounding (SURVEY §7 risk register — the reference's unbounded
+    // in-memory buffer, postgresql.js:14-17, is the cautionary tale): a
+    // transaction whose commit never arrives is dropped after the
+    // configured quiet period; the schema cache survives (schemas are
+    // long-lived by design).
+    if (state.hasTimedOut) {
+      val st = state.get
+      if (st.schemas.nonEmpty) state.update(PipeState(TxState(None, Nil), st.schemas))
+      else state.remove()
+      return Iterator.empty
+    }
     val sorted = rows.toSeq.sortBy(_.seq)
     var st = state.getOption.getOrElse(PipeState(TxState(None, Nil), Map.empty))
     val out = Seq.newBuilder[EnvelopeEvent]
@@ -57,20 +68,28 @@ object CdcPipeline {
         case _ => // unknown line shape: no dispatch, no state effect
       }
     }
-    if (st.tx.currentTxId.isDefined || st.schemas.nonEmpty) state.update(st)
-    else state.remove()
+    if (st.tx.currentTxId.isDefined || st.schemas.nonEmpty) {
+      state.update(st)
+      txTimeoutMs.foreach(state.setTimeoutDuration)
+    } else state.remove()
     out.result().iterator
   }
 
   /** Streaming (or batch) events → dispatched envelope frame. Transaction
     * rows serialize their items as the reference's `{items, id, ts}` JSON
-    * in `item`; all other rows pass `item` through untouched. */
-  def run(events: Dataset[CdcEvent], emitTransaction: Boolean): DataFrame = {
+    * in `item`; all other rows pass `item` through untouched.
+    * `txTimeoutMs` bounds open-transaction state (processing-time quiet
+    * period); None keeps state until commit, matching the reference. */
+  def run(events: Dataset[CdcEvent], emitTransaction: Boolean,
+      txTimeoutMs: Option[Long] = None): DataFrame = {
     implicit val outEnc = Encoders.product[EnvelopeEvent]
     implicit val stEnc = Encoders.product[PipeState]
+    val timeout =
+      if (txTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.backend)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(processGroup(emitTransaction))
+        timeout)(processGroup(emitTransaction, txTimeoutMs))
       .toDF()
       .select(
         col("backend"), col("seq"), col("kind"), col("table"), col("pk"),

@@ -45,6 +45,7 @@ object CdcStream {
         throw new IllegalArgumentException(s"invalid backend type: $other")
     }
     val events = TxAssembly.decodeToEvents(lines, cfg.excludeTables)
-    CdcPipeline.run(events, cfg.emit.transaction)
+    CdcPipeline.run(events, cfg.emit.transaction,
+      cfg.options.get("txTimeoutMs").map(_.toLong))
   }
 }

@@ -82,6 +82,47 @@ class CdcPipelineSpec extends SparkSpec {
     assert(spark.table(name).filter($"kind" === "transaction").isEmpty)
   }
 
+  test("open transactions drop after the quiet period; schema cache " +
+      "survives the timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val out = CdcPipeline.run(
+      TxAssembly.decodeToEvents(mem.toDF.toDF("backend", "seq", "line")),
+      emitTransaction = true, txTimeoutMs = Some(1L))
+    val name = s"pipe_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // processAllAvailable never settles once a processing-time timeout is
+    // armed (the engine keeps scheduling timeout-check batches) — poll
+    // the sink's row count instead
+    def waitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(spark.table(name).count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      mem.addData(
+        ("pg1", 0L, """{"schema": {"id": "integer"}, "table": "t"}"""),
+        ("pg1", 1L, """{"begin": 9}"""),
+        ("pg1", 2L, """{"insert": {"id": 1}, "table": "t"}"""))
+      waitRows(3)
+      Thread.sleep(100) // exceed the 1 ms quiet period → timeout fires
+      // the stale commit must find no open tx; the schema cache must live
+      mem.addData(
+        ("pg1", 3L, """{"commit": 9, "t": "2024-01-01 00:00:00"}"""),
+        ("pg1", 4L, """{"insert": {"id": 2}, "table": "t"}"""))
+      waitRows(5)
+    } finally q.stop()
+    val t = spark.table(name)
+    assert(t.filter($"kind" === "transaction").isEmpty,
+      "timed-out tx must not assemble")
+    val lateInsert = t.filter($"backend" === "pg1" && $"seq" === 4L)
+      .select("schema").as[String].head()
+    assert(lateInsert != null && lateInsert.contains("integer"),
+      "schema cache must survive the tx timeout")
+  }
+
   test("file-ldjson backend with emitTransaction delivers assembled " +
       "transactions to the configured sinks") {
     val dir = Files.createTempDirectory("graft-cdc").toString
