@@ -60,33 +60,33 @@ object BinlogCdc {
       c.getField("constraint").getField("position") === 1),
       c => c.getField("name")), lit(0))
 
-  /** Decode a frame with a string column `line` (ordered by `seqCol`) into
-    * per-row canonical envelopes: kind, schema, table, pk, item. Tablemap
-    * events contribute the stateful pk column and are not emitted. */
-  def decode(df: DataFrame, excludeTables: Seq[String] = Nil,
-             lineCol: String = "line", seqCol: String = "seq"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Stateless parse + filter: one from_json per line, tablemap pk column
+    * extracted onto `_pk_col` (null on row events). Shared by the batch
+    * (window-carry) and streaming (keyed-state-carry) paths. */
+  private[graft] def parse(df: DataFrame, excludeTables: Seq[String],
+      lineCol: String): DataFrame = {
     val parsed = df.withColumn("_p", from_json(col(lineCol), eventSchema))
       .withColumn("event_name", col("_p.eventName"))
       .withColumn("schema", col("_p.schemaName"))
       .withColumn("table", col("_p.tableName"))
-    val filtered =
-      if (excludeTables.isEmpty) parsed
-      else parsed.filter(!col("table").isin(excludeTables: _*))
-    // stateful pk column per (schema, table): latest tablemap wins —
-    // partitioned window, same scale shape as JsonCdc.withSchemaAttached
-    val w = Window.partitionBy("schema", "table").orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withPkCol = filtered
       .withColumn("_pk_col",
         when(col("event_name") === "tablemap", pkColumnOf(col("_p.columns"))))
-      .withColumn("pk_col", last(col("_pk_col"), ignoreNulls = true).over(w))
+      .withColumn("rows", col("_p.rows"))
+    if (excludeTables.isEmpty) parsed
+    else parsed.filter(!col("table").isin(excludeTables: _*))
+  }
+
+  /** Row expansion + envelope columns over a frame that already carries
+    * the effective `pk_col` per event (however the carry was computed).
+    * `extraCols` (e.g. a stream's `backend`) ride through unchanged. */
+  private[graft] def expandRows(withPkCol: DataFrame, seqCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     // row expansion: one envelope per row, in statement row order
     val rows = withPkCol
       .filter(col("event_name").isin("writerows", "updaterows", "deleterows"))
-      .select(col(seqCol), col("schema"), col("table"), col("pk_col"),
-        col("event_name"),
-        posexplode(col("_p.rows")).as(Seq("row_idx", "row_json")))
+      .select(extraCols.map(col) ++ Seq(col(seqCol), col("schema"),
+        col("table"), col("pk_col"), col("event_name"),
+        posexplode(col("rows")).as(Seq("row_idx", "row_json"))): _*)
     val kind = when(col("event_name") === "writerows", "insert")
       .when(col("event_name") === "updaterows", "update")
       .otherwise("delete")
@@ -103,7 +103,25 @@ object BinlogCdc {
             MapType(StringType, StringType)), col("pk_col"))))
       .withColumn("item",
         when(col("event_name") =!= "deleterows", col("_image")))
-      .select(col(seqCol), col("row_idx"), col("kind"), col("schema"),
-        col("table"), col("pk"), col("item"))
+      .select(extraCols.map(col) ++ Seq(col(seqCol), col("row_idx"),
+        col("kind"), col("schema"), col("table"), col("pk"),
+        col("item")): _*)
+  }
+
+  /** Decode a BATCH frame with a string column `line` (ordered by
+    * `seqCol`) into per-row canonical envelopes: kind, schema, table, pk,
+    * item. Tablemap events contribute the stateful pk column and are not
+    * emitted. The streaming twin keeps the same carry as keyed state
+    * (graft.streaming.BinlogStream). */
+  def decode(df: DataFrame, excludeTables: Seq[String] = Nil,
+             lineCol: String = "line", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stateful pk column per (schema, table): latest tablemap wins —
+    // partitioned window, same scale shape as JsonCdc.withSchemaAttached
+    val w = Window.partitionBy("schema", "table").orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPkCol = parse(df, excludeTables, lineCol)
+      .withColumn("pk_col", last(col("_pk_col"), ignoreNulls = true).over(w))
+    expandRows(withPkCol, seqCol)
   }
 }

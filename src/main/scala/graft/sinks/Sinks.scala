@@ -51,7 +51,12 @@ class SubjectRoutingSink(
     cachePrefix: Option[String] = None) extends EventSink {
   val name = "subject-routing"
   def write(batch: DataFrame, batchId: Long): Unit = {
-    val subj = JsonCdc.subject(lit(schemaName), col("table"), col("pk"))
+    // empty/null schema → two-component subject (the reference's Mongo
+    // plugin publishes `ns.pk`, nats.js:19-21; concat_ws skips nulls)
+    val schemaCol =
+      if (schemaName == null || schemaName.isEmpty) lit(null).cast("string")
+      else lit(schemaName)
+    val subj = JsonCdc.subject(schemaCol, col("table"), col("pk"))
     val withSubj = batch
       .filter(col("kind").isin("insert", "update", "delete"))
       .withColumn("subject", subj)

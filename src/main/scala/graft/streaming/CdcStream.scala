@@ -27,25 +27,45 @@ object CdcStream {
     spark.readStream.schema(lineSchema).json(path)
 
   /** Build the full pipeline for one configured backend: source → decode
-    * + table filters → the one stateful dispatch op (schema attach, tx-id
-    * carry, and — when `emitTransaction` is on — assembled `transaction`
-    * rows, CdcPipeline). The caller attaches sinks (SinkRegistry.attach)
-    * and starts the query. */
+    * + table filters → per-wire-format normalization. PG (jsoncdc) runs
+    * the full stateful dispatch op (schema attach, tx-id carry, and —
+    * when `emitTransaction` is on — assembled `transaction` rows,
+    * CdcPipeline); MySQL binlog runs the keyed tablemap carry
+    * (BinlogStream); Mongo oplog is stateless. All three emit the
+    * canonical envelope surface, mirroring the reference's three backend
+    * workers (lapidus.js:88-109). The caller attaches sinks
+    * (SinkRegistry.attach) and starts the query. */
   def forBackend(spark: SparkSession, cfg: BackendConfig): DataFrame = {
-    val lines = cfg.kind match {
-      case "file-ldjson" => fileLines(spark, cfg.options("path"))
+    def lines(fmt: String): DataFrame = fmt match {
+      case "file" => fileLines(spark, cfg.options("path"))
       case "kafka" =>
         // shape Kafka records into the line contract (topic/offset/value)
         spark.readStream.format("kafka")
-          .options(cfg.options)
+          .options(cfg.options - "wire")
           .load()
           .select(col("topic").as("backend"), col("offset").as("seq"),
             col("value").cast("string").as("line"))
+    }
+    cfg.kind match {
+      case "file-ldjson" =>
+        CdcPipeline.run(
+          TxAssembly.decodeToEvents(lines("file"), cfg.excludeTables),
+          cfg.emit.transaction, cfg.options.get("txTimeoutMs").map(_.toLong))
+      case "kafka" =>
+        CdcPipeline.run(
+          TxAssembly.decodeToEvents(lines("kafka"), cfg.excludeTables),
+          cfg.emit.transaction, cfg.options.get("txTimeoutMs").map(_.toLong))
+      case "file-binlog-json" =>
+        BinlogStream.envelopes(lines("file"), cfg.excludeTables)
+      case "file-oplog-json" =>
+        // stateless: decode directly; conform to the envelope surface
+        // (table = ns so the routing subject is the reference's `ns.pk`,
+        // nats.js:19-21, with a null schema component)
+        graft.cdc.OplogCdc.decode(lines("file"))
+          .select(col("backend"), col("seq"), col("kind"),
+            col("ns").as("table"), col("pk"), col("item"))
       case other =>
         throw new IllegalArgumentException(s"invalid backend type: $other")
     }
-    val events = TxAssembly.decodeToEvents(lines, cfg.excludeTables)
-    CdcPipeline.run(events, cfg.emit.transaction,
-      cfg.options.get("txTimeoutMs").map(_.toLong))
   }
 }

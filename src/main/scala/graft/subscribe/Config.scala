@@ -56,7 +56,8 @@ case class EngineConfig(backends: Seq[BackendConfig])
 object ConfigValidation {
   // exactly the kinds CdcStream.forBackend can build — a kind that passes
   // `-t` validation must not crash at daemon start
-  val supportedBackends: Set[String] = Set("file-ldjson", "kafka")
+  val supportedBackends: Set[String] =
+    Set("file-ldjson", "kafka", "file-binlog-json", "file-oplog-json")
   val supportedSinks: Set[String] =
     Set("console", "collect", "subject-routing", "parquet")
 
@@ -75,8 +76,8 @@ object ConfigValidation {
         if (!supportedSinks.contains(s.kind))
           errs += s"${b.name}: invalid plugin: ${s.kind}"
       }
-      if (b.kind == "file-ldjson" && !b.options.contains("path"))
-        errs += s"${b.name}: file-ldjson backend requires options.path"
+      if (b.kind.startsWith("file-") && !b.options.contains("path"))
+        errs += s"${b.name}: ${b.kind} backend requires options.path"
     }
     errs.result()
   }
