@@ -64,6 +64,37 @@ object Multimodal {
     media.map(r => r.copy(media = r.media.take(maxBytes)))
   }
 
+  /** One sampled frame: payload chunk metadata + content checksum. */
+  case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long,
+      checksum: Long)
+
+  /** Stub "frame sampling": chunk the payload into fixed-size frames and
+    * keep every `every`-th — the pipeline shape of video keyframe
+    * extraction (a real build decodes container frames here instead of
+    * slicing bytes). Partition-batched for the same codec-amortization
+    * reason as extractFeatures. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64,
+      every: Int = 4): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.media.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, every).map { idx =>
+          val start = idx * frameBytes
+          val end = math.min(start + frameBytes, n)
+          var acc = 0L
+          var i = start
+          while (i < end) {
+            acc = (acc * 31 + (r.media(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          FrameRow(r.media_id, idx, (end - start).toLong, acc)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (UTF-8 bytes as payload)
     * so the plumbing runs on driver test data. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -94,9 +125,35 @@ object Multimodal {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** q25b — frame sampling, oracle-checked: 64-byte frames, every 4th
+    * kept; DuckDB restates each sampled frame with substring math (the
+    * corpus is ASCII, so char offsets == byte offsets). */
+  def q25b_frame_sample(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaFromDocuments(s, dir))
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+        col("checksum"))
+      .orderBy("media_id", "frame_idx")
+
+  val q25bSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |f AS (SELECT doc_id, text,
+      |    unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 4)) AS idx
+      |  FROM d)
+      |SELECT doc_id AS media_id, CAST(idx AS INTEGER) AS frame_idx,
+      |  CAST(length(substring(text, idx*64 + 1, 64)) AS BIGINT) AS n_bytes,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(substring(text, idx*64 + 1, 64))+1),
+      |        i -> CAST(ascii(substring(substring(text, idx*64 + 1, 64), i, 1))
+      |               AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q25_multimodal" -> (q25_multimodal _))
+    "q25_multimodal" -> (q25_multimodal _),
+    "q25b_frame_sample" -> (q25b_frame_sample _))
 
   def oracles: Map[String, String] = Map(
-    "q25_multimodal" -> q25Sql)
+    "q25_multimodal" -> q25Sql,
+    "q25b_frame_sample" -> q25bSql)
 }

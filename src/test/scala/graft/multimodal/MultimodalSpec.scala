@@ -30,6 +30,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature.forall(v => v >= 0.0f && v <= 1.0f))
   }
 
+  test("frame sampling chunks payloads and keeps every Nth frame") {
+    import spark.implicits._
+    val media = Seq(
+      // 200 bytes → frames 0..3 (64,64,64,8 bytes); sampled: 0
+      MediaRow(1L, "video/fake", Array.fill[Byte](200)('a'.toByte)),
+      // 300 bytes → frames 0..4; sampled: 0, 4 (last frame 44 bytes)
+      MediaRow(2L, "video/fake", Array.fill[Byte](300)('b'.toByte)),
+      MediaRow(3L, "video/fake", Array.emptyByteArray))
+      .toDS()
+    val frames = frameSample(media).collect()
+      .map(f => (f.media_id, f.frame_idx, f.n_bytes)).sorted.toSeq
+    assert(frames == Seq((1L, 0, 64L), (2L, 0, 64L), (2L, 4, 44L)),
+      s"got $frames")
+  }
+
   test("resize stub truncates payloads, preserving ids") {
     val media = mediaFromDocuments(spark, sfDir)
     val resized = resizeStub(media, 16).collect()
