@@ -13,8 +13,9 @@ import graft.subscribe._
   * `-c config.json` starts one streaming query per configured backend;
   * `-t` parses + validates the config and exits.
   *
-  * Config JSON shape:
-  * {"backends": [{"name": "pg1", "kind": "file-ldjson",
+  * Config JSON shape (source × wire preferred; legacy fused "kind"
+  * still accepted):
+  * {"backends": [{"name": "pg1", "source": "file", "wire": "jsoncdc",
   *   "options": {"path": "/data/cdc"}, "excludeTables": ["audit"],
   *   "emit": {"emitEvents": true, "emitSchema": false},
   *   "sinks": [{"kind": "console"}]}]}
@@ -38,7 +39,9 @@ object Main {
               (sc \ "kind").extractOrElse[String](""),
               (sc \ "options").extractOrElse[Map[String, String]](Map())))
             case _ => Seq(SinkConfig("console"))
-          })
+          },
+          source = (b \ "source").extractOrElse[String](""),
+          wire = (b \ "wire").extractOrElse[String](""))
       }
       case _ => Nil
     }

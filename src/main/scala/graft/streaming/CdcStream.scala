@@ -26,46 +26,56 @@ object CdcStream {
   def fileLines(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(lineSchema).json(path)
 
-  /** Build the full pipeline for one configured backend: source → decode
-    * + table filters → per-wire-format normalization. PG (jsoncdc) runs
-    * the full stateful dispatch op (schema attach, tx-id carry, and —
-    * when `emitTransaction` is on — assembled `transaction` rows,
-    * CdcPipeline); MySQL binlog runs the keyed tablemap carry
-    * (BinlogStream); Mongo oplog is stateless. All three emit the
-    * canonical envelope surface, mirroring the reference's three backend
-    * workers (lapidus.js:88-109). The caller attaches sinks
-    * (SinkRegistry.attach) and starts the query. */
+  // engine-level options that must not leak into the Kafka reader config
+  private val engineOptions = Set("wire", "txTimeoutMs", "checkpoint")
+
+  /** Build the full pipeline for one configured backend. Transport and
+    * wire format are independent (BackendConfig.resolvedSource ×
+    * resolvedWire): ANY wire format rides ANY transport through the same
+    * (backend, seq, line) contract, the reference's
+    * one-worker-per-backend-of-any-type model (lapidus.js:88-109 — the
+    * master forks identically for pg/mysql/mongo workers). The caller
+    * attaches sinks (SinkRegistry.attach) and starts the query. */
   def forBackend(spark: SparkSession, cfg: BackendConfig): DataFrame = {
-    def lines(fmt: String): DataFrame = fmt match {
+    val lines = cfg.resolvedSource match {
       case "file" => fileLines(spark, cfg.options("path"))
       case "kafka" =>
         // shape Kafka records into the line contract (topic/offset/value)
         spark.readStream.format("kafka")
-          .options(cfg.options - "wire")
+          .options(cfg.options -- engineOptions)
           .load()
           .select(col("topic").as("backend"), col("offset").as("seq"),
             col("value").cast("string").as("line"))
+      case other =>
+        throw new IllegalArgumentException(s"invalid backend source: $other")
     }
-    cfg.kind match {
-      case "file-ldjson" =>
+    fromLines(lines, cfg)
+  }
+
+  /** Wire-format dispatch over the transport-agnostic (backend, seq,
+    * line) contract — exactly the frame both `fileLines` and the Kafka
+    * select above produce. PG (jsoncdc) runs the full stateful dispatch
+    * op (schema attach, tx-id carry, and — when `emitTransaction` is on —
+    * assembled `transaction` rows, CdcPipeline); MySQL binlog runs the
+    * keyed tablemap carry (BinlogStream); Mongo oplog is stateless. All
+    * three emit the canonical envelope surface. */
+  def fromLines(lines: DataFrame, cfg: BackendConfig): DataFrame =
+    cfg.resolvedWire match {
+      case "jsoncdc" =>
         CdcPipeline.run(
-          TxAssembly.decodeToEvents(lines("file"), cfg.excludeTables),
+          TxAssembly.decodeToEvents(lines, cfg.excludeTables),
           cfg.emit.transaction, cfg.options.get("txTimeoutMs").map(_.toLong))
-      case "kafka" =>
-        CdcPipeline.run(
-          TxAssembly.decodeToEvents(lines("kafka"), cfg.excludeTables),
-          cfg.emit.transaction, cfg.options.get("txTimeoutMs").map(_.toLong))
-      case "file-binlog-json" =>
-        BinlogStream.envelopes(lines("file"), cfg.excludeTables)
-      case "file-oplog-json" =>
+      case "binlog" =>
+        BinlogStream.envelopes(lines, cfg.excludeTables)
+      case "oplog" =>
         // stateless: decode directly; conform to the envelope surface
         // (table = ns so the routing subject is the reference's `ns.pk`,
         // nats.js:19-21, with a null schema component)
-        graft.cdc.OplogCdc.decode(lines("file"))
+        graft.cdc.OplogCdc.decode(lines)
           .select(col("backend"), col("seq"), col("kind"),
             col("ns").as("table"), col("pk"), col("item"))
       case other =>
-        throw new IllegalArgumentException(s"invalid backend type: $other")
+        throw new IllegalArgumentException(
+          s"invalid backend wire format: $other")
     }
-  }
 }

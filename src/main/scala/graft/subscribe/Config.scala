@@ -42,22 +42,55 @@ case class SinkConfig(kind: String, options: Map[String, String] = Map.empty)
 
 /** One backend (source) — capture itself stays external (Debezium /
   * pg_recvlogical writing LDJSON or Kafka); Spark consumes the stream.
+  *
+  * Transport and wire format are independent axes, mirroring the
+  * reference's one-worker-per-backend-of-any-type model
+  * (lapidus.js:88-109 — the master forks the same way for pg/mysql/mongo;
+  * only the decode inside the worker differs): `source` picks the
+  * transport (file | kafka), `wire` picks the decoder
+  * (jsoncdc | binlog | oplog). The legacy fused `kind` values
+  * (file-ldjson, kafka, file-binlog-json, file-oplog-json) are still
+  * accepted and resolve onto the two axes.
   */
 case class BackendConfig(
     name: String,
-    kind: String, // "file-ldjson" | "kafka"
+    kind: String = "", // legacy fused kind; prefer source × wire
     options: Map[String, String] = Map.empty,
     excludeTables: Seq[String] = Nil,
     emit: EmitFlags = EmitFlags(),
-    sinks: Seq[SinkConfig] = Seq(SinkConfig("console")))
+    sinks: Seq[SinkConfig] = Seq(SinkConfig("console")),
+    source: String = "", // "file" | "kafka"
+    wire: String = "") { // "jsoncdc" | "binlog" | "oplog"
+
+  /** Transport after legacy-kind resolution ("" if unresolvable). */
+  def resolvedSource: String =
+    if (source.nonEmpty) source
+    else kind match {
+      case "file-ldjson" | "file-binlog-json" | "file-oplog-json" => "file"
+      case "kafka" => "kafka"
+      case _ => ""
+    }
+
+  /** Wire format after legacy-kind resolution. Precedence: explicit
+    * `wire` field > options("wire") (the legacy kafka escape hatch) >
+    * the kind's historical binding. */
+  def resolvedWire: String =
+    if (wire.nonEmpty) wire
+    else options.get("wire").filter(_.nonEmpty).getOrElse(kind match {
+      case "file-ldjson" | "kafka" => "jsoncdc"
+      case "file-binlog-json" => "binlog"
+      case "file-oplog-json" => "oplog"
+      case _ => ""
+    })
+}
 
 case class EngineConfig(backends: Seq[BackendConfig])
 
 object ConfigValidation {
-  // exactly the kinds CdcStream.forBackend can build — a kind that passes
-  // `-t` validation must not crash at daemon start
-  val supportedBackends: Set[String] =
-    Set("file-ldjson", "kafka", "file-binlog-json", "file-oplog-json")
+  // exactly the axes CdcStream.forBackend can build — a config that
+  // passes `-t` validation must not crash at daemon start
+  val supportedSources: Set[String] = Set("file", "kafka")
+  val supportedWires: Set[String] = Set("jsoncdc", "binlog", "oplog")
   val supportedSinks: Set[String] =
     Set("console", "collect", "subject-routing", "parquet")
 
@@ -70,14 +103,24 @@ object ConfigValidation {
       errs += "Lapidus requires at least one backend to run"
     cfg.backends.foreach { b =>
       if (b.name.isEmpty) errs += "backend missing name"
-      if (!supportedBackends.contains(b.kind))
+      val src = b.resolvedSource
+      val wireFmt = b.resolvedWire
+      if (src.isEmpty && wireFmt.isEmpty)
+        // an unknown fused kind resolves to neither axis — report it as
+        // the reference would (lapidus.js:58-63 "invalid backend type")
         errs += s"${b.name}: invalid backend type: ${b.kind}"
+      else {
+        if (!supportedSources.contains(src))
+          errs += s"${b.name}: invalid backend source: $src"
+        if (!supportedWires.contains(wireFmt))
+          errs += s"${b.name}: invalid backend wire format: $wireFmt"
+      }
       b.sinks.foreach { s =>
         if (!supportedSinks.contains(s.kind))
           errs += s"${b.name}: invalid plugin: ${s.kind}"
       }
-      if (b.kind.startsWith("file-") && !b.options.contains("path"))
-        errs += s"${b.name}: ${b.kind} backend requires options.path"
+      if (src == "file" && !b.options.contains("path"))
+        errs += s"${b.name}: file backend requires options.path"
     }
     errs.result()
   }

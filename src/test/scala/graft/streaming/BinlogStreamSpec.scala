@@ -74,6 +74,51 @@ class BinlogStreamSpec extends SparkSpec {
     assert(BinlogStreamSpec.bus.size == 3) // insert + update + delete
   }
 
+  test("binlog and oplog wires ride the kafka-shaped line contract") {
+    // CdcStream's kafka source selects records into (backend, seq, line);
+    // this MemoryStream is byte-identical to that shape, proving the
+    // MySQL/Mongo wire decoders are transport-agnostic — the reference's
+    // one-worker-per-backend-of-any-type model (lapidus.js:88-109).
+    implicit val sqlCtx = spark.sqlContext
+    val binMem = MemoryStream[(String, Long, String)]
+    val binOut = CdcStream.fromLines(
+      binMem.toDF.toDF("backend", "seq", "line"),
+      BackendConfig("my-kafka", source = "kafka", wire = "binlog"))
+    val binName = s"kafkabin_${System.nanoTime()}"
+    val q1 = binOut.writeStream.format("memory").queryName(binName)
+      .outputMode("append").start()
+    try {
+      binMem.addData(
+        ("my-kafka", 0L,
+          s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "orders", "columns": $colsJson}"""),
+        ("my-kafka", 1L,
+          """{"eventName": "writerows", "schemaName": "lapidus", "tableName": "orders", "rows": [{"id": 9, "x": "k"}]}"""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val binRows = spark.table(binName)
+      .select("kind", "pk").as[(String, String)].collect().toSeq
+    assert(binRows == Seq(("insert", "9")),
+      "binlog decode must work unchanged over the kafka line shape")
+
+    val opMem = MemoryStream[(String, Long, String)]
+    val opOut = CdcStream.fromLines(
+      opMem.toDF.toDF("backend", "seq", "line"),
+      BackendConfig("mo-kafka", source = "kafka", wire = "oplog"))
+    val opName = s"kafkaop_${System.nanoTime()}"
+    val q2 = opOut.writeStream.format("memory").queryName(opName)
+      .outputMode("append").start()
+    try {
+      opMem.addData(("mo-kafka", 0L,
+        """{"op": "i", "ns": "app.users", "o": {"_id": 3, "n": "z"}}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val opRows = spark.table(opName)
+      .select("kind", "table", "pk").as[(String, String, String)]
+      .collect().toSeq
+    assert(opRows == Seq(("insert", "app.users", "3")),
+      "oplog decode must work unchanged over the kafka line shape")
+  }
+
   test("-t validation accepts the new kinds and demands a path") {
     import graft.subscribe._
     val ok = EngineConfig(Seq(

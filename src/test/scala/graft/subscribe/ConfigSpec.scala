@@ -51,6 +51,63 @@ class ConfigSpec extends AnyFunSuite {
       .exists(_.contains("requires options.path")))
   }
 
+  test("legacy fused kinds resolve onto the source × wire axes") {
+    val expect = Map(
+      "file-ldjson" -> ("file", "jsoncdc"),
+      "kafka" -> ("kafka", "jsoncdc"),
+      "file-binlog-json" -> ("file", "binlog"),
+      "file-oplog-json" -> ("file", "oplog"))
+    expect.foreach { case (kind, (src, wire)) =>
+      val b = BackendConfig("b", kind, Map("path" -> "/x"))
+      assert(b.resolvedSource == src, s"$kind source")
+      assert(b.resolvedWire == wire, s"$kind wire")
+    }
+  }
+
+  test("full source × wire matrix validates — any wire on any transport") {
+    for {
+      src <- Seq("file", "kafka")
+      wire <- Seq("jsoncdc", "binlog", "oplog")
+    } {
+      val opts = if (src == "file") Map("path" -> "/x")
+                 else Map("kafka.bootstrap.servers" -> "h:9092",
+                          "subscribe" -> "cdc")
+      val cfg = EngineConfig(Seq(
+        BackendConfig("b", options = opts, source = src, wire = wire)))
+      assert(ConfigValidation.validate(cfg).isEmpty,
+        s"$src × $wire must validate (lapidus.js:88-109 — one worker per " +
+          "backend of any type)")
+    }
+  }
+
+  test("explicit wire field beats the legacy kafka options escape hatch") {
+    val b = BackendConfig("b", "kafka",
+      Map("wire" -> "oplog"))
+    assert(b.resolvedWire == "oplog", "options.wire read when field empty")
+    val c = b.copy(wire = "binlog")
+    assert(c.resolvedWire == "binlog", "explicit field wins")
+  }
+
+  test("validation rejects unknown source and wire, aggregated") {
+    val cfg = EngineConfig(Seq(BackendConfig(
+      "b", options = Map("path" -> "/x"), source = "carrier-pigeon",
+      wire = "smoke-signals")))
+    val errs = ConfigValidation.validate(cfg)
+    assert(errs.exists(_.contains("invalid backend source: carrier-pigeon")))
+    assert(errs.exists(_.contains("invalid backend wire format: smoke-signals")))
+  }
+
+  test("CLI config JSON parses source and wire fields") {
+    val json =
+      """{"backends": [{"name": "my1", "source": "kafka", "wire": "binlog",
+        |  "options": {"kafka.bootstrap.servers": "h:9092",
+        |              "subscribe": "binlog"}}]}""".stripMargin
+    val cfg = graft.cli.Main.parseConfig(json)
+    val b = cfg.backends.head
+    assert(b.resolvedSource == "kafka" && b.resolvedWire == "binlog")
+    assert(ConfigValidation.validate(cfg).isEmpty)
+  }
+
   test("CLI config JSON parses with nested emit flags and sinks") {
     val json =
       """{"backends": [{"name": "pg1", "kind": "file-ldjson",
