@@ -115,13 +115,12 @@ object BinlogCdc {
     * (graft.streaming.BinlogStream). */
   def decode(df: DataFrame, excludeTables: Seq[String] = Nil,
              lineCol: String = "line", seqCol: String = "seq"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // stateful pk column per (schema, table): latest tablemap wins —
-    // partitioned window, same scale shape as JsonCdc.withSchemaAttached
-    val w = Window.partitionBy("schema", "table").orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withPkCol = parse(df, excludeTables, lineCol)
-      .withColumn("pk_col", last(col("_pk_col"), ignoreNulls = true).over(w))
+    // bucketed prefix scan (PrefixCarry), so one hot table in a batch
+    // replay spreads across tasks instead of funneling through one
+    val withPkCol = PrefixCarry.lastNonNull(
+      parse(df, excludeTables, lineCol), "_pk_col", "pk_col", seqCol,
+      keys = Seq("schema", "table"))
     expandRows(withPkCol, seqCol)
   }
 }

@@ -102,69 +102,28 @@ object JsonCdc {
   }
 
   /** Attach txId to every event: the id of the most recent begin line at
-    * or before it, in stream order (`seqCol`).
-    *
-    * Scale-safe two-level prefix scan (no global unpartitioned window):
-    * rows are bucketed by `seq div bucketSize`; the carry runs inside
-    * each bucket with a PARTITIONED window, and the tiny per-bucket
-    * summary (one row per bucket that contains a begin) is resolved
-    * across buckets with a broadcast non-equi join — so no stage ever
-    * funnels the full stream through one task. The streaming path keeps
-    * the same semantics with keyed state (graft.streaming.TxAssembly). */
+    * or before it, in stream order (`seqCol`). Scale-safe two-level
+    * prefix scan (PrefixCarry — bounded per-task windows, linear summary
+    * resolution); the streaming path keeps the same semantics with keyed
+    * state (graft.streaming.TxAssembly). */
   def withTxId(df: DataFrame, seqCol: String = "seq",
-               bucketSize: Long = 1L << 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
-    // Per-bucket last begin from a NARROW pre-window branch: only
-    // (bucket, seq, begin_id) survive the projection, so Catalyst prunes
-    // this branch's decode down to the begin field — the full decode and
-    // the (expensive) sort+window below run exactly ONCE, on the main
-    // branch. (Aggregating the window's own output instead would make
-    // the sort+window execute twice, once per consumer.)
-    val perBucket = withB
-      .select(col("_b"), col(seqCol).as("_s"), col("begin_id").as("_bid"))
-      .filter(col("_bid").isNotNull)
-      .groupBy("_b").agg(max_by(col("_bid"), col("_s")).as("_last"))
-    // carry-in per bucket = last begin of the latest earlier bucket that
-    // has one; tiny × tiny broadcast join, no single-partition window.
-    // Keyed over ALL buckets present (a begin-free bucket still needs a
-    // carry-in): the _b-only projection needs nothing but `seq`, so this
-    // branch prunes the decode away entirely.
-    val allBuckets = withB.select("_b").distinct()
-    val begins = perBucket
-      .select(col("_b").as("_pb"), col("_last").as("_pl"))
-    val carryIn = allBuckets.join(broadcast(begins),
-        col("_pb") < col("_b"), "left")
-      .groupBy("_b").agg(max_by(col("_pl"), col("_pb")).as("_carry_in"))
-    val wIn = Window.partitionBy("_b").orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    withB
-      .withColumn("_tx_local",
-        last(col("begin_id"), ignoreNulls = true).over(wIn))
-      .join(broadcast(carryIn), Seq("_b"), "left")
-      .withColumn("tx_id", coalesce(col("_tx_local"), col("_carry_in")))
-      .drop("_b", "_tx_local", "_carry_in")
-  }
+               bucketSize: Long = 1L << 16): DataFrame =
+    PrefixCarry.lastNonNull(df, "begin_id", "tx_id", seqCol,
+      keys = Nil, bucketSize = bucketSize)
 
   /** O13 schema-cache attach: stamp each event with the latest schema
     * line seen for its table at or before it in stream order — the
     * reference caches jsoncdc schema lines per table and attaches the
     * cached schema to every subsequent DML envelope
-    * (postgresql.js:430-436, attach at 418/477). The window partitions
-    * by table (plus any extra stream keys, e.g. backend), so it scales —
-    * restrict the input to table-bearing rows (schema + DML) first, or
-    * every begin/commit row lands in one null-table window partition.
-    * Streaming path: graft.streaming.CdcPipeline keeps the same cache as
-    * keyed state. */
+    * (postgresql.js:430-436, attach at 418/477). Keyed by table (plus
+    * any extra stream keys, e.g. backend) through the same bucketed
+    * prefix scan as withTxId, so a single hot table in a batch replay
+    * never funnels through one task. Streaming path:
+    * graft.streaming.CdcPipeline keeps the same cache as keyed state. */
   def withSchemaAttached(df: DataFrame, seqCol: String = "seq",
-                         extraKeys: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keys = (extraKeys :+ "table").map(col)
-    val w = Window.partitionBy(keys: _*).orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("schema",
-      last(col("schema_json"), ignoreNulls = true).over(w))
-  }
+                         extraKeys: Seq[String] = Nil): DataFrame =
+    PrefixCarry.lastNonNull(df, "schema_json", "schema", seqCol,
+      keys = extraKeys :+ "table")
 
   /** NATS-style routing subject: schema.table.pk
     * (reference: /root/reference/src/plugins/nats.js:17-21). */

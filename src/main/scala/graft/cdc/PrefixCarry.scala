@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe "carry the latest non-null value forward in stream order"
+  * — the shape behind every batch CDC carry: tx-id carry (the reference
+  * tracks the open transaction in a single mutable variable,
+  * postgresql.js:447-450), schema-cache attach (postgresql.js:430-436),
+  * and the MySQL tablemap → pk-column carry (mysql.js:113-140).
+  *
+  * A naive `last(value, ignoreNulls) over (partition by key order by
+  * seq)` funnels every row of a hot key through ONE task — the exact
+  * skew that kills a 100 TB replay. Instead, rows are bucketed by
+  * `seq div bucketSize` and the scan runs at two levels:
+  *
+  *   1. inside each (key, bucket): a PARTITIONED window — bounded by
+  *      bucketSize rows per task regardless of key skew;
+  *   2. across buckets: a running last-non-null over the per-bucket
+  *      SUMMARIES (one row per (key, bucket)), which is a linear scan of
+  *      #buckets rows — near-nothing relative to the data — and is then
+  *      broadcast back onto the buckets.
+  *
+  * Level 2 is a window, not a non-equi self-join: joining every bucket
+  * against every earlier summary-bearing bucket would be
+  * O(#buckets × #summary-buckets) pairs, quadratic in stream length at
+  * fixed bucketSize. The summary window is single-pass.
+  *
+  * The streaming paths don't need any of this — they keep the same
+  * semantics as keyed state (graft.streaming.CdcPipeline /
+  * BinlogStream); this is the batch/replay/oracle path only.
+  */
+object PrefixCarry {
+
+  /** Adds `outCol` = latest non-null `valueCol` at or before each row in
+    * `seqCol` order, independently per `keys` group (null keys group as
+    * usual for a window but never receive a cross-bucket carry — fine
+    * for CDC, where null-table rows carry no schema). Input column order
+    * is preserved; `outCol` is appended. */
+  def lastNonNull(df: DataFrame, valueCol: String, outCol: String,
+      seqCol: String = "seq", keys: Seq[String] = Nil,
+      bucketSize: Long = 1L << 16): DataFrame = {
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
+    val keyCols = keys.map(col)
+    val grpCols = keyCols :+ col("_b")
+    // Per-bucket last value from a NARROW pre-window branch: only
+    // (keys, bucket, seq, value) survive the projection, so Catalyst
+    // prunes this branch's upstream (e.g. the full CDC decode) down to
+    // the carried field — the expensive decode + sort+window below run
+    // exactly ONCE, on the main branch.
+    val perBucket = withB
+      .select(grpCols :+ col(seqCol).as("_s") :+ col(valueCol).as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(grpCols: _*).agg(max_by(col("_v"), col("_s")).as("_last"))
+    // every (key, bucket) present needs a carry-in, including buckets
+    // with no value-bearing row; the keys+_b projection prunes upstream
+    // to almost nothing.
+    val allBuckets = withB.select(grpCols: _*).distinct()
+    // running last-non-null over the summaries, strictly-earlier buckets
+    // only. lit(0) partition when keyless: same single partition an
+    // empty partitionBy would give, minus the planner warning — and it
+    // holds #buckets summary rows, not the stream.
+    val partCols = if (keyCols.isEmpty) Seq(lit(0)) else keyCols
+    val wSum = Window.partitionBy(partCols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allBuckets
+      .join(perBucket, keys :+ "_b", "left")
+      .withColumn("_carry_in", last(col("_last"), ignoreNulls = true).over(wSum))
+      .select(grpCols :+ col("_carry_in"): _*)
+    val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB
+      .withColumn("_local", last(col(valueCol), ignoreNulls = true).over(wIn))
+      .join(broadcast(carryIn), keys :+ "_b", "left")
+      .withColumn(outCol, coalesce(col("_local"), col("_carry_in")))
+      .drop("_b", "_local", "_carry_in")
+  }
+}

@@ -88,6 +88,33 @@ class CdcDecodeSpec extends SparkSpec {
     assert(out(4L) == null, "tables with no schema line carry none")
   }
 
+  test("bucketed prefix carry crosses bucket boundaries (keyless and keyed)") {
+    // bucketSize=2 forces the 11-line fixture through ~6 buckets, so the
+    // txId at seq 7 must come from a carry-in (begin 101 is in an earlier
+    // bucket than the insert), and the empty bucket between schema lines
+    // must inherit through the summary scan.
+    val withTx = JsonCdc.withTxId(decoded, bucketSize = 2)
+    val byTx = withTx.filter($"kind".isin("insert", "update", "delete"))
+      .select("seq", "tx_id").as[(Long, Long)].collect().toMap
+    assert(byTx == Map(2L -> 100L, 3L -> 100L, 4L -> 100L,
+      7L -> 101L, 8L -> 101L, 9L -> 101L))
+    // keyed carry: schema for table t set at seq 0, consumed at seq 9
+    // (4+ buckets later, with value-free buckets in between); table u's
+    // carry is independent.
+    val lines = Seq(
+      (0L, """{"schema": {"v": "t1"}, "table": "t"}"""),
+      (1L, """{"schema": {"v": "u1"}, "table": "u"}"""),
+      (4L, """{"insert": {"id": 1}, "table": "u"}"""),
+      (9L, """{"insert": {"id": 2}, "table": "t"}"""))
+      .toDF("seq", "line")
+    val out = PrefixCarry.lastNonNull(JsonCdc.decode(lines),
+        "schema_json", "schema", keys = Seq("table"), bucketSize = 2)
+      .filter($"kind" === "insert")
+      .select($"seq", get_json_object($"schema", "$.v").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(4L -> "u1", 9L -> "t1"))
+  }
+
   test("commit timestamp parses") {
     val ts = decoded.filter($"seq" === 5).select("commit_ts").head().get(0)
     assert(ts != null)
