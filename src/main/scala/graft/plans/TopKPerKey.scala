@@ -78,9 +78,14 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val conjuncts = splitConjunctivePredicates(cond)
         val (rankPreds, rest) = conjuncts.partition(c =>
           limitOf(c, rank).isDefined)
-        rankPreds.flatMap(limitOf(_, rank)).reduceOption(math.min).map {
-          k => (TopKPerKey(k, part, order, rank, child), rest)
-        }
+        // k >= 1 only: a degenerate bound (rank < 1 → k = 0) must keep
+        // the Filter+Window plan, which correctly returns zero rows —
+        // the exec always keeps the first row it sees per key, so
+        // rewriting would return one row per key instead of none.
+        rankPreds.flatMap(limitOf(_, rank)).reduceOption(math.min)
+          .filter(_ >= 1).map {
+            k => (TopKPerKey(k, part, order, rank, child), rest)
+          }
       case _ => None
     }
 
@@ -104,10 +109,18 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 object TopKStrategy extends SparkStrategy {
+  /** Map-side row budget (buffered rows per task across all heaps) for
+    * the partial pass; session-settable for tests / tuning. */
+  val partialBudgetKey = "spark.graft.topk.partialRowBudget"
+  val partialBudgetDefault: Long = 1L << 22 // ~4M rows ≈ tens of MB of refs
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, part, order, rankAttr, child) =>
-      val partial = TopKPerKeyExec(k, part, order, None, planLater(child))
-      TopKPerKeyExec(k, part, order, Some(rankAttr), partial) :: Nil
+      val budget = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(partialBudgetKey, partialBudgetDefault.toString).toLong
+      val partial =
+        TopKPerKeyExec(k, part, order, None, planLater(child), budget)
+      TopKPerKeyExec(k, part, order, Some(rankAttr), partial, budget) :: Nil
     case _ => Nil
   }
 }
@@ -116,13 +129,25 @@ object TopKStrategy extends SparkStrategy {
   * map-side partial (any input partitioning; prunes to ≤ k rows per key
   * seen locally — a superset of the global answer); with Some(rank) it
   * is the final pass, which requires clustering on the keys (the planner
-  * inserts the hash exchange) and appends the 1-based rank. */
+  * inserts the hash exchange) and appends the 1-based rank.
+  *
+  * Memory contract: the partial buffers at most `partialRowBudget` rows
+  * per task — once the heaps hold that many, rows of NOT-yet-seen keys
+  * pass straight through to the exchange unpruned (the partial is purely
+  * an optimization; the final pass is the correctness gate), so
+  * near-unique keys degrade to a plain shuffle instead of an OOM. The
+  * final pass necessarily holds k × (distinct keys in its partition)
+  * rows — which is its own output, the same rows WindowExec would buffer
+  * per key group; at extreme key cardinality the win over the window
+  * plan is the avoided per-group sort, not the buffer. */
 case class TopKPerKeyExec(
     k: Int,
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: Option[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partialRowBudget: Long = TopKStrategy.partialBudgetDefault)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
     child.output ++ rankAttr.toSeq
@@ -142,6 +167,9 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val childOutput = child.output
     val isFinal = rankAttr.isDefined
+    // the final pass must absorb every row (it IS the answer); only the
+    // map-side partial may decline rows once the budget is spent
+    val budget = if (isFinal) Long.MaxValue else partialRowBudget
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val cmp = org.apache.spark.sql.catalyst.expressions.codegen
@@ -152,23 +180,40 @@ case class TopKPerKeyExec(
         (x: InternalRow, y: InternalRow) => cmp.compare(x, y)
       val heaps = mutable.LinkedHashMap.empty[
         UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var buffered = 0L
+      // true = row accounted for (kept or provably dominated); false =
+      // budget exhausted, caller must pass the row through unpruned
+      def absorb(row: InternalRow): Boolean = {
         val key = keyProj(row)
         heaps.get(key) match {
-          case Some(h) =>
-            if (h.size < kLocal) h.enqueue(row.copy())
-            else if (cmp.compare(row, h.head) < 0) {
+          case Some(h) if h.size >= kLocal =>
+            // replacement never grows memory, and a dropped row is
+            // beaten by k local rows of its key — safe at any budget
+            if (cmp.compare(row, h.head) < 0) {
               h.dequeue(); h.enqueue(row.copy())
             }
+            true
+          case Some(h) =>
+            if (buffered >= budget) false
+            else { h.enqueue(row.copy()); buffered += 1; true }
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow]
-            h.enqueue(row.copy())
-            heaps.put(key.copy(), h)
+            if (buffered >= budget) false
+            else {
+              val h = mutable.PriorityQueue.empty[InternalRow]
+              h.enqueue(row.copy()); buffered += 1
+              heaps.put(key.copy(), h)
+              true
+            }
         }
       }
       if (!isFinal) {
-        heaps.iterator.flatMap { case (_, h) => h.iterator }
+        // lazily stream pass-through rows to the exchange, then flush
+        // the surviving heaps (`++` evaluates its right side only after
+        // the input is exhausted, so the heaps are final by then)
+        iter.filter(row => !absorb(row)) ++
+          heaps.iterator.flatMap { case (_, h) => h.iterator }
       } else {
+        iter.foreach(absorb)
         val withRank = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         val proj = UnsafeProjection.create(

@@ -122,21 +122,47 @@ object SimilarityOps {
       |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
   // --------------------------------------------------------------- lsh
-  /** Random-hyperplane LSH: 16-bit sign signature per vector from
+  /** Random-hyperplane LSH: 64-bit sign signature per vector from
     * deterministic pseudo-random hyperplanes; candidates share a signature
-    * in at least one of 4 4-bit bands; exact re-rank of candidates.
+    * in at least one of 16 4-bit bands; exact re-rank of candidates.
     * Approximate → rows-only driver check + ScalaTest recall bound.
     *
-    * The 100 TB path: signatures are 4 shuffle rows per vector; the band
-    * join replaces the all-pairs cross join entirely. */
+    * Band/recall trade-off (mirroring the MinHash miss-bound argument in
+    * DedupOps): P(bit agrees) = 1 − θ/π, so a neighbor at angle θ
+    * collides in one 4-bit band with p⁴ and in ≥1 of L bands with
+    * 1−(1−p⁴)^L. The band count is sized to the FIXTURE's similarity
+    * level, which is brutally low — near-random 64-dim vectors whose
+    * true top-5 sit at cos 0.26–0.39 (p ≈ 0.58, barely above the 0.5 of
+    * a random pair) — so L = 16 is needed for mean recall@5 ≥ 0.8
+    * (measured 0.88; 8 bands measured 0.52). The flip side
+    * is selectivity: at p_random = 0.5 a random pair collides somewhere
+    * with 1−(1−1/16)^16 ≈ 0.64, so on THIS corpus the band join admits
+    * most pairs — unavoidable when neighbors are barely closer than
+    * noise (the LSH exponent ρ → 1 as p₁ → p₂). On a production corpus
+    * with real neighbor structure (cos ≥ 0.7, p ≥ 0.75), the same 16
+    * bands give ~0.998 recall and the candidate rate stays the wide-join
+    * escape it's meant to be; drop to 4–8 bands there to cut shuffle.
+    *
+    * The 100 TB path: signatures are 16 shuffle rows per vector (vs the
+    * all-pairs cross join this replaces); band count scales that linear
+    * term, the price of the recall bar at the corpus's similarity level. */
   def q23_knn_lsh(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val nBits = 16
-    // deterministic hyperplanes: h[b][d] = lcg(b*dim+d) mapped to ±1
+    val nBits = 64
+    // deterministic hyperplanes: h[b][d] = splitmix64(b*dim+d) mapped to
+    // ±1. A raw LCG here is NOT random enough: bit 16 of a linear
+    // function of the index carries lattice structure, which correlates
+    // the planes and measurably costs recall (0.64 vs 0.87 at 16 bands
+    // on the fixture).
+    def mix(i: Long): Long = {
+      var z = i + 0x9e3779b97f4b7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     val planes: Seq[Seq[Double]] = (0 until nBits).map { bIdx =>
       (0 until dim).map { d =>
-        val x = (1103515245L * (bIdx * dim + d + 1) + 12345L) & 0x7fffffffL
-        if ((x >> 16) % 2 == 0) 1.0 else -1.0
+        if ((mix(bIdx.toLong * dim + d) & 1L) == 0L) 1.0 else -1.0
       }
     }
     // Deliberately the interpreted aggregate-over-transform form: a
@@ -146,17 +172,20 @@ object SimilarityOps {
     // plumbing outweighs the lambda interpreter. Native kernels are for
     // measured hot loops (see DedupOps/q23 exact), not a default.
     val planesLit = typedLit(planes)
+    // band values built directly from sign bits (4 bits per band) — no
+    // 64-bit packing, so the bit count can grow without sign-bit hazards
     val e = normalized(s, dir).withColumn("planes", planesLit)
-      .withColumn("sig",
-        expr("""aggregate(transform(planes, (pl, b) ->
+      .withColumn("bits",
+        expr("""transform(planes, pl ->
                  CASE WHEN aggregate(zip_with(v, pl, (x, w) -> x*w), 0D,
-                   (acc, t) -> acc + t) > 0
-                 THEN shiftleft(1L, b) ELSE 0L END),
-               0L, (acc, x) -> acc + x)"""))
-      .drop("planes")
-    val banded = e.select(col("*"), posexplode(
-      expr("transform(sequence(0, 3), k -> (sig div shiftleft(1L, k*4)) % 16)"))
-      .as(Seq("band", "band_val")))
+                   (acc, t) -> acc + t) > 0 THEN 1 ELSE 0 END)"""))
+      .withColumn("bands",
+        expr(s"""transform(sequence(0, ${nBits / 4 - 1}), k ->
+                  bits[k*4] + 2*bits[k*4+1] + 4*bits[k*4+2] + 8*bits[k*4+3])"""))
+      .drop("planes", "bits")
+    val banded = e.select(col("*"),
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+      .drop("bands")
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("q_nrm"), col("band"), col("band_val"))

@@ -73,6 +73,42 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set((1L, 30.0, 1), (1L, 20.0, 2)))
   }
 
+  test("degenerate k <= 0 does NOT rewrite and returns zero rows") {
+    val df = Seq((1L, 10.0), (2L, 5.0)).toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy(col("v"))
+    // rank < 1 → k = 0: the exec would keep one row per key, so the
+    // rewrite must leave the window plan, which returns nothing
+    val q0 = df.withColumn("rk", row_number().over(w)).filter(col("rk") < 1)
+    assert(!q0.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q0.count() == 0)
+    val qneg = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= -2)
+    assert(!qneg.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(qneg.count() == 0)
+  }
+
+  test("near-unique keys under a tiny partial budget stay correct") {
+    // 1000 distinct keys, budget 8: the map-side partial exhausts its
+    // budget almost immediately and must pass rows through unpruned;
+    // the final pass still produces exact per-key top-k.
+    val conf = TopKStrategy.partialBudgetKey
+    spark.conf.set(conf, "8")
+    try {
+      val df = (0 until 2000).map(i => (i % 1000, i / 1000 + i % 7))
+        .toDF("k", "v")
+      val w = Window.partitionBy("k")
+        .orderBy(col("v").desc, col("k"))
+      val q = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 1).select("k", "v", "rk")
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val got = q.as[(Int, Int, Int)].collect().toSet
+      val expect = (0 until 2000).map(i => (i % 1000, i / 1000 + i % 7))
+        .groupBy(_._1).map { case (k, vs) =>
+          (k, vs.map(_._2).max, 1) }.toSet
+      assert(got == expect)
+    } finally spark.conf.unset(conf)
+  }
+
   test("rank/dense_rank and empty partitioning do NOT rewrite") {
     val df = Seq((1L, 10.0)).toDF("k", "v")
     val w = Window.partitionBy("k").orderBy(col("v"))

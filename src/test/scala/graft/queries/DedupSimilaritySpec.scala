@@ -51,8 +51,9 @@ class DedupSimilaritySpec extends SparkSpec {
       truth.intersect(got).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"mean recall@5 $mean — LSH should beat random" +
-      " (500 candidates, 5 hits)")
+    info(s"mean recall@5 = $mean")
+    assert(mean >= 0.8, s"mean recall@5 $mean — the 16×4-bit banding " +
+      "should hold ≥0.8 (see the trade-off note in SimilarityOps)")
   }
 
   test("exact dedup groups identical normalized text") {
