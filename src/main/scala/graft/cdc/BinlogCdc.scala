@@ -60,8 +60,17 @@ object BinlogCdc {
       c.getField("constraint").getField("position") === 1),
       c => c.getField("name")), lit(0))
 
+  /** Sentinel `_pk_col` for a tablemap that carries no PRIMARY
+    * constraint: the reference replaces the stored tableMap wholesale
+    * (mysql.js:134), so a table that DROPS its pk mid-stream must reset
+    * to a null pk — and a pk-less tablemap must stay distinguishable
+    * from a non-tablemap row in the carry column. The sentinel is mapped
+    * back to null before pk extraction (expandRows). */
+  private[graft] val NoPk = ""
+
   /** Stateless parse + filter: one from_json per line, tablemap pk column
-    * extracted onto `_pk_col` (null on row events). Shared by the batch
+    * extracted onto `_pk_col` (NoPk sentinel when the tablemap has no
+    * PRIMARY constraint; null on row events). Shared by the batch
     * (window-carry) and streaming (keyed-state-carry) paths. */
   private[graft] def parse(df: DataFrame, excludeTables: Seq[String],
       lineCol: String): DataFrame = {
@@ -70,7 +79,8 @@ object BinlogCdc {
       .withColumn("schema", col("_p.schemaName"))
       .withColumn("table", col("_p.tableName"))
       .withColumn("_pk_col",
-        when(col("event_name") === "tablemap", pkColumnOf(col("_p.columns"))))
+        when(col("event_name") === "tablemap",
+          coalesce(pkColumnOf(col("_p.columns")), lit(NoPk))))
       .withColumn("rows", col("_p.rows"))
     if (excludeTables.isEmpty) parsed
     else parsed.filter(!col("table").isin(excludeTables: _*))
@@ -81,8 +91,12 @@ object BinlogCdc {
     * `extraCols` (e.g. a stream's `backend`) ride through unchanged. */
   private[graft] def expandRows(withPkCol: DataFrame, seqCol: String,
       extraCols: Seq[String] = Nil): DataFrame = {
-    // row expansion: one envelope per row, in statement row order
+    // row expansion: one envelope per row, in statement row order;
+    // the NoPk sentinel (pk dropped / never declared) maps back to null
     val rows = withPkCol
+      .withColumn("pk_col",
+        when(col("pk_col") === NoPk, lit(null: String))
+          .otherwise(col("pk_col")))
       .filter(col("event_name").isin("writerows", "updaterows", "deleterows"))
       .select(extraCols.map(col) ++ Seq(col(seqCol), col("schema"),
         col("table"), col("pk_col"), col("event_name"),

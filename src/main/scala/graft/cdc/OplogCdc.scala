@@ -57,5 +57,10 @@ object OplogCdc {
           .when(col("kind") === "update",
             coalesce(col("_p.o2"), col("_p.o"))))
       .withColumn("subject", concat_ws(".", col("ns"), col("pk")))
+      // oplog ordering metadata: the BSON Timestamp's seconds, as
+      // serialized by the capture layer — the commit_ts analogue for
+      // event-time windows over an oplog replay (null when the capture
+      // stream omits it)
+      .withColumn("ts", col("_p.ts"))
       .drop("_p")
 }

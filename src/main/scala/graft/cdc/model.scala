@@ -30,7 +30,12 @@ case class TxItem(seq: Long, kind: String, table: String, pk: String,
 case class TxEvent(backend: String, txId: Long,
     commitTs: Option[java.sql.Timestamp], items: Seq[TxItem])
 
-/** Open-transaction buffer carried between microbatches. */
+/** Open-transaction buffer carried between microbatches.
+  * `buffered` is stored NEWEST-FIRST (prepend
+  * is O(1) on the underlying List; the reference's push, postgresql.js
+  * :482-484, is an array append) and reversed once at commit-emit —
+  * appending with `:+` instead would be O(n) per DML and O(n²) per
+  * transaction. */
 case class TxState(currentTxId: Option[Long], buffered: Seq[TxItem])
 
 /** Combined streaming-pipeline state: the open-transaction buffer plus the

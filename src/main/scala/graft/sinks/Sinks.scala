@@ -20,6 +20,17 @@ import graft.subscribe.SinkConfig
 trait EventSink extends Serializable {
   def name: String
   def write(batch: DataFrame, batchId: Long): Unit
+  /** Kind subscription — the reference's kind-scoped callback registry
+    * (a handler attaches to `insert` OR `update` individually,
+    * postgresql.js:99-122). Empty = all kinds (the `event` firehose). */
+  def kinds: Seq[String] = Nil
+}
+
+/** Scopes any sink to a subset of envelope kinds (SinkConfig.kinds). */
+class KindScopedSink(inner: EventSink, override val kinds: Seq[String])
+    extends EventSink {
+  val name = inner.name
+  def write(batch: DataFrame, batchId: Long): Unit = inner.write(batch, batchId)
 }
 
 /** O19 — debug/console sink. */
@@ -88,7 +99,12 @@ class ParquetSink(path: String) extends EventSink {
 
 /** O20 — plugin registry: resolve a SinkConfig to an implementation. */
 object SinkRegistry {
-  def create(cfg: SinkConfig): EventSink = cfg.kind match {
+  def create(cfg: SinkConfig): EventSink = {
+    val base = createBase(cfg)
+    if (cfg.kinds.isEmpty) base else new KindScopedSink(base, cfg.kinds)
+  }
+
+  private def createBase(cfg: SinkConfig): EventSink = cfg.kind match {
     case "console" => new ConsoleSink(
       cfg.options.getOrElse("numRows", "20").toInt)
     case "collect" => new CollectingSink
@@ -123,7 +139,14 @@ object SinkRegistry {
             .withColumn("type", col("kind"))
             .withColumn("kind", lit("event")))
       dispatched.persist()
-      try sinks.foreach(_.write(dispatched, id))
+      // per-sink kind scoping happens on the shared persisted batch, so
+      // N scoped sinks still compute the microbatch once
+      try sinks.foreach { s =>
+        val view =
+          if (s.kinds.isEmpty) dispatched
+          else dispatched.filter(col("kind").isin(s.kinds: _*))
+        s.write(view, id)
+      }
       finally { dispatched.unpersist(); () }
     }
   }

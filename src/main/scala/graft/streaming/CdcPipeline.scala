@@ -37,7 +37,9 @@ object CdcPipeline {
       else state.remove()
       return Iterator.empty
     }
-    val sorted = rows.toSeq.sortBy(_.seq)
+    val sorted = rows.toArray
+    java.util.Arrays.sort(sorted,
+      java.util.Comparator.comparingLong[CdcEvent](_.seq))
     var st = state.getOption.getOrElse(PipeState(TxState(None, Nil), Map.empty))
     val out = Seq.newBuilder[EnvelopeEvent]
     def env(e: CdcEvent, schema: String, txId: Option[Long]) =
@@ -57,13 +59,13 @@ object CdcPipeline {
               e.commitId == st.tx.currentTxId)
             out += EnvelopeEvent(backend, e.seq, "transaction", null, null,
               null, null, null, None, e.commitId, e.commitTs,
-              st.tx.currentTxId, st.tx.buffered)
+              st.tx.currentTxId, st.tx.buffered.reverse) // stored newest-first
           out += env(e, null, st.tx.currentTxId)
           st = st.copy(tx = TxState(None, Nil))
         case "insert" | "update" | "delete" =>
           if (emitTransaction && st.tx.currentTxId.isDefined)
             st = st.copy(tx = st.tx.copy(buffered =
-              st.tx.buffered :+ TxItem(e.seq, e.kind, e.table, e.pk, e.item)))
+              TxItem(e.seq, e.kind, e.table, e.pk, e.item) +: st.tx.buffered))
           out += env(e, st.schemas.get(e.table).orNull, st.tx.currentTxId)
         case _ => // unknown line shape: no dispatch, no state effect
       }

@@ -25,7 +25,9 @@ object TxAssembly {
       backend: String,
       rows: Iterator[CdcEvent],
       state: GroupState[TxState]): Iterator[TxEvent] = {
-    val sorted = rows.toSeq.sortBy(_.seq)
+    val sorted = rows.toArray
+    java.util.Arrays.sort(sorted,
+      java.util.Comparator.comparingLong[CdcEvent](_.seq))
     var st = state.getOption.getOrElse(TxState(None, Nil))
     val out = Seq.newBuilder[TxEvent]
     sorted.foreach { e =>
@@ -36,13 +38,13 @@ object TxAssembly {
           // reference asserts commit id == current tx id (postgresql.js:463)
           if (st.currentTxId.isDefined && e.commitId == st.currentTxId) {
             out += TxEvent(backend, st.currentTxId.get, e.commitTs,
-              st.buffered)
+              st.buffered.reverse) // stored newest-first, emit in order
           }
           st = TxState(None, Nil)
         case "insert" | "update" | "delete" =>
           if (st.currentTxId.isDefined) {
             st = st.copy(buffered =
-              st.buffered :+ TxItem(e.seq, e.kind, e.table, e.pk, e.item))
+              TxItem(e.seq, e.kind, e.table, e.pk, e.item) +: st.buffered)
           }
         case _ => // schema / unknown: no tx effect
       }

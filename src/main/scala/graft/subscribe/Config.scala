@@ -37,8 +37,13 @@ case class EmitFlags(
     "transaction" -> transaction).collect { case (k, true) => k }
 }
 
-/** One sink ("plugin") attachment. */
-case class SinkConfig(kind: String, options: Map[String, String] = Map.empty)
+/** One sink ("plugin") attachment. `kinds` scopes the sink to a subset
+  * of envelope kinds — the reference's per-kind callback registry
+  * (postgresql.js:99-122); empty = subscribe to everything. */
+case class SinkConfig(
+    kind: String,
+    options: Map[String, String] = Map.empty,
+    kinds: Seq[String] = Nil)
 
 /** One backend (source) — capture itself stays external (Debezium /
   * pg_recvlogical writing LDJSON or Kafka); Spark consumes the stream.
@@ -93,6 +98,10 @@ object ConfigValidation {
   val supportedWires: Set[String] = Set("jsoncdc", "binlog", "oplog")
   val supportedSinks: Set[String] =
     Set("console", "collect", "subject-routing", "parquet")
+  /** Envelope kinds a sink may subscribe to (SinkConfig.kinds). */
+  val supportedKinds: Set[String] = Set(
+    "insert", "update", "delete", "schema", "beginTransaction",
+    "commitTransaction", "transaction", "event")
 
   /** Aggregate-errors validation in the spirit of lapidus.js:51-86:
     * at least one backend; every backend kind must have a worker; every
@@ -118,6 +127,9 @@ object ConfigValidation {
       b.sinks.foreach { s =>
         if (!supportedSinks.contains(s.kind))
           errs += s"${b.name}: invalid plugin: ${s.kind}"
+        s.kinds.filterNot(supportedKinds.contains).foreach { k =>
+          errs += s"${b.name}: invalid event kind for plugin ${s.kind}: $k"
+        }
       }
       if (src == "file" && !b.options.contains("path"))
         errs += s"${b.name}: file backend requires options.path"

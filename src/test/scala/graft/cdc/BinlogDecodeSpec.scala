@@ -76,4 +76,19 @@ class BinlogDecodeSpec extends SparkSpec {
     val e = decoded.filter($"seq" === 8).select("pk").head()
     assert(e.getString(0) == "77")
   }
+
+  test("a pk-less tablemap RESETS the carried pk column (mysql.js:134 " +
+      "replaces the stored tableMap wholesale)") {
+    val lines = Seq(
+      (0L, s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "t", "columns": $colsWithPk}"""),
+      (1L, """{"eventName": "writerows", "schemaName": "lapidus", "tableName": "t", "rows": [{"id": 1}]}"""),
+      // pk dropped: new tablemap has no PRIMARY constraint
+      (2L, """{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "t", "columns": [{"name": "id"}]}"""),
+      (3L, """{"eventName": "writerows", "schemaName": "lapidus", "tableName": "t", "rows": [{"id": 2}]}"""))
+      .toDF("seq", "line")
+    val pks = BinlogCdc.decode(lines).orderBy("seq")
+      .select("pk").collect().map(r => Option(r.getString(0)))
+    assert(pks.toSeq == Seq(Some("1"), None),
+      "pk must reset to null after the constraint disappears, not carry stale")
+  }
 }

@@ -10,7 +10,7 @@ class OplogDecodeSpec extends SparkSpec {
   import spark.implicits._
 
   private val fixture = Seq(
-    (0L, """{"op": "i", "ns": "lapidus.users", "o": {"_id": 1, "name": "Hayden"}}"""),
+    (0L, """{"op": "i", "ns": "lapidus.users", "o": {"_id": 1, "name": "Hayden"}, "ts": 1700000001}"""),
     // update: o = operation doc (no _id), o2 = selector → pk falls back
     // to o2._id and item passes the SELECTOR through (mongo.js:194-198)
     (1L, """{"op": "u", "ns": "lapidus.users", "o": {"$set": {"name": "Aiden"}}, "o2": {"_id": 1}}"""),
@@ -61,5 +61,12 @@ class OplogDecodeSpec extends SparkSpec {
 
   test("non-DML oplog entries are dropped") {
     assert(decoded.count() == 4)
+  }
+
+  test("oplog ts rides the envelope for event-time ops; null when absent") {
+    val withTs = decoded.filter($"seq" === 0).select("ts").head()
+    assert(!withTs.isNullAt(0) && withTs.getLong(0) == 1700000001L)
+    val withoutTs = decoded.filter($"seq" === 2).select("ts").head()
+    assert(withoutTs.isNullAt(0))
   }
 }

@@ -68,6 +68,36 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("a kind-scoped sink sees only its subscribed kinds " +
+      "(per-kind callback registry, postgresql.js:99-122)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.subscribe.{EmitFlags, SinkConfig}
+    implicit val sqlCtx = spark.sqlContext
+
+    // registry plumbs SinkConfig.kinds onto the created sink
+    val resolved = SinkRegistry.create(SinkConfig("collect", kinds = Seq("insert")))
+    assert(resolved.kinds == Seq("insert"))
+
+    val insertOnly = new CollectingSink
+    val everything = new CollectingSink
+    val mem = MemoryStream[(String, String, Long)]
+    val q = SinkRegistry.attach(
+        mem.toDF.toDF("kind", "pk", "seq"),
+        EmitFlags(emitEvent = Some(false)),
+        Seq(new KindScopedSink(insertOnly, Seq("insert")), everything))
+      .start()
+    try {
+      mem.addData(("insert", "1", 0L), ("update", "1", 1L),
+        ("delete", "1", 2L), ("insert", "2", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(insertOnly.collected.map(_.getString(0)).toSet == Set("insert"),
+      "insert-only sink must never see updates or deletes")
+    assert(insertOnly.collected.size == 2)
+    assert(everything.collected.size == 4,
+      "an unscoped sink on the same attach still sees every kind")
+  }
+
   test("collecting sink gathers rows across batches") {
     val sink = new CollectingSink
     sink.write(envelopes.filter($"kind" === "insert"), 0L)

@@ -119,6 +119,42 @@ class BinlogStreamSpec extends SparkSpec {
       "oplog decode must work unchanged over the kafka line shape")
   }
 
+  test("tablemap carry survives a checkpoint restart (ZongJi reconnect " +
+      "re-delivery, mysql.js:280-284)") {
+    // The reference survives a MySQL reconnect because ZongJi re-delivers
+    // tablemap events; the Spark analogue is the keyed carry state living
+    // in the checkpoint — a restarted query must stamp pk_col onto rows
+    // whose tablemap arrived BEFORE the restart.
+    val dir = Files.createTempDirectory("graft-binlog-restart").toString
+    val cfg = BackendConfig("my1", "file-binlog-json",
+      Map("path" -> s"$dir/in"))
+    def startQuery() = CdcStream.forBackend(spark, cfg)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    // batch 1: tablemap only, then a hard stop (simulated crash)
+    Seq(("my1", 0L,
+      s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "orders", "columns": $colsJson}"""))
+      .toDF("backend", "seq", "line")
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2: row events arrive only after the restart
+    Seq(("my1", 1L,
+      """{"eventName": "writerows", "schemaName": "lapidus", "tableName": "orders", "rows": [{"id": 41, "x": "a"}, {"id": 42, "x": "b"}]}"""))
+      .toDF("backend", "seq", "line")
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val pks = spark.read.parquet(s"$dir/out")
+      .select("kind", "pk").as[(String, String)].collect().toSeq.sorted
+    assert(pks == Seq(("insert", "41"), ("insert", "42")),
+      "rows decoded after restart must still get the pre-restart tablemap's pk")
+  }
+
   test("-t validation accepts the new kinds and demands a path") {
     import graft.subscribe._
     val ok = EngineConfig(Seq(

@@ -45,6 +45,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(errs.size == 2, "errors aggregate instead of failing fast")
   }
 
+  test("sink kind subscriptions validate against the envelope kinds") {
+    val bad = EngineConfig(Seq(BackendConfig(
+      name = "b1", kind = "file-ldjson", options = Map("path" -> "/x"),
+      sinks = Seq(SinkConfig("collect", kinds = Seq("insert", "upsert"))))))
+    val errs = ConfigValidation.validate(bad)
+    assert(errs == Seq("b1: invalid event kind for plugin collect: upsert"))
+    val ok = bad.copy(backends = bad.backends.map(b => b.copy(
+      sinks = Seq(SinkConfig("collect", kinds = Seq("insert", "update"))))))
+    assert(ConfigValidation.validate(ok).isEmpty)
+  }
+
   test("file-ldjson backend requires a path") {
     val cfg = EngineConfig(Seq(BackendConfig(name = "b", kind = "file-ldjson")))
     assert(ConfigValidation.validate(cfg)
