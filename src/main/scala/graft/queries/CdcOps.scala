@@ -234,16 +234,115 @@ object CdcOps {
       |FROM orders
       |ORDER BY pk""".stripMargin
 
+  // -------------------------------------------------------------- CDC5
+  /** A multi-version jsoncdc history per key, for the two canonical CDC
+    * CONSUMER operations (what a user does with the reference's event
+    * stream once it lands): snapshot apply (cdc5) and SCD2 history
+    * (cdc6). Per orderkey k: insert (rev 1, status NEW) at seq 3k;
+    * update (rev 2, real status) at 3k+1 unless k%4==1 (some rows are
+    * never updated); delete at 3k+2 when k%4==3 (some rows die). */
+  private[graft] def syntheticHistory(s: SparkSession, dir: String): DataFrame = {
+    // narrow-row repartition before formatting (see syntheticLines)
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .repartition(n)
+    val ins = o.select((col("k") * 3).as("seq"), format_string(
+      """{"insert": {"id": %d, "status": "NEW", "rev": "1"}, "table": "orders"}""",
+      col("k")).as("line"))
+    val upd = o.filter(pmod(col("k"), lit(4)) =!= 1)
+      .select((col("k") * 3 + 1).as("seq"), format_string(
+        """{"update": {"id": %d, "status": "%s", "rev": "2"}, "table": "orders"}""",
+        col("k"), col("st")).as("line"))
+    val del = o.filter(pmod(col("k"), lit(4)) === 3)
+      .select((col("k") * 3 + 2).as("seq"), format_string(
+        """{"delete": true, "@": {"id": %d}, "table": "orders"}""",
+        col("k")).as("line"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
+  /** Snapshot materialization: fold a change stream into the current
+    * table state — latest event per pk wins, a latest delete removes the
+    * row. This is ONE hash aggregate (`max_by(struct, seq)`) with
+    * map-side partial combine: at 100 TB the plan shuffles one pre-
+    * aggregated row per (partition, pk), never sorts, and has no
+    * per-key window funnel — deliberately NOT `row_number() = 1`,
+    * which would sort every partition. */
+  def cdc5_apply(s: SparkSession, dir: String): DataFrame = {
+    val decoded = JsonCdc.decode(syntheticHistory(s, dir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+    decoded.groupBy(col("pk"))
+      .agg(max_by(struct(col("kind"), col("item")), col("seq")).as("last"))
+      .filter(col("last.kind") =!= "delete")
+      .select(col("pk").cast("long").as("pk"),
+        get_json_object(col("last.item"), "$.status").as("status"),
+        get_json_object(col("last.item"), "$.rev").cast("long").as("rev"))
+      .orderBy("pk")
+  }
+
+  val cdc5Sql: String =
+    """SELECT o_orderkey AS pk,
+      |  CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'
+      |       ELSE o_orderstatus END AS status,
+      |  CAST(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 2 END AS BIGINT)
+      |    AS rev
+      |FROM orders
+      |WHERE o_orderkey % 4 != 3
+      |ORDER BY pk""".stripMargin
+
+  // -------------------------------------------------------------- CDC6
+  /** SCD Type-2 history build: every insert/update version gets
+    * [valid_from, valid_to) seq bounds; the next event of ANY kind
+    * (update or delete) closes the previous version; open versions are
+    * current. One window keyed by pk — per-key row count is bounded by
+    * the version count, so the partition-by-pk sort is skew-free at any
+    * table size (unlike the global carries in JsonCdc, which need the
+    * bucketed prefix scan). */
+  def cdc6_scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decoded = JsonCdc.decode(syntheticHistory(s, dir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+    val w = Window.partitionBy(col("pk")).orderBy(col("seq"))
+    decoded
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("kind") =!= "delete")
+      .select(col("pk").cast("long").as("pk"),
+        get_json_object(col("item"), "$.rev").cast("long").as("rev"),
+        get_json_object(col("item"), "$.status").as("status"),
+        col("seq").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("pk", "valid_from")
+  }
+
+  val cdc6Sql: String =
+    """SELECT pk, rev, status, valid_from, valid_to, is_current FROM (
+      |  SELECT o_orderkey AS pk, CAST(1 AS BIGINT) AS rev,
+      |    'NEW' AS status, o_orderkey * 3 AS valid_from,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN NULL
+      |         ELSE o_orderkey * 3 + 1 END AS valid_to,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END AS is_current
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, o_orderstatus, o_orderkey * 3 + 1,
+      |    CASE WHEN o_orderkey % 4 = 3 THEN o_orderkey * 3 + 2 END,
+      |    CASE WHEN o_orderkey % 4 IN (0, 2) THEN 1 ELSE 0 END
+      |  FROM orders WHERE o_orderkey % 4 != 1
+      |) ORDER BY pk, valid_from""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
     "cdc2_routing" -> (cdc2_routing _),
     "cdc3_mysql" -> (cdc3_mysql _),
-    "cdc4_mongo" -> (cdc4_mongo _))
+    "cdc4_mongo" -> (cdc4_mongo _),
+    "cdc5_apply" -> (cdc5_apply _),
+    "cdc6_scd2" -> (cdc6_scd2 _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
     "cdc2_routing" -> cdc2Sql,
     "cdc3_mysql" -> cdc3Sql,
-    "cdc4_mongo" -> cdc4Sql)
+    "cdc4_mongo" -> cdc4Sql,
+    "cdc5_apply" -> cdc5Sql,
+    "cdc6_scd2" -> cdc6Sql)
 }

@@ -296,12 +296,114 @@ object DedupOps {
       |    (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.5
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------- cluster
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round is two groupBy-shuffles over the edge list and
+    * the round count is O(log² n) — the published shape for
+    * planet-scale dedup graphs, vs. min-label propagation whose round
+    * count is the component DIAMETER (adversarial chains of near-dups
+    * do occur in crawl corpora).
+    *
+    * large-star: every node attaches its LARGER neighbors to the
+    * minimum of its closed neighborhood; small-star re-keys each edge
+    * to its larger endpoint and attaches the smaller neighbors (plus
+    * itself) to their minimum. Fixpoint = disjoint stars rooted at
+    * component minima. Each iteration materializes via
+    * localCheckpoint to keep the plan flat (on a real cluster use a
+    * reliable checkpoint dir instead); convergence is detected by an
+    * order-independent edge-set checksum (count + sum of row hashes),
+    * costing one tiny aggregate per round. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    var edges = pairs.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var lastSum = checksum(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      // large-star
+      val nb = edges.select(col("u").as("x"), col("v").as("nbr"))
+        .unionAll(edges.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = nb.groupBy("x")
+        .agg(least(min(col("nbr")), first(col("x"))).as("m"))
+      val large = nb.join(mins, "x").filter(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v")).distinct()
+      // small-star (keyed by the larger endpoint; nbr < x throughout)
+      val nb2 = large.select(col("v").as("x"), col("u").as("nbr"))
+      val mins2 = nb2.groupBy("x").agg(min(col("nbr")).as("m"))
+      val small = nb2.join(mins2, "x")
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .unionAll(mins2.select(col("m").as("u"), col("x").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      edges = small.localCheckpoint()
+      val next = checksum(edges)
+      converged = next == lastSum
+      lastSum = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $rounds rounds")
+    // fixpoint stars: (root, member); roots map to themselves
+    edges.select(col("v").as("doc_id"), col("u").as("keep_id"))
+      .unionAll(edges.select(col("u").as("doc_id"), col("u").as("keep_id")))
+      .distinct()
+  }
+
+  /** Near-dup CLUSTERS: connected components over the verified J >= 0.5
+    * pair graph, one row per clustered doc with its canonical survivor
+    * (the component's min doc_id) and the cluster size — the step that
+    * turns pairwise dedup output into actual keep/drop decisions.
+    * Docs with no near-dup partner are not emitted (their keep decision
+    * is trivial). */
+  def q22_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val pairs = verified(candidatePairs(shingleEx(sh)), sh)
+      .select("doc_a", "doc_b")
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "keep_id")
+      .select(col("doc_id"), col("keep_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val q22ClusterSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+      |             b.n AS nb, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT doc_a, doc_b FROM p
+      |          WHERE 2*inter >= na + nb - inter),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT u, u FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u AS doc_id, min(v) AS keep_id FROM reach GROUP BY u)
+      |SELECT doc_id, keep_id,
+      |  count(*) OVER (PARTITION BY keep_id) AS cluster_size
+      |FROM lbl ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact" -> (q22_dedup_exact _),
     "q22_dedup_ngram" -> (q22_dedup_ngram _),
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
+    "q22_dedup_cluster" -> (q22_dedup_cluster _),
     "q22_dedup_embed" -> (q22_dedup_embed _))
 
   def oracles: Map[String, String] = Map(
@@ -310,5 +412,6 @@ object DedupOps {
     // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
     // verifies candidates exactly → its output IS the exact result
     "q22_dedup_minhash" -> q22NgramSql,
+    "q22_dedup_cluster" -> q22ClusterSql,
     "q22_dedup_embed" -> q22EmbedSql)
 }

@@ -159,6 +159,70 @@ object WindowedOps {
        |SELECT user_id, event_type, event_id, ts_us
        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------------------- S07
+  /** Stream-stream interval join in batch: every purchase attributed to
+    * the same user's clicks in the preceding 30 minutes. The join keys on
+    * user_id (one shuffle each side) with the time bound as a residual
+    * range predicate — exactly the plan Structured Streaming runs with
+    * two watermarked streams (graft.streaming.EventStreams
+    * .purchaseAttribution), where the same bound also EVICTS buffered
+    * state: a click older than 30 minutes past the watermark can never
+    * join again. */
+  def s07_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_us") >= col("p_us") - 1800000000L &&
+        col("c_us") <= col("p_us"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("lag_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val s07Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+       |      FROM e WHERE event_type = 'click')
+       |SELECT p.user_id, purchase_id, click_id, p_us - c_us AS lag_us
+       |FROM p JOIN c ON p.user_id = c.user_id
+       |  AND c_us BETWEEN p_us - 1800000000 AND p_us
+       |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ------------------------------------------------------------- S08
+  /** Stream-static enrichment: every event decorated with its user's
+    * customer record and nation — the standard dimension join a CDC or
+    * event stream needs on the way to a warehouse. The dimension side is
+    * BROADCAST (a dim table is small next to a 100 TB stream), so the
+    * stream never shuffles; in streaming form the same plan is stateless
+    * per-microbatch (graft.streaming.EventStreams.enrich). */
+  def s08_enrich(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    e.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("n_name").as("nation"))
+      .orderBy("event_id")
+  }
+
+  val s08Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT event_id, user_id, event_type, c_name, n_name AS nation
+       |FROM e
+       |JOIN customer ON user_id = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_tumbling" -> (s01_tumbling _),
@@ -166,7 +230,9 @@ object WindowedOps {
     "s03_session" -> (s03_session _),
     "s04_watermark" -> (s04_watermark _),
     "s05_tx_assembly" -> (s05_tx_assembly _),
-    "s06_dedup" -> (s06_dedup _))
+    "s06_dedup" -> (s06_dedup _),
+    "s07_stream_join" -> (s07_stream_join _),
+    "s08_enrich" -> (s08_enrich _))
 
   def oracles: Map[String, String] = Map(
     "s01_tumbling" -> s01Sql,
@@ -174,5 +240,7 @@ object WindowedOps {
     "s03_session" -> s03Sql,
     "s04_watermark" -> s04Sql,
     "s05_tx_assembly" -> s05Sql,
-    "s06_dedup" -> s06Sql)
+    "s06_dedup" -> s06Sql,
+    "s07_stream_join" -> s07Sql,
+    "s08_enrich" -> s08Sql)
 }

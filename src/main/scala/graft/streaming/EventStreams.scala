@@ -60,4 +60,34 @@ object EventStreams {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
+
+  /** S07: stream-stream interval join — purchases attributed to the same
+    * user's clicks within the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides,
+    * so Spark evicts buffered rows once the watermark passes their join
+    * horizon (clicks after 30 min, purchases immediately) — state stays
+    * proportional to the window, not the stream. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  /** S08: stream-static dimension enrichment — stateless per microbatch;
+    * the static side is broadcast so the stream side never shuffles. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"))
 }

@@ -71,4 +71,43 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("keep_id", "n").as[(Long, Long)].collect()
     assert(groups.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("connected components match a union-find ground truth on random " +
+      "graphs and an adversarial chain") {
+    // union-find reference
+    def components(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val got = DedupOps.connectedComponents(edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      val want = components(0, edges)
+      assert(got == want, s"$label: got ${got.toSeq.sorted.take(10)}... " +
+        s"want ${want.toSeq.sorted.take(10)}...")
+    }
+    // adversarial long chain: worst case for label propagation, the
+    // case large-star/small-star's O(log^2 n) rounds exist for
+    check((0L until 200L).map(i => (i, i + 1)), "chain-201")
+    // star + separate components + duplicate/reversed edges
+    check(Seq((10L, 2L), (10L, 7L), (2L, 10L), (30L, 31L), (31L, 32L),
+      (50L, 40L), (40L, 50L)), "stars")
+    // random graphs, fixed seeds
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(300)(
+        (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(e => e._1 != e._2)
+      check(edges, s"random-$seed")
+    }
+  }
 }

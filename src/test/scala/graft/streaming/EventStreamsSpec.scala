@@ -91,4 +91,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(vals.map(_.event_id).sorted.toSeq == Seq(42L, 43L))
     assert(vals.find(_.event_id == 42).get.value == 1.0)
   }
+
+  test("S07 stream-stream interval join attributes purchases to preceding " +
+      "clicks and evicts out-of-window state") {
+    val events = Seq(
+      Ev(t(0), "click", 1, 10, 1.0),
+      Ev(t(20), "click", 1, 11, 1.0),
+      Ev(t(25), "purchase", 1, 20, 9.0), // joins clicks 10 (25m) and 11 (5m)
+      Ev(t(40), "click", 2, 12, 1.0),
+      Ev(t(95), "purchase", 2, 21, 9.0), // click 12 is 55m old -> no match
+      Ev(t(31), "purchase", 1, 22, 9.0), // joins click 11 only (click 10 is 31m old)
+      Ev(t(600), "click", 9, 99, 1.0)) // watermark push, finalizes joins
+    val res = runStream(
+      Seq(events.take(3), events.slice(3, 6), Seq(events(6))),
+      EventStreams.purchaseAttribution)
+    val got = res.select($"purchase_id", $"click_id", $"lag_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (20L, 10L, 25L * 60000000), (20L, 11L, 5L * 60000000),
+      (22L, 11L, 11L * 60000000)),
+      s"unexpected attribution set: $got")
+  }
+
+  test("S08 stream-static enrichment decorates every event statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "Customer#1"), (2L, "Customer#2"))
+      .toDF("c_custkey", "c_name")
+    val events = Seq(
+      Ev(t(0), "click", 1, 10, 1.0), Ev(t(1), "view", 2, 11, 1.0),
+      Ev(t(2), "click", 7, 12, 1.0)) // no dim row -> dropped (inner join)
+    val res = runStream(Seq(events),
+      df => EventStreams.enrich(df, dim))
+    val got = res.select($"event_id", $"c_name").as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((10L, "Customer#1"), (11L, "Customer#2")))
+  }
 }
