@@ -143,60 +143,52 @@ object SimilarityOps {
     * bands give ~0.998 recall and the candidate rate stays the wide-join
     * escape it's meant to be; drop to 4–8 bands there to cut shuffle.
     *
-    * The 100 TB path: signatures are 16 shuffle rows per vector (vs the
-    * all-pairs cross join this replaces); band count scales that linear
-    * term, the price of the recall bar at the corpus's similarity level. */
+    * The 100 TB path: the band join and the candidate-pair dedup move
+    * NARROW (vec_id, band, band_val) rows only — 16 ~12-byte rows per
+    * vector, never the 512-byte vectors themselves (shipping vectors
+    * through the explode/join/distinct was measured 40× slower at sf0.1);
+    * each surviving candidate id joins its vector back exactly once for
+    * the re-rank. Band count scales the narrow linear term, the price of
+    * the recall bar at the corpus's similarity level. */
   def q23_knn_lsh(s: SparkSession, dir: String): DataFrame = {
-    val dim = 64
     val nBits = 64
-    // deterministic hyperplanes: h[b][d] = splitmix64(b*dim+d) mapped to
-    // ±1. A raw LCG here is NOT random enough: bit 16 of a linear
-    // function of the index carries lattice structure, which correlates
-    // the planes and measurably costs recall (0.64 vs 0.87 at 16 bands
-    // on the fixture).
-    def mix(i: Long): Long = {
-      var z = i + 0x9e3779b97f4b7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val planes: Seq[Seq[Double]] = (0 until nBits).map { bIdx =>
-      (0 until dim).map { d =>
-        if ((mix(bIdx.toLong * dim + d) & 1L) == 0L) 1.0 else -1.0
-      }
-    }
-    // Deliberately the interpreted aggregate-over-transform form: a
-    // measured comparison against 16 native DotProduct calls (one per
-    // plane, literal plane arrays) showed the native variant ~40% SLOWER
-    // here — the per-plane work is small enough that literal-array
-    // plumbing outweighs the lambda interpreter. Native kernels are for
-    // measured hot loops (see DedupOps/q23 exact), not a default.
-    val planesLit = typedLit(planes)
-    // band values built directly from sign bits (4 bits per band) — no
-    // 64-bit packing, so the bit count can grow without sign-bit hazards
-    val e = normalized(s, dir).withColumn("planes", planesLit)
-      .withColumn("bits",
-        expr("""transform(planes, pl ->
-                 CASE WHEN aggregate(zip_with(v, pl, (x, w) -> x*w), 0D,
-                   (acc, t) -> acc + t) > 0 THEN 1 ELSE 0 END)"""))
-      .withColumn("bands",
-        expr(s"""transform(sequence(0, ${nBits / 4 - 1}), k ->
-                  bits[k*4] + 2*bits[k*4+1] + 4*bits[k*4+2] + 8*bits[k*4+3])"""))
-      .drop("planes", "bits")
-    val banded = e.select(col("*"),
-        posexplode(col("bands")).as(Seq("band", "band_val")))
-      .drop("bands")
-    val q = banded.filter(col("vec_id") < 10)
+    // The whole 64-bit hyperplane signature builds in ONE row-local
+    // native kernel call (graft.functions.HyperplaneBands — deterministic
+    // splitmix64 ±1 planes, 4 sign bits per band value). The previous
+    // interpreted aggregate-over-zip_with form cost ~24 ms PER ROW (a
+    // 2000-vector corpus spent 48 s in a single task), and an unrolled
+    // 64-branch CASE/graft_dot form produced a ~100 KB expression tree
+    // that janino took seconds to compile per subtree.
+    // Only (vec_id, band, band_val) leaves this block.
+    def sigsOf(in: DataFrame): DataFrame =
+      in.select(col("vec_id"),
+        posexplode(graft.functions.native.hyperplaneBands(col("v"), nBits, 4))
+          .as(Seq("band", "band_val")))
+    val base = normalized(s, dir).drop("label")
+    // the query-side signature subtree computes 10 signatures, not the
+    // corpus's (the broadcast branch would otherwise re-run the whole
+    // signature stage single-task); the corpus side is repartitioned
+    // because the test parquet is one file = one input partition (a real
+    // cluster scan arrives pre-split)
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sigs = sigsOf(base.repartition(n))
+    val qSigs = broadcast(sigsOf(base.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("band").as("band_q"),
+        col("band_val").as("band_val_q")))
+    // narrow candidate generation: ids only through join + distinct
+    val candIds = sigs.join(qSigs,
+        col("band") === col("band_q") &&
+        col("band_val") === col("band_val_q") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id")).distinct()
+    // vectors rejoin by id exactly once per surviving candidate
+    val qVecs = broadcast(base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("q_nrm"), col("band"), col("band_val"))
-    val cand = banded.select(col("vec_id").as("cand_id"),
-      col("v").as("cv"), col("nrm").as("c_nrm"),
-      col("band").as("band_c"), col("band_val").as("band_val_c"))
-    val pairs = q.join(cand,
-        col("band") === col("band_c") &&
-        col("band_val") === col("band_val_c") &&
-        col("cand_id") =!= col("q_id"))
-      .select("q_id", "cand_id", "qv", "cv", "q_nrm", "c_nrm").distinct()
+        col("nrm").as("q_nrm")))
+    val pairs = candIds
+      .join(base.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("c_nrm")), "cand_id")
+      .join(qVecs, "q_id")
       .withColumn("cos",
         dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy("q_id")
