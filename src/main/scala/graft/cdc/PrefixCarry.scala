@@ -44,19 +44,20 @@ object PrefixCarry {
     val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
-    // Per-bucket last value from a NARROW pre-window branch: only
-    // (keys, bucket, seq, value) survive the projection, so Catalyst
+    // ONE summary aggregate yields both the (key, bucket) universe and
+    // each bucket's last non-null value (max_by with a null-guarded
+    // ordering key ignores null-value rows; an all-null bucket gets a
+    // null _last but still a summary row, which the carry window needs).
+    // Only (keys, bucket, seq, value) survive the projection, so Catalyst
     // prunes this branch's upstream (e.g. the full CDC decode) down to
-    // the carried field — the expensive decode + sort+window below run
-    // exactly ONCE, on the main branch.
-    val perBucket = withB
+    // the carried field — and one aggregate instead of a
+    // per-bucket/all-buckets pair + join halves the subtree recomputation
+    // when carries nest (tx-id carry feeding schema attach).
+    val summaries = withB
       .select(grpCols :+ col(seqCol).as("_s") :+ col(valueCol).as("_v"): _*)
-      .filter(col("_v").isNotNull)
-      .groupBy(grpCols: _*).agg(max_by(col("_v"), col("_s")).as("_last"))
-    // every (key, bucket) present needs a carry-in, including buckets
-    // with no value-bearing row; the keys+_b projection prunes upstream
-    // to almost nothing.
-    val allBuckets = withB.select(grpCols: _*).distinct()
+      .groupBy(grpCols: _*)
+      .agg(max_by(col("_v"),
+        when(col("_v").isNotNull, col("_s"))).as("_last"))
     // running last-non-null over the summaries, strictly-earlier buckets
     // only. lit(0) partition when keyless: same single partition an
     // empty partitionBy would give, minus the planner warning — and it
@@ -64,8 +65,7 @@ object PrefixCarry {
     val partCols = if (keyCols.isEmpty) Seq(lit(0)) else keyCols
     val wSum = Window.partitionBy(partCols: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = allBuckets
-      .join(perBucket, keys :+ "_b", "left")
+    val carryIn = summaries
       .withColumn("_carry_in", last(col("_last"), ignoreNulls = true).over(wSum))
       .select(grpCols :+ col("_carry_in"): _*)
     val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))

@@ -70,6 +70,14 @@ object CdcOps {
     * null-table rows funnel into one window partition. */
   def cdc1_decode(s: SparkSession, dir: String): DataFrame = {
     val decoded = JsonCdc.decode(syntheticLines(s, dir))
+    // The two nested prefix carries (tx-id, then schema attach) each fork
+    // the plan into a main branch + a bucket-summary branch, so the line
+    // stream is synthesized + parsed ~3x here. Measured at sf0.1: a
+    // persist (lazy or eager) of the decoded frame does NOT beat the
+    // recompute — the branches race the cold cache and the columnar cache
+    // write costs as much as a decode pass. At 100 TB, where the decode
+    // reads real storage instead of format_string, checkpoint the decode
+    // output once and fan consumers out from it.
     val filtered = JsonCdc.filterTables(decoded, Seq("audit_log"))
     val withTx = JsonCdc.withTxId(filtered, "seq")
     JsonCdc.withSchemaAttached(withTx.filter(col("table").isNotNull), "seq")
