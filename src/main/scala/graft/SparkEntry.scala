@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.Relational.queries ++ q.DedupOps.queries ++ q.SimilarityOps.queries ++
       q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
-      graft.multimodal.Multimodal.queries
+      q.SampleOps.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -42,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     q.Relational.oracles ++ q.DedupOps.oracles ++ q.SimilarityOps.oracles ++
       q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
-      graft.multimodal.Multimodal.oracles
+      q.SampleOps.oracles ++ graft.multimodal.Multimodal.oracles
 }

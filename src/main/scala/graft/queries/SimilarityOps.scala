@@ -199,13 +199,43 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------- centroid
+  /** Per-label centroid accumulators: element-wise vector sums per label
+    * — the k-means/IVF training step. posexplode → groupBy(label, idx)
+    * is the right 100 TB shape because of map-side partial aggregation:
+    * the shuffle carries one (label, idx, partial) row per partition,
+    * i.e. |labels| × dim rows, regardless of corpus size. Values are
+    * quantized to integer micro-units (floor(x · 10⁶)) so the sum is
+    * order-independent and integer-exact in both engines — a production
+    * centroid would sum doubles and accept run-to-run non-determinism,
+    * or Kahan-sum; the quantization exists for the oracle, not the
+    * algorithm. Output: (label, idx, n, sum in micro-units). */
+  def q23_centroid(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy("label", "idx")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1000000d).cast("long"))
+          .as("sum_micro"))
+      .orderBy("label", "idx")
+
+  val q23CentroidSql: String =
+    """SELECT label, i.idx AS idx, count(*) AS n,
+      |  SUM(CAST(FLOOR(CAST(embedding[i.idx + 1] AS DOUBLE) * 1000000)
+      |      AS BIGINT)) AS sum_micro
+      |FROM embeddings, (SELECT unnest(range(64)) AS idx) i
+      |GROUP BY 1, 2
+      |ORDER BY label, idx""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
-    "q23_knn_lsh" -> (q23_knn_lsh _))
+    "q23_knn_lsh" -> (q23_knn_lsh _),
+    "q23_centroid" -> (q23_centroid _))
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
-    "q23_knn_ivf" -> q23IvfSql)
+    "q23_knn_ivf" -> q23IvfSql,
+    "q23_centroid" -> q23CentroidSql)
 }

@@ -163,18 +163,47 @@ object TextOps {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ vocab
+  /** Corpus vocabulary: top-500 whitespace tokens by frequency — the
+    * first step of tokenizer/vocab training. explode → count is the
+    * right 100 TB shape BECAUSE of map-side partial aggregation: the
+    * shuffle carries one (token, partial_n) row per distinct token per
+    * partition, not one row per occurrence; the global top-k is a
+    * TakeOrderedAndProject (per-partition heap + driver merge of
+    * 500-row heads), never a full sort. Ties break on the token for a
+    * total order. */
+  def q24_vocab(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(500)
+
+  val q24VocabSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS n
+      |FROM tok
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 500""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> (q24_text_stats _),
     "q24_langid" -> (q24_langid _),
     "q24_quality" -> (q24_quality _),
     "q24_token_count" -> (q24_token_count _),
-    "q24_fingerprint" -> (q24_fingerprint _))
+    "q24_fingerprint" -> (q24_fingerprint _),
+    "q24_vocab" -> (q24_vocab _))
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> q24StatsSql,
     "q24_langid" -> q24LangidSql,
     "q24_quality" -> q24QualitySql,
     "q24_token_count" -> q24TokenCountSql,
-    "q24_fingerprint" -> q24FingerprintSql)
+    "q24_fingerprint" -> q24FingerprintSql,
+    "q24_vocab" -> q24VocabSql)
 }
