@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * O(#buckets × #summary-buckets) pairs, quadratic in stream length at
   * fixed bucketSize. The summary window is single-pass.
   *
+  * Sizing: level 2 holds seqRange / bucketSize rows per key group in one
+  * window partition. At the 64 Ki default that stays under ~64 Ki summary
+  * rows up to a 2³² seq range; for replays beyond that, raise bucketSize
+  * (the per-task bound at level 1 rises with it) or apply the scheme
+  * recursively over the summaries — the same two-level argument
+  * compounds, giving O(log_b n) levels of bounded windows.
+  *
   * The streaming paths don't need any of this — they keep the same
   * semantics as keyed state (graft.streaming.CdcPipeline /
   * BinlogStream); this is the batch/replay/oracle path only.

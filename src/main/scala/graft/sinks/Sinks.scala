@@ -91,10 +91,19 @@ class SubjectRoutingSink(
 }
 
 /** Durable sink for downstream batch consumers. */
-class ParquetSink(path: String) extends EventSink {
+/** Warehouse sink. `partitionBy` (e.g. table, kind) lays envelopes out
+  * as hive-style directories so downstream readers prune partitions —
+  * at 100 TB an unpartitioned event dump forces every consumer to scan
+  * everything, and the natural CDC read patterns ("one table's changes",
+  * "all deletes") are partition-prunable for free. */
+class ParquetSink(path: String, partitionBy: Seq[String] = Nil)
+    extends EventSink {
   val name = "parquet"
-  def write(batch: DataFrame, batchId: Long): Unit =
-    batch.write.mode("append").parquet(path)
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val w = batch.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
 }
 
 /** O20 — plugin registry: resolve a SinkConfig to an implementation. */
@@ -108,7 +117,9 @@ object SinkRegistry {
     case "console" => new ConsoleSink(
       cfg.options.getOrElse("numRows", "20").toInt)
     case "collect" => new CollectingSink
-    case "parquet" => new ParquetSink(cfg.options("path"))
+    case "parquet" => new ParquetSink(cfg.options("path"),
+      cfg.options.get("partitionBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     case "subject-routing" =>
       new SubjectRoutingSink(
         () => (s, p) => println(s"[publish] $s $p"),

@@ -1,0 +1,96 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Property-style randomized coverage of the decode rules the oracle
+  * fixtures exercise only at fixed shapes: pk extraction (insert/update
+  * `id`||`ID`, delete first-non-null-of-old-image, postgresql.js:472,
+  * 423-425) and the Mongo ns split (first dot only, mongo.js:138-142).
+  * 500 seeded random cases run as ONE Spark job and compare against the
+  * rules computed independently in Scala. */
+class CdcPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  // JSON-safe identifier-ish strings (no escaping concerns, mixed case,
+  // dots and spaces excluded from KEYS but values may hold spaces)
+  private def word(): String = {
+    val chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_0123456789"
+    (0 until (1 + rnd.nextInt(8))).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  test("pk extraction rules hold on 500 random envelopes") {
+    case class Case(seq: Long, line: String, expected: Option[String])
+    val cases = (0 until 500).map { i =>
+      val kind = rnd.nextInt(3)
+      // ordered distinct keys; maybe id / ID at a random position
+      val baseKeys = Seq.fill(1 + rnd.nextInt(4))(word()).distinct
+        .filterNot(k => k == "id" || k == "ID")
+      val withId = rnd.nextInt(4) match {
+        case 0 => insertAt(baseKeys, "id")
+        case 1 => insertAt(baseKeys, "ID")
+        case 2 => insertAt(insertAt(baseKeys, "ID"), "id")
+        case _ => baseKeys
+      }
+      // values: JSON string, int, or null
+      val kvs = withId.map { k =>
+        val v = rnd.nextInt(3) match {
+          case 0 => "\"" + word() + "\""
+          case 1 => rnd.nextInt(100000).toString
+          case _ => "null"
+        }
+        k -> v
+      }
+      def raw(v: String): Option[String] =
+        if (v == "null") None
+        else Some(if (v.startsWith("\"")) v.substring(1, v.length - 1) else v)
+      val obj = kvs.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      val m = kvs.toMap
+      kind match {
+        case 0 | 1 =>
+          val tag = if (kind == 0) "insert" else "update"
+          // id || ID — null-valued id falls through to ID (coalesce is
+          // on the parsed VALUE, not key presence)
+          val exp = m.get("id").flatMap(raw).orElse(m.get("ID").flatMap(raw))
+          Case(i.toLong, s"""{"$tag": $obj, "table": "t"}""", exp)
+        case _ =>
+          // first key IN ORDER whose value is non-null
+          val exp = kvs.collectFirst { case (_, v) if v != "null" => raw(v).get }
+          Case(i.toLong, s"""{"delete": true, "@": $obj, "table": "t"}""", exp)
+      }
+    }
+    val decoded = JsonCdc.decode(
+        cases.map(c => (c.seq, c.line)).toDF("seq", "line"))
+      .select("seq", "pk").as[(Long, String)].collect().toMap
+    cases.foreach { c =>
+      assert(Option(decoded(c.seq)) == c.expected,
+        s"seq=${c.seq} line=${c.line}: got ${Option(decoded(c.seq))}, " +
+          s"want ${c.expected}")
+    }
+  }
+
+  test("oplog ns splits on the FIRST dot only, for any collection name") {
+    case class Case(seq: Long, line: String, db: String, coll: String)
+    val cases = (0 until 200).map { i =>
+      val db = word()
+      val coll = (0 until (1 + rnd.nextInt(3))).map(_ => word()).mkString(".")
+      Case(i.toLong,
+        s"""{"op": "i", "ns": "$db.$coll", "o": {"_id": $i}}""", db, coll)
+    }
+    val decoded = OplogCdc.decode(
+        cases.map(c => (c.seq, c.line)).toDF("seq", "line"))
+      .select("seq", "db", "collection").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.foreach { c =>
+      assert(decoded(c.seq) == ((c.db, c.coll)),
+        s"ns=${c.db}.${c.coll}: got ${decoded(c.seq)}")
+    }
+  }
+
+  private def insertAt(keys: Seq[String], k: String): Seq[String] = {
+    val pos = rnd.nextInt(keys.length + 1)
+    (keys.take(pos) :+ k) ++ keys.drop(pos)
+  }
+}

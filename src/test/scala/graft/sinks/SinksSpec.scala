@@ -104,4 +104,19 @@ class SinksSpec extends SparkSpec {
     sink.write(envelopes.filter($"kind" === "update"), 1L)
     assert(sink.collected.size == 2)
   }
+
+  test("parquet sink lays out hive partitions when partitionBy is set") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-psink").toString
+    val sink = SinkRegistry.create(graft.subscribe.SinkConfig("parquet",
+      Map("path" -> dir, "partitionBy" -> "table,kind")))
+    sink.write(envelopes, 0L)
+    val tableDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(tableDirs.exists(_.startsWith("table=")),
+      s"expected hive-style table= dirs, got $tableDirs")
+    // partition-pruned read returns exactly that table's rows
+    val users = spark.read.parquet(dir).filter($"table" === "users")
+    assert(users.count() == envelopes.filter($"table" === "users").count())
+  }
 }
