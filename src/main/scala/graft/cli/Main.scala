@@ -37,7 +37,8 @@ object Main {
           sinks = (b \ "sinks") match {
             case JArray(ss) => ss.map(sc => SinkConfig(
               (sc \ "kind").extractOrElse[String](""),
-              (sc \ "options").extractOrElse[Map[String, String]](Map())))
+              (sc \ "options").extractOrElse[Map[String, String]](Map()),
+              (sc \ "kinds").extractOrElse[Seq[String]](Nil)))
             case _ => Seq(SinkConfig("console"))
           },
           source = (b \ "source").extractOrElse[String](""),

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the properties that decide 100 TB
+  * behavior — pushdown, pruning, broadcast choice, partial aggregation,
+  * top-k without a global sort. Results are already oracle-checked; this
+  * pins the PLANS so a refactor that silently trades them away (a
+  * dropped broadcast hint, a filter that stops reaching the scan) fails
+  * fast with a named property instead of a bench regression two rounds
+  * later. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter reaches the parquet scan as PushedFilters") {
+    val plan = planOf(Relational.queries("q02_filter")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      "quantity range filter must push into the parquet scan")
+  }
+
+  test("q01 projection prunes the scan's ReadSchema to selected columns") {
+    val plan = planOf(Relational.queries("q01_scan")(spark, sfDir))
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && !read.contains("l_comment"),
+      s"scan must not read unprojected columns; ReadSchema=$read")
+  }
+
+  test("q07 small-dimension join broadcasts (no shuffle of the fact side)") {
+    val plan = planOf(Relational.queries("q07_join_broadcast")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "part dimension must broadcast against lineitem")
+  }
+
+  test("s08 stream-static enrichment broadcasts both dimension tables") {
+    val plan = planOf(WindowedOps.queries("s08_enrich")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "customer and nation must both broadcast; the event side never shuffles")
+    assert(!plan.contains("SortMergeJoin"),
+      "no sort-merge join in a stream-dim enrichment")
+  }
+
+  test("q24_vocab top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(TextOps.queries("q24_vocab")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-500 must be per-partition heaps + driver merge")
+    // partial aggregation: two HashAggregate levels around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "token counts must combine map-side before the shuffle")
+  }
+
+  test("q26 hash sampling is a map-side predicate: no Exchange before " +
+      "the filter, scan pruned to the output columns") {
+    val q = SampleOps.queries("q26_sample_hash")(spark, sfDir)
+    val plan = planOf(q)
+    // the only exchange allowed is the final output ORDER BY's range
+    // partitioning; the sample decision itself adds none
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(exchanges.forall(_ == "rangepartitioning"),
+      s"sampling must not shuffle; found exchanges: $exchanges")
+  }
+
+  test("cdc5 snapshot apply is partially-aggregated (map-side combine " +
+      "before the pk shuffle)") {
+    val plan = planOf(CdcOps.queries("cdc5_apply")(spark, sfDir))
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r
+      .findAllIn(plan).size >= 2,
+      "max_by must run partial+final, not single-level")
+    assert(!plan.contains("Window "),
+      "snapshotting must not be a window over pk")
+  }
+}

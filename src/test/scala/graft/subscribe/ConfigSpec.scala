@@ -124,13 +124,15 @@ class ConfigSpec extends AnyFunSuite {
       """{"backends": [{"name": "pg1", "kind": "file-ldjson",
         |  "options": {"path": "/tmp/x"}, "excludeTables": ["audit"],
         |  "emit": {"emitEvents": true, "emitSchema": false},
-        |  "sinks": [{"kind": "collect"}]}]}""".stripMargin
+        |  "sinks": [{"kind": "collect", "kinds": ["insert", "delete"]}]}]}""".stripMargin
     val cfg = graft.cli.Main.parseConfig(json)
     assert(cfg.backends.size == 1)
     val b = cfg.backends.head
     assert(b.excludeTables == Seq("audit"))
     assert(!b.emit.schema && b.emit.insert)
     assert(b.sinks.map(_.kind) == Seq("collect"))
+    assert(b.sinks.head.kinds == Seq("insert", "delete"),
+      "per-kind sink subscriptions must survive the JSON config parse")
     assert(ConfigValidation.validate(cfg).isEmpty)
   }
 }
