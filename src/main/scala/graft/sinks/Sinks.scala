@@ -90,7 +90,6 @@ class SubjectRoutingSink(
   }
 }
 
-/** Durable sink for downstream batch consumers. */
 /** Warehouse sink. `partitionBy` (e.g. table, kind) lays envelopes out
   * as hive-style directories so downstream readers prune partitions —
   * at 100 TB an unpartitioned event dump forces every consumer to scan
@@ -103,6 +102,43 @@ class ParquetSink(path: String, partitionBy: Seq[String] = Nil)
     val w = batch.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
+  }
+}
+
+/** Exactly-once warehouse landing. Structured Streaming's foreachBatch
+  * is at-least-once with a STABLE batchId: a crash between the write and
+  * the checkpoint commit re-delivers the same rows under the same id.
+  * Landing each batch in a `batch=<id>` directory sealed by a marker
+  * file makes the replay a no-op — marker present means the batch
+  * already landed, a half-written directory without its marker is
+  * invisible to readers and overwritten by the retry. This is the
+  * upgrade over the reference's at-least-once delivery
+  * (reference README.md:53-55: restart replays from the slot) that its
+  * NATS consumers must otherwise implement by hand.
+  *
+  * Local-filesystem markers here; on an object store the same pattern
+  * rides the Hadoop FileSystem API (rename-commit or a manifest). */
+class IdempotentParquetSink(path: String) extends EventSink {
+  val name = "parquet-exactly-once"
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val dir = new java.io.File(s"$path/batch=$batchId")
+    val marker = new java.io.File(dir, "_COMMITTED")
+    if (marker.exists()) return // replayed batch: already landed
+    batch.write.mode("overwrite").parquet(dir.toString)
+    marker.createNewFile()
+    ()
+  }
+}
+
+object IdempotentParquetSink {
+  /** All COMMITTED batches as one frame (uncommitted dirs invisible). */
+  def committed(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val dirs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && new java.io.File(d, "_COMMITTED").exists())
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no committed batches under $path")
+    spark.read.parquet(dirs: _*)
   }
 }
 
@@ -120,6 +156,8 @@ object SinkRegistry {
     case "parquet" => new ParquetSink(cfg.options("path"),
       cfg.options.get("partitionBy").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+    case "parquet-exactly-once" =>
+      new IdempotentParquetSink(cfg.options("path"))
     case "subject-routing" =>
       new SubjectRoutingSink(
         () => (s, p) => println(s"[publish] $s $p"),

@@ -97,7 +97,8 @@ object ConfigValidation {
   val supportedSources: Set[String] = Set("file", "kafka")
   val supportedWires: Set[String] = Set("jsoncdc", "binlog", "oplog")
   val supportedSinks: Set[String] =
-    Set("console", "collect", "subject-routing", "parquet")
+    Set("console", "collect", "subject-routing", "parquet",
+      "parquet-exactly-once")
   /** Envelope kinds a sink may subscribe to (SinkConfig.kinds). */
   val supportedKinds: Set[String] = Set(
     "insert", "update", "delete", "schema", "beginTransaction",

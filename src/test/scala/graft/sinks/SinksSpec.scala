@@ -119,4 +119,26 @@ class SinksSpec extends SparkSpec {
     val users = spark.read.parquet(dir).filter($"table" === "users")
     assert(users.count() == envelopes.filter($"table" === "users").count())
   }
+
+  test("exactly-once parquet sink: batch replay is a no-op, uncommitted " +
+      "batches stay invisible") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-eo-sink").toString
+    val sink = SinkRegistry.create(graft.subscribe.SinkConfig(
+      "parquet-exactly-once", Map("path" -> dir)))
+    val batch = envelopes.filter($"kind" === "insert")
+    sink.write(batch, 0L)
+    // crash-replay: foreachBatch re-delivers the SAME batch id
+    sink.write(batch, 0L)
+    sink.write(envelopes.filter($"kind" === "update"), 1L)
+    // a torn write: batch dir exists but was never committed
+    val torn = new java.io.File(s"$dir/batch=2")
+    envelopes.filter($"kind" === "delete").write.parquet(torn.toString)
+    val landed = IdempotentParquetSink.committed(spark, dir)
+    assert(landed.count() == 2,
+      "one insert + one update; the replayed batch must not duplicate " +
+        "and the uncommitted batch must not surface")
+    assert(landed.select("kind").as[String].collect().toSet ==
+      Set("insert", "update"))
+  }
 }
