@@ -142,6 +142,48 @@ object IdempotentParquetSink {
   }
 }
 
+/** Materialized CURRENT-STATE table maintained from the change stream —
+  * the reference's consumers rebuild this by hand from NATS events; here
+  * each microbatch advances a versioned snapshot
+  * (graft.cdc.SnapshotApply.advance) and commits it under
+  * `version=<batchId>` with a marker, so readers always see one complete
+  * version, a crash replay overwrites the torn version idempotently, and
+  * time travel across versions is free. Version dirs accrete; a real
+  * deployment vacuums old versions after a retention window. */
+class SnapshotSink(path: String) extends EventSink {
+  val name = "snapshot"
+
+  private def latestCommitted(): Option[java.io.File] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "_COMMITTED").exists())
+      .sortBy(d => d.getName.stripPrefix("version=").toLong)
+      .lastOption
+
+  /** Latest committed snapshot version (empty-schema error if none). */
+  def current(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val d = latestCommitted().getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    spark.read.parquet(d.toString)
+  }
+
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val dir = new java.io.File(s"$path/version=$batchId")
+    val marker = new java.io.File(dir, "_COMMITTED")
+    if (marker.exists()) return // replayed batch: version already built
+    val spark = batch.sparkSession
+    val deltas = graft.cdc.SnapshotApply.normalize(batch)
+    val next = latestCommitted() match {
+      case Some(prev) => graft.cdc.SnapshotApply.advance(
+        spark.read.parquet(prev.toString), deltas)
+      case None => graft.cdc.SnapshotApply.snapshot(deltas)
+    }
+    next.write.mode("overwrite").parquet(dir.toString)
+    marker.createNewFile()
+    ()
+  }
+}
+
 /** O20 — plugin registry: resolve a SinkConfig to an implementation. */
 object SinkRegistry {
   def create(cfg: SinkConfig): EventSink = {
@@ -158,6 +200,7 @@ object SinkRegistry {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     case "parquet-exactly-once" =>
       new IdempotentParquetSink(cfg.options("path"))
+    case "snapshot" => new SnapshotSink(cfg.options("path"))
     case "subject-routing" =>
       new SubjectRoutingSink(
         () => (s, p) => println(s"[publish] $s $p"),

@@ -98,7 +98,7 @@ object ConfigValidation {
   val supportedWires: Set[String] = Set("jsoncdc", "binlog", "oplog")
   val supportedSinks: Set[String] =
     Set("console", "collect", "subject-routing", "parquet",
-      "parquet-exactly-once")
+      "parquet-exactly-once", "snapshot")
   /** Envelope kinds a sink may subscribe to (SinkConfig.kinds). */
   val supportedKinds: Set[String] = Set(
     "insert", "update", "delete", "schema", "beginTransaction",

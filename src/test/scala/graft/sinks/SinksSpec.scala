@@ -141,4 +141,30 @@ class SinksSpec extends SparkSpec {
     assert(landed.select("kind").as[String].collect().toSet ==
       Set("insert", "update"))
   }
+
+  test("snapshot sink maintains current state across microbatches, " +
+      "survives batch replay, and versions are time-travelable") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-snap-sink").toString
+    val sink = new SnapshotSink(dir)
+    def env(ls: Seq[(Long, String)]) =
+      JsonCdc.decode(ls.toDF("seq", "line"))
+    val b0 = env(Seq(
+      (0L, """{"insert": {"id": 1, "v": "a"}, "table": "t"}"""),
+      (1L, """{"insert": {"id": 2, "v": "b"}, "table": "t"}""")))
+    val b1 = env(Seq(
+      (2L, """{"update": {"id": 1, "v": "a2"}, "table": "t"}"""),
+      (3L, """{"delete": true, "@": {"id": 2}, "table": "t"}""")))
+    sink.write(b0, 0L)
+    sink.write(b1, 1L)
+    sink.write(b1, 1L) // crash replay of the same batch id: no-op
+    val cur = sink.current(spark)
+      .select("pk", "item").as[(String, String)].collect().toMap
+    assert(cur.keySet == Set("1"), "id 2 was deleted")
+    assert(cur("1").contains("a2"), "id 1 carries the updated image")
+    // time travel: version=0 still holds the pre-update state
+    val v0 = spark.read.parquet(s"$dir/version=0")
+      .select("pk").as[String].collect().toSet
+    assert(v0 == Set("1", "2"))
+  }
 }
