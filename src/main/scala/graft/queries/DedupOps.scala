@@ -78,7 +78,14 @@ object DedupOps {
     // guarantee, rarest-first minimizes candidates. n (the set size)
     // rides along for the PPJoin length filter: J >= 0.5 forces
     // 2*min(na,nb) >= max(na,nb).
+    // Explicit doc_id partitioning into the rank window: the exploded
+    // shingle rows are narrow, so AQE's size-based coalescing would fold
+    // them into a handful of partitions and run the per-doc sort ~4-wide
+    // on a 32-core box; the window reuses this exact hash partitioning,
+    // so the repartition adds no extra shuffle.
+    val n = ex.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val prefix = ex.join(dfreq, "h")
+      .repartition(n, col("doc_id"))
       .withColumn("rk", row_number().over(wd.orderBy("df", "h")))
       .filter(col("rk") <=
         col("n") - ceil(col("n") * 0.5).cast("long") + 1)

@@ -182,6 +182,22 @@ class SnapshotSink(path: String) extends EventSink {
     marker.createNewFile()
     ()
   }
+
+  /** Retention: delete all committed versions except the newest
+    * `keepLast`. Never touches uncommitted (in-flight) version dirs —
+    * a concurrent writer's torn directory is its own to overwrite. */
+  def vacuum(keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val committed = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "_COMMITTED").exists())
+      .sortBy(_.getName.stripPrefix("version=").toLong)
+    committed.dropRight(keepLast).map { d =>
+      d.listFiles().foreach(_.delete())
+      d.delete()
+      d.getName
+    }
+  }
 }
 
 /** O20 — plugin registry: resolve a SinkConfig to an implementation. */

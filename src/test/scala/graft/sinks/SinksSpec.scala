@@ -167,4 +167,35 @@ class SinksSpec extends SparkSpec {
       .select("pk").as[String].collect().toSet
     assert(v0 == Set("1", "2"))
   }
+
+  test("vacuum keeps the newest versions and never the torn ones") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-vacuum").toString
+    val sink = new SnapshotSink(dir)
+    def env(ls: Seq[(Long, String)]) =
+      JsonCdc.decode(ls.toDF("seq", "line"))
+    for (b <- 0 until 4)
+      sink.write(env(Seq((b.toLong,
+        s"""{"insert": {"id": $b, "v": "x"}, "table": "t"}"""))), b.toLong)
+    val dropped = sink.vacuum(keepLast = 2)
+    assert(dropped == Seq("version=0", "version=1"))
+    assert(sink.current(spark).count() == 4,
+      "latest version still holds all 4 accumulated rows")
+  }
+
+  test("compaction rewrites many small files into few, same data") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
+    // 16 tiny appends = 16+ files
+    for (i <- 0 until 16)
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val beforeData = spark.read.parquet(dir)
+      .as[(Long, String)].collect().toSet
+    val (before, after) = Maintenance.compact(spark, dir)
+    assert(before >= 16 && after == 1,
+      s"expected 16+ -> 1 files, got $before -> $after")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      == beforeData, "compaction must not change the data")
+  }
 }
