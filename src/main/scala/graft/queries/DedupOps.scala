@@ -404,6 +404,42 @@ object DedupOps {
       |  count(*) OVER (PARTITION BY keep_id) AS cluster_size
       |FROM lbl ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- incremental
+  /** Incremental dedup: a NEW batch (20% of docs by key-hash, standing in
+    * for today's crawl) deduped against the EXISTING corpus and within
+    * itself — the shape every production dedup actually runs (nobody
+    * re-deduplicates 100 TB per day). Existing side reduces to a
+    * fingerprint column before the join, so the anti-join ships narrow
+    * hashes, not documents; within-batch survivors keep the smallest
+    * doc_id. One narrow anti-join + one small groupBy; at scale the
+    * existing fingerprints live pre-bucketed on disk so only the new
+    * batch shuffles. */
+  def q22_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("norm_key", regexp_replace(trim(col("text")), "\\s+", " "))
+      .withColumn("is_new",
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 100 >= 80)
+    val existingKeys = docs.filter(!col("is_new")).select("norm_key").distinct()
+    docs.filter(col("is_new"))
+      .join(existingKeys, Seq("norm_key"), "left_anti")
+      .groupBy("norm_key")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  val q22IncrementalSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_key,
+      |    (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new
+      |  FROM documents),
+      |existing AS (SELECT DISTINCT norm_key FROM d WHERE NOT is_new)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM d
+      |WHERE is_new AND norm_key NOT IN (SELECT norm_key FROM existing)
+      |GROUP BY norm_key
+      |ORDER BY keep_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact" -> (q22_dedup_exact _),
@@ -411,6 +447,7 @@ object DedupOps {
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
     "q22_dedup_cluster" -> (q22_dedup_cluster _),
+    "q22_dedup_incremental" -> (q22_dedup_incremental _),
     "q22_dedup_embed" -> (q22_dedup_embed _))
 
   def oracles: Map[String, String] = Map(
@@ -420,5 +457,6 @@ object DedupOps {
     // verifies candidates exactly → its output IS the exact result
     "q22_dedup_minhash" -> q22NgramSql,
     "q22_dedup_cluster" -> q22ClusterSql,
+    "q22_dedup_incremental" -> q22IncrementalSql,
     "q22_dedup_embed" -> q22EmbedSql)
 }

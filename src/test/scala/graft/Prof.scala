@@ -30,6 +30,48 @@ object Prof {
             s"wall=${ms}ms name=${si.name.take(90)}")
       }
     })
+    if (name == "_decode_rate") {
+      // controlled decode-throughput measurement: constant jsoncdc lines,
+      // no synthesis cost, 32-way parallel
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val lines = spark.range(n).repartition(32)
+        .select(col("id").as("seq"), concat(lit("""{"insert": {"id": """),
+          col("id"), lit(""", "status": "F"}, "table": "orders"}"""))
+          .as("line"))
+      lines.write.format("noop").mode("overwrite").save() // warm codegen
+      val t = System.nanoTime()
+      graft.cdc.JsonCdc.decode(lines)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t) / 1e9
+      println(f"[prof] decode rate: ${n / secs}%.0f lines/s " +
+        f"($n%d lines in $secs%.1fs, 32 threads)")
+      val t2 = System.nanoTime()
+      lines.write.format("noop").mode("overwrite").save()
+      println(f"[prof] synthesis-only rate: ${n / ((System.nanoTime() - t2) / 1e9)}%.0f lines/s")
+      // isolate: one from_json(struct) with raw-string subtrees
+      val oneParse = lines.select(from_json(col("line"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("insert",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("table",
+            org.apache.spark.sql.types.StringType)))).as("p"))
+      oneParse.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      oneParse.write.format("noop").mode("overwrite").save()
+      println(f"[prof] single from_json rate: ${n / ((System.nanoTime() - t3) / 1e9)}%.0f lines/s")
+      // isolate: map-type parse (the pk path)
+      val mapParse = lines.select(from_json(col("line"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      mapParse.write.format("noop").mode("overwrite").save()
+      val t4 = System.nanoTime()
+      mapParse.write.format("noop").mode("overwrite").save()
+      println(f"[prof] map from_json rate: ${n / ((System.nanoTime() - t4) / 1e9)}%.0f lines/s")
+      spark.stop()
+      return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()

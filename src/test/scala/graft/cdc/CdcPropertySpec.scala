@@ -93,4 +93,28 @@ class CdcPropertySpec extends SparkSpec {
     val pos = rnd.nextInt(keys.length + 1)
     (keys.take(pos) :+ k) ++ keys.drop(pos)
   }
+
+  test("malformed and unknown lines never crash the decode; they classify " +
+      "as unknown and carry no dispatchable payload") {
+    // the reference ERRORS on an unknown line shape (postgresql.js:466-469)
+    // and would die on broken JSON from the pipe; a distributed replay
+    // must instead quarantine — decode classifies them 'unknown', the
+    // pipeline dispatches nothing for them (CdcPipeline's catch-all arm)
+    val lines = Seq(
+      (0L, """{"insert": {"id": 1}, "table": "t"}"""), // control
+      (1L, """not json at all"""),
+      (2L, """{"truncated": """),
+      (3L, """{"someNewKind": {"id": 2}, "table": "t"}"""),
+      (4L, """[1, 2, 3]"""),
+      (5L, ""),
+      (6L, """{"table": "t"}"""))
+    val decoded = JsonCdc.decode(lines.toDF("seq", "line"))
+      .select("seq", "kind", "pk").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(decoded.head == ((0L, "insert", "1")))
+    decoded.tail.foreach { case (seq, kind, pk) =>
+      assert(kind == "unknown" && pk == null,
+        s"line $seq must quarantine as unknown, got kind=$kind pk=$pk")
+    }
+  }
 }
