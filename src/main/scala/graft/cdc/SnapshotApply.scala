@@ -26,18 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotApply {
 
-  /** Normalized change feed: (table, pk, kind, item, seq). */
-  def normalize(decoded: DataFrame, seqCol: String = "seq"): DataFrame =
+  /** Normalized change feed: (table, pk, kind, item, seq).
+    *
+    * `seq` must TOTALLY order the events of any single pk — for wire
+    * formats where one statement emits several rows under one seq
+    * (binlog multi-row events, BinlogCdc's `row_idx`), pass a composed
+    * expression, e.g. `expr("seq * 65536 + row_idx")`; a bare
+    * statement-level seq would leave the winner among same-statement
+    * rows of one pk up to the engine. */
+  def normalize(decoded: DataFrame, seqExpr: String = "seq"): DataFrame =
     decoded.filter(col("kind").isin("insert", "update", "delete"))
       .select(col("table"), col("pk"), col("kind"), col("item"),
-        col(seqCol).cast("long").as("seq"))
+        expr(seqExpr).cast("long").as("seq"))
 
-  /** Current state per (table, pk): latest event wins, deletes drop. */
+  /** Current state per (table, pk): latest event wins, deletes drop.
+    * Residual seq ties (a caller that ignored the normalize contract)
+    * break on (kind, item) — an arbitrary but RUN-STABLE winner, so a
+    * replay and a live stream still converge to the same table. */
   def snapshot(changes: DataFrame): DataFrame =
     changes
       .groupBy("table", "pk")
-      .agg(max_by(struct(col("seq"), col("kind"), col("item")), col("seq"))
-        .as("last"))
+      .agg(max_by(struct(col("seq"), col("kind"), col("item")),
+        struct(col("seq"), col("kind"), col("item"))).as("last"))
       .filter(col("last.kind") =!= "delete")
       .select(col("table"), col("pk"), col("last.item").as("item"),
         col("last.seq").as("as_of_seq"))

@@ -31,6 +31,13 @@ case class TxEvent(backend: String, txId: Long,
     commitTs: Option[java.sql.Timestamp], items: Seq[TxItem])
 
 /** Open-transaction buffer carried between microbatches.
+  *
+  * STATE-FORMAT NOTE: the newest-first representation below changed the
+  * meaning (not the schema) of checkpointed state — a checkpoint written
+  * by a build that stored oldest-first would replay open-transaction
+  * items reversed after upgrade. Restart streams from a fresh checkpoint
+  * (or drain open transactions first) when crossing that boundary.
+  *
   * `buffered` is stored NEWEST-FIRST (prepend
   * is O(1) on the underlying List; the reference's push, postgresql.js
   * :482-484, is an array append) and reversed once at commit-emit —

@@ -271,6 +271,9 @@ case class HyperplaneBands(child: Expression, nBits: Int, bandBits: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  require(nBits > 0 && bandBits > 0 && nBits % bandBits == 0,
+    s"nBits ($nBits) must be a positive multiple of bandBits ($bandBits)")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
 

@@ -63,7 +63,10 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
         if a.semanticEquals(rank) => Some(v)
       case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-        if a.semanticEquals(rank) => Some(v - 1)
+        // v - 1 at Int.MinValue would wrap to Int.MaxValue and slip past
+        // the k >= 1 guard below, turning "return nothing" into
+        // "return everything per key"
+        if a.semanticEquals(rank) && v > Int.MinValue => Some(v - 1)
       case _ => None
     }
 

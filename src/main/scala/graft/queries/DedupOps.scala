@@ -417,8 +417,9 @@ object DedupOps {
   def q22_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
       .withColumn("norm_key", regexp_replace(trim(col("text")), "\\s+", " "))
-      .withColumn("is_new",
-        pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 100 >= 80)
+      // the engine's shared key-bucket (SampleOps.bucketOf): "new" here
+      // is exactly the complement of q26's train split
+      .withColumn("is_new", SampleOps.bucketOf("doc_id") % 100 >= 80)
     val existingKeys = docs.filter(!col("is_new")).select("norm_key").distinct()
     docs.filter(col("is_new"))
       .join(existingKeys, Seq("norm_key"), "left_anti")

@@ -16,8 +16,13 @@ import graft.Tables
   * so the oracle states the identical sample. */
 object SampleOps {
 
-  /** Knuth multiplicative hash of a long key into [0, 2³²). */
-  private def bucketOf(key: String): org.apache.spark.sql.Column =
+  /** Knuth multiplicative hash of a long key into [0, 2³²) — THE
+    * deterministic key-bucket contract shared by every sampling/split
+    * decision in the engine (q22_dedup_incremental's new/existing split
+    * uses the same function so its "new batch" is exactly this
+    * sampler's complement). Keep in lockstep with the inline
+    * `(key * 2654435761) % 4294967296` in the oracle SQL strings. */
+  def bucketOf(key: String): org.apache.spark.sql.Column =
     pmod(col(key) * 2654435761L, lit(4294967296L))
 
   /** 10% deterministic sample of `documents`: pure filter, no shuffle —

@@ -8,40 +8,88 @@ import org.apache.spark.sql.SparkSession
   * dominate every scan long before data volume does. Compaction rewrites
   * a directory into ⌈bytes / targetFileBytes⌉ files.
   *
-  * The rewrite is offline-atomic on a local filesystem: the compacted
-  * copy builds in a sibling `.compacting` directory and swaps in via two
-  * renames, so a concurrent reader sees either the old layout or the new
-  * one. (On an object store, swap via a manifest instead — renames
-  * aren't atomic there.) Run it between streaming restarts or on a
-  * partition no longer receiving appends (the natural cadence for
-  * hive-partitioned CDC output: compact yesterday's partitions).
-  */
+  * Hive-partitioned layouts (ParquetSink's partitionBy) compact leaf by
+  * leaf, preserving the directory scheme — a whole-root rewrite would
+  * flatten the partition columns back into the files and destroy
+  * pruning.
+  *
+  * Crash story (local filesystem): the compacted copy builds in a
+  * sibling `.compacting` directory and swaps in via two renames. A crash
+  * between the renames leaves the data in `<dir>.old` and nothing at the
+  * published path; the next compact() call (or recover()) detects that
+  * state and rolls the original back before proceeding, so the window
+  * where readers see an absent directory lasts until the next
+  * maintenance run, and no committed data is ever lost. On an object
+  * store, renames are neither atomic nor cheap — swap via a manifest
+  * there. Run compaction between streaming restarts or on partitions no
+  * longer receiving appends (the natural cadence for hive-partitioned
+  * CDC output: compact yesterday's partitions). */
 object Maintenance {
 
-  /** Rewrite `dir` to ~targetFileBytes files. Returns (before, after)
-    * data-file counts. */
+  /** Rewrite `dir` (or each of its hive-partition leaves) to
+    * ~targetFileBytes files. Returns (before, after) data-file counts
+    * summed over leaves. */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    recover(dir)
     val d = new java.io.File(dir)
+    val partitionDirs = Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    if (partitionDirs.nonEmpty) {
+      val results = partitionDirs.map(p =>
+        compact(spark, p.toString, targetFileBytes))
+      (results.map(_._1).sum, results.map(_._2).sum)
+    } else compactLeaf(spark, d, targetFileBytes)
+  }
+
+  /** Roll back a crash between compactLeaf's two renames: the published
+    * path is missing but its `.old` sibling exists. Idempotent. */
+  def recover(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val old = new java.io.File(d.getParentFile, d.getName + ".old")
+    if (!d.exists() && old.exists()) {
+      if (!old.renameTo(d))
+        throw new java.io.IOException(s"cannot roll back $old to $d")
+    }
+  }
+
+  private def compactLeaf(spark: SparkSession, d: java.io.File,
+      targetFileBytes: Long): (Int, Int) = {
     def dataFiles(f: java.io.File) =
       Option(f.listFiles()).toSeq.flatten
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val before = dataFiles(d)
+    if (before.isEmpty) return (0, 0) // nothing to compact (or not a leaf)
     val totalBytes = before.map(_.length()).sum
     val nFiles = math.max(1, math.ceil(
       totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new java.io.File(d.getParentFile, d.getName + ".compacting")
-    spark.read.parquet(dir).repartition(nFiles)
+    spark.read.parquet(d.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    // carry sidecar files (commit markers of the exactly-once/snapshot
+    // sinks) across the swap — losing a _COMMITTED would make a
+    // compacted batch invisible to committed()/current()
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.endsWith(".parquet")
+        && !new java.io.File(tmp, f.getName).exists())
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath))
     val old = new java.io.File(d.getParentFile, d.getName + ".old")
+    deleteRecursively(old) // leftover from a previous crash-after-swap
     if (!d.renameTo(old))
-      throw new java.io.IOException(s"cannot swap out $dir")
+      throw new java.io.IOException(s"cannot swap out $d")
     if (!tmp.renameTo(d)) {
       old.renameTo(d) // roll back
       throw new java.io.IOException(s"cannot swap in $tmp")
     }
-    Option(old.listFiles()).toSeq.flatten.foreach(_.delete())
-    old.delete()
+    deleteRecursively(old)
     (before.size, dataFiles(d).size)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 }

@@ -77,16 +77,22 @@ case class BackendConfig(
     }
 
   /** Wire format after legacy-kind resolution. Precedence: explicit
-    * `wire` field > options("wire") (the legacy kafka escape hatch) >
-    * the kind's historical binding. */
+    * `wire` field > options("wire") for kind=kafka ONLY (the historical
+    * escape hatch — file kinds always bound their wire to the kind, so
+    * a stray options.wire on them must stay inert) > the kind's
+    * historical binding. */
   def resolvedWire: String =
     if (wire.nonEmpty) wire
-    else options.get("wire").filter(_.nonEmpty).getOrElse(kind match {
-      case "file-ldjson" | "kafka" => "jsoncdc"
-      case "file-binlog-json" => "binlog"
-      case "file-oplog-json" => "oplog"
-      case _ => ""
-    })
+    else {
+      val escapeHatch =
+        if (kind == "kafka") options.get("wire").filter(_.nonEmpty) else None
+      escapeHatch.getOrElse(kind match {
+        case "file-ldjson" | "kafka" => "jsoncdc"
+        case "file-binlog-json" => "binlog"
+        case "file-oplog-json" => "oplog"
+        case _ => ""
+      })
+    }
 }
 
 case class EngineConfig(backends: Seq[BackendConfig])

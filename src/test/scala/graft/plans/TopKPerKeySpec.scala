@@ -121,4 +121,16 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!g.queryExecution.executedPlan.toString
       .contains("TopKPerKey"))
   }
+
+  test("rank < Int.MinValue returns zero rows (no overflow past the k guard)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    val q = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") < Int.MinValue)
+    assert(q.count() == 0,
+      "v - 1 overflow must not turn an empty result into everything")
+  }
 }

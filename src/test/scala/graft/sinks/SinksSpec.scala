@@ -198,4 +198,24 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
       == beforeData, "compaction must not change the data")
   }
+
+  test("compaction preserves hive partition layout and commit markers") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-compact-part").resolve("t").toString
+    for (i <- 0 until 6)
+      Seq((i.toLong, s"t${i % 2}", s"v$i")).toDF("id", "table", "v")
+        .coalesce(1).write.partitionBy("table").mode("append").parquet(root)
+    new java.io.File(s"$root/table=t0/_COMMITTED").createNewFile()
+    val beforeData = spark.read.parquet(root)
+      .as[(Long, String, String)].collect().toSet
+    val (before, after) = Maintenance.compact(spark, root)
+    assert(before >= 6 && after == 2, s"one file per partition leaf; got $before -> $after")
+    assert(new java.io.File(s"$root/table=t0").isDirectory &&
+      new java.io.File(s"$root/table=t1").isDirectory,
+      "partition directories must survive compaction")
+    assert(new java.io.File(s"$root/table=t0/_COMMITTED").exists(),
+      "commit markers must ride across the swap")
+    assert(spark.read.parquet(root).as[(Long, String, String)]
+      .collect().toSet == beforeData)
+  }
 }

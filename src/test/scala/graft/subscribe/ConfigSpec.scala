@@ -135,4 +135,14 @@ class ConfigSpec extends AnyFunSuite {
       "per-kind sink subscriptions must survive the JSON config parse")
     assert(ConfigValidation.validate(cfg).isEmpty)
   }
+
+  test("options.wire is inert for file kinds (kafka-only escape hatch)") {
+    val b = BackendConfig(name = "f1", kind = "file-ldjson",
+      options = Map("path" -> "/x", "wire" -> "binlog"))
+    assert(b.resolvedWire == "jsoncdc",
+      "a stray options.wire must not change a file backend's decoder")
+    val k = BackendConfig(name = "k1", kind = "kafka",
+      options = Map("wire" -> "binlog"))
+    assert(k.resolvedWire == "binlog", "the kafka escape hatch still works")
+  }
 }
