@@ -34,7 +34,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.Relational.queries ++ q.DedupOps.queries ++ q.SimilarityOps.queries ++
       q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
-      q.SampleOps.queries ++ graft.multimodal.Multimodal.queries
+      q.SampleOps.queries ++ q.CurationOps.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -42,5 +43,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     q.Relational.oracles ++ q.DedupOps.oracles ++ q.SimilarityOps.oracles ++
       q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
-      q.SampleOps.oracles ++ graft.multimodal.Multimodal.oracles
+      q.SampleOps.oracles ++ q.CurationOps.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q27 family — corpus curation operators a production training-data
+  * pipeline runs between dedup (Q22) and tokenization: benchmark
+  * decontamination, repetition-based quality gating (the Gopher rules),
+  * and token-budget sequence packing.
+  *
+  * Scale stances, per operator:
+  *   - decontaminate: the benchmark side is tiny (eval sets are MBs even
+  *     when the corpus is 100 TB) → build its distinct n-gram set and
+  *     BROADCAST it; the corpus side never shuffles its text, only
+  *     (doc_id, gram-hash) rows into a map-side broadcast join + one
+  *     narrow groupBy on doc_id.
+  *   - repetition: top-token frequency via explode → two partial-agg
+  *     groupBys (exact at any scale), NOT an O(n_toks²) per-row
+  *     array-filter fold; the 2-gram stats are row-local expressions.
+  *   - pack: the document → training-sequence offset map is an EXCLUSIVE
+  *     PREFIX SUM over the corpus order — computed with the two-level
+  *     bucketed scan (PrefixSum), never a single-partition global
+  *     window.
+  */
+object CurationOps {
+
+  // ------------------------------------------------- decontamination
+  /** Test-set decontamination: documents sharing any distinct 3-gram
+    * with the held-out benchmark slice (key-hash buckets >= 95, the top
+    * 5% of SampleOps.bucketOf — disjoint from its 80/20 split point so
+    * all three key-hash consumers compose). Emits each contaminated
+    * corpus doc with its distinct-shared-gram count; clean docs are
+    * absent (their removal decision is trivial).
+    *
+    * Shingle sets come from the same row-local kernel as Q22
+    * (ShingleHashes); counts over 64-bit gram hashes equal counts over
+    * the grams themselves up to a ~1e-7 collision tail, so the string
+    * oracle hash-matches — same argument as q22_dedup_ngram. */
+  def q27_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleSets(s, dir)
+      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+    val benchGrams = sh.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("h")).distinct()
+    sh.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val q27DecontaminateSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |m AS (SELECT doc_id, s,
+      |        (doc_id * 2654435761) % 4294967296 % 100 >= 95 AS is_bench
+      |      FROM sh),
+      |bg AS (SELECT DISTINCT unnest(s) AS gram FROM m WHERE is_bench),
+      |ex AS (SELECT doc_id, unnest(s) AS gram FROM m WHERE NOT is_bench)
+      |SELECT ex.doc_id, count(*) AS n_hits
+      |FROM ex JOIN bg USING (gram)
+      |GROUP BY ex.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- repetition
+  /** Gopher-style repetition signals per document: most-common-token
+    * count, 2-gram duplicate count, and the integer-only keep gate
+    * (top token <= 10% of tokens AND duplicate 2-grams <= 20% of
+    * 2-grams). The top-token count is exact via explode + groupBy —
+    * partial aggregation makes the shuffle one row per (doc, distinct
+    * token), and it avoids the quadratic filter-per-distinct-token
+    * array fold a row-local version would need. */
+  def q27_repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    // row-local 2-gram stats; guard n < 2 (Spark's sequence(1, 0) would
+    // be DESCENDING, not empty)
+    val g = d
+      .withColumn("g2",
+        when(col("n_toks") >= 2, expr(
+          "transform(sequence(1, size(toks)-1), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"))
+          .otherwise(expr("array()").cast("array<string>")))
+      .withColumn("n_2g", size(col("g2")).cast("long"))
+      .withColumn("n_d2g", size(array_distinct(col("g2"))).cast("long"))
+      .select("doc_id", "n_toks", "n_2g", "n_d2g")
+    val top = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_tok_n"))
+    g.join(top, "doc_id")
+      .withColumn("rep_ok",
+        col("top_tok_n") * 10 <= col("n_toks") &&
+          (col("n_2g") - col("n_d2g")) * 5 <= col("n_2g"))
+      .select("doc_id", "n_toks", "top_tok_n", "n_2g", "n_d2g", "rep_ok")
+      .orderBy("doc_id")
+  }
+
+  val q27RepetitionSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+      |        list_transform(range(1, len(tk)),
+      |          i -> concat_ws(' ', tk[i], tk[i+1])) AS g2
+      |      FROM d),
+      |f AS (SELECT doc_id, unnest(tk) AS token FROM d),
+      |tf AS (SELECT doc_id, token, count(*) AS c FROM f GROUP BY 1, 2),
+      |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_n
+      |        FROM tf GROUP BY doc_id)
+      |SELECT g.doc_id, n_toks, top_tok_n,
+      |  CAST(len(g2) AS BIGINT) AS n_2g,
+      |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_d2g,
+      |  (top_tok_n * 10 <= n_toks AND
+      |   (len(g2) - len(list_distinct(g2))) * 5 <= len(g2)) AS rep_ok
+      |FROM g JOIN top ON g.doc_id = top.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // -------------------------------------------------------- packing
+  /** Token-budget sequence packing (concat-and-chunk): documents are
+    * laid out in (lang, doc_id) order and chunked into 2048-token
+    * training sequences; each doc gets its start offset in the stream
+    * and the bin (sequence index) it starts in. The offset map is an
+    * exclusive prefix sum per lang — the two-level bucketed scan
+    * (PrefixSum.exclusiveRunningSum), bounded per task regardless of
+    * how many documents a language has; a plain window here would put
+    * a whole language (at 100 TB: most of the corpus) in one task. */
+  def q27_pack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("n_toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select("doc_id", "lang", "n_toks")
+    PrefixSum.exclusiveRunningSum(d, "n_toks", "tok_offset",
+        seqCol = "doc_id", keys = Seq("lang"))
+      .withColumn("bin", expr(s"tok_offset div $budget"))
+      .select("doc_id", "lang", "n_toks", "tok_offset", "bin")
+      .orderBy("doc_id")
+  }
+
+  val q27PackSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents)
+      |SELECT doc_id, lang, n_toks,
+      |  COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS tok_offset,
+      |  COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |    AS bin
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- epoch shuffle
+  /** Deterministic epoch shuffle: every document gets its position in a
+    * pseudo-random global training order (seeded by the key-hash, so
+    * reproducible across runs and engines; reseed per epoch by mixing
+    * the epoch number into the hash). Global rank assignment is the
+    * scale trap here — `row_number() OVER (ORDER BY h)` funnels the
+    * whole corpus through ONE window task. Instead the rank decomposes
+    * bucket-locally:
+    *
+    *   pos = (#rows in strictly earlier hash-buckets)   ← PrefixSum
+    *         + (local row_number within the bucket)      ← bounded task
+    *
+    * with buckets = the top bits of the shuffle hash, so bucket counts
+    * are near-uniform by construction. Both engines order ties by
+    * doc_id (the hash is NOT collision-free: 4096 buckets × ~2³² values
+    * collide at corpus scale). */
+  def q27_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 4096L
+    val bucketWidth = 4294967296L / nBuckets
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("h", SampleOps.bucketOf("doc_id"))
+      .withColumn("bkt", expr(s"h div $bucketWidth"))
+      .select("doc_id", "h", "bkt")
+    val counts = d.groupBy("bkt").agg(count(lit(1)).as("n"))
+    // PrefixSum's bucket machinery over the 4096 count rows is overkill
+    // (they ARE the summaries); one summary-level window suffices and
+    // mirrors PrefixSum level 2. Broadcast the 4096 offsets back.
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wLocal = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(offsets), "bkt")
+      .withColumn("pos", col("off") + row_number().over(wLocal) - 1)
+      .select("doc_id", "h", "pos")
+      .orderBy("doc_id")
+  }
+
+  val q27ShuffleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents)
+      |SELECT doc_id, h,
+      |  ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_decontaminate" -> (q27_decontaminate _),
+    "q27_repetition" -> (q27_repetition _),
+    "q27_pack" -> (q27_pack _),
+    "q27_shuffle" -> (q27_shuffle _))
+
+  def oracles: Map[String, String] = Map(
+    "q27_decontaminate" -> q27DecontaminateSql,
+    "q27_repetition" -> q27RepetitionSql,
+    "q27_pack" -> q27PackSql,
+    "q27_shuffle" -> q27ShuffleSql)
+}

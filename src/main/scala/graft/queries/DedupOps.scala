@@ -49,7 +49,7 @@ object DedupOps {
     * Consumers only size/intersect the hash sets; a 64-bit collision
     * among ~10⁶ shingles has probability ~10⁻⁷ — immaterial next to the
     * exact-set semantics. */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       graft.functions.native.shingleHashes(col("text"), 3).as("shingles"))
 

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXCLUSIVE running sum in `seqCol` order — the additive
+  * sibling of graft.cdc.PrefixCarry (same two-level argument, sum
+  * instead of last-non-null).
+  *
+  * A naive `sum(x) over (partition by key order by seq)` puts every row
+  * of a key into ONE window task; with few or no keys (a global
+  * document order, exactly the sequence-packing case) that is a
+  * single-task scan of the corpus. Bucketing by `seq div bucketSize`
+  * bounds level 1 at bucketSize rows per task, and level 2 runs over
+  * one summary row per bucket — linear, tiny, broadcast back.
+  *
+  * Sizing mirrors PrefixCarry: at the 64 Ki default the summary window
+  * holds seqRange/bucketSize rows; beyond ~2³² of seq range raise the
+  * bucket size or recurse over the summaries.
+  */
+object PrefixSum {
+
+  /** Appends `outCol` = sum of `valueCol` over all STRICTLY EARLIER rows
+    * (by `seqCol`) in the same `keys` group; first row of a group gets 0.
+    * Null values count as 0. Input columns are preserved. */
+  def exclusiveRunningSum(df: DataFrame, valueCol: String, outCol: String,
+      seqCol: String = "seq", keys: Seq[String] = Nil,
+      bucketSize: Long = 1L << 16): DataFrame = {
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
+    val keyCols = keys.map(col)
+    val grpCols = keyCols :+ col("_b")
+    val summaries = withB
+      .select(grpCols :+ col(valueCol).as("_v"): _*)
+      .groupBy(grpCols: _*)
+      .agg(sum(col("_v")).as("_bsum"))
+    val partCols = if (keyCols.isEmpty) Seq(lit(0)) else keyCols
+    val wSum = Window.partitionBy(partCols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = summaries
+      .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
+      .select(grpCols :+ col("_carry_in"): _*)
+    val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn("_local", sum(col(valueCol)).over(wIn))
+      .join(broadcast(carryIn), keys :+ "_b", "left")
+      .withColumn(outCol,
+        coalesce(col("_local"), lit(0L)) + coalesce(col("_carry_in"), lit(0L)))
+      .drop("_b", "_local", "_carry_in")
+  }
+}

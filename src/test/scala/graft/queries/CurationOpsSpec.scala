@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Q27 corpus-curation operators: brute-force ground truth on the tiny
+  * corpus + the plan-shape properties the 100 TB design depends on. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("PrefixSum matches a single-window running sum (keyed + keyless)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // seqs deliberately sparse + shuffled so bucket boundaries are hit
+    val rows = rnd.shuffle((0 until 5000).toList).map { i =>
+      (i.toLong * 37, if (i % 3 == 0) "a" else "b", rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("seq", "k", "v")
+    // tiny buckets force many cross-bucket carries
+    val got = PrefixSum.exclusiveRunningSum(df, "v", "ps",
+        seqCol = "seq", keys = Seq("k"), bucketSize = 64)
+      .select("seq", "k", "ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("ps", coalesce(sum("v").over(w), lit(0L)))
+      .select("seq", "k", "ps")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    val gotG = PrefixSum.exclusiveRunningSum(df, "v", "ps",
+        seqCol = "seq", bucketSize = 64)
+      .select("seq", "ps")
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wantG = df.withColumn("ps", coalesce(sum("v").over(wg), lit(0L)))
+      .select("seq", "ps")
+    assert(gotG.exceptAll(wantG).isEmpty && wantG.exceptAll(gotG).isEmpty)
+  }
+
+  test("decontaminate: flagged docs truly share a 3-gram with the bench " +
+      "slice, clean docs truly don't") {
+    val sh = DedupOps.shingleSets(spark, sfDir)
+      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+    val rows = sh.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).toSet, r.getBoolean(2))).toSeq
+    val benchGrams = rows.filter(_._3).flatMap(_._2).toSet
+    assert(benchGrams.nonEmpty, "fixture must produce a non-empty bench slice")
+    val want = rows.filterNot(_._3)
+      .map { case (id, s, _) => id -> (s & benchGrams).size }
+      .filter(_._2 > 0).toMap
+    val got = CurationOps.q27_decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want)
+  }
+
+  test("decontaminate broadcasts the benchmark gram set") {
+    val plan = CurationOps.q27_decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast, plan was:\n$plan")
+  }
+
+  test("repetition: brute-force ground truth on the corpus") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val tk = text.trim.split("\\s+").toSeq
+      val g2 = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val topN = tk.groupBy(identity).map(_._2.size).max.toLong
+      val ok = topN * 10 <= tk.size &&
+        (g2.size - g2.distinct.size) * 5 <= g2.size
+      id -> ((tk.size.toLong, topN, g2.size.toLong,
+        g2.distinct.size.toLong, ok))
+    }.toMap
+    val got = CurationOps.q27_repetition(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("shuffle: pos is a permutation equal to the (h, doc_id) rank") {
+    val out = CurationOps.q27_shuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "positions must be a permutation of 0..n-1")
+    val want = out.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> i.toLong }.toMap
+    assert(out.forall { case (id, _, pos) => want(id) == pos })
+  }
+
+  test("pack: offsets are the exclusive cumsum in (lang, doc_id) order " +
+      "and bins chunk at the budget") {
+    val out = CurationOps.q27_pack(spark, sfDir)
+      .orderBy("lang", "doc_id").collect()
+    val byLang = out.groupBy(_.getString(1))
+    for ((_, rows) <- byLang) {
+      var cum = 0L
+      for (r <- rows) {
+        assert(r.getLong(3) == cum, s"offset mismatch at doc ${r.getLong(0)}")
+        assert(r.getLong(4) == cum / 2048, "bin must be offset div budget")
+        cum += r.getLong(2)
+      }
+    }
+  }
+}
