@@ -131,10 +131,16 @@ object BinlogCdc {
              lineCol: String = "line", seqCol: String = "seq"): DataFrame = {
     // stateful pk column per (schema, table): latest tablemap wins —
     // bucketed prefix scan (PrefixCarry), so one hot table in a batch
-    // replay spreads across tasks instead of funneling through one
+    // replay spreads across tasks instead of funneling through one.
+    // The parse is materialized ONCE (eager localCheckpoint): the carry
+    // forks the plan into main + bucket-summary branches whose differing
+    // column pruning defeats ReuseExchange, so without the snapshot the
+    // whole binlog JSON parse would run twice. decode() is the
+    // batch/replay path by contract (streaming = BinlogStream on
+    // parse()), so eager materialization is safe here.
     val withPkCol = PrefixCarry.lastNonNull(
-      parse(df, excludeTables, lineCol), "_pk_col", "pk_col", seqCol,
-      keys = Seq("schema", "table"))
+      parse(df, excludeTables, lineCol).localCheckpoint(), "_pk_col",
+      "pk_col", seqCol, keys = Seq("schema", "table"))
     expandRows(withPkCol, seqCol)
   }
 }

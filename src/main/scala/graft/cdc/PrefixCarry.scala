@@ -48,6 +48,16 @@ object PrefixCarry {
   def lastNonNull(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
       bucketSize: Long = 1L << 16): DataFrame = {
+    // NOTE for callers: this function forks `df` into a main branch and
+    // a bucket-summary branch. The two subtrees prune different columns,
+    // so ReuseExchange can NEVER share them — an expensive upstream
+    // (JSON decode, a join chain) is evaluated once per branch, and
+    // nested carries compound that multiplicatively (cdc1's tx-id +
+    // schema-attach pair re-decoded its stream ~6x, 19s at sf0.1).
+    // Batch/replay callers must materialize expensive inputs first
+    // (eager localCheckpoint — see CdcOps.cdc1_decode / BinlogCdc.decode:
+    // 19s → 7.5s); the summary branch below is then a cheap narrow
+    // partial-agg scan of the snapshot.
     val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
@@ -55,11 +65,9 @@ object PrefixCarry {
     // each bucket's last non-null value (max_by with a null-guarded
     // ordering key ignores null-value rows; an all-null bucket gets a
     // null _last but still a summary row, which the carry window needs).
-    // Only (keys, bucket, seq, value) survive the projection, so Catalyst
-    // prunes this branch's upstream (e.g. the full CDC decode) down to
-    // the carried field — and one aggregate instead of a
-    // per-bucket/all-buckets pair + join halves the subtree recomputation
-    // when carries nest (tx-id carry feeding schema attach).
+    // The narrow projection before the groupBy keeps the summary
+    // branch's shuffle to (keys, bucket, seq, value) rows with map-side
+    // partial aggregation — ~one row per (key, bucket) per task.
     val summaries = withB
       .select(grpCols :+ col(seqCol).as("_s") :+ col(valueCol).as("_v"): _*)
       .groupBy(grpCols: _*)

@@ -70,17 +70,22 @@ object CdcOps {
     * null-table rows funnel into one window partition. */
   def cdc1_decode(s: SparkSession, dir: String): DataFrame = {
     val decoded = JsonCdc.decode(syntheticLines(s, dir))
-    // The two nested prefix carries (tx-id, then schema attach) each fork
-    // the plan into a main branch + a bucket-summary branch, so the line
-    // stream is synthesized + parsed ~3x here. Measured at sf0.1: a
-    // persist (lazy or eager) of the decoded frame does NOT beat the
-    // recompute — the branches race the cold cache and the columnar cache
-    // write costs as much as a decode pass. At 100 TB, where the decode
-    // reads real storage instead of format_string, checkpoint the decode
-    // output once and fan consumers out from it.
+    // Each prefix carry forks the plan into a main branch + a
+    // bucket-summary branch, and Catalyst's column pruning makes the two
+    // subtrees non-identical, so ReuseExchange can never share them —
+    // nested carries therefore re-synthesized + re-parsed the stream ~6x
+    // (measured: 30 from_json nodes in the executed plan, 19s at sf0.1).
+    // The fix is the one a 100 TB replay needs anyway: materialize the
+    // decode ONCE (eager localCheckpoint — lineage-truncated blocks, no
+    // lazy-cache race between AQE's concurrent branch stages) and fan
+    // both carries out from the snapshot. 19s → ~5s at sf0.1.
     val filtered = JsonCdc.filterTables(decoded, Seq("audit_log"))
+      .localCheckpoint()
+    // snapshot between the carries too: the schema-attach fork would
+    // otherwise evaluate the tx-carry window + join twice
     val withTx = JsonCdc.withTxId(filtered, "seq")
-    JsonCdc.withSchemaAttached(withTx.filter(col("table").isNotNull), "seq")
+      .filter(col("table").isNotNull).localCheckpoint()
+    JsonCdc.withSchemaAttached(withTx, "seq")
       .filter(col("kind").isin("insert", "update", "delete"))
       .select(col("pk").cast("long").as("pk"), col("kind"), col("table"),
         col("tx_id"),

@@ -27,6 +27,9 @@ object PrefixSum {
   def exclusiveRunningSum(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
       bucketSize: Long = 1L << 16): DataFrame = {
+    // Like PrefixCarry, this forks `df` into a main + summary branch;
+    // the summary stays a narrow partial-agg scan. Callers with an
+    // expensive upstream should materialize it first (see PrefixCarry).
     val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
