@@ -38,8 +38,12 @@ object CurationOps {
     * the grams themselves up to a ~1e-7 collision tail, so the string
     * oracle hash-matches — same argument as q22_dedup_ngram. */
   def q27_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the bench and corpus branches below would
+    // otherwise each rescan + reshingle the whole table (the fork-
+    // recompute trap PrefixCarry documents)
     val sh = DedupOps.shingleSets(s, dir)
       .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+      .localCheckpoint()
     val benchGrams = sh.filter(col("is_bench"))
       .select(explode(col("shingles")).as("h")).distinct()
     sh.filter(!col("is_bench"))
@@ -75,9 +79,14 @@ object CurationOps {
     * token), and it avoids the quadratic filter-per-distinct-token
     * array fold a row-local version would need. */
   def q27_repetition(s: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE: the row-local 2-gram branch and the explode/top
+    // branch both consume `d` — materialize the token arrays instead of
+    // splitting the corpus text twice
     val d = Tables.load(s, dir, "documents")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
+      .select("doc_id", "toks", "n_toks")
+      .localCheckpoint()
     // row-local 2-gram stats; guard n < 2 (Spark's sequence(1, 0) would
     // be DESCENDING, not empty)
     val g = d
@@ -130,10 +139,13 @@ object CurationOps {
     * a whole language (at 100 TB: most of the corpus) in one task. */
   def q27_pack(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
+    // materialized: PrefixSum forks its input into main + summary
+    // branches, which would re-tokenize the corpus twice
     val d = Tables.load(s, dir, "documents")
       .withColumn("n_toks",
         size(split(trim(col("text")), "\\s+")).cast("long"))
       .select("doc_id", "lang", "n_toks")
+      .localCheckpoint()
     PrefixSum.exclusiveRunningSum(d, "n_toks", "tok_offset",
         seqCol = "doc_id", keys = Seq("lang"))
       .withColumn("bin", expr(s"tok_offset div $budget"))
@@ -175,6 +187,10 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     val nBuckets = 4096L
     val bucketWidth = 4294967296L / nBuckets
+    // `d` is forked by the counts branch, but deliberately NOT
+    // materialized: its upstream is a column-pruned scan plus two
+    // integer expressions — recomputing that is cheaper than a
+    // checkpoint write (contrast the tokenizing forks above)
     val d = Tables.load(s, dir, "documents")
       .withColumn("h", SampleOps.bucketOf("doc_id"))
       .withColumn("bkt", expr(s"h div $bucketWidth"))

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Appends `outCol` = sum of `valueCol` over all STRICTLY EARLIER rows
-    * (by `seqCol`) in the same `keys` group; first row of a group gets 0.
-    * Null values count as 0. Input columns are preserved. */
+  /** Appends `outCol` = sum of `valueCol` over all rows with STRICTLY
+    * SMALLER `seqCol` in the same `keys` group; rows sharing a seq value
+    * share the same sum (none of each other's), and the smallest seq of
+    * a group gets 0. Null values count as 0. Input columns are
+    * preserved. */
   def exclusiveRunningSum(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
       bucketSize: Long = 1L << 16): DataFrame = {
@@ -43,8 +45,12 @@ object PrefixSum {
     val carryIn = summaries
       .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
       .select(grpCols :+ col("_carry_in"): _*)
+    // RANGE frame, not ROWS: with duplicate seq values a ROWS frame
+    // would hand one duplicate the other's value in partition-layout
+    // order (nondeterministic); the range frame gives every row the sum
+    // over seq values STRICTLY below its own, honoring the contract.
     val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rangeBetween(Window.unboundedPreceding, -1)
     withB
       .withColumn("_local", sum(col(valueCol)).over(wIn))
       .join(broadcast(carryIn), keys :+ "_b", "left")

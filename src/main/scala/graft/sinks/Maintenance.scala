@@ -33,8 +33,13 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     recover(dir)
     val d = new java.io.File(dir)
+    sweepCrashLeftovers(d)
+    // `.old` / `.compacting` siblings are compaction state, never
+    // partitions — without the exclusion a crash leftover would be
+    // compacted as data and read back as a bogus partition value
     val partitionDirs = Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.contains("="))
+      .filter(f => f.isDirectory && f.getName.contains("=")
+        && !f.getName.endsWith(".old") && !f.getName.endsWith(".compacting"))
     if (partitionDirs.nonEmpty) {
       val results = partitionDirs.map(p =>
         compact(spark, p.toString, targetFileBytes))
@@ -51,6 +56,27 @@ object Maintenance {
       if (!old.renameTo(d))
         throw new java.io.IOException(s"cannot roll back $old to $d")
     }
+  }
+
+  /** Heal crash leftovers among `d`'s children before compacting them:
+    * a missing leaf whose `.old` sibling survives (crash between the two
+    * renames) is rolled back; a stale `.old` beside a live leaf (crash
+    * after swap-in, before cleanup) and any orphan `.compacting` copy
+    * (never the only copy of its data) are deleted. Without this sweep,
+    * a crashed LEAF was never recovered — recover() only inspects the
+    * dir it is handed, and the recursion visits only dirs that still
+    * exist. */
+  private def sweepCrashLeftovers(d: java.io.File): Unit = {
+    val children = Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    for (c <- children if c.getName.endsWith(".old")) {
+      val base = new java.io.File(d, c.getName.stripSuffix(".old"))
+      if (!base.exists()) {
+        if (!c.renameTo(base))
+          throw new java.io.IOException(s"cannot roll back $c to $base")
+      } else deleteRecursively(c)
+    }
+    for (c <- children if c.getName.endsWith(".compacting"))
+      deleteRecursively(c)
   }
 
   private def compactLeaf(spark: SparkSession, d: java.io.File,

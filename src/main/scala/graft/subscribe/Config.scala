@@ -77,15 +77,17 @@ case class BackendConfig(
     }
 
   /** Wire format after legacy-kind resolution. Precedence: explicit
-    * `wire` field > options("wire") for kind=kafka ONLY (the historical
-    * escape hatch — file kinds always bound their wire to the kind, so
-    * a stray options.wire on them must stay inert) > the kind's
-    * historical binding. */
+    * `wire` field > options("wire") where no fused kind binds it (the
+    * kafka escape hatch, and new-axes configs with kind="" — the file
+    * kinds always bound their wire to the kind, so a stray options.wire
+    * on them must stay inert) > the kind's historical binding. */
   def resolvedWire: String =
     if (wire.nonEmpty) wire
     else {
       val escapeHatch =
-        if (kind == "kafka") options.get("wire").filter(_.nonEmpty) else None
+        if (kind == "kafka" || kind.isEmpty)
+          options.get("wire").filter(_.nonEmpty)
+        else None
       escapeHatch.getOrElse(kind match {
         case "file-ldjson" | "kafka" => "jsoncdc"
         case "file-binlog-json" => "binlog"

@@ -36,6 +36,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(gotG.exceptAll(wantG).isEmpty && wantG.exceptAll(gotG).isEmpty)
   }
 
+  test("PrefixSum: duplicate seq values share the same strictly-smaller " +
+      "sum, deterministically") {
+    import spark.implicits._
+    // 3 rows at seq=10 (values 1,2,4), 2 at seq=200 (values 8,16)
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 4L), (200L, 8L), (200L, 16L))
+      .toDF("seq", "v")
+    val got = PrefixSum.exclusiveRunningSum(df, "v", "ps", bucketSize = 64)
+      .select("seq", "v", "ps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 1L, 0L), (10L, 2L, 0L), (10L, 4L, 0L),
+      (200L, 8L, 7L), (200L, 16L, 7L)))
+  }
+
   test("decontaminate: flagged docs truly share a 3-gram with the bench " +
       "slice, clean docs truly don't") {
     val sh = DedupOps.shingleSets(spark, sfDir)

@@ -32,8 +32,14 @@ class BucketingSpec extends SparkSpec {
       .join(Bucketing.readBucketed(spark, "b_customer"),
         col("o_custkey") === col("c_custkey"))
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"),
+    // shuffle exchanges print as "Exchange hashpartitioning(...)" /
+    // "Exchange rangepartitioning(...)" (node name "Exchange";
+    // BroadcastExchange prints its full name)
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
       s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$plan")
     assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
     // Spark still inserts partition-LOCAL sorts (sorted-bucket metadata
     // is not trusted across multiple files per bucket, SPARK-19256) —
@@ -54,7 +60,8 @@ class BucketingSpec extends SparkSpec {
     val agg = Bucketing.readBucketed(spark, "b_orders")
       .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
     val plan = agg.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange"),
+    assert(!plan.contains("Exchange hashpartitioning")
+        && !plan.contains("Exchange rangepartitioning"),
       s"bucket-key agg must not shuffle:\n$plan")
     assert(agg.count() > 0)
   }

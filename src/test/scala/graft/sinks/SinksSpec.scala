@@ -218,4 +218,32 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(root).as[(Long, String, String)]
       .collect().toSet == beforeData)
   }
+
+  test("compaction heals crashed partition leaves instead of reading " +
+      "them as bogus partitions") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
+    for (i <- 0 until 4)
+      Seq((i.toLong, s"t${i % 2}", s"v$i")).toDF("id", "table", "v")
+        .coalesce(1).write.partitionBy("table").mode("append").parquet(root)
+    val beforeData = spark.read.parquet(root)
+      .as[(Long, String, String)].collect().toSet
+    // crash state A (between the two renames): leaf t0 swapped out but
+    // the compacted copy never swapped in
+    val t0 = new java.io.File(s"$root/table=t0")
+    assert(t0.renameTo(new java.io.File(s"$root/table=t0.old")))
+    // crash state B (before swap-out): an orphan .compacting copy of t1
+    val t1c = new java.io.File(s"$root/table=t1.compacting")
+    Seq((99L, "stale")).toDF("id", "v")
+      .coalesce(1).write.parquet(t1c.toString)
+    val (_, after) = Maintenance.compact(spark, root)
+    assert(after == 2, s"both leaves compacted, got $after files")
+    assert(new java.io.File(s"$root/table=t0").isDirectory,
+      "crashed leaf must be rolled back")
+    assert(!new java.io.File(s"$root/table=t0.old").exists() && !t1c.exists(),
+      "crash leftovers must be swept")
+    assert(spark.read.parquet(root).as[(Long, String, String)]
+      .collect().toSet == beforeData,
+      "healed table must hold exactly the pre-crash rows")
+  }
 }

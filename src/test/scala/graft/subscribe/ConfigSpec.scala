@@ -144,5 +144,13 @@ class ConfigSpec extends AnyFunSuite {
     val k = BackendConfig(name = "k1", kind = "kafka",
       options = Map("wire" -> "binlog"))
     assert(k.resolvedWire == "binlog", "the kafka escape hatch still works")
+    // new-axes config (kind="") with wire via options: no fused kind
+    // binds the wire, so the escape hatch must apply there too
+    val n = BackendConfig(name = "n1",
+      options = Map("path" -> "/x", "wire" -> "binlog"), source = "file")
+    assert(n.resolvedWire == "binlog",
+      "options.wire must resolve for kind=\"\" new-axes configs")
+    assert(ConfigValidation.validate(EngineConfig(Seq(n))).isEmpty,
+      "a source + options.wire config must validate")
   }
 }
