@@ -56,6 +56,22 @@ class BucketingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("point filter on the bucket key prunes to one bucket") {
+    // a bare filter has no distribution requirement, so Spark's
+    // autoBucketedScan turns the bucketed scan (and with it, bucket
+    // pruning) off — disable the auto-off to pin the pruning behavior
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = Bucketing.readBucketed(spark, "b_orders")
+        .filter(col("o_custkey") === 7L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning must select a single bucket:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("aggregation on the bucket key skips its exchange") {
     val agg = Bucketing.readBucketed(spark, "b_orders")
       .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
