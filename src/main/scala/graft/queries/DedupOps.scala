@@ -175,24 +175,30 @@ object DedupOps {
     *
     * Scale: this is the 100 TB path where all-pairs is impossible;
     * tighten rows-per-band to trade candidate volume against recall. */
-  def q22_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, band_sig) LSH band rows from per-doc shingle sets:
+    * 128-perm signature built row-locally (zero shuffles), 64 bands of 2
+    * rows hashed to one 64-bit band signature each. Empty shingle sets
+    * are excluded: they share the all-sentinel signature but have no
+    * J>=0.5 partners (the oracle's empty range emits no pairs). This is
+    * also the frame a production corpus persists as its INDEX — see
+    * q22_dedup_incr_near. */
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val nPerms = 128
     val nBands = 64 // 2 rows per band
-    val sh = shingleSets(s, dir)
-    // whole signature row-locally (graft.functions.MinHashSignature) —
-    // zero shuffles before banding. Empty shingle sets are excluded: they
-    // share the all-sentinel signature, but have no J>=0.5 partners
-    // (the oracle's empty range emits no pairs).
     val sig = sh.filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.native.minhashSignature(col("shingles"), nPerms)
           .as("sig"))
-    // band signature = hash of the band's 2 consecutive minhash values
     val bandCols = (0 until nBands).map(k =>
       xxhash64(element_at(col("sig"), 2 * k + 1),
         element_at(col("sig"), 2 * k + 2)))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
+  }
+
+  def q22_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val bands = minhashBands(sh)
     val cand = bands.as("L").join(bands.as("R"),
         col("L.band") === col("R.band") &&
         col("L.band_sig") === col("R.band_sig") &&
@@ -441,6 +447,56 @@ object DedupOps {
       |GROUP BY norm_key
       |ORDER BY keep_id""".stripMargin
 
+  // ----------------------------------------------- incremental (near)
+  /** Incremental NEAR-dup: today's batch (the 20% key-hash slice, as in
+    * q22_dedup_incremental) against the corpus, via the MinHash band
+    * index. This is the only shape that works at 100 TB: the corpus's
+    * (doc, band, band_sig) rows are a persisted index — bucketed on
+    * band_sig, per q22's banding — and each day only the NEW batch is
+    * shingled, signed, and probed against it; nothing existing is
+    * re-banded. Probe = equi-join of the new batch's 64 band rows
+    * against the index; candidates then verify exactly (J >= 0.5), so
+    * the banding coverage argument (miss < 1e-8) makes the output equal
+    * to the exact new-vs-anything n-gram pairs — the oracle states
+    * exactly that. Existing-existing pairs are yesterday's work and
+    * excluded by construction (the probe side is always new). */
+  def q22_dedup_incr_near(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+      .withColumn("is_new", SampleOps.bucketOf("doc_id") % 100 >= 80)
+    val bands = minhashBands(sh)
+      .join(sh.select("doc_id", "is_new"), "doc_id")
+    val probe = bands.filter(col("is_new"))
+      .select(col("doc_id").as("p_id"), col("band"), col("band_sig"))
+    val cand = probe.join(bands,
+        Seq("band", "band_sig"))
+      .filter(col("p_id") =!= col("doc_id"))
+      .select(least(col("p_id"), col("doc_id")).as("doc_a"),
+        greatest(col("p_id"), col("doc_id")).as("doc_b"))
+      .distinct()
+    verified(cand, sh.drop("is_new")).orderBy("doc_a", "doc_b")
+  }
+
+  val q22IncrNearSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+      |             b.n AS nb, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |flags AS (SELECT doc_id,
+      |    (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_new
+      |  FROM documents)
+      |SELECT doc_a, doc_b, inter, na + nb - inter AS uni
+      |FROM p
+      |JOIN flags fa ON p.doc_a = fa.doc_id
+      |JOIN flags fb ON p.doc_b = fb.doc_id
+      |WHERE 2*inter >= na + nb - inter AND (fa.is_new OR fb.is_new)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact" -> (q22_dedup_exact _),
@@ -449,6 +505,7 @@ object DedupOps {
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
     "q22_dedup_cluster" -> (q22_dedup_cluster _),
     "q22_dedup_incremental" -> (q22_dedup_incremental _),
+    "q22_dedup_incr_near" -> (q22_dedup_incr_near _),
     "q22_dedup_embed" -> (q22_dedup_embed _))
 
   def oracles: Map[String, String] = Map(
@@ -459,5 +516,8 @@ object DedupOps {
     "q22_dedup_minhash" -> q22NgramSql,
     "q22_dedup_cluster" -> q22ClusterSql,
     "q22_dedup_incremental" -> q22IncrementalSql,
+    // banding covers every J >= 0.5 pair (miss < 1e-8) and candidates
+    // verify exactly → output equals the exact new-vs-anything pairs
+    "q22_dedup_incr_near" -> q22IncrNearSql,
     "q22_dedup_embed" -> q22EmbedSql)
 }

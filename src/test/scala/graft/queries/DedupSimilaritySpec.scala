@@ -21,6 +21,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("incremental near-dup = exact pairs touching the new batch") {
+    val exact = DedupOps.q22_dedup_ngram(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    def isNew(id: Long) = (id * 2654435761L) % 4294967296L % 100 >= 80
+    val want = exact.filter { case (a, b) => isNew(a) || isNew(b) }
+    val got = DedupOps.q22_dedup_incr_near(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture should have pairs touching the new slice")
+    assert(got == want,
+      s"probe-the-index output must equal exact new-vs-anything pairs " +
+        s"(missing: ${want -- got}, extra: ${got -- want})")
+  }
+
   test("SimHash blocking finds exactly the Hamming<=3 pairs (brute check)") {
     val blocked = DedupOps.q22_dedup_simhash(spark, sfDir)
       .select("doc_a", "doc_b", "hamming")
