@@ -21,6 +21,31 @@ class CdcPropertySpec extends SparkSpec {
     (0 until (1 + rnd.nextInt(8))).map(_ => chars(rnd.nextInt(chars.length))).mkString
   }
 
+  test("PrefixCarry equals the naive carry on random keyed streams " +
+      "with nulls, gaps, and tiny buckets") {
+    // random sparse seqs (gaps + bucket boundaries), 3 keys, ~60% null
+    // values — compare against last(ignoreNulls) over a plain keyed
+    // window (the semantics PrefixCarry de-skews)
+    val rows = rnd.shuffle((0 until 3000).toList).map { i =>
+      (i.toLong * (1 + rnd.nextInt(40)),
+        s"k${rnd.nextInt(3)}",
+        if (rnd.nextInt(10) < 6) null
+        else s"v${rnd.nextInt(100)}")
+    }
+    val df = rows.toDF("seq", "key", "value")
+    val got = PrefixCarry.lastNonNull(df, "value", "carried",
+        keys = Seq("key"), bucketSize = 128)
+      .select("seq", "key", "carried")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("carried", last(col("value"), ignoreNulls = true).over(w))
+      .select("seq", "key", "carried")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-level bucketed carry must equal the single-window carry")
+  }
+
   test("pk extraction rules hold on 500 random envelopes") {
     case class Case(seq: Long, line: String, expected: Option[String])
     val cases = (0 until 500).map { i =>
