@@ -72,4 +72,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window "),
       "snapshotting must not be a window over pk")
   }
+
+  test("q27 pack/shuffle broadcast their tiny summary side back onto " +
+      "the stream (never a shuffle join)") {
+    for (q <- Seq("q27_pack", "q27_shuffle")) {
+      val plan = planOf(CurationOps.queries(q)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast its bucket offsets, plan:\n$plan")
+    }
+  }
 }
