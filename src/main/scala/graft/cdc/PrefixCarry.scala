@@ -1,8 +1,9 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Scale-safe "carry the latest non-null value forward in stream order"
   * — the shape behind every batch CDC carry: tx-id carry (the reference
@@ -74,15 +75,37 @@ object PrefixCarry {
       .agg(max_by(col("_v"),
         when(col("_v").isNotNull, col("_s"))).as("_last"))
     // running last-non-null over the summaries, strictly-earlier buckets
-    // only. lit(0) partition when keyless: same single partition an
-    // empty partitionBy would give, minus the planner warning — and it
-    // holds #buckets summary rows, not the stream.
-    val partCols = if (keyCols.isEmpty) Seq(lit(0)) else keyCols
-    val wSum = Window.partitionBy(partCols: _*).orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = summaries
-      .withColumn("_carry_in", last(col("_last"), ignoreNulls = true).over(wSum))
-      .select(grpCols :+ col("_carry_in"): _*)
+    // only. Keyed: a window partitioned by the keys (≤ #buckets summary
+    // rows per key — bounded). Keyless: the scan is inherently global
+    // and sequential, so it is written as what it is — ONE task over the
+    // summary rows via sorted mapPartitions. A keyless window here would
+    // plan to the same single partition but through WindowExec's
+    // empty-partition path (Catalyst folds any literal partition key
+    // away), tripping the "No Partition Defined" warning on every run
+    // for a scan that is deliberately and safely single-task.
+    val carryIn =
+      if (keyCols.isEmpty) {
+        val outSchema = StructType(Seq(
+          summaries.schema("_b").copy(nullable = false),
+          StructField("_carry_in", summaries.schema("_last").dataType)))
+        summaries.repartition(1).sortWithinPartitions("_b")
+          .mapPartitions { it =>
+            var carry: Any = null
+            it.map { r =>
+              val out = Row(r.getLong(0), carry)
+              val v = r.get(1)
+              if (v != null) carry = v
+              out
+            }
+          }(Encoders.row(outSchema))
+      } else {
+        val wSum = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        summaries
+          .withColumn("_carry_in",
+            last(col("_last"), ignoreNulls = true).over(wSum))
+          .select(grpCols :+ col("_carry_in"): _*)
+      }
     val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     withB
