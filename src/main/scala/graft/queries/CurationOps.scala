@@ -196,13 +196,11 @@ object CurationOps {
       .withColumn("bkt", expr(s"h div $bucketWidth"))
       .select("doc_id", "h", "bkt")
     val counts = d.groupBy("bkt").agg(count(lit(1)).as("n"))
-    // PrefixSum's bucket machinery over the 4096 count rows is overkill
-    // (they ARE the summaries); one summary-level window suffices and
-    // mirrors PrefixSum level 2. Broadcast the 4096 offsets back.
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+    // exclusive running sum over the 4096 count rows: the keyless
+    // PrefixSum scan (one bounded task; 4096 ≪ its bucket size, so its
+    // level-1 window is a single tiny partition). Broadcast back.
+    val offsets = PrefixSum
+      .exclusiveRunningSum(counts, "n", "off", seqCol = "bkt")
       .select("bkt", "off")
     val wLocal = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
     d.join(broadcast(offsets), "bkt")

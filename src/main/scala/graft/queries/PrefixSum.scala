@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Scale-safe EXCLUSIVE running sum in `seqCol` order — the additive
   * sibling of graft.cdc.PrefixCarry (same two-level argument, sum
@@ -39,12 +40,48 @@ object PrefixSum {
       .select(grpCols :+ col(valueCol).as("_v"): _*)
       .groupBy(grpCols: _*)
       .agg(sum(col("_v")).as("_bsum"))
-    val partCols = if (keyCols.isEmpty) Seq(lit(0)) else keyCols
-    val wSum = Window.partitionBy(partCols: _*).orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = summaries
-      .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
-      .select(grpCols :+ col("_carry_in"): _*)
+    // Cross-bucket carry: keyed → window partitioned by the keys
+    // (≤ #buckets summary rows per key). Keyless → the scan is global
+    // and sequential by nature, so it runs as ONE explicit task over the
+    // summaries via sorted mapPartitions; a keyless window would plan
+    // through WindowExec's empty-partition path (literal partition keys
+    // fold away) and warn on every run. Same resolution as
+    // graft.cdc.PrefixCarry's keyless branch.
+    val carryIn =
+      if (keyCols.isEmpty) {
+        val sumType = summaries.schema("_bsum").dataType
+        val outSchema = StructType(Seq(
+          summaries.schema("_b").copy(nullable = false),
+          StructField("_carry_in", sumType)))
+        val scan = summaries.repartition(1).sortWithinPartitions("_b")
+        sumType match {
+          case LongType => scan.mapPartitions { it =>
+            var acc = 0L
+            it.map { r =>
+              val out = Row(r.getLong(0), acc)
+              if (!r.isNullAt(1)) acc += r.getLong(1)
+              out
+            }
+          }(Encoders.row(outSchema))
+          case DoubleType => scan.mapPartitions { it =>
+            var acc = 0.0
+            it.map { r =>
+              val out = Row(r.getLong(0), acc)
+              if (!r.isNullAt(1)) acc += r.getDouble(1)
+              out
+            }
+          }(Encoders.row(outSchema))
+          case t => throw new IllegalArgumentException(
+            s"keyless exclusiveRunningSum over $t not supported (add a " +
+              "scan case or pre-cast the value column to long/double)")
+        }
+      } else {
+        val wSum = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        summaries
+          .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
+          .select(grpCols :+ col("_carry_in"): _*)
+      }
     // RANGE frame, not ROWS: with duplicate seq values a ROWS frame
     // would hand one duplicate the other's value in partition-layout
     // order (nondeterministic); the range frame gives every row the sum
