@@ -217,16 +217,96 @@ object CurationOps {
       |  ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- PII redaction
+  /** PII scrubbing: replace emails, phone numbers, and IPv4 addresses
+    * with typed placeholder tokens, and count what was removed (C4/Dolma
+    * pipelines run exactly this pass before tokenization). The corpus
+    * text is synthetic word soup, so each doc is first deterministically
+    * salted with PII derived from its own doc_id — both engines build
+    * the identical salted text, so the oracle exactly checks the
+    * redaction logic, the same in-query synthesis trick the CDC oracles
+    * use for wire lines.
+    *
+    * Patterns stay in the Java-regex ∩ RE2 common subset (no
+    * backreferences, no lookaround) so Spark and DuckDB match
+    * identically. Replacement order matters and is pinned: emails first
+    * (their local parts can contain digit runs the other patterns could
+    * clip), then phones, then IPs.
+    *
+    * Scale: row-local codegen'd regexps, no shuffle — the 100 TB cost
+    * is one scan. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def q27_redact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("salted", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.2."), col("doc_id") % 256,
+        lit("."), (col("doc_id") * 7) % 256,
+        when(col("doc_id") % 3 === 0, lit(" cc admin@example.org"))
+          .otherwise(lit(""))))
+    d.withColumn("n_emails", regexp_count(col("salted"), lit(emailRe)))
+      .withColumn("r1", regexp_replace(col("salted"), emailRe, "<EMAIL>"))
+      .withColumn("n_phones", regexp_count(col("r1"), lit(phoneRe)))
+      .withColumn("r2", regexp_replace(col("r1"), phoneRe, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(col("r2"), lit(ipRe)))
+      .withColumn("redacted", regexp_replace(col("r2"), ipRe, "<IP>"))
+      .select(col("doc_id"), col("redacted"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"),
+        col("n_ips").cast("long").as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val q27RedactSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text || ' contact user' || doc_id ||
+      |    '@mail.example.com or +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' from 10.2.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+      |      AS salted
+      |  FROM documents),
+      |r1 AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(salted,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |      AS n_emails,
+      |    regexp_replace(salted,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS t
+      |  FROM d),
+      |r2 AS (SELECT doc_id, n_emails,
+      |    CAST(len(regexp_extract_all(t,
+      |      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |    regexp_replace(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+      |      '<PHONE>', 'g') AS t
+      |  FROM r1)
+      |SELECT doc_id,
+      |  regexp_replace(t,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |    '<IP>', 'g') AS redacted,
+      |  n_emails, n_phones,
+      |  CAST(len(regexp_extract_all(t,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+      |    AS BIGINT) AS n_ips
+      |FROM r2 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_decontaminate" -> (q27_decontaminate _),
     "q27_repetition" -> (q27_repetition _),
     "q27_pack" -> (q27_pack _),
-    "q27_shuffle" -> (q27_shuffle _))
+    "q27_shuffle" -> (q27_shuffle _),
+    "q27_redact" -> (q27_redact _))
 
   def oracles: Map[String, String] = Map(
     "q27_decontaminate" -> q27DecontaminateSql,
     "q27_repetition" -> q27RepetitionSql,
     "q27_pack" -> q27PackSql,
-    "q27_shuffle" -> q27ShuffleSql)
+    "q27_shuffle" -> q27ShuffleSql,
+    "q27_redact" -> q27RedactSql)
 }

@@ -103,6 +103,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall { case (id, _, pos) => want(id) == pos })
   }
 
+  test("redact: no email/phone/IP survives, placeholders land, and the " +
+      "counts match the salt construction") {
+    val out = CurationOps.q27_redact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    for ((id, text, nEmail, nPhone, nIp) <- out) {
+      assert(!text.contains("@"), s"doc $id leaked an email")
+      assert(!text.matches(".*\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}.*"),
+        s"doc $id leaked a phone number")
+      assert(!text.matches(
+        ".*\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b.*"),
+        s"doc $id leaked an IP")
+      assert(text.contains("<EMAIL>") && text.contains("<PHONE>") &&
+        text.contains("<IP>"), s"doc $id missing a placeholder")
+      assert(nEmail == (if (id % 3 == 0) 2L else 1L), s"doc $id email count")
+      assert(nPhone == 1L && nIp == 1L, s"doc $id phone/ip count")
+    }
+  }
+
   test("pack: offsets are the exclusive cumsum in (lang, doc_id) order " +
       "and bins chunk at the budget") {
     val out = CurationOps.q27_pack(spark, sfDir)
