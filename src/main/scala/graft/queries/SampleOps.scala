@@ -61,11 +61,70 @@ object SampleOps {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Data mixing: sample each source at its own rate against a
+    * per-source TOKEN budget (the Pile/Dolma "mixture weights" step —
+    * downsample the over-represented sources, keep the rest). A doc is
+    * selected iff the tokens of the source's hash-earlier docs haven't
+    * exhausted the budget, so the selection is a deterministic
+    * pseudo-random greedy fill:
+    *
+    *   - order within a source: the Knuth key-hash (injective on the
+    *     key domain — odd multiplier mod 2³², so no ties to adjudicate);
+    *   - budget_s = rate_s × total-tokens_s in INTEGER math
+    *     (rate parsed from the source id: (50 + 2·n)/100 — stands in
+    *     for a user-supplied weight table, engine-exact either way);
+    *   - running token position per source: the keyed two-level
+    *     PrefixSum — never a whole source (at 100 TB: TBs) through one
+    *     window task.
+    *
+    * Totals per source are a tiny broadcast (one row per source). */
+  def q26_mix(s: SparkSession, dir: String): DataFrame = {
+    // narrow + materialized: PrefixSum forks its input, and the fork
+    // would otherwise re-tokenize the corpus (see PrefixCarry's note)
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("n_toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h", bucketOf("doc_id"))
+      .withColumn("srcn",
+        regexp_extract(col("source"), "[0-9]+", 0).cast("long"))
+      .select("doc_id", "source", "srcn", "n_toks", "h")
+      .localCheckpoint()
+    val totals = d.groupBy("source")
+      .agg(sum(col("n_toks")).as("tot"))
+    PrefixSum.exclusiveRunningSum(d, "n_toks", "tok_pos",
+        seqCol = "h", keys = Seq("source"))
+      .join(broadcast(totals), "source")
+      .filter(col("tok_pos") <
+        expr("((50 + 2 * srcn) * tot) div 100"))
+      .select("doc_id", "source", "n_toks", "tok_pos")
+      .orderBy("doc_id")
+  }
+
+  val q26MixSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks,
+      |    (doc_id * 2654435761) % 4294967296 AS h,
+      |    CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS srcn
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, n_toks,
+      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS tok_pos,
+      |    ((50 + 2 * srcn) * SUM(n_toks) OVER (PARTITION BY source)) // 100
+      |      AS budget
+      |  FROM d)
+      |SELECT doc_id, source, n_toks, tok_pos
+      |FROM p WHERE tok_pos < budget
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sample_hash" -> (q26_sample_hash _),
-    "q26_split_stratified" -> (q26_split_stratified _))
+    "q26_split_stratified" -> (q26_split_stratified _),
+    "q26_mix" -> (q26_mix _))
 
   def oracles: Map[String, String] = Map(
     "q26_sample_hash" -> q26SampleSql,
-    "q26_split_stratified" -> q26SplitSql)
+    "q26_split_stratified" -> q26SplitSql,
+    "q26_mix" -> q26MixSql)
 }

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Q26 sampling operators: brute-force ground truth on the tiny corpus.
+  * (Plan-shape properties — map-side predicate, pruned scans — live in
+  * PlanShapeSpec.) */
+class SampleOpsSpec extends SparkSpec {
+
+  test("mix: greedy per-source token fill in key-hash order, " +
+      "integer budgets") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").length.toLong))
+    val hashOf = (id: Long) =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val want = docs.groupBy(_._2).flatMap { case (src, rows) =>
+      val srcn = src.filter(_.isDigit).toLong
+      val tot = rows.map(_._3).sum
+      val budget = (50 + 2 * srcn) * tot / 100
+      var cum = 0L
+      rows.toList.sortBy(r => hashOf(r._1)).flatMap { case (id, _, n) =>
+        val sel = cum < budget
+        val pos = cum
+        cum += n
+        if (sel) Some((id, src, n, pos)) else None
+      }
+    }.toSet
+    val got = SampleOps.q26_mix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // the fill must actually downsample: every source's selection is a
+    // strict subset at rates < 100%
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val input = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.exists { case (s, n) => n < input(s) },
+      "at least one source must be downsampled")
+  }
+}
