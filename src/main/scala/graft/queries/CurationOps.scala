@@ -295,18 +295,56 @@ object CurationOps {
       |    AS BIGINT) AS n_ips
       |FROM r2 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- chunking
+  /** Sliding-window token chunking: every document is cut into
+    * 64-token windows with stride 48 (16-token overlap) — the
+    * context-window prep step for embedding/RAG indexing and for
+    * long-doc training samples. Chunk starts are `sequence(0, n-1,
+    * stride)`, so a short doc yields exactly one chunk and the last
+    * chunk is the (possibly short) tail.
+    *
+    * Scale: one row-local explode — no shuffle, no state; output size
+    * is input/stride × window, the same blow-up any chunker pays. */
+  def q27_chunk(s: SparkSession, dir: String): DataFrame = {
+    val window = 64
+    val stride = 48
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(window)))
+          .cast("long").as("n_toks"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(window)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q27ChunkSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start
+      |      FROM d)
+      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(len(tk[start+1 : start+64]) AS BIGINT) AS n_toks,
+      |  array_to_string(tk[start+1 : start+64], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_decontaminate" -> (q27_decontaminate _),
     "q27_repetition" -> (q27_repetition _),
     "q27_pack" -> (q27_pack _),
     "q27_shuffle" -> (q27_shuffle _),
-    "q27_redact" -> (q27_redact _))
+    "q27_redact" -> (q27_redact _),
+    "q27_chunk" -> (q27_chunk _))
 
   def oracles: Map[String, String] = Map(
     "q27_decontaminate" -> q27DecontaminateSql,
     "q27_repetition" -> q27RepetitionSql,
     "q27_pack" -> q27PackSql,
     "q27_shuffle" -> q27ShuffleSql,
-    "q27_redact" -> q27RedactSql)
+    "q27_redact" -> q27RedactSql,
+    "q27_chunk" -> q27ChunkSql)
 }

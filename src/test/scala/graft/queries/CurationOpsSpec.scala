@@ -123,6 +123,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk: stride-de-overlapped chunks reconstruct every document " +
+      "and neighbors overlap by window - stride tokens") {
+    val chunks = CurationOps.q27_chunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    assert(chunks.keySet == docs.keySet)
+    for ((id, cs) <- chunks) {
+      assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong),
+        s"doc $id chunk indices must be dense")
+      // first 48 tokens of each chunk (all of the last) rebuild the doc
+      val rebuilt = cs.map(_._4.split(" ").toSeq).zipWithIndex.flatMap {
+        case (tk, i) => if (i == cs.size - 1) tk else tk.take(48)
+      }
+      assert(rebuilt.toSeq == docs(id), s"doc $id does not reconstruct")
+      for (Array((_, _, _, a), (_, _, _, b)) <- cs.sliding(2))
+        assert(a.split(" ").toSeq.drop(48) == b.split(" ").toSeq.take(16),
+          s"doc $id neighbor chunks must overlap by 16 tokens")
+    }
+  }
+
   test("pack: offsets are the exclusive cumsum in (lang, doc_id) order " +
       "and bins chunk at the budget") {
     val out = CurationOps.q27_pack(spark, sfDir)
