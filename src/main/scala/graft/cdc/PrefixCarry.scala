@@ -86,13 +86,18 @@ object PrefixCarry {
     val carryIn =
       if (keyCols.isEmpty) {
         val outSchema = StructType(Seq(
-          summaries.schema("_b").copy(nullable = false),
+          summaries.schema("_b"),
           StructField("_carry_in", summaries.schema("_last").dataType)))
+        // a null-seq row yields a null `_b` summary; it sorts FIRST
+        // (matching a window's nulls-first order, so its value feeds
+        // every real bucket's carry) and its own out-row never matches
+        // the `_b` equi-join below — null-seq rows keep their window-
+        // partition-local carry only, as before this scan existed.
         summaries.repartition(1).sortWithinPartitions("_b")
           .mapPartitions { it =>
             var carry: Any = null
             it.map { r =>
-              val out = Row(r.getLong(0), carry)
+              val out = Row(r.get(0), carry)
               val v = r.get(1)
               if (v != null) carry = v
               out

@@ -300,19 +300,25 @@ object CurationOps {
     * 64-token windows with stride 48 (16-token overlap) — the
     * context-window prep step for embedding/RAG indexing and for
     * long-doc training samples. Chunk starts are `sequence(0, n-1,
-    * stride)`, so a short doc yields exactly one chunk and the last
-    * chunk is the (possibly short) tail.
+    * stride)`, minus any trailing start whose window would add no new
+    * token (when n mod stride is within the overlap, the final window
+    * is wholly contained in the previous chunk — a RAG indexer would
+    * just have to dedup it). A short doc yields exactly one chunk; the
+    * kept last chunk is the (possibly short) tail.
     *
     * Scale: one row-local explode — no shuffle, no state; output size
     * is input/stride × window, the same blow-up any chunker pays. */
   def q27_chunk(s: SparkSession, dir: String): DataFrame = {
     val window = 64
     val stride = 48
+    val overlap = window - stride
     Tables.load(s, dir, "documents")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
           .as(Seq("chunk_idx", "start")))
+      .filter(col("start") === 0 ||
+        size(col("toks")) > col("start") + overlap)
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(slice(col("toks"), col("start") + 1, lit(window)))
           .cast("long").as("n_toks"),
@@ -329,7 +335,9 @@ object CurationOps {
       |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
       |  CAST(len(tk[start+1 : start+64]) AS BIGINT) AS n_toks,
       |  array_to_string(tk[start+1 : start+64], ' ') AS chunk_text
-      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+      |FROM c
+      |WHERE start = 0 OR len(tk) > start + 16
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

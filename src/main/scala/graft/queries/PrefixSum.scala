@@ -51,14 +51,18 @@ object PrefixSum {
       if (keyCols.isEmpty) {
         val sumType = summaries.schema("_bsum").dataType
         val outSchema = StructType(Seq(
-          summaries.schema("_b").copy(nullable = false),
+          summaries.schema("_b"),
           StructField("_carry_in", sumType)))
+        // a null-seq row yields a null `_b` summary; it sorts FIRST
+        // (a window's nulls-first order — its sum feeds every real
+        // bucket) and its own out-row never matches the `_b` equi-join,
+        // so null-seq rows keep their partition-local sum only.
         val scan = summaries.repartition(1).sortWithinPartitions("_b")
         sumType match {
           case LongType => scan.mapPartitions { it =>
             var acc = 0L
             it.map { r =>
-              val out = Row(r.getLong(0), acc)
+              val out = Row(r.get(0), acc)
               if (!r.isNullAt(1)) acc += r.getLong(1)
               out
             }
@@ -66,7 +70,7 @@ object PrefixSum {
           case DoubleType => scan.mapPartitions { it =>
             var acc = 0.0
             it.map { r =>
-              val out = Row(r.getLong(0), acc)
+              val out = Row(r.get(0), acc)
               if (!r.isNullAt(1)) acc += r.getDouble(1)
               out
             }

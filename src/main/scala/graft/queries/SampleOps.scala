@@ -68,8 +68,12 @@ object SampleOps {
     * exhausted the budget, so the selection is a deterministic
     * pseudo-random greedy fill:
     *
-    *   - order within a source: the Knuth key-hash (injective on the
-    *     key domain — odd multiplier mod 2³², so no ties to adjudicate);
+    *   - order within a source: the Knuth key-hash. Injective for keys
+    *     below 2³² (odd multiplier mod 2³²); beyond that keys CAN
+    *     collide, so tied docs share one token position (strictly-
+    *     smaller-h sum — PrefixSum's RANGE semantics, mirrored by the
+    *     oracle's RANGE frame) and are admitted or rejected together,
+    *     deterministically in both engines;
     *   - budget_s = rate_s × total-tokens_s in INTEGER math
     *     (rate parsed from the source id: (50 + 2·n)/100 — stands in
     *     for a user-supplied weight table, engine-exact either way);
@@ -109,7 +113,7 @@ object SampleOps {
       |  FROM documents),
       |p AS (SELECT doc_id, source, n_toks,
       |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS tok_pos,
       |    ((50 + 2 * srcn) * SUM(n_toks) OVER (PARTITION BY source)) // 100
       |      AS budget

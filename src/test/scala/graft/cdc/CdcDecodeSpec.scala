@@ -115,6 +115,22 @@ class CdcDecodeSpec extends SparkSpec {
     assert(out == Map(4L -> "u1", 9L -> "t1"))
   }
 
+  test("keyless prefix carry survives a null seq row (no crash; the " +
+      "null row keeps only its local carry)") {
+    val lines = Seq(
+      (Some(0L), """{"begin": 500}"""),
+      (None, """{"insert": {"id": 9}, "table": "t"}"""),
+      (Some(7L), """{"insert": {"id": 1}, "table": "t"}"""))
+      .toDF("seq", "line")
+    val out = JsonCdc.withTxId(JsonCdc.decode(lines), bucketSize = 2)
+      .select($"pk", $"tx_id").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // real row carries the begin id across buckets; the null-seq row
+    // belongs to no bucket and gets no cross-bucket carry
+    assert(out("1") == 500L && out("9") == -1L)
+  }
+
   test("commit timestamp parses") {
     val ts = decoded.filter($"seq" === 5).select("commit_ts").head().get(0)
     assert(ts != null)

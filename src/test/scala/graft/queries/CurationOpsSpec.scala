@@ -36,6 +36,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(gotG.exceptAll(wantG).isEmpty && wantG.exceptAll(gotG).isEmpty)
   }
 
+  test("PrefixSum: a null seq row neither crashes the keyless scan nor " +
+      "loses rows; its value feeds real buckets (nulls-first order)") {
+    import spark.implicits._
+    val df = Seq((Some(0L), 10L), (None, 100L), (Some(70L), 1L))
+      .toDF("seq", "v")
+    val got = PrefixSum.exclusiveRunningSum(df, "v", "ps",
+        seqCol = "seq", bucketSize = 64)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(2))).toMap
+    // null row: no cross-bucket carry (its bucket never equi-joins
+    // back), but null seqs are range-frame PEERS so the local window
+    // sums the whole null group including itself → 100;
+    // seq 0: first of its bucket, carry = null-bucket sum = 100;
+    // seq 70: next bucket, carry = 100 + 10
+    assert(got == Map(-1L -> 100L, 0L -> 100L, 70L -> 110L))
+  }
+
   test("PrefixSum: duplicate seq values share the same strictly-smaller " +
       "sum, deterministically") {
     import spark.implicits._
@@ -141,6 +158,10 @@ class CurationOpsSpec extends SparkSpec {
         case (tk, i) => if (i == cs.size - 1) tk else tk.take(48)
       }
       assert(rebuilt.toSeq == docs(id), s"doc $id does not reconstruct")
+      // every kept chunk must contribute tokens: a tail wholly inside
+      // the previous window is dropped, not emitted
+      if (cs.size > 1)
+        assert(cs.last._3 > 16, s"doc $id emitted a fully-contained tail")
       for (Array((_, _, _, a), (_, _, _, b)) <- cs.sliding(2))
         assert(a.split(" ").toSeq.drop(48) == b.split(" ").toSeq.take(16),
           s"doc $id neighbor chunks must overlap by 16 tokens")

@@ -81,4 +81,31 @@ class PlanShapeSpec extends SparkSpec {
         s"$q must broadcast its bucket offsets, plan:\n$plan")
     }
   }
+
+  test("no query plans an unpartitioned WindowExec (the single-task " +
+      "whole-dataset window Spark itself warns about)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def emptyPartWindows(p: SparkPlan): Seq[String] = {
+      val buf = scala.collection.mutable.Buffer[String]()
+      p.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          buf += w.windowExpression.map(_.sql).mkString(",")
+        case a: AdaptiveSparkPlanExec =>
+          buf ++= emptyPartWindows(a.executedPlan)
+        case _ =>
+      }
+      buf.toSeq
+    }
+    // planning only — localCheckpoint-ing queries run their upstream
+    // jobs, but nothing downstream executes
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        emptyPartWindows(fn(spark, sfDir).queryExecution.executedPlan)
+          .map(w => s"$name: $w")
+    }
+    assert(offenders.isEmpty,
+      "global-window funnel(s) planned:\n" + offenders.mkString("\n"))
+  }
 }

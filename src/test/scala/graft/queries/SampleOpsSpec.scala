@@ -19,7 +19,8 @@ class SampleOpsSpec extends SparkSpec {
     val hashOf = (id: Long) =>
       java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
     val want = docs.groupBy(_._2).flatMap { case (src, rows) =>
-      val srcn = src.filter(_.isDigit).toLong
+      // first digit run, matching the query's regexp_extract('[0-9]+')
+      val srcn = "[0-9]+".r.findFirstIn(src).get.toLong
       val tot = rows.map(_._3).sum
       val budget = (50 + 2 * srcn) * tot / 100
       var cum = 0L
