@@ -227,15 +227,60 @@ object SimilarityOps {
       |GROUP BY 1, 2
       |ORDER BY label, idx""".stripMargin
 
+  // ---------------------------------------------------------- quantize
+  /** Int8 max-abs quantization of the embedding column — the standard
+    * 4× memory cut before an ANN index is built at scale (the float
+    * vectors stay in cold storage; search runs over int8 + one scale
+    * per vector). Every float step is IEEE-identical in both engines:
+    * double-widen, (x / scale) * 127 left-to-right, round-half-away-
+    * from-zero, so the quantized codes — and the reconstruction-error
+    * audit column — are bit-exact vs the oracle. A zero vector keeps
+    * scale 0 and all-zero codes.
+    *
+    * Scale: row-local `transform` expressions, no shuffle. */
+  def q23_quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("v", toDoubleVec(col("embedding")))
+      .withColumn("scale", array_max(transform(col("v"), abs(_))))
+    e.withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0d, lit(0))
+          .otherwise(round(x / col("scale") * 127).cast("int"))))
+      .withColumn("max_abs_err", array_max(zip_with(col("v"), col("q"),
+        (x, qi) => abs(x - qi.cast("double") * col("scale") / 127))))
+      .select(col("vec_id"),
+        array_join(transform(col("q"), _.cast("string")), ",")
+          .as("codes"),
+        col("scale"), col("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val q23QuantizeSql: String =
+    """WITH d AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale FROM d),
+      |q AS (SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(round(x / scale * 127) AS INTEGER) END) AS qv
+      |  FROM s)
+      |SELECT vec_id, array_to_string(qv, ',') AS codes, scale,
+      |  list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127)))
+      |    AS max_abs_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
     "q23_knn_lsh" -> (q23_knn_lsh _),
-    "q23_centroid" -> (q23_centroid _))
+    "q23_centroid" -> (q23_centroid _),
+    "q23_quantize" -> (q23_quantize _))
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
     "q23_knn_ivf" -> q23IvfSql,
-    "q23_centroid" -> q23CentroidSql)
+    "q23_centroid" -> q23CentroidSql,
+    "q23_quantize" -> q23QuantizeSql)
 }

@@ -69,6 +69,22 @@ class DedupSimilaritySpec extends SparkSpec {
       "should hold ≥0.8 (see the trade-off note in SimilarityOps)")
   }
 
+  test("int8 quantization: codes in range, error within the half-step " +
+      "bound, dequantized vectors stay close") {
+    val out = SimilarityOps.q23_quantize(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val codes = r.getString(1).split(",").map(_.toInt)
+      val scale = r.getDouble(2)
+      val err = r.getDouble(3)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec ${r.getLong(0)} codes out of int8 range")
+      // max-abs quantization: |x - q*s/127| <= s/254 (half a step)
+      assert(err <= scale / 254 * (1 + 1e-9),
+        s"vec ${r.getLong(0)} err $err exceeds half-step ${scale / 254}")
+    }
+  }
+
   test("exact dedup groups identical normalized text") {
     val df = Seq(
       (1L, "a  b c", "en", "s", 5L),
