@@ -37,17 +37,21 @@ object Bench {
     // min of 2 timed runs per query: single samples on a shared box
     // vary up to 2.5x with CPU contention; the minimum is the standard
     // steady-state estimator (SPARK_GRAFT_RUNS overrides).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+      // a failed run must not contribute its (fast) elapsed time — only
+      // successful runs compete for the min; all-failed → sentinel -1
+      val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

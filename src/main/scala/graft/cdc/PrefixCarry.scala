@@ -1,9 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Scale-safe "carry the latest non-null value forward in stream order"
   * — the shape behind every batch CDC carry: tx-id carry (the reference
@@ -23,10 +22,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *      #buckets rows — near-nothing relative to the data — and is then
   *      broadcast back onto the buckets.
   *
-  * Level 2 is a window, not a non-equi self-join: joining every bucket
-  * against every earlier summary-bearing bucket would be
+  * Level 2 is a keyed window (or, keyless, the BucketedScan single-task
+  * fold) — never a non-equi self-join: joining every bucket against
+  * every earlier summary-bearing bucket would be
   * O(#buckets × #summary-buckets) pairs, quadratic in stream length at
-  * fixed bucketSize. The summary window is single-pass.
+  * fixed bucketSize. The summary resolution is single-pass.
   *
   * Sizing: level 2 holds seqRange / bucketSize rows per key group in one
   * window partition. At the 64 Ki default that stays under ~64 Ki summary
@@ -76,37 +76,18 @@ object PrefixCarry {
         when(col("_v").isNotNull, col("_s"))).as("_last"))
     // running last-non-null over the summaries, strictly-earlier buckets
     // only. Keyed: a window partitioned by the keys (≤ #buckets summary
-    // rows per key — bounded). Keyless: the scan is inherently global
-    // and sequential, so it is written as what it is — ONE task over the
-    // summary rows via sorted mapPartitions. A keyless window here would
-    // plan to the same single partition but through WindowExec's
-    // empty-partition path (Catalyst folds any literal partition key
-    // away), tripping the "No Partition Defined" warning on every run
-    // for a scan that is deliberately and safely single-task.
+    // rows per key — bounded); keyless: the shared single-task sorted
+    // fold (BucketedScan.keylessCarry, which also owns the null-seq
+    // contract — position-less rows receive and contribute no carry;
+    // the keyed filter below drops their inert summaries likewise).
     val carryIn =
-      if (keyCols.isEmpty) {
-        val outSchema = StructType(Seq(
-          summaries.schema("_b"),
-          StructField("_carry_in", summaries.schema("_last").dataType)))
-        // a null-seq row yields a null `_b` summary; it sorts FIRST
-        // (matching a window's nulls-first order, so its value feeds
-        // every real bucket's carry) and its own out-row never matches
-        // the `_b` equi-join below — null-seq rows keep their window-
-        // partition-local carry only, as before this scan existed.
-        summaries.repartition(1).sortWithinPartitions("_b")
-          .mapPartitions { it =>
-            var carry: Any = null
-            it.map { r =>
-              val out = Row(r.get(0), carry)
-              val v = r.get(1)
-              if (v != null) carry = v
-              out
-            }
-          }(Encoders.row(outSchema))
-      } else {
+      if (keyCols.isEmpty)
+        BucketedScan.keylessCarry(summaries, null)(
+          (acc, v) => if (v != null) v else acc)
+      else {
         val wSum = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        summaries
+        summaries.filter(col("_b").isNotNull)
           .withColumn("_carry_in",
             last(col("_last"), ignoreNulls = true).over(wSum))
           .select(grpCols :+ col("_carry_in"): _*)

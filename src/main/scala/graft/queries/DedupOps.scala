@@ -375,7 +375,11 @@ object DedupOps {
     * Docs with no near-dup partner are not emitted (their keep decision
     * is trivial). */
   def q22_dedup_cluster(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir)
+    // materialized: candidate-generation and verify both consume `sh`,
+    // and the differently-pruned branches can't share a scan (the
+    // fork-recompute trap PrefixCarry documents) — without this the
+    // corpus is re-shingled per branch
+    val sh = shingleSets(s, dir).localCheckpoint()
     val pairs = verified(candidatePairs(shingleEx(sh)), sh)
       .select("doc_a", "doc_b")
     val cc = connectedComponents(pairs)
@@ -461,8 +465,12 @@ object DedupOps {
     * exactly that. Existing-existing pairs are yesterday's work and
     * excluded by construction (the probe side is always new). */
   def q22_dedup_incr_near(s: SparkSession, dir: String): DataFrame = {
+    // materialized: the band build, the probe flag join, and the exact
+    // verify all fork `sh` — one shingle pass, not three (at scale the
+    // corpus side is a persisted index anyway; this mirrors that)
     val sh = shingleSets(s, dir)
       .withColumn("is_new", SampleOps.bucketOf("doc_id") % 100 >= 80)
+      .localCheckpoint()
     val bands = minhashBands(sh)
       .join(sh.select("doc_id", "is_new"), "doc_id")
     val probe = bands.filter(col("is_new"))

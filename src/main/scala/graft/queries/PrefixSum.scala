@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import graft.cdc.BucketedScan
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Scale-safe EXCLUSIVE running sum in `seqCol` order — the additive
   * sibling of graft.cdc.PrefixCarry (same two-level argument, sum
@@ -41,48 +42,26 @@ object PrefixSum {
       .groupBy(grpCols: _*)
       .agg(sum(col("_v")).as("_bsum"))
     // Cross-bucket carry: keyed → window partitioned by the keys
-    // (≤ #buckets summary rows per key). Keyless → the scan is global
-    // and sequential by nature, so it runs as ONE explicit task over the
-    // summaries via sorted mapPartitions; a keyless window would plan
-    // through WindowExec's empty-partition path (literal partition keys
-    // fold away) and warn on every run. Same resolution as
-    // graft.cdc.PrefixCarry's keyless branch.
+    // (≤ #buckets summary rows per key); keyless → the shared
+    // single-task sorted fold (BucketedScan.keylessCarry, which also
+    // owns the null-seq contract both scans share).
     val carryIn =
       if (keyCols.isEmpty) {
-        val sumType = summaries.schema("_bsum").dataType
-        val outSchema = StructType(Seq(
-          summaries.schema("_b"),
-          StructField("_carry_in", sumType)))
-        // a null-seq row yields a null `_b` summary; it sorts FIRST
-        // (a window's nulls-first order — its sum feeds every real
-        // bucket) and its own out-row never matches the `_b` equi-join,
-        // so null-seq rows keep their partition-local sum only.
-        val scan = summaries.repartition(1).sortWithinPartitions("_b")
-        sumType match {
-          case LongType => scan.mapPartitions { it =>
-            var acc = 0L
-            it.map { r =>
-              val out = Row(r.get(0), acc)
-              if (!r.isNullAt(1)) acc += r.getLong(1)
-              out
-            }
-          }(Encoders.row(outSchema))
-          case DoubleType => scan.mapPartitions { it =>
-            var acc = 0.0
-            it.map { r =>
-              val out = Row(r.get(0), acc)
-              if (!r.isNullAt(1)) acc += r.getDouble(1)
-              out
-            }
-          }(Encoders.row(outSchema))
+        summaries.schema("_bsum").dataType match {
+          case LongType => BucketedScan.keylessCarry(summaries, 0L)(
+            (acc, v) => if (v == null) acc
+              else acc.asInstanceOf[Long] + v.asInstanceOf[Long])
+          case DoubleType => BucketedScan.keylessCarry(summaries, 0.0)(
+            (acc, v) => if (v == null) acc
+              else acc.asInstanceOf[Double] + v.asInstanceOf[Double])
           case t => throw new IllegalArgumentException(
             s"keyless exclusiveRunningSum over $t not supported (add a " +
-              "scan case or pre-cast the value column to long/double)")
+              "fold case or pre-cast the value column to long/double)")
         }
       } else {
         val wSum = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        summaries
+        summaries.filter(col("_b").isNotNull)
           .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
           .select(grpCols :+ col("_carry_in"): _*)
       }

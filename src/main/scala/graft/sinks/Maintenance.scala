@@ -112,7 +112,7 @@ object Maintenance {
     (before.size, dataFiles(d).size)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[sinks] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete()

@@ -193,8 +193,10 @@ class SnapshotSink(path: String) extends EventSink {
         new java.io.File(d, "_COMMITTED").exists())
       .sortBy(_.getName.stripPrefix("version=").toLong)
     committed.dropRight(keepLast).map { d =>
-      d.listFiles().foreach(_.delete())
-      d.delete()
+      // recursive: a crashed write can leave nested dirs (_temporary)
+      // that a flat listFiles().delete() would silently fail to remove,
+      // leaving an unreclaimed, no-longer-committed directory behind
+      Maintenance.deleteRecursively(d)
       d.getName
     }
   }

@@ -37,7 +37,8 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("PrefixSum: a null seq row neither crashes the keyless scan nor " +
-      "loses rows; its value feeds real buckets (nulls-first order)") {
+      "leaks into real buckets (position-less, per the BucketedScan " +
+      "contract)") {
     import spark.implicits._
     val df = Seq((Some(0L), 10L), (None, 100L), (Some(70L), 1L))
       .toDF("seq", "v")
@@ -45,12 +46,11 @@ class CurationOpsSpec extends SparkSpec {
         seqCol = "seq", bucketSize = 64)
       .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
         r.getLong(2))).toMap
-    // null row: no cross-bucket carry (its bucket never equi-joins
-    // back), but null seqs are range-frame PEERS so the local window
-    // sums the whole null group including itself → 100;
-    // seq 0: first of its bucket, carry = null-bucket sum = 100;
-    // seq 70: next bucket, carry = 100 + 10
-    assert(got == Map(-1L -> 100L, 0L -> 100L, 70L -> 110L))
+    // null row: position-less — no cross-bucket carry received (its
+    // bucket never equi-joins back) or contributed; null seqs are
+    // range-frame PEERS locally, so it keeps its own peer-group sum;
+    // seq 0: first real bucket, carry 0; seq 70: next bucket, carry 10
+    assert(got == Map(-1L -> 100L, 0L -> 0L, 70L -> 10L))
   }
 
   test("PrefixSum: duplicate seq values share the same strictly-smaller " +
