@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -190,6 +191,53 @@ object TextOps {
       |ORDER BY n DESC, token
       |LIMIT 500""".stripMargin
 
+  /** TF-IDF top terms per document — the classic relevance/quality
+    * primitive, in INTEGER math so both engines agree bit-for-bit:
+    * idf_micro = (1_000_000 × N) div df (floor division stands in for
+    * the log — monotone in N/df, which is all ranking needs), score =
+    * tf × idf_micro, top 5 per doc by (score desc, token asc).
+    *
+    * Scale: tf and df are partial-agg groupBys (map-side combine); the
+    * tf↔df join shuffles on token (the honest path — at corpus scale
+    * the vocabulary outgrows any broadcast); the per-doc top-5 is a
+    * `row_number <= k` filter, the exact shape the TopKPerKey rewrite
+    * turns into a bounded-heap partial instead of a per-doc sort. */
+  def q24_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val n = d.count() // one tiny job; N is a query constant both engines
+    val tok = d.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score_micro",
+        col("tf") * expr(s"(1000000 * ${n}L) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("token"), col("tf"), col("df"), col("score_micro"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q24TfidfSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, token, tf, df,
+      |    tf * ((1000000 * n) // df) AS score_micro
+      |  FROM tf JOIN df USING (token), n),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_micro DESC, token) AS rk FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score_micro
+      |FROM rk WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> (q24_text_stats _),
@@ -197,7 +245,8 @@ object TextOps {
     "q24_quality" -> (q24_quality _),
     "q24_token_count" -> (q24_token_count _),
     "q24_fingerprint" -> (q24_fingerprint _),
-    "q24_vocab" -> (q24_vocab _))
+    "q24_vocab" -> (q24_vocab _),
+    "q24_tfidf" -> (q24_tfidf _))
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> q24StatsSql,
@@ -205,5 +254,6 @@ object TextOps {
     "q24_quality" -> q24QualitySql,
     "q24_token_count" -> q24TokenCountSql,
     "q24_fingerprint" -> q24FingerprintSql,
-    "q24_vocab" -> q24VocabSql)
+    "q24_vocab" -> q24VocabSql,
+    "q24_tfidf" -> q24TfidfSql)
 }

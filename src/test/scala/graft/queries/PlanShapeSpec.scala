@@ -82,6 +82,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q24_tfidf per-doc top-5 plans as the bounded-heap TopKPerKey, " +
+      "not a per-doc window sort") {
+    val plan = planOf(TextOps.queries("q24_tfidf")(spark, sfDir))
+    assert(plan.contains("TopKPerKey"),
+      s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
+  }
+
   test("no query plans an unpartitioned WindowExec (the single-task " +
       "whole-dataset window Spark itself warns about)") {
     import org.apache.spark.sql.execution.SparkPlan
