@@ -38,13 +38,20 @@ class CdcThroughputSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      mem.addData(lines.take(3): _*) // warm the plan/codegen first
+      // Warm-up must be a REAL batch, not a token one: plan/codegen
+      // compiles on the first rows, but the C2 JIT only compiles the hot
+      // interpreted paths (JsonToStructs is CodegenFallback) after
+      // thousands of iterations — a 3-line warm-up leaves the timed batch
+      // 3-10x slower than steady state (measured: 9k ev/s cold vs ~40k
+      // warm on this box) and makes the tripwire fire on JIT luck.
+      val warm = lines.take(lines.size / 4)
+      mem.addData(warm: _*)
       q.processAllAvailable()
       val t0 = System.nanoTime()
-      mem.addData(lines.drop(3): _*)
+      mem.addData(lines.drop(warm.size): _*)
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
-      val n = lines.size - 3
+      val n = lines.size - warm.size
       val rate = n / secs
       info(f"pipeline throughput: $n%d events in $secs%.2fs = $rate%.0f ev/s")
       println(f"[throughput] cdc dispatch pipeline: $rate%.0f events/s " +
