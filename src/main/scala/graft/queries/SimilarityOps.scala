@@ -270,17 +270,125 @@ object SimilarityOps {
       |    AS max_abs_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ kmeans
+  /** Two full Lloyd iterations (assign → update, twice) over the
+    * embeddings — the iterative clustering loop `q23_centroid` is one
+    * step of, run end-to-end. All arithmetic is integer: vectors are
+    * quantized once to SHIFTED micro-units (⌊x·10⁶⌋ + 2·10⁶ — unit-norm
+    * components land in [10⁶, 3·10⁶], so every value is positive and
+    * truncating division IS floor division in both engines), distances
+    * are exact ⌺²-sums of longs, and centroid updates are `sum div n`.
+    * Both engines therefore agree bit-for-bit on assignments, cluster
+    * sizes, and centroids — ties break to the lowest centroid id.
+    *
+    * Scale shape per iteration — the part that matters at 100 TB:
+    *   - assignment is ROW-LOCAL: the k current centroids travel as a
+    *     LITERAL array (k·dim longs — the driver collects k×64 values,
+    *     never data), so there is no join and no shuffle to assign;
+    *   - update is posexplode → groupBy(cid, idx): map-side partial
+    *     aggregation makes the shuffle k·dim rows per partition
+    *     regardless of corpus size (same argument as q23_centroid);
+    *   - the input is localCheckpoint'd once: 2 iterations × 2 passes
+    *     would otherwise re-read + re-quantize the corpus 4×, and the
+    *     lineage (hence plan) stays flat however many iterations run.
+    * An emptied cluster simply drops out (its id never reappears);
+    * overflow headroom: Σ(micro²·dim) stays under 2⁶³ past 10¹² rows. */
+  def q23_kmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+        .as("vm"))
+      .localCheckpoint()
+    // deterministic init: the k smallest vec_ids, cid = rank in vec_id
+    // order (k rows to the driver — the init, not the data)
+    var centroids: Seq[(Long, Seq[Long])] =
+      v.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0)).toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }
+
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cid"), posexplode(col("vm")).as(Seq("idx", "x")))
+      .groupBy("cid", "idx")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("cm", expr("sx div n"))
+
+    var upd: DataFrame = null
+    for (_ <- 1 to 2) {
+      val cidLit = array(centroids.map(c => lit(c._1)): _*)
+      val cmLit = array(centroids.map(c => array(c._2.map(lit): _*)): _*)
+      val assigned = v
+        .withColumn("dists", transform(cmLit, cv =>
+          aggregate(zip_with(col("vm"), cv, (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _)))
+        // first occurrence of the min → lowest cid wins ties
+        .withColumn("cid", element_at(cidLit,
+          array_position(col("dists"), array_min(col("dists"))).cast("int")))
+      upd = update(assigned)
+      centroids = upd.select("cid", "idx", "cm").collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        }.sortBy(_._1)
+    }
+    upd.groupBy("cid")
+      .agg(min(col("n")).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("cm")))),
+          p => p.getField("cm").cast("string")), ",").as("centroid"))
+      .orderBy("cid")
+  }
+
+  val q23KmeansSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |         + 2000000) AS vm
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+      |    AS cid, vm
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+      |d1 AS (SELECT v.vec_id, v.vm, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.vm[i] - c.vm[i]) * (v.vm[i] - c.vm[i]))) AS dist
+      |  FROM v, c0 c),
+      |a1 AS (SELECT vec_id, vm, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |u1 AS (SELECT cid, i.idx, count(*) AS n,
+      |    CAST(sum(vm[i.idx]) AS BIGINT) // count(*) AS cm
+      |  FROM a1, (SELECT unnest(range(1, 65)) AS idx) i
+      |  GROUP BY cid, i.idx),
+      |c1 AS (SELECT cid, list(cm ORDER BY idx) AS vm FROM u1 GROUP BY cid),
+      |d2 AS (SELECT v.vec_id, v.vm, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.vm[i] - c.vm[i]) * (v.vm[i] - c.vm[i]))) AS dist
+      |  FROM v, c1 c),
+      |a2 AS (SELECT vec_id, vm, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+      |  WHERE rn = 1),
+      |u2 AS (SELECT cid, i.idx, count(*) AS n,
+      |    CAST(sum(vm[i.idx]) AS BIGINT) // count(*) AS cm
+      |  FROM a2, (SELECT unnest(range(1, 65)) AS idx) i
+      |  GROUP BY cid, i.idx)
+      |SELECT cid, min(n) AS n,
+      |  array_to_string(list(CAST(cm AS VARCHAR) ORDER BY idx), ',')
+      |    AS centroid
+      |FROM u2 GROUP BY cid ORDER BY cid""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
     "q23_knn_lsh" -> (q23_knn_lsh _),
     "q23_centroid" -> (q23_centroid _),
-    "q23_quantize" -> (q23_quantize _))
+    "q23_quantize" -> (q23_quantize _),
+    "q23_kmeans" -> (q23_kmeans _))
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
     "q23_knn_ivf" -> q23IvfSql,
     "q23_centroid" -> q23CentroidSql,
-    "q23_quantize" -> q23QuantizeSql)
+    "q23_quantize" -> q23QuantizeSql,
+    "q23_kmeans" -> q23KmeansSql)
 }

@@ -238,6 +238,92 @@ object TextOps {
       |FROM rk WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** BPE tokenizer-training step: corpus-wide adjacent character-pair
+    * frequencies (the statistic each merge round of byte-pair encoding
+    * maximizes), top-200 by (count desc, pair asc).
+    *
+    * Scale: the corpus collapses to its DISTINCT-WORD histogram first —
+    * the classic BPE trick; at 100 TB the vocabulary is ~10⁸ rows where
+    * the token stream is ~10¹³, so the character-level work runs on a
+    * 10⁵× smaller input. Both groupBys are partial-agg shuffles
+    * (map-side combine), and the top-200 is TakeOrderedAndProject
+    * (per-partition heaps + driver merge), never a full sort. Pair
+    * extraction is a row-local `transform` over the word — overlapping
+    * pairs counted, as BPE's statistic requires. */
+  def q24_bpe_pairs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // length-1 words contribute no pair; the guard also keeps
+      // sequence(1, length-1) ascending (sequence(1, 0) is DESCENDING
+      // in Spark, not empty)
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(200)
+
+  val q24BpePairsSql: String =
+    """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |           FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |        i -> substring(w, i, 2))) AS pair, freq
+      |      FROM wf WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 200""".stripMargin
+
+  /** Exact per-language length quantiles (p50/p90/p99 of `n_chars`) via
+    * the VALUE-HISTOGRAM cumsum — the scale-safe exact-quantile shape:
+    * rank r(q) = ⌈q·n⌉ picks the smallest value whose cumulative count
+    * reaches it, and `cum ≥ ⌈q·n⌉ ⟺ cum·denom ≥ num·n` keeps the
+    * comparison in integers (no float rank math to disagree on).
+    *
+    * Scale: the window runs over the per-language VALUE histogram (one
+    * row per distinct length — bounded by value cardinality, ~10⁴), not
+    * over documents — a `percentile` window over raw rows would funnel
+    * every doc of a hot language through one task. The histogram itself
+    * is a partial-agg groupBy. If value cardinality ever rivaled row
+    * count, the histogram window would bucket two-level like
+    * graft.queries.PrefixSum. */
+  def q24_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("lang", "n_chars")
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val tot = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    cum.join(tot, "lang")
+      .groupBy("lang", "n_docs")
+      .agg(
+        min(when(col("cum") * 2 >= col("n_docs"), col("n_chars"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_chars")))
+          .as("p90"),
+        min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_chars")))
+          .as("p99"))
+      .orderBy("lang")
+  }
+
+  val q24QuantilesSql: String =
+    """WITH h AS (SELECT lang, n_chars, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT lang, n_chars, sum(c) OVER (PARTITION BY lang
+      |          ORDER BY n_chars
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM h),
+      |tot AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT lang, n_docs,
+      |  min(CASE WHEN cum * 2 >= n_docs THEN n_chars END) AS p50,
+      |  min(CASE WHEN cum * 10 >= n_docs * 9 THEN n_chars END) AS p90,
+      |  min(CASE WHEN cum * 100 >= n_docs * 99 THEN n_chars END) AS p99
+      |FROM cum JOIN tot USING (lang)
+      |GROUP BY lang, n_docs
+      |ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> (q24_text_stats _),
@@ -246,7 +332,9 @@ object TextOps {
     "q24_token_count" -> (q24_token_count _),
     "q24_fingerprint" -> (q24_fingerprint _),
     "q24_vocab" -> (q24_vocab _),
-    "q24_tfidf" -> (q24_tfidf _))
+    "q24_tfidf" -> (q24_tfidf _),
+    "q24_bpe_pairs" -> (q24_bpe_pairs _),
+    "q24_quantiles" -> (q24_quantiles _))
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> q24StatsSql,
@@ -255,5 +343,7 @@ object TextOps {
     "q24_token_count" -> q24TokenCountSql,
     "q24_fingerprint" -> q24FingerprintSql,
     "q24_vocab" -> q24VocabSql,
-    "q24_tfidf" -> q24TfidfSql)
+    "q24_tfidf" -> q24TfidfSql,
+    "q24_bpe_pairs" -> q24BpePairsSql,
+    "q24_quantiles" -> q24QuantilesSql)
 }
