@@ -31,6 +31,11 @@ object CdcOps {
     // spread exists because the test parquet is a single file (one input
     // partition) — a real multi-partition source arrives pre-spread.
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // ALL THREE lines of an order are generated in ONE pass with a
+    // row-local generator (stack) — a begin/dml/commit UNION of three
+    // projections would be three distinct subtrees after column pruning
+    // (ReuseExchange can never share them), i.e. three scans of the
+    // source and 3x the read IO on a real replay
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
       .repartition(n)
@@ -38,9 +43,7 @@ object CdcOps {
         when(col("k") % 10 === 9, lit("pg_temp_refresh"))
           .when(col("k") % 10 === 8, lit("audit_log"))
           .otherwise(lit("orders")))
-    val begin = o.select((col("k") * 4).as("seq"),
-      format_string("""{"begin": %d}""", col("k")).as("line"))
-    val dml = o.select((col("k") * 4 + 2).as("seq"),
+    val dmlLine =
       when(col("k") % 3 === 0, format_string(
         """{"insert": {"id": %d, "status": "%s"}, "table": "%s"}""",
         col("k"), col("st"), col("tbl")))
@@ -49,15 +52,20 @@ object CdcOps {
           col("k"), col("st"), col("tbl")))
         .otherwise(format_string(
           """{"delete": true, "@": {"note": null, "id": %d}, "table": "%s"}""",
-          col("k"), col("tbl"))).as("line"))
-    val commit = o.select((col("k") * 4 + 3).as("seq"),
-      format_string("""{"commit": %d, "t": "2024-01-01 00:00:00"}""",
-        col("k")).as("line"))
+          col("k"), col("tbl")))
+    val lines = o.select(
+        (col("k") * 4).as("s1"),
+        format_string("""{"begin": %d}""", col("k")).as("l1"),
+        (col("k") * 4 + 2).as("s2"), dmlLine.as("l2"),
+        (col("k") * 4 + 3).as("s3"),
+        format_string("""{"commit": %d, "t": "2024-01-01 00:00:00"}""",
+          col("k")).as("l3"))
+      .selectExpr("stack(3, s1, l1, s2, l2, s3, l3) AS (seq, line)")
     val schemaLines = Seq(
       (1L, """{"schema": {"id": "integer", "status": "varchar", "v": "1"}, "table": "orders"}"""),
       (4001L, """{"schema": {"id": "integer", "status": "varchar", "v": "2"}, "table": "orders"}"""))
       .toDF("seq", "line")
-    begin.unionAll(dml).unionAll(commit).unionAll(schemaLines)
+    lines.unionAll(schemaLines)
   }
 
   // -------------------------------------------------------------- CDC1
@@ -255,23 +263,29 @@ object CdcOps {
     * update (rev 2, real status) at 3k+1 unless k%4==1 (some rows are
     * never updated); delete at 3k+2 when k%4==3 (some rows die). */
   private[graft] def syntheticHistory(s: SparkSession, dir: String): DataFrame = {
-    // narrow-row repartition before formatting (see syntheticLines)
+    // narrow-row repartition before formatting, then ONE generator pass
+    // for a key's whole history — see syntheticLines for why a 3-way
+    // union would triple-scan the source. Conditional events (not every
+    // key updates/dies) become null struct slots filtered out row-
+    // locally before inline() explodes the survivors.
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
       .repartition(n)
-    val ins = o.select((col("k") * 3).as("seq"), format_string(
-      """{"insert": {"id": %d, "status": "NEW", "rev": "1"}, "table": "orders"}""",
-      col("k")).as("line"))
-    val upd = o.filter(pmod(col("k"), lit(4)) =!= 1)
-      .select((col("k") * 3 + 1).as("seq"), format_string(
-        """{"update": {"id": %d, "status": "%s", "rev": "2"}, "table": "orders"}""",
-        col("k"), col("st")).as("line"))
-    val del = o.filter(pmod(col("k"), lit(4)) === 3)
-      .select((col("k") * 3 + 2).as("seq"), format_string(
-        """{"delete": true, "@": {"id": %d}, "table": "orders"}""",
-        col("k")).as("line"))
-    ins.unionAll(upd).unionAll(del)
+    o.select(
+        struct((col("k") * 3).as("seq"), format_string(
+          """{"insert": {"id": %d, "status": "NEW", "rev": "1"}, "table": "orders"}""",
+          col("k")).as("line")).as("e1"),
+        when(pmod(col("k"), lit(4)) =!= 1,
+          struct((col("k") * 3 + 1).as("seq"), format_string(
+            """{"update": {"id": %d, "status": "%s", "rev": "2"}, "table": "orders"}""",
+            col("k"), col("st")).as("line"))).as("e2"),
+        when(pmod(col("k"), lit(4)) === 3,
+          struct((col("k") * 3 + 2).as("seq"), format_string(
+            """{"delete": true, "@": {"id": %d}, "table": "orders"}""",
+            col("k")).as("line"))).as("e3"))
+      .selectExpr(
+        "inline(filter(array(e1, e2, e3), x -> x IS NOT NULL))")
   }
 
   /** Snapshot materialization: fold a change stream into the current
