@@ -37,6 +37,11 @@ object CdcPipeline {
       else state.remove()
       return Iterator.empty
     }
+    // Materialize-and-sort is bounded by the MICROBATCH, not the stream:
+    // one group = one backend's slice of one trigger, whose size the
+    // source caps (CdcStream.forBackend sets maxFilesPerTrigger on the
+    // file transport; Kafka callers pass maxOffsetsPerTrigger). Without
+    // a trigger cap a backlogged first batch could be the whole backlog.
     val sorted = rows.toArray
     java.util.Arrays.sort(sorted,
       java.util.Comparator.comparingLong[CdcEvent](_.seq))

@@ -27,7 +27,10 @@ object CdcStream {
     spark.readStream.schema(lineSchema).json(path)
 
   // engine-level options that must not leak into the Kafka reader config
-  private val engineOptions = Set("wire", "txTimeoutMs", "checkpoint")
+  // (maxFilesPerTrigger is the FILE transport's batch cap; Kafka's
+  // analogue, maxOffsetsPerTrigger, passes through on purpose)
+  private val engineOptions =
+    Set("wire", "txTimeoutMs", "checkpoint", "maxFilesPerTrigger")
 
   /** Build the full pipeline for one configured backend. Transport and
     * wire format are independent (BackendConfig.resolvedSource ×
@@ -38,7 +41,15 @@ object CdcStream {
     * attaches sinks (SinkRegistry.attach) and starts the query. */
   def forBackend(spark: SparkSession, cfg: BackendConfig): DataFrame = {
     val lines = cfg.resolvedSource match {
-      case "file" => fileLines(spark, cfg.options("path"))
+      // per-trigger batch cap: CdcPipeline/TxAssembly sort each
+      // backend-microbatch group in memory, so the trigger size IS the
+      // memory bound — a backlogged directory must arrive in capped
+      // batches, not as one giant first batch (Kafka: pass
+      // maxOffsetsPerTrigger in options for the same effect)
+      case "file" => spark.readStream.schema(lineSchema)
+        .option("maxFilesPerTrigger",
+          cfg.options.getOrElse("maxFilesPerTrigger", "16"))
+        .json(cfg.options("path"))
       case "kafka" =>
         // shape Kafka records into the line contract (topic/offset/value)
         spark.readStream.format("kafka")

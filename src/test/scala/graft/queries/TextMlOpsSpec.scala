@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Brute-force ground truth for the tokenizer-training / clustering ops
+  * (q24_bpe_pairs, q24_quantiles, q23_kmeans) on the tiny corpus — the
+  * same integer semantics re-implemented naively in Scala, compared
+  * row-for-row. The DuckDB oracle checks the SQL twin; this pins the
+  * SEMANTICS independently of either engine. */
+class TextMlOpsSpec extends SparkSpec {
+
+  test("bpe pairs: distinct-word-histogram pair counts equal the " +
+      "naive full-stream count") {
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(trim(col("text")).as("t")).collect()
+      .flatMap(_.getString(0).split("\\s+"))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (w <- words; p <- w.sliding(2) if p.length == 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(200)
+    val got = TextOps.q24_bpe_pairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("quantiles: histogram-cumsum picks exactly the ceil(q*n)-ranked " +
+      "value per language") {
+    val byLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def rank(n: Long, num: Long, den: Long): Int =
+      ((num * n + den - 1) / den).toInt // ceil(num*n/den), 1-based
+    val want = byLang.toSeq.map { case (lang, v) =>
+      val n = v.size.toLong
+      (lang, n, v(rank(n, 1, 2) - 1), v(rank(n, 9, 10) - 1),
+        v(rank(n, 99, 100) - 1))
+    }.sortBy(_._1)
+    val got = TextOps.q24_quantiles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("kmeans: two Lloyd iterations match the naive integer-space loop " +
+      "(assignments, sizes, centroids)") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000d).toLong + 2000000L).toArray))
+      .sortBy(_._1)
+    var centroids: Seq[(Long, Array[Long])] =
+      vecs.take(8).zipWithIndex.map { case ((_, vm), i) => (i.toLong, vm) }
+    var sizes = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val assigned = vecs.map { case (id, vm) =>
+        val best = centroids.map { case (cid, cm) =>
+          var d = 0L
+          var i = 0
+          while (i < vm.length) {
+            val t = vm(i) - cm(i); d += t * t; i += 1
+          }
+          (d, cid)
+        }.min // (dist, cid) lexicographic: lowest cid wins ties
+        (best._2, id, vm)
+      }
+      centroids = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          val n = rows.length
+          val cm = Array.tabulate(rows.head._3.length)(i =>
+            rows.map(_._3(i)).sum / n) // positive values: / == floor div
+          (cid, cm)
+      }
+      sizes = assigned.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    }
+    val want = centroids.map { case (cid, cm) =>
+      (cid, sizes(cid), cm.mkString(","))
+    }
+    val got = SimilarityOps.q23_kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want)
+  }
+}
