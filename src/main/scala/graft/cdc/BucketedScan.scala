@@ -19,6 +19,30 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 private[graft] object BucketedScan {
 
+  /** Rows per level-1 task the auto-sizer targets. */
+  val targetRowsPerBucket: Long = 1L << 16
+
+  /** Data-adaptive bucket size: one narrow agg (count / min / max of the
+    * seq column — callers have already materialized their input, per the
+    * fork-recompute contract) sizes buckets so a UNIFORM seq density
+    * yields ~64Ki rows per level-1 task and ~rows/64Ki summary rows —
+    * both bounds scale with the DATA, not with a fixed seq-range guess.
+    * A fixed default can't do both jobs: 64Ki of seq RANGE collapses a
+    * short dense replay into one bucket (single-task carry), while a
+    * huge sparse range would explode the summary count. Skewed seq
+    * density can still overfill a bucket (heuristic, not a guarantee);
+    * callers with pathological density can pass an explicit size. */
+  def autoBucketSize(df: DataFrame, seqCol: String): Long = {
+    val r = df.select(col(seqCol).cast("long").as("s"))
+      .agg(count(col("s")), min(col("s")), max(col("s"))).head()
+    if (r.getLong(0) == 0L || r.isNullAt(1)) targetRowsPerBucket
+    else {
+      val buckets = math.max(1L, r.getLong(0) / targetRowsPerBucket)
+      val range = r.getLong(2) - r.getLong(1) + 1
+      math.max(1L, (range + buckets - 1) / buckets)
+    }
+  }
+
   /** Single-task sorted fold over KEYLESS bucket summaries. `summaries`
     * must have exactly two columns: the bucket id then the per-bucket
     * value. Output (_b, _carry_in) gives each bucket the fold of all

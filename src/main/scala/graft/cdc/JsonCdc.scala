@@ -107,7 +107,7 @@ object JsonCdc {
     * resolution); the streaming path keeps the same semantics with keyed
     * state (graft.streaming.TxAssembly). */
   def withTxId(df: DataFrame, seqCol: String = "seq",
-               bucketSize: Long = 1L << 16): DataFrame =
+               bucketSize: Long = 0): DataFrame =
     PrefixCarry.lastNonNull(df, "begin_id", "tx_id", seqCol,
       keys = Nil, bucketSize = bucketSize)
 

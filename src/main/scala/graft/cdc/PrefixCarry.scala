@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   * fixed bucketSize. The summary resolution is single-pass.
   *
   * Sizing: level 2 holds seqRange / bucketSize rows per key group in one
-  * window partition. At the 64 Ki default that stays under ~64 Ki summary
-  * rows up to a 2³² seq range; for replays beyond that, raise bucketSize
-  * (the per-task bound at level 1 rises with it) or apply the scheme
-  * recursively over the summaries — the same two-level argument
+  * window partition. The default (bucketSize = 0) SELF-SIZES from the
+  * data — one narrow count/min/max agg targets ~64 Ki rows per level-1
+  * task AND ~rows/64 Ki summary rows, whatever the seq range
+  * (BucketedScan.autoBucketSize; a fixed range-based default either
+  * collapses a short dense replay into one bucket or explodes the
+  * summary count on a sparse one). Pass an explicit size to pin it.
+  * For replays where even rows/64 Ki summaries are too many, apply the
+  * scheme recursively over the summaries — the same two-level argument
   * compounds, giving O(log_b n) levels of bounded windows.
   *
   * The streaming paths don't need any of this — they keep the same
@@ -48,7 +52,9 @@ object PrefixCarry {
     * is preserved; `outCol` is appended. */
   def lastNonNull(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
-      bucketSize: Long = 1L << 16): DataFrame = {
+      bucketSize: Long = 0): DataFrame = {
+    val sizedBucket =
+      if (bucketSize > 0) bucketSize else BucketedScan.autoBucketSize(df, seqCol)
     // NOTE for callers: this function forks `df` into a main branch and
     // a bucket-summary branch. The two subtrees prune different columns,
     // so ReuseExchange can NEVER share them — an expensive upstream
@@ -59,7 +65,7 @@ object PrefixCarry {
     // (eager localCheckpoint — see CdcOps.cdc1_decode / BinlogCdc.decode:
     // 19s → 7.5s); the summary branch below is then a cheap narrow
     // partial-agg scan of the snapshot.
-    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $sizedBucket"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
     // ONE summary aggregate yields both the (key, bucket) universe and

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * bounds level 1 at bucketSize rows per task, and level 2 runs over
   * one summary row per bucket — linear, tiny, broadcast back.
   *
-  * Sizing mirrors PrefixCarry: at the 64 Ki default the summary window
-  * holds seqRange/bucketSize rows; beyond ~2³² of seq range raise the
-  * bucket size or recurse over the summaries.
+  * Sizing mirrors PrefixCarry: the default (bucketSize = 0) self-sizes
+  * from a narrow count/min/max agg (BucketedScan.autoBucketSize) so
+  * level-1 tasks hold ~64 Ki rows and the summary stays ~rows/64 Ki,
+  * whatever the seq range; pass an explicit size to pin it, or recurse
+  * over the summaries when even that is too many.
   */
 object PrefixSum {
 
@@ -30,11 +32,13 @@ object PrefixSum {
     * preserved. */
   def exclusiveRunningSum(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
-      bucketSize: Long = 1L << 16): DataFrame = {
+      bucketSize: Long = 0): DataFrame = {
     // Like PrefixCarry, this forks `df` into a main + summary branch;
     // the summary stays a narrow partial-agg scan. Callers with an
     // expensive upstream should materialize it first (see PrefixCarry).
-    val withB = df.withColumn("_b", expr(s"`$seqCol` div $bucketSize"))
+    val sizedBucket =
+      if (bucketSize > 0) bucketSize else BucketedScan.autoBucketSize(df, seqCol)
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $sizedBucket"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
     val summaries = withB

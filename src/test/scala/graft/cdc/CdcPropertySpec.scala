@@ -44,6 +44,36 @@ class CdcPropertySpec extends SparkSpec {
       .select("seq", "key", "carried")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "two-level bucketed carry must equal the single-window carry")
+
+    // AUTO sizing (bucketSize = 0, the default) must agree too
+    val auto = PrefixCarry.lastNonNull(df, "value", "carried",
+        keys = Seq("key"))
+      .select("seq", "key", "carried")
+    assert(auto.exceptAll(want).isEmpty && want.exceptAll(auto).isEmpty,
+      "auto-sized carry must equal the single-window carry")
+  }
+
+  test("autoBucketSize targets ~64Ki rows per bucket whatever the " +
+      "seq range") {
+    import spark.implicits._
+    // dense: 200k rows over a 200k range -> 3 buckets of ~66.7k
+    val dense = spark.range(200000).select(col("id").as("seq"))
+    assert(graft.cdc.BucketedScan.autoBucketSize(dense, "seq") == 66667L)
+    // short dense replay (the cdc3 shape): well under 64Ki rows ->
+    // ONE bucket spanning the whole range, not a range-based splinter
+    val short = spark.range(3000).select(col("id").as("seq"))
+    assert(graft.cdc.BucketedScan.autoBucketSize(short, "seq") == 3000L)
+    // sparse: same 200k rows spread over a 2^40 range -> bucket size
+    // grows with the range so the summary stays ~rows/64Ki
+    val sparse = spark.range(200000)
+      .select((col("id") * (1L << 22)).as("seq"))
+    val bs = graft.cdc.BucketedScan.autoBucketSize(sparse, "seq")
+    val buckets = ((199999L * (1L << 22)) + 1 + bs - 1) / bs
+    assert(buckets >= 2 && buckets <= 4,
+      s"sparse range must still resolve to ~rows/64Ki buckets, got $buckets")
+    // empty / all-null-seq input falls back to the fixed default
+    val empty = Seq.empty[Long].toDF("seq")
+    assert(graft.cdc.BucketedScan.autoBucketSize(empty, "seq") == (1L << 16))
   }
 
   test("pk extraction rules hold on 500 random envelopes") {
