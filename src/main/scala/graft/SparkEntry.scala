@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.Relational.queries ++ q.DedupOps.queries ++ q.SimilarityOps.queries ++
       q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
-      q.SampleOps.queries ++ q.CurationOps.queries ++
+      q.SampleOps.queries ++ q.CurationOps.queries ++ q.SkewOps.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,6 +43,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     q.Relational.oracles ++ q.DedupOps.oracles ++ q.SimilarityOps.oracles ++
       q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
-      q.SampleOps.oracles ++ q.CurationOps.oracles ++
+      q.SampleOps.oracles ++ q.CurationOps.oracles ++ q.SkewOps.oracles ++
       graft.multimodal.Multimodal.oracles
 }

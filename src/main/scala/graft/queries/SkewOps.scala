@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q28 — skew-resilient equi-join by key salting.
+  *
+  * A shuffle join partitions both sides by hash(key); a key that
+  * dominates the fact side (at 100 TB: one hot customer, one default
+  * enum value) lands in ONE reducer and the stage runs at the speed of
+  * that task. AQE's skew-join split handles the SORT-MERGE case after
+  * the fact; salting fixes the layout by construction and also covers
+  * the shuffle-hash path and any engine without AQE: the fact side
+  * spreads each key over `salt` sub-keys with a deterministic per-row
+  * hash, the dim side replicates each row `salt` times (dim × salt
+  * rows — the method's cost, so it fits dims far too big to broadcast
+  * but far smaller than the fact), and the join runs on (key, salt) —
+  * hot keys now occupy `salt` reducers instead of one.
+  *
+  * The salt column is internal plumbing: results are EXACTLY the plain
+  * join's (the oracle is the plain SQL join), which is the whole point —
+  * a layout fix, not a semantics change.
+  */
+object SkewOps {
+
+  /** Equi-join `fact ⋈ dim` on `key`, spreading each fact key over
+    * `salt` sub-keys. `saltOn` must be deterministic per fact row (any
+    * unique-ish column; correctness holds for ANY assignment, spread
+    * quality needs variety). The dim side must be unique per key (a
+    * dimension), or the replicate-and-join would duplicate matches. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
+      saltOn: Column): DataFrame = {
+    val dimS = dim
+      .withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
+      // the dim side is "too big to broadcast" by assumption — pin the
+      // shuffle-hash path so the salted layout is what actually runs
+      // (a broadcast would make salting a no-op and hide the demo)
+      .hint("shuffle_hash")
+    fact
+      .withColumn("_salt", pmod(xxhash64(saltOn), lit(salt)).cast("int"))
+      .join(dimS, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
+  /** The canonical skew shape on the test data: lineitem's
+    * `l_returnflag` has THREE distinct values, so a plain shuffle join
+    * against a per-flag dimension uses three reducers no matter how many
+    * executors exist. Salted 16 ways it uses 48. Output = each line's
+    * deviation from its flag's average quantity (micro-unit integers so
+    * the oracle hash-matches). */
+  def q28_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    // per-row micro-unit quantization BEFORE the sum: a raw double sum
+    // is partition-order-dependent; the integer sum is exact and
+    // engine-portable (same convention as q23_centroid)
+    val dim = li.groupBy("l_returnflag")
+      .agg(expr("sum(cast(floor(cast(l_quantity as double) * 1000000) " +
+        "as bigint)) div count(*)").as("flag_avg_micro"))
+    saltedJoin(li, dim, "l_returnflag", 16,
+        concat_ws("/", col("l_orderkey"), col("l_linenumber")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (floor(col("l_quantity").cast("double") * 1000000d).cast("long")
+          - col("flag_avg_micro")).as("qty_dev_micro"))
+      // lineitem has no unique key in the test data: total-order by ALL
+      // output columns so the oracle hash compare is deterministic
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+        "qty_dev_micro")
+  }
+
+  val q28SkewJoinSql: String =
+    """WITH dim AS (SELECT l_returnflag,
+      |    CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1000000)
+      |      AS BIGINT)) AS BIGINT) // COUNT(*) AS flag_avg_micro
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT)
+      |    - flag_avg_micro AS qty_dev_micro
+      |FROM lineitem JOIN dim USING (l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty_dev_micro"""
+      .stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_skew_join" -> (q28_skew_join _))
+
+  def oracles: Map[String, String] = Map(
+    "q28_skew_join" -> q28SkewJoinSql)
+}

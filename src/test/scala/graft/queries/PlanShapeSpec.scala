@@ -115,4 +115,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "global-window funnel(s) planned:\n" + offenders.mkString("\n"))
   }
+
+  test("q28 salted join runs the salted shuffle layout: hash join on " +
+      "(key, _salt), no broadcast") {
+    val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      "the dim side is too-big-to-broadcast by assumption; the hint " +
+        "must pin the shuffle-hash path")
+    assert(plan.contains("_salt"),
+      "join keys must include the salt (the layout fix itself)")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a broadcast would make the salting a no-op")
+  }
 }
