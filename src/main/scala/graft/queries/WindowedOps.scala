@@ -195,6 +195,42 @@ object WindowedOps {
        |  AND c_us BETWEEN p_us - 1800000000 AND p_us
        |ORDER BY purchase_id, click_id""".stripMargin
 
+  // ------------------------------------------------------------- S09
+  /** Batch twin of the LEFT-OUTER interval join: every purchase, with
+    * its attributing clicks where they exist and a null click where
+    * none does (the rows S07 silently drops). The interval condition
+    * lives IN the join condition — filtering after a left join would
+    * quietly turn the miss rows back into drops. */
+  def s09_stream_join_outer(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_us") >= col("p_us") - 1800000000L &&
+        col("c_us") <= col("p_us"), "left")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("lag_us"))
+      // null click_id sorts differently across engines (Spark NULLS
+      // FIRST, DuckDB NULLS LAST) — order on a null-free expression
+      .orderBy(col("purchase_id"), coalesce(col("click_id"), lit(-1L)))
+  }
+
+  val s09Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id AS c_user, event_id AS click_id, ts_us AS c_us
+       |      FROM e WHERE event_type = 'click')
+       |SELECT p.user_id, purchase_id, click_id, p_us - c_us AS lag_us
+       |FROM p LEFT JOIN c ON p.user_id = c_user
+       |  AND c_us BETWEEN p_us - 1800000000 AND p_us
+       |ORDER BY purchase_id, COALESCE(click_id, -1)""".stripMargin
+
   // ------------------------------------------------------------- S08
   /** Stream-static enrichment: every event decorated with its user's
     * customer record and nation — the standard dimension join a CDC or
@@ -232,7 +268,8 @@ object WindowedOps {
     "s05_tx_assembly" -> (s05_tx_assembly _),
     "s06_dedup" -> (s06_dedup _),
     "s07_stream_join" -> (s07_stream_join _),
-    "s08_enrich" -> (s08_enrich _))
+    "s08_enrich" -> (s08_enrich _),
+    "s09_stream_join_outer" -> (s09_stream_join_outer _))
 
   def oracles: Map[String, String] = Map(
     "s01_tumbling" -> s01Sql,
@@ -242,5 +279,6 @@ object WindowedOps {
     "s05_tx_assembly" -> s05Sql,
     "s06_dedup" -> s06Sql,
     "s07_stream_join" -> s07Sql,
-    "s08_enrich" -> s08Sql)
+    "s08_enrich" -> s08Sql,
+    "s09_stream_join_outer" -> s09Sql)
 }

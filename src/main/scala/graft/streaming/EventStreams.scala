@@ -84,6 +84,28 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** S09: LEFT-OUTER interval join — S07 plus the misses: a purchase
+    * with no attributing click still emits (null click) once the
+    * watermark passes its join horizon, i.e. once no future click could
+    * match it. Same state-eviction bound as S07; the null-side emission
+    * is what makes outer stream-stream joins need the watermark at all. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** S08: stream-static dimension enrichment — stateless per microbatch;
     * the static side is broadcast so the stream side never shuffles. */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =

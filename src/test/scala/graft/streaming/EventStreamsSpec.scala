@@ -113,6 +113,38 @@ class EventStreamsSpec extends SparkSpec {
       s"unexpected attribution set: $got")
   }
 
+  test("S09 left-outer interval join also emits unattributed purchases " +
+      "(null click) once the watermark passes their horizon") {
+    val events = Seq(
+      Ev(t(0), "click", 1, 10, 1.0),
+      Ev(t(20), "click", 1, 11, 1.0),
+      Ev(t(25), "purchase", 1, 20, 9.0), // joins clicks 10 and 11
+      Ev(t(40), "click", 2, 12, 1.0),
+      Ev(t(95), "purchase", 2, 21, 9.0), // click 12 is 55m old -> MISS row
+      Ev(t(31), "purchase", 1, 22, 9.0), // joins click 11 only
+      // the GLOBAL watermark is min(purchase wm, click wm) — BOTH sides
+      // need a sentinel or the null rows never free
+      Ev(t(600), "click", 9, 99, 1.0),
+      Ev(t(600), "purchase", 8, 97, 9.0), // distinct user: matches no
+                                          // click; stays buffered (wm
+                                          // never passes its horizon)
+      Ev(t(700), "click", 9, 98, 1.0)) // one MORE batch: outer-join null
+                                       // rows flush a batch after the
+                                       // watermark that frees them
+    val res = runStream(
+      Seq(events.take(3), events.slice(3, 6), events.slice(6, 8),
+        Seq(events(8))),
+      EventStreams.purchaseAttributionOuter)
+    val got = res.select($"purchase_id", $"click_id", $"lag_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (20L, Some(10L), Some(25L * 60000000)),
+      (20L, Some(11L), Some(5L * 60000000)),
+      (22L, Some(11L), Some(11L * 60000000)),
+      (21L, None, None)),
+      s"unexpected outer attribution set: $got")
+  }
+
   test("S08 stream-static enrichment decorates every event statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "Customer#1"), (2L, "Customer#2"))
