@@ -116,6 +116,16 @@ class PlanShapeSpec extends SparkSpec {
       "global-window funnel(s) planned:\n" + offenders.mkString("\n"))
   }
 
+  test("q24_bpe_pairs collapses to the word histogram before char work " +
+      "and takes top-200 without a global sort") {
+    val plan = planOf(TextOps.queries("q24_bpe_pairs")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-200 must be per-partition heaps + driver merge")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "both the word histogram and the pair count must partially " +
+        "aggregate (two levels each)")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
