@@ -197,10 +197,15 @@ object CurationOps {
       .select("doc_id", "h", "bkt")
     val counts = d.groupBy("bkt").agg(count(lit(1)).as("n"))
     // exclusive running sum over the 4096 count rows: the keyless
-    // PrefixSum scan (one bounded task; 4096 ≪ its bucket size, so its
-    // level-1 window is a single tiny partition). Broadcast back.
+    // PrefixSum scan (one bounded task; bkt is statically < 4096, so an
+    // EXPLICIT bucket size covering the whole range keeps the level-1
+    // window a single tiny partition AND skips the auto-sizer's stats
+    // pass — `counts` is deliberately unmaterialized, and the default's
+    // count/min/max job would re-run the scan+groupBy a third time at
+    // plan-build. Broadcast back.
     val offsets = PrefixSum
-      .exclusiveRunningSum(counts, "n", "off", seqCol = "bkt")
+      .exclusiveRunningSum(counts, "n", "off", seqCol = "bkt",
+        bucketSize = 4096L)
       .select("bkt", "off")
     val wLocal = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
     d.join(broadcast(offsets), "bkt")

@@ -314,25 +314,28 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       .withColumn("cm", expr("sx div n"))
 
-    var upd: DataFrame = null
-    for (_ <- 1 to 2) {
-      val cidLit = array(centroids.map(c => lit(c._1)): _*)
-      val cmLit = array(centroids.map(c => array(c._2.map(lit): _*)): _*)
-      val assigned = v
+    def iterate(cs: Seq[(Long, Seq[Long])]): DataFrame = {
+      val cidLit = array(cs.map(c => lit(c._1)): _*)
+      val cmLit = array(cs.map(c => array(c._2.map(lit): _*)): _*)
+      update(v
         .withColumn("dists", transform(cmLit, cv =>
           aggregate(zip_with(col("vm"), cv, (a, b) => (a - b) * (a - b)),
             lit(0L), _ + _)))
         // first occurrence of the min → lowest cid wins ties
         .withColumn("cid", element_at(cidLit,
-          array_position(col("dists"), array_min(col("dists"))).cast("int")))
-      upd = update(assigned)
-      centroids = upd.select("cid", "idx", "cm").collect()
+          array_position(col("dists"), array_min(col("dists"))).cast("int"))))
+    }
+    // collect centroids BETWEEN iterations only (k·dim values): the
+    // final iteration stays a lazy plan — collecting it too would run
+    // one whole extra corpus pass for a result nobody reads
+    for (_ <- 1 until 2) {
+      centroids = iterate(centroids).select("cid", "idx", "cm").collect()
         .groupBy(_.getLong(0)).toSeq
         .map { case (cid, rows) =>
           (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
         }.sortBy(_._1)
     }
-    upd.groupBy("cid")
+    iterate(centroids).groupBy("cid")
       .agg(min(col("n")).as("n"),
         array_join(transform(
           array_sort(collect_list(struct(col("idx"), col("cm")))),

@@ -294,12 +294,15 @@ object TextOps {
     val d = Tables.load(s, dir, "documents").select("lang", "n_chars")
     val w = Window.partitionBy("lang").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // n_docs = the cumsum's last value per language — a second window
+    // over the SAME partitioning (no new shuffle), not a second corpus
+    // scan: the histogram already holds every count
     val cum = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(w))
-    val tot = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    cum.join(tot, "lang")
-      .groupBy("lang", "n_docs")
+      .withColumn("n_docs", max(col("cum")).over(Window.partitionBy("lang")))
+    cum.groupBy("lang")
       .agg(
+        max(col("n_docs")).as("n_docs"),
         min(when(col("cum") * 2 >= col("n_docs"), col("n_chars"))).as("p50"),
         min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_chars")))
           .as("p90"),

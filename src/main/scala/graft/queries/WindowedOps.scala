@@ -168,21 +168,31 @@ object WindowedOps {
     * .purchaseAttribution), where the same bound also EVICTS buffered
     * state: a click older than 30 minutes past the watermark can never
     * join again. */
-  def s07_stream_join(s: SparkSession, dir: String): DataFrame = {
+  /** Shared S07/S09 batch body (the twin of EventStreams.attribution):
+    * one definition of the interval condition for both join types. The
+    * condition lives IN the join condition — for the outer form a
+    * filter afterwards would quietly turn the miss rows back into
+    * drops (for the inner form the two are equivalent). */
+  private def attribution(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val e = Tables.events(s, dir)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("p_us"))
     val c = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts_us").as("c_us"))
-    p.join(c, Seq("user_id"))
-      .filter(col("c_us") >= col("p_us") - 1800000000L &&
-        col("c_us") <= col("p_us"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_us") >= col("p_us") - 1800000000L &&
+        col("c_us") <= col("p_us"), joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (col("p_us") - col("c_us")).as("lag_us"))
-      .orderBy("purchase_id", "click_id")
   }
+
+  def s07_stream_join(s: SparkSession, dir: String): DataFrame =
+    attribution(s, dir, "inner")
+      .orderBy("purchase_id", "click_id")
 
   val s07Sql: String =
     s"""WITH e AS ${Tables.eventsNormSql},
@@ -198,27 +208,12 @@ object WindowedOps {
   // ------------------------------------------------------------- S09
   /** Batch twin of the LEFT-OUTER interval join: every purchase, with
     * its attributing clicks where they exist and a null click where
-    * none does (the rows S07 silently drops). The interval condition
-    * lives IN the join condition — filtering after a left join would
-    * quietly turn the miss rows back into drops. */
-  def s09_stream_join_outer(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts_us").as("p_us"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts_us").as("c_us"))
-    p.join(c,
-        col("user_id") === col("c_user") &&
-        col("c_us") >= col("p_us") - 1800000000L &&
-        col("c_us") <= col("p_us"), "left")
-      .select(col("user_id"), col("purchase_id"), col("click_id"),
-        (col("p_us") - col("c_us")).as("lag_us"))
+    * none does (the rows S07 silently drops). */
+  def s09_stream_join_outer(s: SparkSession, dir: String): DataFrame =
+    attribution(s, dir, "left")
       // null click_id sorts differently across engines (Spark NULLS
       // FIRST, DuckDB NULLS LAST) — order on a null-free expression
       .orderBy(col("purchase_id"), coalesce(col("click_id"), lit(-1L)))
-  }
 
   val s09Sql: String =
     s"""WITH e AS ${Tables.eventsNormSql},

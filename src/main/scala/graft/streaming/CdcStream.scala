@@ -22,9 +22,15 @@ object CdcStream {
     StructField("seq", LongType),
     StructField("line", StringType)))
 
-  /** File-based LDJSON capture directory → raw line stream. */
-  def fileLines(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(lineSchema).json(path)
+  /** File-based LDJSON capture directory → raw line stream. The
+    * per-trigger file cap is the memory bound for the in-microbatch
+    * sorts downstream (CdcPipeline/TxAssembly) — a backlogged directory
+    * must arrive in capped batches, not as one giant first batch. */
+  def fileLines(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(lineSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(path)
 
   // engine-level options that must not leak into the Kafka reader config
   // (maxFilesPerTrigger is the FILE transport's batch cap; Kafka's
@@ -41,15 +47,9 @@ object CdcStream {
     * attaches sinks (SinkRegistry.attach) and starts the query. */
   def forBackend(spark: SparkSession, cfg: BackendConfig): DataFrame = {
     val lines = cfg.resolvedSource match {
-      // per-trigger batch cap: CdcPipeline/TxAssembly sort each
-      // backend-microbatch group in memory, so the trigger size IS the
-      // memory bound — a backlogged directory must arrive in capped
-      // batches, not as one giant first batch (Kafka: pass
-      // maxOffsetsPerTrigger in options for the same effect)
-      case "file" => spark.readStream.schema(lineSchema)
-        .option("maxFilesPerTrigger",
-          cfg.options.getOrElse("maxFilesPerTrigger", "16"))
-        .json(cfg.options("path"))
+      // Kafka callers pass maxOffsetsPerTrigger for the same batch cap
+      case "file" => fileLines(spark, cfg.options("path"),
+        cfg.options.getOrElse("maxFilesPerTrigger", "16").toInt)
       case "kafka" =>
         // shape Kafka records into the line contract (topic/offset/value)
         spark.readStream.format("kafka")

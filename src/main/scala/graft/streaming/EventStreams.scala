@@ -67,29 +67,20 @@ object EventStreams {
     * so Spark evicts buffered rows once the watermark passes their join
     * horizon (clicks after 30 min, purchases immediately) — state stays
     * proportional to the window, not the stream. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "10 minutes")
-    val c = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    p.join(c,
-        col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
-      .select(col("user_id"), col("purchase_id"), col("click_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-  }
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attribution(events, "inner")
 
   /** S09: LEFT-OUTER interval join — S07 plus the misses: a purchase
     * with no attributing click still emits (null click) once the
     * watermark passes its join horizon, i.e. once no future click could
     * match it. Same state-eviction bound as S07; the null-side emission
     * is what makes outer stream-stream joins need the watermark at all. */
-  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+  def purchaseAttributionOuter(events: DataFrame): DataFrame =
+    attribution(events, "left_outer")
+
+  /** Shared S07/S09 body — one definition of the window, watermarks,
+    * and join condition, so the inner and outer forms can never drift. */
+  private def attribution(events: DataFrame, joinType: String): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
@@ -101,7 +92,7 @@ object EventStreams {
     p.join(c,
         col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"), "left_outer")
+        col("c_ts") <= col("p_ts"), joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
