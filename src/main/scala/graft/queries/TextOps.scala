@@ -327,6 +327,43 @@ object TextOps {
       |GROUP BY lang, n_docs
       |ORDER BY lang""".stripMargin
 
+  /** Compression-ratio quality signal: deflate each document and report
+    * compressed/raw sizes — the classic cheap proxy for repetitive or
+    * boilerplate text (highly compressible ⇒ low information density;
+    * used alongside the Gopher gates in q27_repetition). `ratio_pct` is
+    * integer percent so the column is engine-portable.
+    *
+    * Scale: mapPartitions with ONE native Deflater per partition
+    * (zlib init is expensive — the same per-partition-codec pattern as
+    * graft.multimodal); rows stream through it with no shuffle. No
+    * DuckDB oracle (no zlib there) → driver rows-only check; the
+    * semantics are pinned by TextMlOpsSpec against single-threaded
+    * java.util.zip output. */
+  def q24_compress(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(in); defl.finish()
+          var total = 0L
+          while (!defl.finished()) total += defl.deflate(buf)
+          (id, in.length.toLong, total)
+        }
+      }.toDF("doc_id", "n_bytes", "n_compressed")
+    stats
+      .withColumn("ratio_pct",
+        when(col("n_bytes") === 0L, lit(100L))
+          .otherwise(col("n_compressed") * 100L / col("n_bytes"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> (q24_text_stats _),
@@ -337,7 +374,9 @@ object TextOps {
     "q24_vocab" -> (q24_vocab _),
     "q24_tfidf" -> (q24_tfidf _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
-    "q24_quantiles" -> (q24_quantiles _))
+    "q24_quantiles" -> (q24_quantiles _),
+    // rows-only: no zlib in the oracle engine (see q24_compress doc)
+    "q24_compress" -> (q24_compress _))
 
   def oracles: Map[String, String] = Map(
     "q24_text_stats" -> q24StatsSql,

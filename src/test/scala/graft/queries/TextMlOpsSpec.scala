@@ -43,6 +43,40 @@ class TextMlOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("compress: distributed deflate sizes equal single-threaded " +
+      "java.util.zip, and repetition compresses harder than variety") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val defl = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](64 * 1024)
+    val want = docs.map { case (id, text) =>
+      val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      defl.reset(); defl.setInput(in); defl.finish()
+      var total = 0L
+      while (!defl.finished()) total += defl.deflate(buf)
+      val ratio = if (in.isEmpty) 100L else total * 100L / in.length
+      (id, in.length.toLong, total, ratio)
+    }.sortBy(_._1).toSeq
+    defl.end()
+    val got = TextOps.q24_compress(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // sanity of the signal itself: a pathologically repetitive doc must
+    // compress far harder than typical corpus text
+    val medianRatio = want.map(_._4).sorted.apply(want.size / 2)
+    val rep = "spam " * 200
+    val in = rep.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d2 = new java.util.zip.Deflater(6)
+    d2.setInput(in); d2.finish()
+    var repTotal = 0L
+    while (!d2.finished()) repTotal += d2.deflate(buf)
+    d2.end()
+    assert(repTotal * 100L / in.length < medianRatio / 2,
+      "repetitive text must compress far below the corpus median ratio")
+  }
+
   test("kmeans: two Lloyd iterations match the naive integer-space loop " +
       "(assignments, sizes, centroids)") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
