@@ -328,6 +328,37 @@ object Relational {
        |  AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 3600000000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** PURE range join — no equi key at all: pairs of events (any users)
+    * within one second. Spark plans a naive `a JOIN b ON ts BETWEEN ...`
+    * as BroadcastNestedLoopJoin — O(|a|·|b|) comparisons, the canonical
+    * 100 TB self-destruct. BINNING restores an equi key: left rows
+    * replicate into time bins {bin, bin+1} (bin width = the window), the
+    * join runs equi on the bin, and the range becomes a residual filter.
+    * Each qualifying pair matches in EXACTLY one bin (the right row's),
+    * so no dedup pass is needed. Cost: 2× one side + an equi shuffle —
+    * linear, partitionable, AQE-skew-splittable; a dense burst inside
+    * one bin costs what its output size already costs. */
+  def q11b_range_bin(s: SparkSession, dir: String): DataFrame = {
+    val w = 1000000L // 1 second, in event-time µs
+    val e = Tables.events(s, dir)
+    val a = e.select(col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+      .withColumn("bin", explode(array(
+        expr(s"ts_a div $w"), expr(s"ts_a div $w + 1"))))
+    val b = e.select(col("event_id").as("id_b"), col("ts_us").as("ts_b"),
+      expr(s"ts_us div $w").as("bin"))
+    a.join(b, "bin")
+      .filter(col("ts_b") > col("ts_a") && col("ts_b") <= col("ts_a") + w)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q11bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT a.event_id AS id_a, b.event_id AS id_b
+       |FROM e a JOIN e b ON b.ts_us > a.ts_us
+       |  AND b.ts_us <= a.ts_us + 1000000
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- Q12
   /** As-of join: for each purchase event, the latest strictly-prior click
     * by the same user. Implemented as the scalable union-and-carry pattern:
@@ -584,6 +615,7 @@ object Relational {
     "q10_join_semi" -> (q10_join_semi _),
     "q10_join_anti" -> (q10_join_anti _),
     "q11_join_range" -> (q11_join_range _),
+    "q11b_range_bin" -> (q11b_range_bin _),
     "q12_asof" -> (q12_asof _),
     "q13_window_rank" -> (q13_window_rank _),
     "q14_window_analytic" -> (q14_window_analytic _),
@@ -608,6 +640,7 @@ object Relational {
     "q10_join_semi" -> q10SemiSql,
     "q10_join_anti" -> q10AntiSql,
     "q11_join_range" -> q11Sql,
+    "q11b_range_bin" -> q11bSql,
     "q12_asof" -> q12Sql,
     "q13_window_rank" -> q13Sql,
     "q14_window_analytic" -> q14Sql,

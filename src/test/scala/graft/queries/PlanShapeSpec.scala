@@ -126,6 +126,17 @@ class PlanShapeSpec extends SparkSpec {
         "aggregate (two levels each)")
   }
 
+  test("q11b binned range join plans as an equi join — never the " +
+      "nested-loop cross product a keyless range condition invites") {
+    val plan = planOf(Relational.queries("q11b_range_bin")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "binning must restore an equi key; O(n^2) comparisons otherwise")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "the bin key must drive a hash/merge equi join")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
