@@ -327,6 +327,25 @@ object TextOps {
       |GROUP BY lang, n_docs
       |ORDER BY lang""".stripMargin
 
+  /** Sketch twin of q24_quantiles — `percentile_approx` (Greenwald-
+    * Khanna) per language: the 100 TB path when even the value histogram
+    * is too wide, trading exactness for constant-size mergeable state
+    * (one sketch per partition per language, merged map-side — no
+    * histogram shuffle, no window at all). Sketch internals are
+    * engine-specific → rows-only driver check; TextMlOpsSpec bounds the
+    * sketch against the exact histogram answer, the same pairing as
+    * q04/q04b. */
+  def q24_quantiles_approx(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("lang"), col("n_docs"),
+        col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+      .orderBy("lang")
+
   /** Compression-ratio quality signal: deflate each document and report
     * compressed/raw sizes — the classic cheap proxy for repetitive or
     * boilerplate text (highly compressible ⇒ low information density;
@@ -375,6 +394,8 @@ object TextOps {
     "q24_tfidf" -> (q24_tfidf _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
     "q24_quantiles" -> (q24_quantiles _),
+    // rows-only: sketch internals engine-specific (see scaladoc)
+    "q24_quantiles_approx" -> (q24_quantiles_approx _),
     // rows-only: no zlib in the oracle engine (see q24_compress doc)
     "q24_compress" -> (q24_compress _))
 

@@ -77,6 +77,38 @@ class TextMlOpsSpec extends SparkSpec {
       "repetitive text must compress far below the corpus median ratio")
   }
 
+  test("approx quantiles stay within 2% rank error of the exact " +
+      "histogram answer") {
+    val exact = TextOps.q24_quantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val approx = TextOps.q24_quantiles_approx(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    for (r <- approx) {
+      val lang = r.getString(0)
+      val (nExact, _) = exact(lang)
+      assert(r.getLong(1) == nExact)
+      val sorted = byLang(lang)
+      for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+        val got = r.getLong(2 + i)
+        // rank error bound: the sketch value must sit within ±2% of n
+        // positions of the true rank (accuracy 10000 → eps 1e-4; 2% is
+        // a generous envelope that still catches a broken sketch)
+        val lo = sorted(math.max(0, (q * sorted.size).toInt -
+          math.max(1, sorted.size / 50) - 1))
+        val hi = sorted(math.min(sorted.size - 1,
+          (q * sorted.size).toInt + math.max(1, sorted.size / 50)))
+        assert(got >= lo && got <= hi,
+          s"$lang p$q=$got outside rank envelope [$lo,$hi]")
+      }
+    }
+  }
+
   test("kmeans: two Lloyd iterations match the naive integer-space loop " +
       "(assignments, sizes, centroids)") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
