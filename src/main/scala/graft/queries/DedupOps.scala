@@ -134,6 +134,56 @@ object DedupOps {
       |GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g')
       |ORDER BY keep_id""".stripMargin
 
+  // ------------------------------------------------------------- lines
+  /** SUB-document (line-level) global dedup, the C4/CCNet boilerplate
+    * remover: every repeated "line" across the whole corpus is dropped
+    * except its first occurrence (smallest (doc_id, pos)), and documents
+    * are reassembled from their surviving lines. The synthetic docs have
+    * no newlines, so a "line" is a fixed 10-token segment — the operator
+    * (posexplode → global keep-first → in-order reassembly) is exactly
+    * the newline-split pipeline.
+    *
+    * Scale: one shuffle keyed on the line (at 100 TB: its 128-bit hash)
+    * with map-side partial `min(struct(doc_id, pos))`; the reassembly
+    * groupBy is per-doc (bounded by document length). Docs whose every
+    * line was deduped away drop out (nothing left to emit). */
+  def q22_dedup_lines(s: SparkSession, dir: String): DataFrame = {
+    val seg = 10
+    val lines = Tables.load(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $seg.0) as int) - 1)," +
+          s" i -> array_join(slice(toks, i * $seg + 1, $seg), ' '))"))
+        .as(Seq("pos", "line")))
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"),
+        col("w.pos").as("pos"))
+    lines.join(winners, Seq("line", "doc_id", "pos"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val q22LinesSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |l AS (SELECT doc_id, i.pos,
+      |        array_to_string(tk[(i.pos * 10 + 1):(i.pos * 10 + 10)], ' ')
+      |          AS line
+      |      FROM d, (SELECT unnest(range(0, 1000)) AS pos) i
+      |      WHERE i.pos * 10 < len(tk)),
+      |w AS (SELECT *, row_number() OVER (PARTITION BY line
+      |        ORDER BY doc_id, pos) AS rn FROM l)
+      |SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(line, ' ' ORDER BY pos) AS cleaned
+      |FROM w WHERE rn = 1
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- ngram
   /** Near-dup pairs with 3-gram Jaccard >= 0.5: prefix-filtered candidate
     * generation + exact verification — integer-only threshold math so
@@ -508,6 +558,7 @@ object DedupOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact" -> (q22_dedup_exact _),
+    "q22_dedup_lines" -> (q22_dedup_lines _),
     "q22_dedup_ngram" -> (q22_dedup_ngram _),
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
@@ -518,6 +569,7 @@ object DedupOps {
 
   def oracles: Map[String, String] = Map(
     "q22_dedup_exact" -> q22ExactSql,
+    "q22_dedup_lines" -> q22LinesSql,
     "q22_dedup_ngram" -> q22NgramSql,
     // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
     // verifies candidates exactly → its output IS the exact result
