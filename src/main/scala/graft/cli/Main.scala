@@ -24,7 +24,12 @@ object Main {
 
   def parseConfig(json: String): EngineConfig = {
     implicit val fmts: Formats = DefaultFormats
-    val ast = JsonMethods.parse(json)
+    // malformed JSON throws a /Parse/-matching message, not a raw
+    // Jackson stack (reference: config.test.js:8-12 asserts this)
+    val ast =
+      try JsonMethods.parse(json)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"Parse error in config JSON: ${e.getMessage}") }
     val backends = (ast \ "backends") match {
       case JArray(items) => items.map { b =>
         BackendConfig(

@@ -108,6 +108,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("invalid backend wire format: smoke-signals")))
   }
 
+  test("malformed config JSON throws a /Parse/-matching helpful error " +
+      "(config.test.js:8-12), not a raw parser stack") {
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Main.parseConfig("""{"invalid":: 'json'}""")
+    }
+    assert(e.getMessage.contains("Parse"))
+  }
+
   test("CLI config JSON parses source and wire fields") {
     val json =
       """{"backends": [{"name": "my1", "source": "kafka", "wire": "binlog",
