@@ -176,6 +176,38 @@ object Relational {
        |GROUP BY ROLLUP(n_name, o_orderpriority)
        |ORDER BY gid, n_name, o_orderpriority""".stripMargin
 
+  /** CUBE twin of q05 — all four grouping sets, not just the rollup
+    * chain. Same Expand-based plan family; gid keeps every stratum's
+    * sort total (the extra gid=2 stratum nulls n_name, and an all-null
+    * column inside one stratum cannot reorder it in either engine). */
+  def q05b_cube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name").as("nn"), col("o_orderpriority").as("op"),
+        col("o_totalprice").as("tp"))
+      .cube(col("nn"), col("op"))
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        sum(dec(col("tp"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .toDF("n_name", "o_orderpriority", "gid", "revenue", "n_orders")
+      .orderBy("gid", "n_name", "o_orderpriority")
+  }
+
+  val q05bSql: String =
+    s"""SELECT n_name, o_orderpriority,
+       |  CAST(GROUPING(n_name, o_orderpriority) AS INT) AS gid,
+       |  CAST(SUM(CAST(o_totalprice AS $D18)) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY CUBE(n_name, o_orderpriority)
+       |ORDER BY gid, n_name, o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- Q06
   /** Row-level inner equi-join. At 100 TB this is a shuffle join on
     * custkey; customer is small enough here that AQE may broadcast it —
@@ -608,6 +640,7 @@ object Relational {
     "q04_agg_distinct" -> (q04_agg_distinct _),
     "q04b_approx_distinct" -> (q04b_approx_distinct _),
     "q05_rollup" -> (q05_rollup _),
+    "q05b_cube" -> (q05b_cube _),
     "q06_join_inner" -> (q06_join_inner _),
     "q07_join_broadcast" -> (q07_join_broadcast _),
     "q08_join_multiway" -> (q08_join_multiway _),
@@ -633,6 +666,7 @@ object Relational {
     "q03_agg" -> q03Sql,
     "q04_agg_distinct" -> q04Sql,
     "q05_rollup" -> q05Sql,
+    "q05b_cube" -> q05bSql,
     "q06_join_inner" -> q06Sql,
     "q07_join_broadcast" -> q07Sql,
     "q08_join_multiway" -> q08Sql,
