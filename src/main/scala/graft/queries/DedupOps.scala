@@ -232,7 +232,7 @@ object DedupOps {
     * J>=0.5 partners (the oracle's empty range emits no pairs). This is
     * also the frame a production corpus persists as its INDEX — see
     * q22_dedup_incr_near. */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     val nPerms = 128
     val nBands = 64 // 2 rows per band
     val sig = sh.filter(size(col("shingles")) > 0)
