@@ -141,6 +141,12 @@ object BinlogCdc {
     val withPkCol = PrefixCarry.lastNonNull(
       parse(df, excludeTables, lineCol).localCheckpoint(), "_pk_col",
       "pk_col", seqCol, keys = Seq("schema", "table"))
-    expandRows(withPkCol, seqCol)
+    // the carry leaves rows partitioned by (schema, table, bucket) — a
+    // replay dominated by ONE hot table would run the expansion (the
+    // per-row JSON work, the expensive half of decode) in that key's
+    // few partitions; respread first so expandRows uses the cluster
+    val n = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    expandRows(withPkCol.repartition(n), seqCol)
   }
 }

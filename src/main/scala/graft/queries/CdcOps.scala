@@ -177,9 +177,13 @@ object CdcOps {
       case (t, i) => (i.toLong,
         s"""{"eventName": "tablemap", "schemaName": "lapidus", "tableName": "$t", "columns": $colsJson}""")
     }.toDF("seq", "line")
-    // batches is already spread by the groupBy(bk) shuffle — no extra
-    // repartition of formatted strings needed
-    tablemaps.unionAll(batches)
+    // The groupBy(bk) shuffle spreads the rows, but AQE then coalesces
+    // by BYTE size — and a batched binlog line is bytes-cheap,
+    // decode-expensive (each explodes into per-row JSON parses), so the
+    // downstream decode collapsed to ~1 task. Explicit N pins the
+    // decode's parallelism (same reasoning as DedupOps.docs).
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    tablemaps.unionAll(batches).repartition(n)
   }
 
   def cdc3_mysql(s: SparkSession, dir: String): DataFrame =
