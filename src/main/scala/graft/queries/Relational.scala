@@ -111,6 +111,56 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** PIVOT: per linestatus, quantity totals spread across the three
+    * return flags as columns. Spark plans pivot with explicit values as a
+    * single hash aggregate over conditional sums (no extra pass to
+    * discover the pivot domain) — identical shape to q03, the pivot is
+    * purely a projection-time reshaping. Values are pinned so the plan
+    * (and the output schema) is static at 100 TB. */
+  def q03b_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+      .toDF("l_linestatus", "qty_a", "qty_n", "qty_r")
+      .orderBy("l_linestatus")
+
+  val q03bSql: String =
+    s"""SELECT l_linestatus,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'A'
+       |    THEN CAST(l_quantity AS $D18) END) AS DOUBLE) AS qty_a,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'N'
+       |    THEN CAST(l_quantity AS $D18) END) AS DOUBLE) AS qty_n,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+       |    THEN CAST(l_quantity AS $D18) END) AS DOUBLE) AS qty_r
+       |FROM lineitem
+       |GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+
+  /** UNPIVOT (melt): per-returnflag quantity/price totals reshaped from
+    * two metric columns into (flag, metric, value) rows. Spark's Expand
+    * node emits both metric rows per input row in one pass — no
+    * self-union, the aggregate's output is scanned once. */
+  def q03c_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  val q03cSql: String =
+    s"""WITH a AS (SELECT l_returnflag,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sum_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   // ---------------------------------------------------------------- Q04
   /** count(distinct) per group — Spark expands to a two-phase aggregate;
     * the distinct shuffle is on (group, custkey) so it scales with
@@ -421,6 +471,36 @@ object Relational {
        |FROM e p WHERE p.event_type = 'purchase'
        |ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of join: for each purchase, the EARLIEST strictly-later
+    * click by the same user — the look-ahead twin of q12 (reference users
+    * ask both directions of every as-of). Same union-and-carry shape, the
+    * window frame just flips to (1, unboundedFollowing); still one shuffle
+    * + one sort per user partition, no range join. */
+  def q12b_asof_fwd(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_click_id", first(col("click_id"), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("next_click_id"))
+      .orderBy("event_id")
+  }
+
+  val q12bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT p.event_id, p.user_id,
+       |  (SELECT c.event_id FROM e c
+       |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |     AND (c.ts_us > p.ts_us
+       |          OR (c.ts_us = p.ts_us AND c.event_id > p.event_id))
+       |   ORDER BY c.ts_us ASC, c.event_id ASC LIMIT 1) AS next_click_id
+       |FROM e p WHERE p.event_type = 'purchase'
+       |ORDER BY p.event_id""".stripMargin
+
   // ---------------------------------------------------------------- Q13
   /** Ranking window: top-3 orders per customer by totalprice. Ties broken
     * by orderkey so both engines rank identically. */
@@ -473,6 +553,35 @@ object Relational {
        |    ORDER BY o_orderdate, o_orderkey) AS prev_price
        |FROM orders
        |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Distribution window functions — ntile / percent_rank / cume_dist per
+    * order-priority partition. All three derive from the same sort, so
+    * Spark evaluates them in ONE window operator (one shuffle on the
+    * partition key, one sort). The doubles are rank-arithmetic on
+    * identical integer operands in both engines ((rank-1)/(n-1), peers/n)
+    * so they hash-compare exactly; the orderkey tiebreak makes every rank
+    * deterministic. */
+  def q14b_distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "quartile",
+        "pct_rank", "cume")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val q14bSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- Q15
   /** Global top-100 — TakeOrderedAndProject: each partition keeps its local
@@ -538,6 +647,33 @@ object Relational {
       |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Fuzzy match: pairs of DISTINCT part names within Levenshtein
+    * distance 3. The distinct pass first is the scale move — the
+    * quadratic edit-distance join runs over the (tiny) name vocabulary,
+    * never the row count, and the self-join side broadcasts. Both engines
+    * implement classic unit-cost Levenshtein, so distances agree exactly.
+    * A vocabulary too big to broadcast would add the q22_ngram prefix
+    * filter in front; at this domain size that would be overhead. */
+  def q17b_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select("p_name").distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = broadcast(names.select(col("p_name").as("name_b")))
+    a.join(b, col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 3)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast(IntegerType))
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  val q17bSql: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |  AND levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ---------------------------------------------------------------- Q18
   /** Scalar date/time functions over ms-precision timestamps (exactly
     * representable in both engines). dayofweek normalized to Spark's
@@ -593,6 +729,32 @@ object Relational {
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber, charge, qty_ceil, price_floor""".stripMargin
 
+  /** Fixed-width histogram of extended price (bin width 5000). The bin id
+    * is integer arithmetic on the raw parquet double (floor of an exact
+    * double division by a power-of-10-ish constant — identical in both
+    * engines), so the whole histogram is ONE hash aggregate: partial
+    * (map-side) counts make the shuffle |bins| × partitions rows
+    * regardless of input size. Empty bins are naturally absent. */
+  def q19b_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("bin", floor(col("l_extendedprice") / 5000).cast(LongType))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("total"))
+      .withColumn("lo", (col("bin") * 5000).cast(DoubleType))
+      .select("bin", "lo", "n", "total")
+      .orderBy("bin")
+
+  val q19bSql: String =
+    s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       |  CAST(CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS DOUBLE) AS lo,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) AS total
+       |FROM lineitem
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
     * event-type array is distinct+sorted, then joined to a single string so
@@ -637,6 +799,8 @@ object Relational {
     "q01_scan" -> (q01_scan _),
     "q02_filter" -> (q02_filter _),
     "q03_agg" -> (q03_agg _),
+    "q03b_pivot" -> (q03b_pivot _),
+    "q03c_unpivot" -> (q03c_unpivot _),
     "q04_agg_distinct" -> (q04_agg_distinct _),
     "q04b_approx_distinct" -> (q04b_approx_distinct _),
     "q05_rollup" -> (q05_rollup _),
@@ -650,13 +814,17 @@ object Relational {
     "q11_join_range" -> (q11_join_range _),
     "q11b_range_bin" -> (q11b_range_bin _),
     "q12_asof" -> (q12_asof _),
+    "q12b_asof_fwd" -> (q12b_asof_fwd _),
     "q13_window_rank" -> (q13_window_rank _),
     "q14_window_analytic" -> (q14_window_analytic _),
+    "q14b_distribution" -> (q14b_distribution _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q17_string" -> (q17_string _),
+    "q17b_fuzzy" -> (q17b_fuzzy _),
     "q18_date" -> (q18_date _),
     "q19_math" -> (q19_math _),
+    "q19b_histogram" -> (q19b_histogram _),
     "q20_json_array" -> (q20_json_array _),
     "q21_subquery" -> (q21_subquery _))
 
@@ -664,6 +832,8 @@ object Relational {
     "q01_scan" -> q01Sql,
     "q02_filter" -> q02Sql,
     "q03_agg" -> q03Sql,
+    "q03b_pivot" -> q03bSql,
+    "q03c_unpivot" -> q03cSql,
     "q04_agg_distinct" -> q04Sql,
     "q05_rollup" -> q05Sql,
     "q05b_cube" -> q05bSql,
@@ -676,13 +846,17 @@ object Relational {
     "q11_join_range" -> q11Sql,
     "q11b_range_bin" -> q11bSql,
     "q12_asof" -> q12Sql,
+    "q12b_asof_fwd" -> q12bSql,
     "q13_window_rank" -> q13Sql,
     "q14_window_analytic" -> q14Sql,
+    "q14b_distribution" -> q14bSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q17_string" -> q17Sql,
+    "q17b_fuzzy" -> q17bSql,
     "q18_date" -> q18Sql,
     "q19_math" -> q19Sql,
+    "q19b_histogram" -> q19bSql,
     "q20_json_array" -> q20Sql,
     "q21_subquery" -> q21Sql)
 }

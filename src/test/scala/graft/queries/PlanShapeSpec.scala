@@ -137,6 +137,37 @@ class PlanShapeSpec extends SparkSpec {
       "the bin key must drive a hash/merge equi join")
   }
 
+  test("q03b pivot with pinned values is ONE aggregate pass — no domain-" +
+      "discovery job, no Expand") {
+    val plan = planOf(Relational.queries("q03b_pivot")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "pivot must partially aggregate (map-side conditional sums)")
+    assert(!plan.contains("Expand"),
+      "a single-agg pivot needs no Expand duplication of input rows")
+  }
+
+  test("q14b evaluates ntile/percent_rank/cume_dist in one Window " +
+      "operator over one sort") {
+    val plan = planOf(Relational.queries("q14b_distribution")(spark, sfDir))
+    // 1 window exchange + the output ORDER BY's range exchange
+    assert("Window".r.findAllIn(plan).size == 1,
+      "the three distribution functions share a sort: one Window node")
+  }
+
+  test("q17b fuzzy join broadcasts the distinct name vocabulary") {
+    val plan = planOf(Relational.queries("q17b_fuzzy")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the edit-distance self-join runs over the broadcast vocabulary, " +
+        "never a shuffled cartesian of the row count")
+  }
+
+  test("q19b histogram is a partial hash aggregate on the bin id") {
+    val plan = planOf(Relational.queries("q19b_histogram")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "bin counts must combine map-side; the shuffle carries |bins| rows")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
