@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-sequence analytics over the `events` stream table: conversion
+  * funnel and cohort retention — the two queries every product-analytics
+  * user of a CDC/event pipeline asks first (the reference's event
+  * subscriptions feed exactly this kind of consumer).
+  *
+  * Scale design: both queries are ONE shuffle on user_id. The funnel
+  * folds each user's time-ordered events through the stage chain with a
+  * higher-order `aggregate` (no joins, no per-stage passes); retention
+  * derives the cohort with an unordered per-user window min (no sort —
+  * Spark plans a frame-less window as a hash-style full-partition
+  * aggregate) instead of a self-join back onto the events.
+  */
+object FunnelOps {
+
+  /** Funnel stages, in conversion order. */
+  private val stages = Seq("signup", "view", "click", "purchase")
+
+  // ---------------------------------------------------------------- Q29
+  /** Conversion funnel: users reaching each stage of
+    * signup → view → click → purchase, where each stage's event must be
+    * STRICTLY later than the previous stage's (first-match semantics:
+    * stage k's timestamp is the earliest qualifying event after stage
+    * k-1's).
+    *
+    * One groupBy(user_id) collects the (ts, type) pairs; `sort_array` +
+    * a single left-to-right `aggregate` fold computes all four stage
+    * timestamps in one pass over each user's history. The shuffle
+    * carries one row per event ((user, ts, type) — no payload), and the
+    * fold state is 4 longs regardless of history length. A 100 TB event
+    * log funnels with exactly one exchange. */
+  def q29_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin(stages: _*))
+    val nullT = lit(null).cast(LongType)
+    // fold: t(k) fills with the first event of stage k strictly after
+    // t(k-1); earlier accumulator fields are read from acc (the event
+    // that sets t(k-1) cannot also set t(k) — its type differs).
+    val folded = e
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type"))))
+        .as("evs"))
+      .withColumn("ts", aggregate(
+        col("evs"),
+        struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3"),
+          nullT.as("t4")),
+        (acc: Column, ev: Column) => {
+          def step(prev: Column, cur: Column, stage: String): Column =
+            when(cur.isNull && prev.isNotNull &&
+              ev("event_type") === stage && ev("ts_us") > prev, ev("ts_us"))
+              .otherwise(cur)
+          struct(
+            when(acc("t1").isNull && ev("event_type") === "signup",
+              ev("ts_us")).otherwise(acc("t1")).as("t1"),
+            step(acc("t1"), acc("t2"), "view").as("t2"),
+            step(acc("t2"), acc("t3"), "click").as("t3"),
+            step(acc("t3"), acc("t4"), "purchase").as("t4"))
+        }))
+    folded
+      .agg(
+        count(col("ts.t1")).as("n1"), count(col("ts.t2")).as("n2"),
+        count(col("ts.t3")).as("n3"), count(col("ts.t4")).as("n4"))
+      .select(expr(
+        "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3," +
+          " 4, 'purchase', n4) AS (stage, stage_name, n_users)"))
+      .orderBy("stage")
+  }
+
+  val q29Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |u1 AS (SELECT user_id,
+       |         MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1
+       |       FROM e GROUP BY user_id),
+       |u2 AS (SELECT u1.user_id, t1,
+       |         MIN(CASE WHEN e.event_type = 'view' AND e.ts_us > u1.t1
+       |             THEN e.ts_us END) AS t2
+       |       FROM u1 JOIN e ON e.user_id = u1.user_id
+       |       GROUP BY u1.user_id, t1),
+       |u3 AS (SELECT u2.user_id, t1, t2,
+       |         MIN(CASE WHEN e.event_type = 'click' AND e.ts_us > u2.t2
+       |             THEN e.ts_us END) AS t3
+       |       FROM u2 JOIN e ON e.user_id = u2.user_id
+       |       GROUP BY u2.user_id, t1, t2),
+       |u4 AS (SELECT u3.user_id, t1, t2, t3,
+       |         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > u3.t3
+       |             THEN e.ts_us END) AS t4
+       |       FROM u3 JOIN e ON e.user_id = u3.user_id
+       |       GROUP BY u3.user_id, t1, t2, t3)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'signup' AS stage_name, COUNT(t1) AS n_users
+       |  FROM u4
+       |  UNION ALL SELECT 2, 'view', COUNT(t2) FROM u4
+       |  UNION ALL SELECT 3, 'click', COUNT(t3) FROM u4
+       |  UNION ALL SELECT 4, 'purchase', COUNT(t4) FROM u4)
+       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- Q30
+  /** Cohort retention: users grouped by the epoch-day of their FIRST
+    * event; for each (cohort_day, day_offset) the number of distinct
+    * cohort users active that day (day granularity — the synthetic
+    * corpus is dense enough that weekly retention is a flat 100%).
+    *
+    * The cohort day comes from an unordered window min over the user
+    * partition — no sort and no join back. The distinct-user count
+    * shuffles (cohort, offset, user) triples once; everything upstream
+    * stays in the single user_id exchange. */
+  def q30_retention(s: SparkSession, dir: String): DataFrame = {
+    val usDay = 86400000000L // one epoch-aligned day, in µs
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"))
+    val w = Window.partitionBy("user_id")
+    // integer `div`, not `/`+cast: a double quotient that lands within
+    // one ULP of a day boundary could truncate differently than the
+    // oracle's integer division
+    e.withColumn("first_ts", min(col("ts_us")).over(w))
+      .withColumn("cohort_day", expr(s"first_ts div $usDay"))
+      .withColumn("day_offset",
+        expr(s"ts_us div $usDay") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q30Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |f AS (SELECT user_id, ts_us,
+       |        MIN(ts_us) OVER (PARTITION BY user_id)
+       |          // 86400000000 AS cohort_day
+       |      FROM e)
+       |SELECT cohort_day,
+       |  ts_us // 86400000000 - cohort_day AS day_offset,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM f
+       |GROUP BY 1, 2
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_funnel" -> (q29_funnel _),
+    "q30_retention" -> (q30_retention _))
+
+  def oracles: Map[String, String] = Map(
+    "q29_funnel" -> q29Sql,
+    "q30_retention" -> q30Sql)
+}

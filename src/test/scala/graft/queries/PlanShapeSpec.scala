@@ -168,6 +168,22 @@ class PlanShapeSpec extends SparkSpec {
       "bin counts must combine map-side; the shuffle carries |bins| rows")
   }
 
+  test("q29 funnel folds the stage chain without a single join — the " +
+      "per-stage self-joins the SQL formulation needs are gone") {
+    val plan = planOf(FunnelOps.queries("q29_funnel")(spark, sfDir))
+    assert(!plan.contains("Join"),
+      "the higher-order fold computes all four stages in one pass; any " +
+        "Join means we re-scan events per stage")
+  }
+
+  test("q30 retention derives cohorts in-partition: no join back onto " +
+      "events, window is partitioned") {
+    val plan = planOf(FunnelOps.queries("q30_retention")(spark, sfDir))
+    assert(!plan.contains("Join"),
+      "first-event cohort must come from the per-user window, not a " +
+        "self-join")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
