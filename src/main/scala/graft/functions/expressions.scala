@@ -335,6 +335,26 @@ object native {
   def hyperplaneBands(vec: Column, nBits: Int, bandBits: Int): Column =
     GraftColumnBridge.column(
       HyperplaneBands(GraftColumnBridge.expression(vec), nBits, bandBits))
+
+  /** Bloom-filter build aggregate over a LONG column (Spark's own
+    * sketch aggregate, the one InjectRuntimeFilter plants for runtime
+    * row filters — we surface it for explicit use). Returns the
+    * serialized filter as BINARY. */
+  def bloomAgg(c: Column, estimatedItems: Long): Column =
+    GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(GraftColumnBridge.expression(c),
+          estimatedItems).toAggregateExpression())
+
+  /** Membership probe against a driver-built serialized Bloom filter.
+    * Codegen'd (BloomFilterMightContain has doGenCode); the filter bytes
+    * ride the plan as a literal, which broadcasts with the task binary. */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, BinaryType),
+        GraftColumnBridge.expression(c)))
 }
 
 /** Session extension pack: `spark.sql.extensions=graft.functions.GraftExtensions`

@@ -70,6 +70,38 @@ object CurationOps {
       |GROUP BY ex.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-prefiltered twin of q27_decontaminate — same logical result
+    * (the exact verify join removes every Bloom false positive), but the
+    * corpus side is first gated by a serialized Bloom filter of the
+    * benchmark grams, evaluated map-side as a codegen'd predicate.
+    *
+    * Why this exists at 100 TB: the exact join needs the bench-gram set
+    * as a hash relation (broadcast here; a shuffle join once eval suites
+    * outgrow the broadcast ceiling). The Bloom probe costs ~1.2 bytes/
+    * gram instead of ~16+ and cuts the rows entering that join from
+    * |corpus grams| to |hits + ε·corpus| BEFORE any exchange, so the
+    * expensive path only ever sees near-matches. The one collected row
+    * (the filter bytes) is a build artifact, not a result collect —
+    * exactly what Spark's own InjectRuntimeFilter does internally. */
+  def q27b_decontam_bloom(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleSets(s, dir)
+      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+      .localCheckpoint()
+    val benchGrams = sh.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("h")).distinct()
+      .localCheckpoint() // bloom build + verify join share one compute
+    val bloomBytes = benchGrams
+      .select(graft.functions.native.bloomAgg(col("h"), 1000000L))
+      .head.getAs[Array[Byte]](0)
+    sh.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .filter(graft.functions.native.bloomMightContain(bloomBytes, col("h")))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- repetition
   /** Gopher-style repetition signals per document: most-common-token
     * count, 2-gram duplicate count, and the integer-only keep gate
@@ -347,6 +379,7 @@ object CurationOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_decontaminate" -> (q27_decontaminate _),
+    "q27b_decontam_bloom" -> (q27b_decontam_bloom _),
     "q27_repetition" -> (q27_repetition _),
     "q27_pack" -> (q27_pack _),
     "q27_shuffle" -> (q27_shuffle _),
@@ -355,6 +388,7 @@ object CurationOps {
 
   def oracles: Map[String, String] = Map(
     "q27_decontaminate" -> q27DecontaminateSql,
+    "q27b_decontam_bloom" -> q27DecontaminateSql, // exact twin by design
     "q27_repetition" -> q27RepetitionSql,
     "q27_pack" -> q27PackSql,
     "q27_shuffle" -> q27ShuffleSql,

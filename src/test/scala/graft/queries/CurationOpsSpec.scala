@@ -89,6 +89,17 @@ class CurationOpsSpec extends SparkSpec {
       s"benchmark side must broadcast, plan was:\n$plan")
   }
 
+  test("bloom decontaminate ≡ exact decontaminate, with the probe in " +
+      "the plan before the verify join") {
+    val exact = CurationOps.q27_decontaminate(spark, sfDir)
+    val bloom = CurationOps.q27b_decontam_bloom(spark, sfDir)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "the verify join must remove every Bloom false positive")
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the Bloom membership probe must gate the corpus side map-side")
+  }
+
   test("repetition: brute-force ground truth on the corpus") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
