@@ -554,6 +554,42 @@ object Relational {
        |FROM orders
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** RANGE-frame window: per customer, total and count of orders in the
+    * trailing 30-DAY window keyed by VALUE distance on the order date —
+    * not row count (ROWS) and not peers-only. The frame bound works on
+    * an integer day number (µs div day) so both engines resolve the
+    * frame identically; same-day orders are peers and share the frame.
+    * Physically identical cost to q14: one shuffle on the partition key,
+    * one sort, a sliding frame evaluated incrementally. */
+  def q14c_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val day = t(s, dir, "orders")
+      // o_orderdate is TIMESTAMP_NTZ: day number via calendar datediff
+      // (identical integer in DuckDB's date subtraction), not epoch µs
+      .withColumn("day_num",
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType))
+    val w = Window.partitionBy("o_custkey").orderBy("day_num")
+      .rangeBetween(-30, 0)
+    day
+      .withColumn("r30_total",
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+      .withColumn("r30_n", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "day_num", "r30_total", "r30_n")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q14cSql: String =
+    s"""WITH o AS (SELECT *,
+       |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+       |    AS day_num FROM orders)
+       |SELECT o_custkey, o_orderkey, day_num,
+       |  CAST(SUM(CAST(o_totalprice AS $D18)) OVER w AS DOUBLE) AS r30_total,
+       |  COUNT(*) OVER w AS r30_n
+       |FROM o
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Distribution window functions — ntile / percent_rank / cume_dist per
     * order-priority partition. All three derive from the same sort, so
     * Spark evaluates them in ONE window operator (one shuffle on the
@@ -777,6 +813,47 @@ object Relational {
       |  COUNT(json_extract_string(props, '$.k')) AS n_k
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Higher-order array functions — collect each order's line items into
+    * an array once, then answer four questions with row-local lambdas
+    * (transform / filter / exists / aggregate with a decimal
+    * accumulator): item count, big-quantity count, a flag, and the exact
+    * revenue. After the single groupBy shuffle, every lambda is
+    * per-row compute inside codegen — this is the "collect once, derive
+    * many" shape that replaces N aggregate passes at 100 TB. The oracle
+    * states the same facts as plain per-group SQL, which is the point:
+    * the HOF pipeline must equal the relational answer exactly (decimal
+    * lambda accumulator ≡ SUM). */
+  def q20b_array_hof(s: SparkSession, dir: String): DataFrame = {
+    val acc0 = lit(BigDecimal(0)).cast(DecimalType(38, 4))
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")))).as("items"))
+      .select(
+        col("l_orderkey"),
+        size(col("items")).as("n_items"),
+        size(filter(col("items"), i => i("l_quantity") >= 30))
+          .as("n_big"),
+        exists(col("items"), i => i("l_quantity") === 50).as("has_50"),
+        aggregate(
+          transform(col("items"),
+            i => dec(i("l_quantity")) * dec(i("l_extendedprice"))),
+          acc0, (a, x) => a + x).cast(DoubleType).as("qty_weighted"))
+      .orderBy("l_orderkey")
+  }
+
+  val q20bSql: String =
+    s"""SELECT l_orderkey,
+       |  CAST(COUNT(*) AS INT) AS n_items,
+       |  CAST(COUNT(*) FILTER (WHERE l_quantity >= 30) AS INT) AS n_big,
+       |  COUNT(*) FILTER (WHERE l_quantity = 50) > 0 AS has_50,
+       |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18))
+       |    AS DOUBLE) AS qty_weighted
+       |FROM lineitem
+       |GROUP BY l_orderkey
+       |ORDER BY l_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- Q21
   /** Correlated scalar subquery (orders above their customer's average) —
     * Catalyst decorrelates into an aggregate + join; identical SQL text
@@ -818,6 +895,7 @@ object Relational {
     "q13_window_rank" -> (q13_window_rank _),
     "q14_window_analytic" -> (q14_window_analytic _),
     "q14b_distribution" -> (q14b_distribution _),
+    "q14c_range_frame" -> (q14c_range_frame _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q17_string" -> (q17_string _),
@@ -826,6 +904,7 @@ object Relational {
     "q19_math" -> (q19_math _),
     "q19b_histogram" -> (q19b_histogram _),
     "q20_json_array" -> (q20_json_array _),
+    "q20b_array_hof" -> (q20b_array_hof _),
     "q21_subquery" -> (q21_subquery _))
 
   def oracles: Map[String, String] = Map(
@@ -850,6 +929,7 @@ object Relational {
     "q13_window_rank" -> q13Sql,
     "q14_window_analytic" -> q14Sql,
     "q14b_distribution" -> q14bSql,
+    "q14c_range_frame" -> q14cSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q17_string" -> q17Sql,
@@ -858,5 +938,6 @@ object Relational {
     "q19_math" -> q19Sql,
     "q19b_histogram" -> q19bSql,
     "q20_json_array" -> q20Sql,
+    "q20b_array_hof" -> q20bSql,
     "q21_subquery" -> q21Sql)
 }

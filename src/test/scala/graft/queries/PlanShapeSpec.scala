@@ -168,6 +168,23 @@ class PlanShapeSpec extends SparkSpec {
       "bin counts must combine map-side; the shuffle carries |bins| rows")
   }
 
+  test("q20b collect-once HOF pipeline: one aggregation, lambdas stay " +
+      "row-local (no Window, no join, no second aggregate pass)") {
+    val plan = planOf(Relational.queries("q20b_array_hof")(spark, sfDir))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "all four derived facts must come from the collected array")
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r
+      .findAllIn(plan).size <= 4,
+      "collect_list aggregates once (partial+final) — no per-fact passes")
+  }
+
+  test("q14c RANGE frame is one Window over one sort, same as the ROWS " +
+      "frame family") {
+    val plan = planOf(Relational.queries("q14c_range_frame")(spark, sfDir))
+    assert("Window".r.findAllIn(plan).size == 1,
+      "both frame aggregates share the day-number sort")
+  }
+
   test("q29 funnel folds the stage chain without a single join — the " +
       "per-stage self-joins the SQL formulation needs are gone") {
     val plan = planOf(FunnelOps.queries("q29_funnel")(spark, sfDir))
