@@ -661,6 +661,33 @@ object Relational {
       |SELECT 'only_b' AS op, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
       |ORDER BY op, c_custkey""".stripMargin
 
+  /** BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    * survive — an order with 3 qualifying lines on one side and 2 on the
+    * other contributes min(3,2) to the intersection and 3−2 to the
+    * difference. Spark plans both as a single count-compare aggregate
+    * (no join): one shuffle on the value, per-key counts from each side,
+    * then replicate — the bag algebra at aggregate cost. */
+  def q16b_setops_all(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val a = l.filter(col("l_quantity") > 25).select("l_orderkey")
+    val b = l.filter(col("l_returnflag") === "R").select("l_orderkey")
+    val both = a.intersectAll(b).withColumn("op", lit("both"))
+    val onlyA = a.exceptAll(b).withColumn("op", lit("only_a"))
+    both.unionAll(onlyA)
+      .select("op", "l_orderkey")
+      .orderBy("op", "l_orderkey")
+  }
+
+  val q16bSql: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 25),
+      |     b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'both' AS op, l_orderkey
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_a' AS op, l_orderkey
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |ORDER BY op, l_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- Q17
   /** Scalar string functions — all whole-stage-codegen built-ins. */
   def q17_string(s: SparkSession, dir: String): DataFrame =
@@ -854,6 +881,45 @@ object Relational {
        |GROUP BY l_orderkey
        |ORDER BY l_orderkey""".stripMargin
 
+  /** MapType pipeline: per-user event-type counts built into a MAP
+    * (map_from_entries), per-entry derivation with transform_values
+    * (integer micro-unit share of the user's total — exact, no
+    * doubles), map_filter to keep types at ≥20% share, then explode
+    * back to rows. MapType is a first-class column here — built,
+    * transformed, filtered, and destructured row-locally after one
+    * aggregate; the oracle states the same result relationally
+    * (map algebra over a group ≡ HAVING over the grouped rows). */
+  def q20c_map(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("user_id")
+      .agg(
+        map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"),
+        sum(col("n")).as("total"))
+      // SQL-text lambdas: `div` (integer division) has no Column-API
+      // equivalent, and / on longs would detour through doubles
+      .withColumn("shares",
+        expr("transform_values(m, (k, v) -> v * 1000000 div total)"))
+      .withColumn("kept",
+        expr("map_filter(shares, (k, v) -> v >= 200000)"))
+      .select(col("user_id"), explode(col("kept")).as(Seq("event_type",
+        "share_micro")))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q20cSql: String =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |           FROM events GROUP BY user_id, event_type),
+      |t AS (SELECT user_id, SUM(n) AS total FROM c GROUP BY user_id)
+      |SELECT c.user_id, c.event_type,
+      |  CAST(c.n * 1000000 // t.total AS BIGINT) AS share_micro
+      |FROM c JOIN t ON c.user_id = t.user_id
+      |WHERE c.n * 1000000 // t.total >= 200000
+      |ORDER BY c.user_id, c.event_type""".stripMargin
+
   // ---------------------------------------------------------------- Q21
   /** Correlated scalar subquery (orders above their customer's average) —
     * Catalyst decorrelates into an aggregate + join; identical SQL text
@@ -898,6 +964,7 @@ object Relational {
     "q14c_range_frame" -> (q14c_range_frame _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
+    "q16b_setops_all" -> (q16b_setops_all _),
     "q17_string" -> (q17_string _),
     "q17b_fuzzy" -> (q17b_fuzzy _),
     "q18_date" -> (q18_date _),
@@ -905,6 +972,7 @@ object Relational {
     "q19b_histogram" -> (q19b_histogram _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
+    "q20c_map" -> (q20c_map _),
     "q21_subquery" -> (q21_subquery _))
 
   def oracles: Map[String, String] = Map(
@@ -932,6 +1000,7 @@ object Relational {
     "q14c_range_frame" -> q14cSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
+    "q16b_setops_all" -> q16bSql,
     "q17_string" -> q17Sql,
     "q17b_fuzzy" -> q17bSql,
     "q18_date" -> q18Sql,
@@ -939,5 +1008,6 @@ object Relational {
     "q19b_histogram" -> q19bSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
+    "q20c_map" -> q20cSql,
     "q21_subquery" -> q21Sql)
 }

@@ -185,6 +185,21 @@ class PlanShapeSpec extends SparkSpec {
       "both frame aggregates share the day-number sort")
   }
 
+  test("q16b bag set-ops plan as count-compare aggregates, not joins") {
+    val plan = planOf(Relational.queries("q16b_setops_all")(spark, sfDir))
+    assert(!plan.contains("Join"),
+      "INTERSECT ALL / EXCEPT ALL must be the single-shuffle replicate-" +
+        "by-count aggregate, never a join per side")
+  }
+
+  test("q20c map pipeline derives and filters entries row-locally — no " +
+      "join back for the per-user total") {
+    val plan = planOf(Relational.queries("q20c_map")(spark, sfDir))
+    assert(!plan.contains("Join"),
+      "the total rides the same aggregate row as the map; shares/" +
+        "filtering are transform_values/map_filter lambdas")
+  }
+
   test("q29 funnel folds the stage chain without a single join — the " +
       "per-stage self-joins the SQL formulation needs are gone") {
     val plan = planOf(FunnelOps.queries("q29_funnel")(spark, sfDir))
