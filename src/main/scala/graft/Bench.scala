@@ -29,10 +29,20 @@ object Bench {
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.toString).getOrElse(sfDir)
     }
+    // Leftover localCheckpoint RDDs pin executor memory: with ~15
+    // checkpointing queries × (warmup + 2 timed runs) the session
+    // accumulates dozens of pinned sf-sized snapshots, and later
+    // queries absorb the GC pressure as phantom regressions. Dropping
+    // them BETWEEN queries is hygiene, not help — every timed run still
+    // pays its own checkpoint cost inside its own clock.
+    def dropPinnedRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0"))
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        finally dropPinnedRdds()
       }
     // min of 2 timed runs per query: single samples on a shared box
     // vary up to 2.5x with CPU contention; the minimum is the standard
@@ -49,7 +59,7 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
-        }
+        } finally dropPinnedRdds()
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
