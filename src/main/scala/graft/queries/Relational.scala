@@ -937,6 +937,35 @@ object Relational {
        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
        |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q31
+  /** NULL semantics, end to end: a derived nullable key (NULLIF), a
+    * NULL-SAFE equi-join (<=> — Catalyst accepts EqualNullSafe as a hash
+    * join key, so the null bucket hashes like any other value instead of
+    * falling out of the join), and the COALESCE repair on the other side.
+    * The broadcast dim row with the NULL key is the canonical "match the
+    * unknowns" pattern; the oracle uses IS NOT DISTINCT FROM. */
+  def q31_nulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("F", "final"), ("P", "pending"), (null, "open"))
+      .toDF("k", "label")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_n"))
+      .join(broadcast(dim), col("st_n") <=> col("k"), "left")
+      .select(col("o_orderkey"), col("st_n"),
+        col("label"), coalesce(col("st_n"), lit("O")).as("st_filled"))
+      .orderBy("o_orderkey")
+  }
+
+  val q31Sql: String =
+    """WITH dim(k, label) AS (
+      |  VALUES ('F', 'final'), ('P', 'pending'), (NULL, 'open'))
+      |SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st_n, label,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'O') AS st_filled
+      |FROM orders LEFT JOIN dim
+      |  ON NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM k
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01_scan _),
@@ -973,7 +1002,8 @@ object Relational {
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
-    "q21_subquery" -> (q21_subquery _))
+    "q21_subquery" -> (q21_subquery _),
+    "q31_nulls" -> (q31_nulls _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1009,5 +1039,6 @@ object Relational {
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
-    "q21_subquery" -> q21Sql)
+    "q21_subquery" -> q21Sql,
+    "q31_nulls" -> q31Sql)
 }
