@@ -25,11 +25,35 @@ object CdcOps {
     * decode queries measure the DECODER, not string formatting; the
     * fixture survives the bench's between-query RDD cleanup (a memoized
     * localCheckpoint would not); and cdc1/cdc2 (likewise cdc5/cdc6)
-    * share one generation. JVM-local cache → no cross-run staleness. */
+    * share one generation. JVM-local cache → no cross-run staleness.
+    *
+    * HARNESS-ONLY construct: the path is driver-local java.io.tmpdir,
+    * valid because Bench/Verify/tests all run master=local[*] (driver
+    * and executors share a filesystem). A cluster deployment replays
+    * real capture files from shared storage and never calls this. The
+    * shutdown hook reclaims the fixtures so repeated rounds don't
+    * accumulate sf-sized trees in /tmp. */
   private val fixtureLock = new Object
   private var fixturePaths = Map.empty[(String, String), String]
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+  sys.addShutdownHook {
+    fixtureLock.synchronized {
+      fixturePaths.values.foreach(p =>
+        try deleteRecursively(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () })
+    }
+  }
   private def replayFixture(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
+    require(s.sparkContext.isLocal,
+      "synthetic replay fixtures are a local-mode harness construct; " +
+        "on a cluster, replay real capture files from shared storage")
     val path = fixtureLock.synchronized {
       fixturePaths.getOrElse((name, dir), {
         val p = java.nio.file.Files

@@ -38,20 +38,32 @@ object CurationOps {
     * the grams themselves up to a ~1e-7 collision tail, so the string
     * oracle hash-matches — same argument as q22_dedup_ngram. */
   def q27_decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // materialized once: the bench and corpus branches below would
-    // otherwise each rescan + reshingle the whole table (the fork-
-    // recompute trap PrefixCarry documents)
-    val sh = DedupOps.shingleSets(s, dir)
-      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
-      .localCheckpoint()
-    val benchGrams = sh.filter(col("is_bench"))
-      .select(explode(col("shingles")).as("h")).distinct()
+    val (sh, benchGrams) = contaminationSides(s, dir)
     sh.filter(!col("is_bench"))
       .select(col("doc_id"), explode(col("shingles")).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** Shingle frame (with the is_bench split flag) + distinct benchmark
+    * gram set — the ONE definition of the held-out slice, shared by the
+    * exact and Bloom decontamination twins (they must stay exact twins:
+    * they share one oracle SQL). `sh` is materialized once — the bench
+    * and corpus branches would otherwise each rescan + reshingle the
+    * whole table (the fork-recompute trap PrefixCarry documents);
+    * benchGrams likewise, its consumers (verify join and/or bloom
+    * build) cannot share an unmaterialized subtree. */
+  private def contaminationSides(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = DedupOps.shingleSets(s, dir)
+      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+      .localCheckpoint()
+    val benchGrams = sh.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("h")).distinct()
+      .localCheckpoint()
+    (sh, benchGrams)
   }
 
   val q27DecontaminateSql: String =
@@ -84,14 +96,15 @@ object CurationOps {
     * (the filter bytes) is a build artifact, not a result collect —
     * exactly what Spark's own InjectRuntimeFilter does internally. */
   def q27b_decontam_bloom(s: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.shingleSets(s, dir)
-      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
-      .localCheckpoint()
-    val benchGrams = sh.filter(col("is_bench"))
-      .select(explode(col("shingles")).as("h")).distinct()
-      .localCheckpoint() // bloom build + verify join share one compute
+    val (sh, benchGrams) = contaminationSides(s, dir)
+    // size the filter from the REAL distinct-gram count (cheap: one
+    // count over the checkpointed snapshot) — a fixed capacity would
+    // silently degrade toward fpp≈1 once eval suites outgrow it, and
+    // the verify join would hide the regression (results stay correct,
+    // the prefilter just stops cutting anything)
+    val items = math.max(benchGrams.count(), 1024L)
     val bloomBytes = benchGrams
-      .select(graft.functions.native.bloomAgg(col("h"), 1000000L))
+      .select(graft.functions.native.bloomAgg(col("h"), items))
       .head.getAs[Array[Byte]](0)
     sh.filter(!col("is_bench"))
       .select(col("doc_id"), explode(col("shingles")).as("h"))

@@ -33,9 +33,13 @@ object FunnelOps {
     * One groupBy(user_id) collects the (ts, type) pairs; `sort_array` +
     * a single left-to-right `aggregate` fold computes all four stage
     * timestamps in one pass over each user's history. The shuffle
-    * carries one row per event ((user, ts, type) — no payload), and the
-    * fold state is 4 longs regardless of history length. A 100 TB event
-    * log funnels with exactly one exchange. */
+    * carries one row per event ((user, ts, type) — no payload) and the
+    * fold accumulator is 4 longs — but collect_list materializes each
+    * user's full history in one aggregation buffer first, so per-user
+    * memory is O(events). For human-scale keys that is bytes; a
+    * hot-key log (bots with 10⁷ events) should pre-filter or use the
+    * streaming twin (graft.streaming.FunnelStream), whose keyed state
+    * is genuinely 4 longs per user. */
   def q29_funnel(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .filter(col("event_type").isin(stages: _*))

@@ -718,13 +718,20 @@ object Relational {
     * A vocabulary too big to broadcast would add the q22_ngram prefix
     * filter in front; at this domain size that would be overhead. */
   def q17b_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    // one distinct pass feeds both join sides (snapshot — the probe and
+    // broadcast branches cannot share an unmaterialized subtree)
     val names = t(s, dir, "part").select("p_name").distinct()
+      .localCheckpoint()
     val a = names.select(col("p_name").as("name_a"))
     val b = broadcast(names.select(col("p_name").as("name_b")))
-    a.join(b, col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 3)
+    // join on the cheap order predicate only, THEN compute the O(len²)
+    // edit distance ONCE per candidate pair and filter — a levenshtein
+    // in the join condition would be re-evaluated by the dist projection
+    // (no CSE across condition and project)
+    a.join(b, col("name_a") < col("name_b"))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast(IntegerType))
+      .filter(col("dist") <= 3)
       .select("name_a", "name_b", "dist")
       .orderBy("name_a", "name_b")
   }

@@ -53,10 +53,19 @@ object FunnelStream {
   /** One (user_id, stage) row per user per microbatch that touched the
     * user — the latest stage reached. Update output mode; downstream
     * sinks key on user_id. */
+  /** Funnel stages, in conversion order (matches FunnelOps). */
+  private val stages = Seq("signup", "view", "click", "purchase")
+
   def stageProgress(events: DataFrame): Dataset[(Long, Int)] = {
     val s = events.sparkSession
     import s.implicits._
     events
+      // drop non-funnel traffic BEFORE the stateful shuffle (the batch
+      // twin filters the same way): otherwise every user ever seen
+      // allocates permanent state and emits stage-0 rows, and the
+      // "4 longs per funnel participant" bound silently becomes
+      // 4 longs per user of any event type
+      .filter(col("event_type").isin(stages: _*))
       .select(col("user_id").cast("long"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[(Long, Long, String)]

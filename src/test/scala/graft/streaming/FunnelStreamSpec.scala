@@ -32,11 +32,12 @@ class FunnelStreamSpec extends SparkSpec {
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
-    // update mode emits one row per touched user per batch; the LAST
-    // row per user is its final stage (memory sink appends updates)
+    // update mode emits one row per touched user per batch; per-user
+    // stage is monotone non-decreasing, so the MAX stage is the final
+    // one — no reliance on the memory sink's row order
     spark.table(name).as[(Long, Int)].collect()
-      .zipWithIndex.groupBy(_._1._1)
-      .map { case (u, rows) => u -> rows.maxBy(_._2)._1._2 }
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).max }
   }
 
   test("stage chain is strict: same-timestamp next-stage events do not " +
