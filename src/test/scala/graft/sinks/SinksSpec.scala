@@ -118,6 +118,13 @@ class SinksSpec extends SparkSpec {
     // partition-pruned read returns exactly that table's rows
     val users = spark.read.parquet(dir).filter($"table" === "users")
     assert(users.count() == envelopes.filter($"table" === "users").count())
+    // and the predicate lands as a PARTITION filter — directory-level
+    // pruning, not a data filter over every file (the whole point of
+    // the layout at 100 TB)
+    val plan = users.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(table") ||
+      plan.contains("PartitionFilters: [(table"),
+      s"table= predicate must prune directories, not scan rows:\n$plan")
   }
 
   test("exactly-once parquet sink: batch replay is a no-op, uncommitted " +

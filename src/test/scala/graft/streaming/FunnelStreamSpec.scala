@@ -76,6 +76,45 @@ class FunnelStreamSpec extends SparkSpec {
         "documented in-order transport contract")
   }
 
+  test("funnel state survives a checkpoint restart: the chain resumes " +
+      "from stages reached before the crash") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-funnel-restart").toString
+    val schema = "ts TIMESTAMP, event_type STRING, user_id LONG"
+    // memory sink cannot recover from a checkpoint; foreachBatch can —
+    // append each update batch to parquet, final stage = max over rows
+    def startQuery() = FunnelStream.stageProgress(
+        spark.readStream.schema(schema).json(s"$dir/in"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, Int)], _: Long) =>
+        b.write.mode("append").parquet(s"$dir/out"): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update").start()
+
+    // batch 1: signup + view, then a hard stop (simulated crash)
+    Seq(FunnelEv(tsOf(1000000L), "signup", 3L),
+      FunnelEv(tsOf(2000000L), "view", 3L)).toDF()
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2: click + purchase arrive only after the restart — they
+    // can only complete the funnel if t1/t2 came back from the
+    // checkpointed state
+    Seq(FunnelEv(tsOf(3000000L), "click", 3L),
+      FunnelEv(tsOf(4000000L), "purchase", 3L)).toDF()
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val stage = spark.read.parquet(s"$dir/out").as[(Long, Int)].collect()
+      .filter(_._1 == 3L).map(_._2).max
+    assert(stage == 4,
+      "post-restart click+purchase must chain onto the pre-restart " +
+        "signup+view recovered from the checkpoint")
+  }
+
   test("streaming funnel over the real corpus == batch q29 counts, fed " +
       "in order across 4 microbatches") {
     val evs = graft.Tables.events(spark, sfDir)
