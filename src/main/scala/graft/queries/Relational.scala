@@ -590,6 +590,47 @@ object Relational {
        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Navigation window functions: first_value with IGNORE NULLS over a
+    * running frame (the carry idiom), last_value and nth_value over the
+    * full partition frame, and lead with an explicit default. The
+    * nullable column is derived (NULLIF) so the ignore-nulls semantics
+    * actually bite. All four share one partition sort. */
+  def q14d_navigation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("st_n", nullif(col("o_orderstatus"), lit("O")))
+      .withColumn("first_nonnull_st",
+        first(col("st_n"), ignoreNulls = true).over(run))
+      .withColumn("last_key", last(col("o_orderkey")).over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("next_price",
+        lead(col("o_totalprice"), 1, -1.0).over(w))
+      .select("o_custkey", "o_orderkey", "st_n", "first_nonnull_st",
+        "last_key", "second_key", "next_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q14dSql: String =
+    """SELECT o_custkey, o_orderkey, NULLIF(o_orderstatus, 'O') AS st_n,
+      |  FIRST_VALUE(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS first_nonnull_st,
+      |  LAST_VALUE(o_orderkey) OVER wfull AS last_key,
+      |  NTH_VALUE(o_orderkey, 2) OVER wfull AS second_key,
+      |  LEAD(o_totalprice, 1, -1.0) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |    AS next_price
+      |FROM orders
+      |WINDOW wfull AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Distribution window functions — ntile / percent_rank / cume_dist per
     * order-priority partition. All three derive from the same sort, so
     * Spark evaluates them in ONE window operator (one shuffle on the
@@ -825,6 +866,60 @@ object Relational {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** Deterministic statistics (variance / stddev / correlation) from
+    * EXACT decimal moments. The built-in double aggregates (stddev,
+    * corr) stream Welford-style updates whose result depends on
+    * partition boundaries and merge order — on a distributed engine the
+    * same query can return different low bits run to run, and no oracle
+    * can hash-match them. Instead: five exact decimal sums (one partial
+    * hash aggregate, same cost class as q03), cast to double ONCE, then
+    * the textbook formulas evaluated in an identical expression order on
+    * both engines. Bit-reproducible at any partitioning — what a 100 TB
+    * nightly metrics job actually wants. */
+  def q19c_stats(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast(LongType).as("n_rows"),
+        (col("sx") / col("n")).as("mean_qty"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("var_qty"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q19cSql: String =
+    s"""WITH m AS (SELECT l_returnflag,
+       |  CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_quantity AS $D18)) AS DOUBLE) AS sxx,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS syy,
+       |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  sx / n AS mean_qty,
+       |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+       |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+       |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |    AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
     * event-type array is distinct+sorted, then joined to a single string so
@@ -944,6 +1039,41 @@ object Relational {
        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
        |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q32
+  /** Dimension-grid CROSS JOIN + zero-fill: every (priority, status)
+    * combination — including pairs with no orders — with its order count
+    * and revenue. The cartesian is INTENTIONAL and safe: both sides are
+    * tiny distinct dimension sets (the product is |P|×|S|, never row-
+    * scale), the facts aggregate BEFORE joining the grid, and the zero
+    * rows come from coalesce over the left join. The pattern every
+    * report with "show empty cells too" needs. */
+  def q32_grid_cross(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val grid = o.select("o_orderpriority").distinct()
+      .crossJoin(o.select("o_orderstatus").distinct())
+    val facts = o.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+    grid.join(facts, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val q32Sql: String =
+    s"""WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+       |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+       |f AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       |        CAST(SUM(CAST(o_totalprice AS $D18)) AS DOUBLE) AS revenue
+       |      FROM orders GROUP BY 1, 2)
+       |SELECT p.o_orderpriority, st.o_orderstatus,
+       |  COALESCE(f.n, 0) AS n, COALESCE(f.revenue, 0.0) AS revenue
+       |FROM p CROSS JOIN st
+       |LEFT JOIN f ON f.o_orderpriority = p.o_orderpriority
+       |  AND f.o_orderstatus = st.o_orderstatus
+       |ORDER BY p.o_orderpriority, st.o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- Q31
   /** NULL semantics, end to end: a derived nullable key (NULLIF), a
     * NULL-SAFE equi-join (<=> — Catalyst accepts EqualNullSafe as a hash
@@ -998,6 +1128,7 @@ object Relational {
     "q14_window_analytic" -> (q14_window_analytic _),
     "q14b_distribution" -> (q14b_distribution _),
     "q14c_range_frame" -> (q14c_range_frame _),
+    "q14d_navigation" -> (q14d_navigation _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q16b_setops_all" -> (q16b_setops_all _),
@@ -1006,11 +1137,13 @@ object Relational {
     "q18_date" -> (q18_date _),
     "q19_math" -> (q19_math _),
     "q19b_histogram" -> (q19b_histogram _),
+    "q19c_stats" -> (q19c_stats _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
     "q21_subquery" -> (q21_subquery _),
-    "q31_nulls" -> (q31_nulls _))
+    "q31_nulls" -> (q31_nulls _),
+    "q32_grid_cross" -> (q32_grid_cross _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1035,6 +1168,7 @@ object Relational {
     "q14_window_analytic" -> q14Sql,
     "q14b_distribution" -> q14bSql,
     "q14c_range_frame" -> q14cSql,
+    "q14d_navigation" -> q14dSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q16b_setops_all" -> q16bSql,
@@ -1043,9 +1177,11 @@ object Relational {
     "q18_date" -> q18Sql,
     "q19_math" -> q19Sql,
     "q19b_histogram" -> q19bSql,
+    "q19c_stats" -> q19cSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
     "q21_subquery" -> q21Sql,
-    "q31_nulls" -> q31Sql)
+    "q31_nulls" -> q31Sql,
+    "q32_grid_cross" -> q32Sql)
 }
