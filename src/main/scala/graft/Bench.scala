@@ -29,15 +29,7 @@ object Bench {
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.toString).getOrElse(sfDir)
     }
-    // Leftover localCheckpoint RDDs pin executor memory: with ~15
-    // checkpointing queries × (warmup + 2 timed runs) the session
-    // accumulates dozens of pinned sf-sized snapshots, and later
-    // queries absorb the GC pressure as phantom regressions. Dropping
-    // them BETWEEN queries is hygiene, not help — every timed run still
-    // pays its own checkpoint cost inside its own clock.
-    def dropPinnedRdds(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    def dropPinnedRdds(): Unit = Harness.dropPinnedRdds(spark)
     if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0"))
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

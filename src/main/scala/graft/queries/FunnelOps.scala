@@ -20,8 +20,9 @@ import graft.Tables
   */
 object FunnelOps {
 
-  /** Funnel stages, in conversion order. */
-  private val stages = Seq("signup", "view", "click", "purchase")
+  /** Funnel stages, in conversion order (shared with the streaming twin
+    * graft.streaming.FunnelStream — the two must filter identically). */
+  private[graft] val stages = Seq("signup", "view", "click", "purchase")
 
   // ---------------------------------------------------------------- Q29
   /** Conversion funnel: users reaching each stage of

@@ -894,12 +894,11 @@ object Relational {
         (col("sx") / col("n")).as("mean_qty"),
         ((col("n") * col("sxx") - col("sx") * col("sx")) /
           (col("n") * (col("n") - lit(1.0)))).as("var_qty"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - lit(1.0)))).as("stddev_qty"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
           .as("corr_qty_price"))
+      .withColumn("stddev_qty", sqrt(col("var_qty")))
       .orderBy("l_returnflag")
   }
 
@@ -912,13 +911,14 @@ object Relational {
        |  CAST(SUM(CAST(l_extendedprice AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS syy,
        |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sxy
        |  FROM lineitem GROUP BY l_returnflag)
-       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       |  sx / n AS mean_qty,
-       |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
-       |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
-       |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-       |    AS corr_qty_price
-       |FROM m ORDER BY l_returnflag""".stripMargin
+       |SELECT *, sqrt(var_qty) AS stddev_qty FROM (
+       |  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |    sx / n AS mean_qty,
+       |    (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+       |    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |      AS corr_qty_price
+       |  FROM m)
+       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
@@ -1048,12 +1048,17 @@ object Relational {
     * rows come from coalesce over the left join. The pattern every
     * report with "show empty cells too" needs. */
   def q32_grid_cross(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val grid = o.select("o_orderpriority").distinct()
-      .crossJoin(o.select("o_orderstatus").distinct())
-    val facts = o.groupBy("o_orderpriority", "o_orderstatus")
+    // aggregate FIRST, then derive both grid axes from the (tiny)
+    // snapshot — one scan of the fact table instead of three (each
+    // distinct-axis branch would otherwise rescan orders; a present
+    // priority/status necessarily appears in the aggregate)
+    val facts = t(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+      .localCheckpoint()
+    val grid = facts.select("o_orderpriority").distinct()
+      .crossJoin(facts.select("o_orderstatus").distinct())
     grid.join(facts, Seq("o_orderpriority", "o_orderstatus"), "left")
       .select(col("o_orderpriority"), col("o_orderstatus"),
         coalesce(col("n"), lit(0L)).as("n"),

@@ -53,8 +53,8 @@ object FunnelStream {
   /** One (user_id, stage) row per user per microbatch that touched the
     * user — the latest stage reached. Update output mode; downstream
     * sinks key on user_id. */
-  /** Funnel stages, in conversion order (matches FunnelOps). */
-  private val stages = Seq("signup", "view", "click", "purchase")
+  /** Funnel stages, in conversion order — the batch twin's definition. */
+  private val stages = graft.queries.FunnelOps.stages
 
   def stageProgress(events: DataFrame): Dataset[(Long, Int)] = {
     val s = events.sparkSession
