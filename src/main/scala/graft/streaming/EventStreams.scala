@@ -103,4 +103,19 @@ object EventStreams {
     events.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"))
+
+  /** S11: LIVE LEADERBOARD — running top-k event types by all-time
+    * count and exact revenue. Sort + limit on a streaming frame is only
+    * legal in COMPLETE output mode (the sink receives the whole small
+    * result each batch, so a total order exists to take a top-k of);
+    * that's the distinct capability this op pins. State is one running
+    * aggregate row per event type — bounded by the type domain, no
+    * watermark needed (the totals are deliberately all-time). */
+  def liveLeaderboard(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("revenue"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(k)
 }

@@ -145,6 +145,24 @@ class EventStreamsSpec extends SparkSpec {
       s"unexpected outer attribution set: $got")
   }
 
+  test("S11 complete-mode leaderboard: the final table is the all-time " +
+      "top-k, identical to the batch ranking over everything seen") {
+    val events = Seq(
+      Ev(t(0), "view", 1, 1, 2.0), Ev(t(1), "view", 2, 2, 3.0),
+      Ev(t(2), "click", 1, 3, 1.0), Ev(t(3), "view", 3, 4, 4.0),
+      Ev(t(4), "purchase", 1, 5, 9.0), Ev(t(5), "click", 2, 6, 1.5),
+      Ev(t(6), "view", 4, 7, 0.5), Ev(t(7), "error", 9, 8, 0.0))
+    // complete mode REPLACES the sink table each batch — the final
+    // table is the answer over all batches, not an append log
+    val res = runStream(
+      Seq(events.take(3), events.slice(3, 6), events.drop(6)),
+      EventStreams.liveLeaderboard(_, 2), mode = "complete")
+    val got = res.select($"event_type", $"n", $"revenue")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("click", 2L, 2.5), ("view", 4L, 9.5)),
+      s"final leaderboard must rank over ALL batches: $got")
+  }
+
   test("S08 stream-static enrichment decorates every event statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "Customer#1"), (2L, "Customer#2"))
