@@ -1039,6 +1039,28 @@ object Relational {
        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
        |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q33
+  /** LATERAL correlated subquery: per customer, the top-2 orders by
+    * price — the SQL form of "top-k per key" where the subquery sees the
+    * outer row. Catalyst decorrelates the lateral into a DomainJoin and
+    * plans the per-key limit as a ranked window over the join, so the
+    * declarative form costs the same as writing the window by hand
+    * (identical SQL text runs on both engines; customers with no orders
+    * drop out of the inner lateral on both). */
+  def q33_lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q33Sql)
+  }
+
+  val q33Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- Q32
   /** Dimension-grid CROSS JOIN + zero-fill: every (priority, status)
     * combination — including pairs with no orders — with its order count
@@ -1148,7 +1170,8 @@ object Relational {
     "q20c_map" -> (q20c_map _),
     "q21_subquery" -> (q21_subquery _),
     "q31_nulls" -> (q31_nulls _),
-    "q32_grid_cross" -> (q32_grid_cross _))
+    "q32_grid_cross" -> (q32_grid_cross _),
+    "q33_lateral" -> (q33_lateral _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1188,5 +1211,6 @@ object Relational {
     "q20c_map" -> q20cSql,
     "q21_subquery" -> q21Sql,
     "q31_nulls" -> q31Sql,
-    "q32_grid_cross" -> q32Sql)
+    "q32_grid_cross" -> q32Sql,
+    "q33_lateral" -> q33Sql)
 }
