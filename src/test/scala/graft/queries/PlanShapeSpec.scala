@@ -216,6 +216,19 @@ class PlanShapeSpec extends SparkSpec {
         "self-join")
   }
 
+  test("q33 lateral decorrelates: ranked window + equi join, never a " +
+      "per-outer-row nested loop") {
+    val plan = planOf(Relational.queries("q33_lateral")(spark, sfDir))
+    // under GraftExtensions the decorrelated ranked window is further
+    // rewritten into the bounded-heap TopKPerKey operator
+    assert(plan.contains("Window") || plan.contains("TopKPerKey"),
+      "the per-key LIMIT must plan as a ranked window (or its TopK " +
+        "rewrite) over the join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "a lateral that re-executes per outer row would be O(|c|·|o|)")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
