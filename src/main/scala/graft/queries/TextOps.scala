@@ -277,6 +277,73 @@ object TextOps {
       |ORDER BY cnt DESC, pair
       |LIMIT 200""".stripMargin
 
+  /** BPE merge TRAINING, three iterations — the loop q24_bpe_pairs is
+    * one statistic of: count adjacent symbol pairs over the
+    * distinct-word histogram, adopt the most frequent pair as a merge,
+    * apply it greedily (left-to-right, non-overlapping) to every word's
+    * symbol sequence, repeat. Emits the learned merge table
+    * (iteration, left, right, pair count).
+    *
+    * Scale: identical to bpe_pairs — all character-level work runs on
+    * the vocabulary histogram (10⁵× smaller than the token stream at
+    * corpus scale); each iteration is one partial-agg pair count plus a
+    * ROW-LOCAL merge apply (an `aggregate` fold carrying (out, just-
+    * merged) state, so overlapping occurrences resolve exactly like
+    * the reference greedy scan). The per-iteration `.limit(1).collect`
+    * is the k-means-style driver decision: ONE row crosses to the
+    * driver per merge, never data. Checkpoint per iteration truncates
+    * the growing lineage. Tiebreak (count desc, pair) is total, so the
+    * learned merges are deterministic at any partitioning.
+    *
+    * No SQL oracle: 3 chained greedy rewrites are not reasonably
+    * expressible in one query — the ScalaTest suite instead pins the
+    * result against an independent single-machine BPE reference. */
+  def q24_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iterations = 3
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to iterations) {
+      val top = vocab.filter(size(col("sym")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(sym) - 1)," +
+            " i -> struct(sym[i - 1] AS l, sym[i] AS r))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, l, r, cnt))
+      // greedy left-to-right apply: fold state = (rewritten prefix,
+      // last-step-merged) — the flag stops a merged token from
+      // immediately merging again ("aaa" + merge(a,a) -> [aa, a])
+      val applied = aggregate(
+        col("sym"),
+        struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("lm")),
+        (acc, x) => {
+          val hit = !acc("lm") && size(acc("out")) > 0 &&
+            element_at(acc("out"), -1) === lit(l) && x === lit(r)
+          struct(
+            when(hit, concat(
+              slice(acc("out"), lit(1), size(acc("out")) - 1),
+              array(lit(l + r))))
+              .otherwise(concat(acc("out"), array(x))).as("out"),
+            hit.as("lm"))
+        },
+        st => st("out"))
+      vocab = vocab.select(applied.as("sym"), col("freq")).localCheckpoint()
+    }
+    merges.result().toDF("iter", "left", "right", "cnt").orderBy("iter")
+  }
+
   /** Exact per-language length quantiles (p50/p90/p99 of `n_chars`) via
     * the VALUE-HISTOGRAM cumsum — the scale-safe exact-quantile shape:
     * rank r(q) = ⌈q·n⌉ picks the smallest value whose cumulative count
@@ -393,6 +460,9 @@ object TextOps {
     "q24_vocab" -> (q24_vocab _),
     "q24_tfidf" -> (q24_tfidf _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
+    // rows-only: 3 chained greedy rewrites aren't one SQL query; the
+    // ScalaTest suite pins equality with a single-machine BPE reference
+    "q24_bpe_train" -> (q24_bpe_train _),
     "q24_quantiles" -> (q24_quantiles _),
     // rows-only: sketch internals engine-specific (see scaladoc)
     "q24_quantiles_approx" -> (q24_quantiles_approx _),

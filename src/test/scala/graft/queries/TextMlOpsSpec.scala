@@ -10,6 +10,43 @@ import org.apache.spark.sql.functions._
   * SEMANTICS independently of either engine. */
 class TextMlOpsSpec extends SparkSpec {
 
+  test("q24_bpe_train learns the same merges as an independent single-" +
+      "machine greedy BPE over the same corpus") {
+    import spark.implicits._
+    // reference implementation: plain Scala, no Spark
+    var vocab: Array[(Array[String], Long)] =
+      graft.Tables.load(spark, sfDir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect()
+        .map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val expected = (1 to 3).map { it =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((sym, f) <- vocab; i <- 0 until sym.length - 1) {
+        val k = (sym(i), sym(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      val ((l, r), cnt) = counts.toSeq
+        .minBy { case ((pl, pr), c) => (-c, pl, pr) }
+      vocab = vocab.map { case (sym, f) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        (out.toArray, f)
+      }
+      (it, l, r, cnt)
+    }
+    val got = TextOps.q24_bpe_train(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected,
+      s"distributed merges $got != reference $expected")
+  }
+
   test("bpe pairs: distinct-word-histogram pair counts equal the " +
       "naive full-stream count") {
     val words = spark.read.parquet(s"$sfDir/documents.parquet")
