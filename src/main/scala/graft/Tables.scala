@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * code runs at sf0.001 (unit tests), sf0.01 (oracle) and sf0.1 (bench).
   * At 100 TB these become partitioned/bucketed external tables; this loader
   * is the single seam where that swap happens.
+  *
+  * Test-artifact caveat: each table is ONE parquet file with ONE row
+  * group, so a scan gets at most one non-empty split regardless of
+  * maxPartitionBytes — scan-rooted narrow pipelines run on one core
+  * until their first exchange. This is a property of the fixture, not
+  * the design (production tables have many files/row groups and split
+  * naturally); operators that need pre-shuffle parallelism at test scale
+  * (the CDC generators, DedupOps.docs) repartition explicitly and say so.
   */
 object Tables {
   val names: Seq[String] = Seq(

@@ -146,12 +146,53 @@ object FunnelOps {
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- Q34
+  /** Time-series GAP FILL: daily event counts per type with missing days
+    * zero-filled over each type's own active range — the date-scaffold
+    * idiom (a time series with holes breaks every moving-window and
+    * charting consumer downstream). The scaffold comes from
+    * `sequence(min_day, max_day)` exploded off the per-type aggregate —
+    * one row per type before the explode, so the generated rows are
+    * |types| × days, never a function of event count; the daily counts
+    * join back on (type, day). */
+  def q34_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val usDay = 86400000000L
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"ts_us div $usDay").as("day"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // scaffold bounds + join probe share one agg
+    val scaffold = daily.groupBy("event_type")
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx)")).as("day"))
+    scaffold.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  val q34Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
+       |      FROM e GROUP BY 1, 2),
+       |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+       |      FROM d GROUP BY 1),
+       |sc AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
+       |       FROM b)
+       |SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
+       |FROM sc LEFT JOIN d ON d.event_type = sc.event_type
+       |  AND d.day = sc.day
+       |ORDER BY sc.event_type, sc.day""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
-    "q30_retention" -> (q30_retention _))
+    "q30_retention" -> (q30_retention _),
+    "q34_gapfill" -> (q34_gapfill _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
-    "q30_retention" -> q30Sql)
+    "q30_retention" -> q30Sql,
+    "q34_gapfill" -> q34Sql)
 }
