@@ -185,14 +185,77 @@ object FunnelOps {
        |  AND d.day = sc.day
        |ORDER BY sc.event_type, sc.day""".stripMargin
 
+  // ---------------------------------------------------------------- Q35
+  /** Trailing-window ANOMALY SCORE: each day's event count z-scored
+    * against the strictly-preceding 7 days of the same type. The moments
+    * (n, Σx, Σx²) come from integer sums over a ROWS frame on the
+    * gap-filled daily series (gaps count as 0 — exactly why q34's
+    * scaffold matters: without it "quiet day" anomalies are invisible
+    * and the frame silently spans more calendar time than 7 days), so
+    * mean/std/z are the same doubles on both engines — the q19c
+    * deterministic-statistics argument applied per window. One shuffle
+    * on event_type, one sort, three frame aggregates sharing it. */
+  def q35_anomaly(s: SparkSession, dir: String): DataFrame = {
+    val filled = q34_gapfill(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    filled
+      .withColumn("m", count(col("n")).over(w).cast(DoubleType))
+      .withColumn("sx", sum(col("n")).over(w).cast(DoubleType))
+      .withColumn("sxx", sum(col("n") * col("n")).over(w).cast(DoubleType))
+      // sample variance of the trailing window; m >= 2 guards the
+      // degenerate frames at each series head
+      .filter(col("m") >= 2)
+      .withColumn("mean", col("sx") / col("m"))
+      .withColumn("variance",
+        (col("m") * col("sxx") - col("sx") * col("sx")) /
+          (col("m") * (col("m") - lit(1.0))))
+      .filter(col("variance") > 0)
+      .withColumn("z",
+        (col("n").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_type", "day", "n", "mean", "z")
+      .orderBy("event_type", "day")
+  }
+
+  val q35Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
+       |      FROM e GROUP BY 1, 2),
+       |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+       |      FROM d GROUP BY 1),
+       |sc AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
+       |       FROM b),
+       |f AS (SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
+       |      FROM sc LEFT JOIN d ON d.event_type = sc.event_type
+       |        AND d.day = sc.day),
+       |m AS (SELECT event_type, day, n,
+       |        CAST(COUNT(n) OVER w AS DOUBLE) AS m,
+       |        CAST(SUM(n) OVER w AS DOUBLE) AS sx,
+       |        CAST(SUM(n * n) OVER w AS DOUBLE) AS sxx
+       |      FROM f
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |v AS (SELECT event_type, day, n, sx / m AS mean,
+       |        (m * sxx - sx * sx) / (m * (m - 1.0)) AS variance
+       |      FROM m WHERE m >= 2)
+       |SELECT event_type, day, n, mean,
+       |  (CAST(n AS DOUBLE) - mean) / sqrt(variance) AS z
+       |FROM v
+       |WHERE variance > 0
+       |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 2.0
+       |ORDER BY event_type, day""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
     "q30_retention" -> (q30_retention _),
-    "q34_gapfill" -> (q34_gapfill _))
+    "q34_gapfill" -> (q34_gapfill _),
+    "q35_anomaly" -> (q35_anomaly _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
     "q30_retention" -> q30Sql,
-    "q34_gapfill" -> q34Sql)
+    "q34_gapfill" -> q34Sql,
+    "q35_anomaly" -> q35Sql)
 }
