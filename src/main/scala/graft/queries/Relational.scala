@@ -1130,6 +1130,53 @@ object Relational {
       |  ON NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM k
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q36
+  /** Data-quality AUDIT — the dbt-test / Deequ shape: each constraint
+    * evaluates to a violation count, one row per check, zero = healthy.
+    * Checks: referential integrity (orders → customer, anti join),
+    * uniqueness (duplicate customer keys, grouped count), domain
+    * (negative quantities, predicate count), completeness (empty part
+    * names). Each check is the cheapest plan for its constraint — the
+    * anti join broadcasts the key side, the rest are single partial
+    * aggregates; a nightly audit over 100 TB runs them as one job. */
+  def q36_audit(s: SparkSession, dir: String): DataFrame = {
+    // declarative throughout — one plan, four aggregate branches, no
+    // driver-side count() round trips (at 100 TB the audit is ONE job)
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    val orphans = t(s, dir, "orders").select(col("o_custkey"))
+      .join(broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+    val dupKeys = t(s, dir, "customer").groupBy("c_custkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    val negQty = t(s, dir, "lineitem").filter(col("l_quantity") <= 0)
+    val emptyNames = t(s, dir, "part")
+      .filter(col("p_name").isNull || trim(col("p_name")) === "")
+    check("completeness_part_name", emptyNames)
+      .unionAll(check("domain_lineitem_qty_positive", negQty))
+      .unionAll(check("referential_orders_customer", orphans))
+      .unionAll(check("unique_customer_key", dupKeys))
+      .orderBy("check")
+  }
+
+  val q36Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'completeness_part_name' AS check, COUNT(*) AS violations
+      |  FROM part WHERE p_name IS NULL OR trim(p_name) = ''
+      |  UNION ALL
+      |  SELECT 'domain_lineitem_qty_positive', COUNT(*)
+      |  FROM lineitem WHERE l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'referential_orders_customer', COUNT(*)
+      |  FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL
+      |  SELECT 'unique_customer_key', COUNT(*) FROM
+      |    (SELECT c_custkey FROM customer GROUP BY c_custkey
+      |     HAVING COUNT(*) > 1))
+      |ORDER BY "check"""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01_scan _),
@@ -1171,7 +1218,8 @@ object Relational {
     "q21_subquery" -> (q21_subquery _),
     "q31_nulls" -> (q31_nulls _),
     "q32_grid_cross" -> (q32_grid_cross _),
-    "q33_lateral" -> (q33_lateral _))
+    "q33_lateral" -> (q33_lateral _),
+    "q36_audit" -> (q36_audit _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1212,5 +1260,6 @@ object Relational {
     "q21_subquery" -> q21Sql,
     "q31_nulls" -> q31Sql,
     "q32_grid_cross" -> q32Sql,
-    "q33_lateral" -> q33Sql)
+    "q33_lateral" -> q33Sql,
+    "q36_audit" -> q36Sql)
 }
