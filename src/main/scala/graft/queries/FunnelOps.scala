@@ -155,7 +155,13 @@ object FunnelOps {
     * one row per type before the explode, so the generated rows are
     * |types| × days, never a function of event count; the daily counts
     * join back on (type, day). */
-  def q34_gapfill(s: SparkSession, dir: String): DataFrame = {
+  def q34_gapfill(s: SparkSession, dir: String): DataFrame =
+    gapFilled(s, dir).orderBy("event_type", "day")
+
+  /** Unordered gap-filled daily series — shared by q34 (which adds the
+    * output order) and q35 (whose window brings its own partitioning; an
+    * inherited ORDER BY would be a wasted range exchange + sort). */
+  private def gapFilled(s: SparkSession, dir: String): DataFrame = {
     val usDay = 86400000000L
     val e = Tables.events(s, dir)
       .select(col("event_type"), expr(s"ts_us div $usDay").as("day"))
@@ -169,21 +175,26 @@ object FunnelOps {
     scaffold.join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("event_type", "day")
   }
 
-  val q34Sql: String =
+  /** The gap-fill CTE chain, shared by the q34 and q35 oracles — ONE
+    * definition, like the Spark side's shared gapFilled(). */
+  private val gapFillCtes: String =
     s"""WITH e AS ${Tables.eventsNormSql},
        |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
        |      FROM e GROUP BY 1, 2),
        |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
        |      FROM d GROUP BY 1),
        |sc AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
-       |       FROM b)
-       |SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
-       |FROM sc LEFT JOIN d ON d.event_type = sc.event_type
-       |  AND d.day = sc.day
-       |ORDER BY sc.event_type, sc.day""".stripMargin
+       |       FROM b),
+       |f AS (SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
+       |      FROM sc LEFT JOIN d ON d.event_type = sc.event_type
+       |        AND d.day = sc.day)""".stripMargin
+
+  val q34Sql: String =
+    s"""$gapFillCtes
+       |SELECT event_type, day, n FROM f
+       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------- Q35
   /** Trailing-window ANOMALY SCORE: each day's event count z-scored
@@ -196,7 +207,7 @@ object FunnelOps {
     * deterministic-statistics argument applied per window. One shuffle
     * on event_type, one sort, three frame aggregates sharing it. */
   def q35_anomaly(s: SparkSession, dir: String): DataFrame = {
-    val filled = q34_gapfill(s, dir)
+    val filled = gapFilled(s, dir)
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     filled
@@ -219,16 +230,7 @@ object FunnelOps {
   }
 
   val q35Sql: String =
-    s"""WITH e AS ${Tables.eventsNormSql},
-       |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
-       |      FROM e GROUP BY 1, 2),
-       |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
-       |      FROM d GROUP BY 1),
-       |sc AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
-       |       FROM b),
-       |f AS (SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
-       |      FROM sc LEFT JOIN d ON d.event_type = sc.event_type
-       |        AND d.day = sc.day),
+    s"""$gapFillCtes,
        |m AS (SELECT event_type, day, n,
        |        CAST(COUNT(n) OVER w AS DOUBLE) AS m,
        |        CAST(SUM(n) OVER w AS DOUBLE) AS sx,

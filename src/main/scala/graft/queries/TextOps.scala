@@ -311,7 +311,7 @@ object TextOps {
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to iterations) {
-      val top = vocab.filter(size(col("sym")) >= 2)
+      val tops = vocab.filter(size(col("sym")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(sym) - 1)," +
             " i -> struct(sym[i - 1] AS l, sym[i] AS r))")).as("p"),
@@ -319,27 +319,34 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      require(tops.nonEmpty,
+        s"BPE corpus exhausted before merge $it of $iterations — no " +
+          "word has two symbols left; lower the iteration count")
+      val top = tops(0)
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((it, l, r, cnt))
-      // greedy left-to-right apply: fold state = (rewritten prefix,
-      // last-step-merged) — the flag stops a merged token from
-      // immediately merging again ("aaa" + merge(a,a) -> [aa, a])
-      val applied = aggregate(
-        col("sym"),
-        struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("lm")),
-        (acc, x) => {
-          val hit = !acc("lm") && size(acc("out")) > 0 &&
-            element_at(acc("out"), -1) === lit(l) && x === lit(r)
-          struct(
+      // greedy left-to-right apply. No just-merged flag is needed: the
+      // merged token l+r can never equal l (r is non-empty), so the
+      // last-output-element check alone gives non-overlapping greedy
+      // semantics ("aaa" + merge(a,a) -> [aa, a]: after the merge the
+      // last element is "aa" != "a", and the final "a" appends).
+      // The last iteration's merge decides nothing downstream — skip
+      // its distributed apply pass entirely.
+      if (it < iterations) {
+        val applied = aggregate(
+          col("sym"),
+          typedLit(Seq.empty[String]),
+          (out, x) => {
+            val hit = size(out) > 0 &&
+              element_at(out, -1) === lit(l) && x === lit(r)
             when(hit, concat(
-              slice(acc("out"), lit(1), size(acc("out")) - 1),
-              array(lit(l + r))))
-              .otherwise(concat(acc("out"), array(x))).as("out"),
-            hit.as("lm"))
-        },
-        st => st("out"))
-      vocab = vocab.select(applied.as("sym"), col("freq")).localCheckpoint()
+              slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+              .otherwise(concat(out, array(x)))
+          })
+        vocab = vocab.select(applied.as("sym"), col("freq"))
+          .localCheckpoint()
+      }
     }
     merges.result().toDF("iter", "left", "right", "cnt").orderBy("iter")
   }

@@ -13,14 +13,28 @@ class TextMlOpsSpec extends SparkSpec {
   test("q24_bpe_train learns the same merges as an independent single-" +
       "machine greedy BPE over the same corpus") {
     import spark.implicits._
-    // reference implementation: plain Scala, no Spark
+    // reference implementation: plain Scala, no Spark. Split into CODE
+    // POINTS (not UTF-16 units — `w.map(_.toString)` would shear
+    // surrogate pairs where Spark's substring works on code points) and
+    // tie-break in UTF-8 BYTE order, matching Spark's binary string
+    // ordering; the current fixture is ASCII, where both choices
+    // coincide, but the reference shouldn't rely on that.
+    def codePoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
     var vocab: Array[(Array[String], Long)] =
       graft.Tables.load(spark, sfDir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .as[(String, Long)].collect()
-        .map { case (w, f) => (w.map(_.toString).toArray, f) }
+        .map { case (w, f) => (codePoints(w), f) }
     val expected = (1 to 3).map { it =>
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((sym, f) <- vocab; i <- 0 until sym.length - 1) {
@@ -28,7 +42,8 @@ class TextMlOpsSpec extends SparkSpec {
         counts(k) = counts.getOrElse(k, 0L) + f
       }
       val ((l, r), cnt) = counts.toSeq
-        .minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        .minBy { case ((pl, pr), c) => (-c, pl, pr) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
       vocab = vocab.map { case (sym, f) =>
         val out = scala.collection.mutable.ArrayBuffer[String]()
         var i = 0
