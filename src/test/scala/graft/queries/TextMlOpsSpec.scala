@@ -62,6 +62,50 @@ class TextMlOpsSpec extends SparkSpec {
       s"distributed merges $got != reference $expected")
   }
 
+  test("BPE greedy merge-apply fold == the imperative scan on adversarial " +
+      "repeated-letter words (overlap chains like 'aaaa')") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 2-letter alphabet forces dense merge collisions and runs
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(8))).map(_ => if (rnd.nextBoolean()) "a" else "b")
+        .mkString)
+    def refApply(sym: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toArray
+    }
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val applied = aggregate(
+        col("sym"),
+        typedLit(Seq.empty[String]),
+        (out, x) => {
+          val hit = size(out) > 0 &&
+            element_at(out, -1) === lit(l) && x === lit(r)
+          when(hit, concat(
+            slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+            .otherwise(concat(out, array(x)))
+        })
+      val got = words.toDF("w")
+        .select(col("w"), expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("sym"))
+        .select(col("w"), applied.as("m"))
+        .as[(String, Seq[String])].collect().toMap
+      words.foreach { w =>
+        val want = refApply(w.map(_.toString).toArray, l, r).toSeq
+        assert(got(w) == want,
+          s"merge($l,$r) on '$w': fold ${got(w)} != scan $want")
+      }
+    }
+  }
+
   test("bpe pairs: distinct-word-histogram pair counts equal the " +
       "naive full-stream count") {
     val words = spark.read.parquet(s"$sfDir/documents.parquet")
