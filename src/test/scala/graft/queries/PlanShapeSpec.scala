@@ -229,6 +229,26 @@ class PlanShapeSpec extends SparkSpec {
       "a lateral that re-executes per outer row would be O(|c|·|o|)")
   }
 
+  test("q35 anomaly consumes the UNORDERED gap-fill body: no range " +
+      "exchange below the window (that sort was pure waste)") {
+    val plan = planOf(FunnelOps.queries("q35_anomaly")(spark, sfDir))
+    // exactly one range exchange — the query's own output ORDER BY,
+    // which prints ABOVE the window in the tree; none may feed it
+    assert("rangepartitioning".r.findAllIn(plan).size == 1,
+      "a second range exchange means q35 inherited q34's output sort " +
+        "again:\n" + plan)
+  }
+
+  test("q36 audit's referential check anti-joins against the broadcast " +
+      "key side") {
+    val plan = planOf(Relational.queries("q36_audit")(spark, sfDir))
+    assert(plan.contains("LeftAnti"),
+      "referential integrity must be an anti join, not a full join")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the key side is the small side and must broadcast")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
