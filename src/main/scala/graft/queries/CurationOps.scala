@@ -204,12 +204,12 @@ object CurationOps {
       |      AS n_toks
       |  FROM documents)
       |SELECT doc_id, lang, n_toks,
-      |  COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |  CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    AS tok_offset,
-      |  COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    AS BIGINT) AS tok_offset,
+      |  CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-      |    AS bin
+      |    AS BIGINT) AS bin
       |FROM d ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------- epoch shuffle

@@ -112,9 +112,9 @@ object SampleOps {
       |    CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS srcn
       |  FROM documents),
       |p AS (SELECT doc_id, source, n_toks,
-      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h
       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |      AS tok_pos,
+      |      AS BIGINT) AS tok_pos,
       |    ((50 + 2 * srcn) * SUM(n_toks) OVER (PARTITION BY source)) // 100
       |      AS budget
       |  FROM d)

@@ -220,9 +220,9 @@ object SimilarityOps {
       .orderBy("label", "idx")
 
   val q23CentroidSql: String =
-    """SELECT label, i.idx AS idx, count(*) AS n,
-      |  SUM(CAST(FLOOR(CAST(embedding[i.idx + 1] AS DOUBLE) * 1000000)
-      |      AS BIGINT)) AS sum_micro
+    """SELECT label, CAST(i.idx AS INT) AS idx, count(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i.idx + 1] AS DOUBLE) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS sum_micro
       |FROM embeddings, (SELECT unnest(range(64)) AS idx) i
       |GROUP BY 1, 2
       |ORDER BY label, idx""".stripMargin

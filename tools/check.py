@@ -6,7 +6,10 @@ Usage: python3 tools/check.py <sparkOutDir> <sfDir> [query ...]
 Reads <sparkOutDir>/oracle_sql.json (written by graft.Verify), registers the
 sf tables as DuckDB views, runs each oracle SQL, and compares against the
 Spark parquet output in <sparkOutDir>/<name>/ — column names (sorted),
-row count, and exact values.
+column TYPES (the driver's hash is type-sensitive: DuckDB SUM(BIGINT)
+returns HUGEINT and hash-fails against a Spark BIGINT even when every
+value matches — r03 shipped three such reds because this script was
+value-only), row count, and exact values.
 """
 import json
 import math
@@ -47,6 +50,7 @@ def main():
         try:
             oracle = con.sql(sql)
             ocols = [c.lower() for c in oracle.columns]
+            otypes = [str(t) for t in oracle.types]
             orows = oracle.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -56,6 +60,7 @@ def main():
             spark = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = [c.lower() for c in spark.columns]
+            stypes = [str(t) for t in spark.types]
             srows = spark.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
@@ -69,6 +74,16 @@ def main():
         # driver sorts columns by name before hashing values
         operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
         sperm = sorted(range(len(scols)), key=lambda i: scols[i])
+        # type check first: the driver's hash sees HUGEINT != BIGINT even
+        # when the values are identical
+        tbad = [(ocols[oi], otypes[oi], stypes[si])
+                for oi, si in zip(operm, sperm) if otypes[oi] != stypes[si]]
+        if tbad:
+            for c, ot, st in tbad:
+                print(f"FAIL {name}: type mismatch on '{c}': "
+                      f"oracle={ot} spark={st}")
+            n_fail += 1
+            continue
         orows = [tuple(canon(r[i]) for i in operm) for r in orows]
         srows = [tuple(canon(r[i]) for i in sperm) for r in srows]
         if len(orows) != len(srows):
