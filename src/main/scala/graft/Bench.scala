@@ -40,7 +40,15 @@ object Bench {
     // vary up to 2.5x with CPU contention; the minimum is the standard
     // steady-state estimator (SPARK_GRAFT_RUNS overrides).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // /proc/loadavg before/after makes machine contention self-evident in
+    // the official record: the r03 bench reported 68x "regressions" that
+    // were concurrent CPU load, invisible in the artifact itself.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
+    val raw = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run must not contribute its (fast) elapsed time — only
       // successful runs compete for the min; all-failed → sentinel -1
       val times = (0 until runs).flatMap { _ =>
@@ -53,12 +61,31 @@ object Bench {
           None
         } finally dropPinnedRdds()
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, times)
+    }
+    val loadAfter = loadavg()
+    // contention tripwire: a >10x min/max spread on a non-trivial query
+    // means some runs were starved — the min is still reported, but the
+    // run is flagged so a contaminated bench can't read as a regression.
+    val suspect = raw.collect {
+      case (name, ts) if ts.nonEmpty && ts.max > 1.0 &&
+          ts.max / ts.min > 10.0 =>
+        System.err.println(f"[bench] WARN $name spread ${ts.max / ts.min}%.1fx " +
+          f"(min ${ts.min}%.2fs max ${ts.max}%.2fs) — CPU contention?")
+        name
+    }
+    def f3(v: Double): String = f"$v%.3f"
+    val results = raw.map { case (name, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    // total FIRST + 3-decimal seconds: the r01-r03 lines were long enough
+    // that the driver's captured tail truncated mid-object and the total
+    // never officially registered ("parsed": null three rounds running).
+    val warnJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   * (BucketedScan.autoBucketSize; a fixed range-based default either
   * collapses a short dense replay into one bucket or explodes the
   * summary count on a sparse one). Pass an explicit size to pin it.
-  * For replays where even rows/64 Ki summaries are too many, apply the
-  * scheme recursively over the summaries — the same two-level argument
-  * compounds, giving O(log_b n) levels of bounded windows.
+  * For replays where even rows/64 Ki summaries are too many, the
+  * KEYLESS fold already applies the same argument one level up — super-
+  * buckets of bucket ids (BucketedScan.keylessCarry) bound every carry
+  * task at 2^20 rows for any corpus under 2^40 buckets. The keyed path
+  * bounds each window partition by that key's summaries instead.
   *
   * The streaming paths don't need any of this — they keep the same
   * semantics as keyed state (graft.streaming.CdcPipeline /

@@ -174,8 +174,8 @@ object DedupOps {
       |l AS (SELECT doc_id, i.pos,
       |        array_to_string(tk[(i.pos * 10 + 1):(i.pos * 10 + 10)], ' ')
       |          AS line
-      |      FROM d, (SELECT unnest(range(0, 1000)) AS pos) i
-      |      WHERE i.pos * 10 < len(tk)),
+      |      FROM d, LATERAL (SELECT unnest(range(0,
+      |             CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS pos) i),
       |w AS (SELECT *, row_number() OVER (PARTITION BY line
       |        ORDER BY doc_id, pos) AS rn FROM l)
       |SELECT doc_id, count(*) AS n_kept,

@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Sizing mirrors PrefixCarry: the default (bucketSize = 0) self-sizes
   * from a narrow count/min/max agg (BucketedScan.autoBucketSize) so
   * level-1 tasks hold ~64 Ki rows and the summary stays ~rows/64 Ki,
-  * whatever the seq range; pass an explicit size to pin it, or recurse
-  * over the summaries when even that is too many.
+  * whatever the seq range; pass an explicit size to pin it. The keyless
+  * cross-bucket fold recurses over SUPER-buckets itself
+  * (BucketedScan.keylessCarry), so no carry task ever scans more than
+  * 2^20 summary rows at any seq range.
   */
 object PrefixSum {
 

@@ -452,8 +452,10 @@ object TextOps {
     stats
       .withColumn("ratio_pct",
         when(col("n_bytes") === 0L, lit(100L))
-          .otherwise(col("n_compressed") * 100L / col("n_bytes"))
-          .cast("long"))
+          // `div` = exact Long integer division (Column./ would detour
+          // through DOUBLE, inexact past 2^53 — the file's convention is
+          // integer-exact math, q20c/q30 use div for the same reason)
+          .otherwise(expr("n_compressed * 100 div n_bytes")))
       .orderBy("doc_id")
   }
 

@@ -254,8 +254,52 @@ object WindowedOps {
        |JOIN nation ON c_nationkey = n_nationkey
        |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------- S10
+  /** Driver-visible batch twin of the LIVE funnel
+    * (graft.streaming.FunnelStream): the whole events table fed through
+    * the SAME keyed `mapGroupsWithState` fold as one converged
+    * microbatch (batch-mode mapGroupsWithState runs each group once with
+    * empty initial state), rolled up to stage-reach counts. Output shape
+    * and oracle are q29's — the streaming==batch equivalence
+    * FunnelStreamSpec proves in ScalaTest, certified here by the
+    * driver's DuckDB compare. */
+  def s10_funnel_live(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.FunnelStream.stageProgress(Tables.events(s, dir))
+      .toDF("user_id", "stage")
+      .agg(
+        count(when(col("stage") >= 1, 1)).as("n1"),
+        count(when(col("stage") >= 2, 1)).as("n2"),
+        count(when(col("stage") >= 3, 1)).as("n3"),
+        count(when(col("stage") >= 4, 1)).as("n4"))
+      .select(expr(
+        "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3," +
+          " 4, 'purchase', n4) AS (stage, stage_name, n_users)"))
+      .orderBy("stage")
+
+  // s10's oracle IS q29's: stage-reach of the min-qualifying-event
+  // cascade — the fold and the SQL must agree on every count.
+  val s10Sql: String = FunnelOps.q29Sql
+
+  // ------------------------------------------------------------- S11
+  /** Driver-visible batch twin of the LIVE leaderboard
+    * (graft.streaming.EventStreams.liveLeaderboard): the identical plan
+    * on the converged frame — all-time top-k event types by exact
+    * count + DECIMAL-exact revenue, the sort+limit that is only legal
+    * in complete output mode on the streaming side. */
+  def s11_leaderboard(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.liveLeaderboard(Tables.events(s, dir), 5)
+
+  val s11Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM e GROUP BY event_type
+       |ORDER BY n DESC, event_type LIMIT 5""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_funnel_live" -> (s10_funnel_live _),
+    "s11_leaderboard" -> (s11_leaderboard _),
     "s01_tumbling" -> (s01_tumbling _),
     "s02_sliding" -> (s02_sliding _),
     "s03_session" -> (s03_session _),
@@ -267,6 +311,8 @@ object WindowedOps {
     "s09_stream_join_outer" -> (s09_stream_join_outer _))
 
   def oracles: Map[String, String] = Map(
+    "s10_funnel_live" -> s10Sql,
+    "s11_leaderboard" -> s11Sql,
     "s01_tumbling" -> s01Sql,
     "s02_sliding" -> s02Sql,
     "s03_session" -> s03Sql,

@@ -172,4 +172,42 @@ class CdcPropertySpec extends SparkSpec {
         s"line $seq must quarantine as unknown, got kind=$kind pk=$pk")
     }
   }
+
+  test("keylessCarry super-bucket recursion equals the sequential fold " +
+      "for both fold kinds, and drops null bucket ids") {
+    import spark.implicits._
+    val r = new scala.util.Random(4242L)
+    // sparse DISTINCT bucket ids; superSize=4 forces ~100 super-buckets,
+    // so the totals pass, the across-super fold, and the re-fold all
+    // exercise real multi-group boundaries (production superSize = 2^20
+    // would degenerate to one super-bucket at any test scale)
+    val ids = (0 until 400).scanLeft(0L)((a, _) => a + 1 + r.nextInt(7)).tail
+    // ~25% null values, plus one null bucket id that must vanish
+    val sumRows = ids.map(b => (Option(b),
+      if (r.nextInt(4) == 0) None else Some(r.nextInt(100).toLong))) :+
+      ((Option.empty[Long], Some(999L)))
+    val sumFold = (acc: Any, v: Any) =>
+      if (v == null) acc else acc.asInstanceOf[Long] + v.asInstanceOf[Long]
+    val gotSum = BucketedScan.keylessCarry(
+        sumRows.toDF("_b", "_bsum"), 0L, superSize = 4)(sumFold)
+      .as[(Long, Long)].collect().toMap
+    val wantSum = ids.zip(sumRows.collect { case (Some(_), v) => v }
+      .scanLeft(0L)((a, v) => a + v.getOrElse(0L))).toMap
+    assert(gotSum == wantSum,
+      "recursive sum carry must equal the sequential exclusive prefix sum")
+
+    val lastRows = ids.map(b => (Option(b),
+      if (r.nextInt(3) == 0) None else Some(s"v${r.nextInt(50)}"))) :+
+      ((Option.empty[Long], Some("ghost")))
+    val lastFold = (acc: Any, v: Any) => if (v != null) v else acc
+    val gotLast = BucketedScan.keylessCarry(
+        lastRows.toDF("_b", "_last"), null, superSize = 4)(lastFold)
+      .as[(Long, Option[String])].collect().toMap
+    val wantLast = ids.zip(lastRows.collect { case (Some(_), v) => v }
+      .scanLeft(Option.empty[String])((a, v) => v.orElse(a))).toMap
+    assert(gotLast == wantLast,
+      "recursive last-non-null carry must equal the sequential fold")
+    assert(!gotSum.contains(0L) || ids.contains(0L),
+      "a null bucket id must not produce a carry row")
+  }
 }

@@ -249,6 +249,46 @@ class PlanShapeSpec extends SparkSpec {
       "the key side is the small side and must broadcast")
   }
 
+  test("cdc1/cdc3/cdc4 decode plans keep every from_json behind the " +
+      "checkpoint barrier, and their exchange budget stays flat") {
+    // The r03 bench scare (cdc 14-70s official, <3.5s isolated) was
+    // unfalsifiable because nothing pinned these plans. The structural
+    // property that decides cdc decode cost: the parse happens ONCE,
+    // before the localCheckpoint snapshot — every carry/sort fork
+    // downstream re-reads the snapshot, never the json. A dropped
+    // checkpoint re-parses the stream per fork (~6x historically: 30+
+    // from_json nodes, 19s at sf0.1).
+    val budgets = Seq( // (query, max exchanges, max windows)
+      ("cdc1_decode", 6, 2), // schema-attach carry (2-level) + output sort
+      ("cdc3_mysql", 1, 0),  // snapshot + range sort only
+      ("cdc4_mongo", 1, 0))
+    for ((q, maxEx, maxWin) <- budgets) {
+      val plan = planOf(CdcOps.queries(q)(spark, sfDir))
+      assert("from_json".r.findAllIn(plan).isEmpty,
+        s"$q re-parses json downstream of its snapshot — a checkpoint " +
+          s"barrier was dropped:\n${plan.take(1200)}")
+      val ex = "Exchange".r.findAllIn(plan).size
+      assert(ex <= maxEx,
+        s"$q plans $ex exchanges (budget $maxEx) — a carry fork is " +
+          "recomputing instead of reading the snapshot")
+      assert("Window".r.findAllIn(plan).size <= maxWin,
+        s"$q grew extra window passes")
+    }
+    // positive control: the same cdc1 chain WITHOUT its checkpoints must
+    // trip the detector (this is what a regression would look like —
+    // measured 38 from_json nodes / 19 exchanges when probed)
+    val decoded = graft.cdc.JsonCdc.decode(CdcOps.syntheticLines(spark, sfDir))
+    val unchk = graft.cdc.JsonCdc.withSchemaAttached(
+      graft.cdc.JsonCdc.withTxId(
+        graft.cdc.JsonCdc.filterTables(decoded, Seq("audit_log")), "seq")
+        .filter(org.apache.spark.sql.functions.col("table").isNotNull),
+      "seq")
+    val unchkPlan = planOf(unchk)
+    assert("from_json".r.findAllIn(unchkPlan).size > 1,
+      "detector self-test: an un-checkpointed fork must show repeated " +
+        "parses, or these assertions guard nothing")
+  }
+
   test("q28 salted join runs the salted shuffle layout: hash join on " +
       "(key, _salt), no broadcast") {
     val plan = planOf(SkewOps.queries("q28_skew_join")(spark, sfDir))
