@@ -51,17 +51,28 @@ object CdcStream {
       case "file" => fileLines(spark, cfg.options("path"),
         cfg.options.getOrElse("maxFilesPerTrigger", "16").toInt)
       case "kafka" =>
-        // shape Kafka records into the line contract (topic/offset/value)
-        spark.readStream.format("kafka")
-          .options(cfg.options -- engineOptions)
-          .load()
-          .select(col("topic").as("backend"), col("offset").as("seq"),
-            col("value").cast("string").as("line"))
+        kafkaRecordsToLines(
+          spark.readStream.format("kafka")
+            .options(cfg.options -- engineOptions)
+            .load())
       case other =>
         throw new IllegalArgumentException(s"invalid backend source: $other")
     }
     fromLines(lines, cfg)
   }
+
+  /** Shape Kafka records into the line contract: backend = topic,
+    * seq = offset, line = UTF-8 of the value bytes — the exact frame
+    * `fileLines` produces, so every wire decoder downstream is
+    * transport-blind. Factored off the readStream so the shaping (and
+    * the full wire dispatch behind it) is testable on a batch frame:
+    * this container ships no spark-sql-kafka connector jar and no
+    * broker, so no bytes have ever flowed through the `readStream
+    * .format("kafka")` call itself — see README (Kafka transport
+    * status) for what is and is not covered. */
+  def kafkaRecordsToLines(records: DataFrame): DataFrame =
+    records.select(col("topic").as("backend"), col("offset").as("seq"),
+      col("value").cast("string").as("line"))
 
   /** Wire-format dispatch over the transport-agnostic (backend, seq,
     * line) contract — exactly the frame both `fileLines` and the Kafka

@@ -166,4 +166,30 @@ class CdcPipelineSpec extends SparkSpec {
     val native = sink.collected.filter(_.getAs[String]("kind") == "insert")
     assert(native.forall(_.isNullAt(native.head.fieldIndex("type"))))
   }
+
+  test("kafka records shape into the line contract and feed the wire " +
+      "decoders transport-blind (batch probe — no connector jar or " +
+      "broker in this container, see README)") {
+    import spark.implicits._
+    // the exact columns the kafka source emits: topic / offset / binary value
+    val recs = Seq(
+      ("cdc.oplog", 5L,
+        """{"op": "i", "ns": "app.orders", "o": {"_id": 7, "status": "O"}}"""
+          .getBytes("UTF-8")),
+      ("cdc.oplog", 6L,
+        """{"op": "d", "ns": "app.orders", "o": {"_id": 7}}"""
+          .getBytes("UTF-8")))
+      .toDF("topic", "offset", "value")
+    val lines = CdcStream.kafkaRecordsToLines(recs)
+    assert(lines.columns.toSeq == Seq("backend", "seq", "line"),
+      "shaped frame must match the capture-layer line contract")
+    // same dispatch the streaming path uses — transport must be invisible
+    val cfg = BackendConfig("m1", source = "kafka", wire = "oplog")
+    val out = CdcStream.fromLines(lines, cfg)
+      .select("backend", "seq", "kind", "table", "pk")
+      .as[(String, Long, String, String, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("cdc.oplog", 5L, "insert", "app.orders", "7"),
+      ("cdc.oplog", 6L, "delete", "app.orders", "7")))
+  }
 }
