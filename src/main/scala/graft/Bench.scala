@@ -10,7 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
     SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: each dropPinnedRdds() emits a (harmless)
+    // lineage-truncated WARN per checkpointed RDD — hundreds of lines
+    // that would crowd the report out of the driver's 2000-char tail
+    // capture. Real failures still print via the [bench] stderr lines.
+    spark.sparkContext.setLogLevel("ERROR")
     // noop sink forces full materialization of every operator (count()
     // would let Catalyst prune the work being measured).
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration.
@@ -81,11 +85,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    // total FIRST + 3-decimal seconds: the r01-r03 lines were long enough
-    // that the driver's captured tail truncated mid-object and the total
-    // never officially registered ("parsed": null three rounds running).
     val warnJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"queries":$qs}""")
+    // The round driver stores the LAST 2000 chars of output
+    // (BENCH_r0x.json "tail"), so a single ~4KB metric line loses its
+    // FRONT and has parsed as null every round. Split the report:
+    //   1. a detail line with every per-query time — deliberately NOT
+    //      keyed "metric", so a truncated front can't shadow the real
+    //      metric line for any {"metric"...}-seeking parser;
+    //   2. the compact {"metric":"total"...} line LAST — ~220 chars,
+    //      guaranteed inside any tail window, so the official total
+    //      finally registers.
+    println(s"""{"detail":{"sf":"$sfDir","queries":$qs}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson}""")
     spark.stop()
   }
 }
