@@ -270,8 +270,9 @@ object DedupOps {
 
   /** 64-bit SimHash near-dup: Hamming distance <= 3 found via 4-block
     * pigeonhole blocking (any pair at distance <= 3 agrees on at least
-    * one 16-bit block). Rows-only driver check + ScalaTest brute-force
-    * equality on the blocking. */
+    * one 16-bit block). Hash-checked against a full DuckDB re-derivation
+    * of the sketch (q22SimhashSql) plus ScalaTest brute-force equality
+    * on the blocking. */
   def q22_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     val sim = simhashes(s, dir)
     val blocked = sim.select(col("doc_id"), col("simhash"),
@@ -290,6 +291,42 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Full independent re-derivation of the SimHash pipeline in DuckDB
+    * SQL: FNV-1a 64 per token as a character fold in HUGEINT space with
+    * an explicit mod-2^64 wraparound (Scala long multiplication wraps;
+    * DuckDB would error on overflow), ±1 bit votes, votes > 0 pack —
+    * then ALL-pairs Hamming <= 3 (the oracle need not scale; the
+    * pigeonhole blocking on the Spark side is exactly equivalent, proven
+    * brute-force in DedupSpec). POWER(2, b) is exact for b <= 63 —
+    * every power of two is a representable double. bit_count is cast
+    * to INT to match Spark's IntegerType (driver hash is type-exact). */
+  val q22SimhashSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |f AS (SELECT doc_id,
+      |        CAST(list_reduce(
+      |          list_concat([CAST(14695981039346656037 AS HUGEINT)],
+      |            list_transform(range(1, length(tok)+1),
+      |              i -> CAST(unicode(tok[i:i]) AS HUGEINT))),
+      |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616
+      |        ) AS UBIGINT) AS h
+      |      FROM t),
+      |bits AS (SELECT doc_id, b.b,
+      |           SUM(CASE WHEN (h >> CAST(b.b AS UBIGINT)) & 1 = 1
+      |               THEN 1 ELSE -1 END) AS vote
+      |         FROM f, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0
+      |           THEN CAST(POWER(CAST(2 AS HUGEINT), b) AS HUGEINT)
+      |           ELSE 0 END) AS UBIGINT) AS simhash
+      |       FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ embedding-cos
   /** Embedding near-dup pairs: exact cosine >= 0.5 over all pairs via a
@@ -574,6 +611,7 @@ object DedupOps {
     // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
     // verifies candidates exactly → its output IS the exact result
     "q22_dedup_minhash" -> q22NgramSql,
+    "q22_dedup_simhash" -> q22SimhashSql,
     "q22_dedup_cluster" -> q22ClusterSql,
     "q22_dedup_incremental" -> q22IncrementalSql,
     // banding covers every J >= 0.5 pair (miss < 1e-8) and candidates

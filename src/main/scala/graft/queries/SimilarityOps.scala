@@ -125,7 +125,11 @@ object SimilarityOps {
   /** Random-hyperplane LSH: 64-bit sign signature per vector from
     * deterministic pseudo-random hyperplanes; candidates share a signature
     * in at least one of 16 4-bit bands; exact re-rank of candidates.
-    * Approximate → rows-only driver check + ScalaTest recall bound.
+    * Approximate by DESIGN but deterministic in IMPLEMENTATION, so it
+    * still hash-checks: q23LshSql re-derives the splitmix64 hyperplanes,
+    * the sign bits, the banding, and the candidate re-rank in DuckDB —
+    * bit-identical doubles because both engines fold vectors in element
+    * order. The ScalaTest recall bound stays as the semantic check.
     *
     * Band/recall trade-off (mirroring the MinHash miss-bound argument in
     * DedupOps): P(bit agrees) = 1 − θ/π, so a neighbor at angle θ
@@ -379,6 +383,62 @@ object SimilarityOps {
       |    AS centroid
       |FROM u2 GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** Full DuckDB re-derivation of the LSH pipeline (see q23_knn_lsh
+    * scaladoc). The only non-obvious piece is splitmix64 in SQL: DuckDB
+    * integer ops ERROR on overflow instead of wrapping, so each 64×64-bit
+    * multiply is decomposed hi/lo — (z_lo·M + ((z_hi·M) mod 2^32)·2^32)
+    * mod 2^64 — keeping every intermediate inside HUGEINT; >> k is
+    * integer division by 2^k (values are non-negative). Vector folds use
+    * list_reduce over list_zip, left-to-right like the kernel's loop, so
+    * the sign bits and the re-rank cosines are bit-identical. */
+  val q23LshSql: String =
+    """WITH
+      |ix AS (SELECT b.b, d.d, CAST(b.b*64 + d.d AS HUGEINT) AS i
+      |       FROM range(64) b(b), range(64) d(d)),
+      |z0 AS (SELECT b, d,
+      |    (i + 11400714819323264021) % 18446744073709551616 AS z FROM ix),
+      |x1 AS (SELECT b, d, xor(z, z // 1073741824) AS x FROM z0),
+      |z1 AS (SELECT b, d,
+      |    ((x % 4294967296) * 13787848793156543929 +
+      |     (((x // 4294967296) * 13787848793156543929) % 4294967296)
+      |       * 4294967296) % 18446744073709551616 AS z FROM x1),
+      |x2 AS (SELECT b, d, xor(z, z // 134217728) AS x FROM z1),
+      |z2 AS (SELECT b, d,
+      |    ((x % 4294967296) * 10723151780598845931 +
+      |     (((x // 4294967296) * 10723151780598845931) % 4294967296)
+      |       * 4294967296) % 18446744073709551616 AS z FROM x2),
+      |mixv AS (SELECT b, d,
+      |    CASE WHEN xor(z, z // 2147483648) % 2 = 0 THEN 1.0 ELSE -1.0 END
+      |      AS pl
+      |  FROM z2),
+      |planes AS (SELECT b, list(pl ORDER BY d) AS pls FROM mixv GROUP BY b),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b)->a+b)) AS nrm
+      |  FROM e),
+      |bits AS (SELECT n.vec_id, p.b,
+      |    CASE WHEN list_reduce(
+      |      list_transform(list_zip(n.v, p.pls), q -> q[1]*q[2]),
+      |      (a,c)->a+c) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM n, planes p),
+      |bands AS (SELECT vec_id, b // 4 AS band,
+      |    CAST(SUM(bit * CAST(POWER(2, b % 4) AS INT)) AS INT) AS band_val
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+      |  FROM bands q JOIN bands c ON q.vec_id < 10 AND q.band = c.band
+      |    AND q.band_val = c.band_val AND c.vec_id != q.vec_id),
+      |scored AS (SELECT q_id, cand_id,
+      |    list_reduce(list_transform(list_zip(nq.v, nc.v), p -> p[1]*p[2]),
+      |      (x,y)->x+y) / (nq.nrm * nc.nrm) AS cos
+      |  FROM cand JOIN n nq ON nq.vec_id = q_id
+      |    JOIN n nc ON nc.vec_id = cand_id),
+      |rk AS (SELECT q_id, cand_id, cos, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM scored)
+      |SELECT q_id, CAST(rk AS INT) AS rk, cand_id, cos
+      |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_knn_exact" -> (q23_knn_exact _),
@@ -391,6 +451,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
     "q23_knn_ivf" -> q23IvfSql,
+    "q23_knn_lsh" -> q23LshSql,
     "q23_centroid" -> q23CentroidSql,
     "q23_quantize" -> q23QuantizeSql,
     "q23_kmeans" -> q23KmeansSql)

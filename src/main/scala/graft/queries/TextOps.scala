@@ -295,9 +295,14 @@ object TextOps {
     * the growing lineage. Tiebreak (count desc, pair) is total, so the
     * learned merges are deterministic at any partitioning.
     *
-    * No SQL oracle: 3 chained greedy rewrites are not reasonably
-    * expressible in one query — the ScalaTest suite instead pins the
-    * result against an independent single-machine BPE reference. */
+    * SQL oracle (q24BpeTrainSql): the greedy apply IS expressible —
+    * iterated leftmost-pair replacement (a recursive CTE per iteration)
+    * equals the single-pass fold, because a merged token can never
+    * re-create its own left or right symbol (|l·r| > |l|, |r|), so no
+    * new (l, r) occurrence ever forms across a replacement boundary and
+    * both procedures compute the same maximal left-greedy matching. The
+    * ScalaTest pin against an independent single-machine BPE reference
+    * stays as the semantic check. */
   def q24_bpe_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val iterations = 3
@@ -349,6 +354,53 @@ object TextOps {
       }
     }
     merges.result().toDF("iter", "left", "right", "cnt").orderBy("iter")
+  }
+
+  /** DuckDB twin of the 3-iteration training loop. Each iteration is a
+    * pair-count CTE + LIMIT 1 top pick (same (cnt DESC, l, r) total
+    * tiebreak as the Spark side) + a RECURSIVE apply: rows still
+    * containing the pair replace their LEFTMOST occurrence and recurse;
+    * a row exits when no occurrence remains (see q24_bpe_train scaladoc
+    * for why leftmost-iterate == the greedy fold). The top row is
+    * cross-joined into the recursion because DuckDB lambdas cannot hold
+    * subqueries. */
+  val q24BpeTrainSql: String = {
+    def stage(n: Int, vocab: String): String =
+      s"""cnt$n AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(1, len(sym)),
+         |          i -> struct_pack(l := sym[i], r := sym[i+1]))) AS p, freq
+         |        FROM $vocab WHERE len(sym) >= 2) t
+         |  GROUP BY 1, 2),
+         |top$n AS (SELECT l, r, cnt FROM cnt$n
+         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    val idx = "list_aggregate(list_transform(range(1, len(sym)), " +
+      "i -> CASE WHEN sym[i] = l AND sym[i+1] = r THEN i END), 'min')"
+    def apply(n: Int, vocab: String): String =
+      s"""r$n(sym, freq, l, r) AS (
+         |  SELECT v.sym, v.freq, t.l, t.r FROM $vocab v, top$n t
+         |  UNION ALL
+         |  SELECT list_concat(list_concat(sym[1:($idx)-1], [l || r]),
+         |      sym[($idx)+2:]) AS sym, freq, l, r
+         |  FROM r$n WHERE $idx IS NOT NULL),
+         |ap$n AS (SELECT sym, freq FROM r$n WHERE $idx IS NULL)""".stripMargin
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents),
+       |v0 AS (SELECT list_transform(range(1, length(w)+1), i -> w[i:i])
+       |         AS sym,
+       |        CAST(count(*) AS BIGINT) AS freq
+       |       FROM w WHERE length(w) >= 1 GROUP BY w),
+       |${stage(1, "v0")},
+       |${apply(1, "v0")},
+       |${stage(2, "ap1")},
+       |${apply(2, "ap1")},
+       |${stage(3, "ap2")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS iter, l AS "left", r AS "right", cnt
+       |  FROM top1
+       |  UNION ALL SELECT 2, l, r, cnt FROM top2
+       |  UNION ALL SELECT 3, l, r, cnt FROM top3)
+       |ORDER BY iter""".stripMargin
   }
 
   /** Exact per-language length quantiles (p50/p90/p99 of `n_chars`) via
@@ -487,5 +539,6 @@ object TextOps {
     "q24_vocab" -> q24VocabSql,
     "q24_tfidf" -> q24TfidfSql,
     "q24_bpe_pairs" -> q24BpePairsSql,
+    "q24_bpe_train" -> q24BpeTrainSql,
     "q24_quantiles" -> q24QuantilesSql)
 }
