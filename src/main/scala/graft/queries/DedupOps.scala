@@ -184,6 +184,71 @@ object DedupOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- spans
+  /** Exact duplicated-SPAN detection — the substring-level dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: exact repeated multi-token substrings are the
+    * highest-value dedup target, sitting between whole-doc and
+    * line-level): for every document, how many of its DISTINCT sliding
+    * 25-token spans also occur in at least one OTHER document, plus the
+    * integer percentage — the per-doc signal a span-removal or
+    * downweighting pass consumes.
+    *
+    * Scale: the span sketch builds row-locally (the ShingleHashes FNV
+    * kernel at k=25 — span STRINGS never materialize, only 8-byte
+    * hashes), so the corpus shuffles narrow (hash, doc_id) rows twice
+    * (span document-frequency + re-attach; the subtrees prune
+    * differently, so the exchange legitimately computes twice) and
+    * (doc, flag) rows once for the per-doc partial agg — no all-pairs
+    * join anywhere. The duplicated-span catalog (hash, df) is itself
+    * the table a removal pass would probe map-side, Bloom-gated like
+    * q27b. Documents under 25 tokens have no spans and drop out,
+    * matching the oracle's length guard. */
+  def q22_dedup_spans(s: SparkSession, dir: String): DataFrame =
+    spanStats(docs(s, dir), k = 25).orderBy("doc_id")
+
+  /** Core of q22_dedup_spans over any (doc_id, text) frame — split out
+    * so specs can run it on planted corpora. */
+  private[queries] def spanStats(corpus: DataFrame, k: Int): DataFrame = {
+    val sh = corpus.select(col("doc_id"),
+      explode(graft.functions.native.shingleHashes(col("text"), k)).as("h"))
+    // per-doc span sets are DISTINCT (the kernel dedupes by hash), so
+    // count per hash IS the document frequency
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    sh.join(dup, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("nd") >= 2, 1)).as("n_dup"))
+      .withColumn("dup_pct", expr("n_dup * 100 div n_spans"))
+  }
+
+  /** DuckDB re-derivation: spans as token slices, the FNV-1a char fold
+    * (same mod-2^64 HUGEINT form as q22SimhashSql), DISTINCT per
+    * (doc, hash) to mirror the kernel's hash-level dedupe, then the
+    * document-frequency join. */
+  val q22SpansSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |sp AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 23),
+      |         i -> array_to_string(tk[i:i+24], ' '))) AS g
+      |       FROM d WHERE len(tk) >= 25),
+      |f AS (SELECT DISTINCT doc_id,
+      |        CAST(list_reduce(
+      |          list_concat([CAST(14695981039346656037 AS HUGEINT)],
+      |            list_transform(range(1, length(g)+1),
+      |              i -> CAST(unicode(g[i:i]) AS HUGEINT))),
+      |          (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616
+      |        ) AS UBIGINT) AS h
+      |      FROM sp),
+      |dup AS (SELECT h, count(*) AS nd FROM f GROUP BY h)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) AS BIGINT)
+      |    AS n_dup,
+      |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) AS BIGINT)
+      |    * 100 // count(*) AS dup_pct
+      |FROM f JOIN dup USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- ngram
   /** Near-dup pairs with 3-gram Jaccard >= 0.5: prefix-filtered candidate
     * generation + exact verification — integer-only threshold math so
@@ -596,6 +661,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact" -> (q22_dedup_exact _),
     "q22_dedup_lines" -> (q22_dedup_lines _),
+    "q22_dedup_spans" -> (q22_dedup_spans _),
     "q22_dedup_ngram" -> (q22_dedup_ngram _),
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
@@ -607,6 +673,7 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q22_dedup_exact" -> q22ExactSql,
     "q22_dedup_lines" -> q22LinesSql,
+    "q22_dedup_spans" -> q22SpansSql,
     "q22_dedup_ngram" -> q22NgramSql,
     // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
     // verifies candidates exactly → its output IS the exact result

@@ -21,6 +21,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("duplicated-span stats on a planted corpus: shared 25-token span " +
+      "counted in both docs, unique docs at zero, short docs absent") {
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      // 30 tokens: 6 sliding spans, of which exactly ONE (offset 3,
+      // the planted span) also occurs in doc 2
+      (1L, s"a1 a2 a3 $span b1 b2"),
+      // 27 tokens: 3 spans, the planted one at offset 2
+      (2L, s"c1 c2 $span"),
+      // 26 tokens, all spans unique to this doc
+      (3L, (1 to 26).map(i => s"u$i").mkString(" ")),
+      // 24 tokens: below k, no spans — must not appear at all
+      (4L, (1 to 24).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanStats(corpus, k = 25)
+      .select("doc_id", "n_spans", "n_dup", "dup_pct")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 6L, 1L, 16L),  // 1*100 div 6 = 16
+      (2L, 3L, 1L, 33L),
+      (3L, 2L, 0L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("incremental near-dup = exact pairs touching the new batch") {
     val exact = DedupOps.q22_dedup_ngram(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
