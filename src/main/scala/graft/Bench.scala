@@ -78,25 +78,34 @@ object Bench {
           f"(min ${ts.min}%.2fs max ${ts.max}%.2fs) — CPU contention?")
         name
     }
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale — a comma-decimal locale (de_DE etc.) would render 12,345
+    // and corrupt the JSON the driver parses.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = raw.map { case (name, ts) =>
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    val warnJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cap the embedded names: on a fully contended box most of the ~100
+    // queries can trip the tripwire, and an unbounded list would push
+    // the metric line past the very tail window the split exists for
+    val warnJson = (suspect.take(8).map("\"" + _ + "\"") ++
+      (if (suspect.size > 8) Seq("\"+" + (suspect.size - 8) + " more\"")
+       else Nil)).mkString("[", ",", "]")
     // The round driver stores the LAST 2000 chars of output
     // (BENCH_r0x.json "tail"), so a single ~4KB metric line loses its
     // FRONT and has parsed as null every round. Split the report:
     //   1. a detail line with every per-query time — deliberately NOT
     //      keyed "metric", so a truncated front can't shadow the real
     //      metric line for any {"metric"...}-seeking parser;
-    //   2. the compact {"metric":"total"...} line LAST — ~220 chars,
-    //      guaranteed inside any tail window, so the official total
-    //      finally registers.
+    //   2. the compact {"metric":"total"...} line LAST — ~220 chars
+    //      (warnings capped above), guaranteed inside any tail window,
+    //      so the official total finally registers.
     println(s"""{"detail":{"sf":"$sfDir","queries":$qs}}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson}""")
     spark.stop()
   }
 }

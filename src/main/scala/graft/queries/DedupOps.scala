@@ -225,7 +225,7 @@ object DedupOps {
   /** DuckDB re-derivation: spans as token slices, the FNV-1a char fold
     * (same mod-2^64 HUGEINT form as q22SimhashSql), DISTINCT per
     * (doc, hash) to mirror the kernel's hash-level dedupe, then the
-    * document-frequency join. */
+    * document-frequency join. BMP caveat as in q22SimhashSql. */
   val q22SpansSql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |           FROM documents),
@@ -365,7 +365,14 @@ object DedupOps {
     * pigeonhole blocking on the Spark side is exactly equivalent, proven
     * brute-force in DedupSpec). POWER(2, b) is exact for b <= 63 —
     * every power of two is a representable double. bit_count is cast
-    * to INT to match Spark's IntegerType (driver hash is type-exact). */
+    * to INT to match Spark's IntegerType (driver hash is type-exact).
+    *
+    * Parity caveat (latent, not hit by the ASCII fixture): Fnv64 folds
+    * UTF-16 CODE UNITS (a supplementary-plane char is two units) while
+    * unicode(c) yields one code POINT, and Java trim strips all chars
+    * <= 0x20 while DuckDB trim strips spaces only — a corpus with
+    * emoji or tab-leading documents would need a code-unit fold and an
+    * explicit control-char trim here. */
   val q22SimhashSql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |           FROM documents),

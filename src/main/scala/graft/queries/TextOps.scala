@@ -521,8 +521,8 @@ object TextOps {
     "q24_vocab" -> (q24_vocab _),
     "q24_tfidf" -> (q24_tfidf _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
-    // rows-only: 3 chained greedy rewrites aren't one SQL query; the
-    // ScalaTest suite pins equality with a single-machine BPE reference
+    // hash-checked via q24BpeTrainSql (recursive-CTE greedy rewrites);
+    // ScalaTest additionally pins a single-machine BPE reference
     "q24_bpe_train" -> (q24_bpe_train _),
     "q24_quantiles" -> (q24_quantiles _),
     // rows-only: sketch internals engine-specific (see scaladoc)
