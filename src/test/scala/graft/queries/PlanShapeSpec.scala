@@ -249,6 +249,19 @@ class PlanShapeSpec extends SparkSpec {
       "the key side is the small side and must broadcast")
   }
 
+  test("q22_dedup_spans is partial aggregates + an equi join on the span " +
+      "hash — no cartesian, span strings never in the plan") {
+    val plan = planOf(DedupOps.queries("q22_dedup_spans")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "both the span document-frequency and the per-doc rollup must " +
+        "combine map-side (partial+final each)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never plan an all-pairs join")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "the frequency re-attach is an equi join on the 8-byte hash")
+  }
+
   test("cdc1/cdc3/cdc4 decode plans keep every from_json behind the " +
       "checkpoint barrier, and their exchange budget stays flat") {
     // The r03 bench scare (cdc 14-70s official, <3.5s isolated) was
