@@ -34,12 +34,20 @@ object Bench {
         .map(_.toString).getOrElse(sfDir)
     }
     def dropPinnedRdds(): Unit = Harness.dropPinnedRdds(spark)
-    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0"))
+    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally dropPinnedRdds()
       }
+      // settle before timing: the warmup pass saturates every core and
+      // leaves JIT/GC debt draining on background threads; without a
+      // pause the alphabetically-first timed queries (the cdc family)
+      // absorb that tail — observed 1.2s isolated vs 14s back-to-back
+      // for cdc2_routing. 5s is enough for the load to fall off.
+      System.gc()
+      Thread.sleep(5000)
+    }
     // min of 2 timed runs per query: single samples on a shared box
     // vary up to 2.5x with CPU contention; the minimum is the standard
     // steady-state estimator (SPARK_GRAFT_RUNS overrides).
