@@ -149,11 +149,66 @@ object Multimodal {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q25c — ViT-style patch grid: every vision-transformer pipeline
+    * starts by slicing each image into a fixed 16×16 patch grid with
+    * edge clipping; the patch COORDINATE computation (grid shape, patch
+    * origin, clipped extent) is pure Spark-side metadata math and runs
+    * here exactly, while pixel extraction belongs to the stubbed codec
+    * seam (q25). Image dims derive deterministically from the payload
+    * (width 16 + n_bytes mod 33 — deliberately not a multiple of 16 so
+    * both axes exercise clipping; height = the raster row count at that
+    * width), so the op runs on driver test data with no image libs.
+    *
+    * Scale: one row-local explode of nx·ny patch rows per image — no
+    * shuffle, no state; output size is a function of image dims, never
+    * of byte count. */
+  def q25c_patchify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, length, lit}
+    mediaFromDocuments(s, dir)
+      .select(col("media_id"), length(col("media")).cast("long").as("n_bytes"))
+      .withColumn("w", lit(16L) + col("n_bytes") % 33L)
+      .withColumn("h", expr("(n_bytes + w - 1) div w"))
+      .withColumn("nx", expr("(w + 15) div 16"))
+      .withColumn("ny", expr("(h + 15) div 16"))
+      .withColumn("p", expr(
+        """explode(CASE WHEN nx * ny >= 1
+          |THEN sequence(0L, nx * ny - 1) ELSE array() END""".stripMargin
+          + ")"))
+      .select(col("media_id"), col("p").as("patch_idx"),
+        expr("(p % nx) * 16").as("x0"),
+        expr("(p div nx) * 16").as("y0"),
+        expr("least(16L, w - (p % nx) * 16)").as("pw"),
+        expr("least(16L, h - (p div nx) * 16)").as("ph"),
+        expr("least(16L, w - (p % nx) * 16)" +
+          " * least(16L, h - (p div nx) * 16)").as("n_pix"))
+      .orderBy("media_id", "patch_idx")
+  }
+
+  val q25cSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |d AS (SELECT media_id, n_bytes, 16 + n_bytes % 33 AS w FROM m),
+      |e AS (SELECT *, (n_bytes + w - 1) // w AS h FROM d),
+      |g AS (SELECT *, (w + 15) // 16 AS nx, (h + 15) // 16 AS ny FROM e),
+      |p AS (SELECT media_id, w, h, nx,
+      |    unnest(range(0, nx * ny)) AS p
+      |  FROM g)
+      |SELECT media_id, p AS patch_idx,
+      |  (p % nx) * 16 AS x0, (p // nx) * 16 AS y0,
+      |  least(16, w - (p % nx) * 16) AS pw,
+      |  least(16, h - (p // nx) * 16) AS ph,
+      |  least(16, w - (p % nx) * 16) * least(16, h - (p // nx) * 16)
+      |    AS n_pix
+      |FROM p ORDER BY media_id, patch_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal" -> (q25_multimodal _),
-    "q25b_frame_sample" -> (q25b_frame_sample _))
+    "q25b_frame_sample" -> (q25b_frame_sample _),
+    "q25c_patchify" -> (q25c_patchify _))
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal" -> q25Sql,
-    "q25b_frame_sample" -> q25bSql)
+    "q25b_frame_sample" -> q25bSql,
+    "q25c_patchify" -> q25cSql)
 }

@@ -354,6 +354,49 @@ object Relational {
        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** Full outer join — both-side null handling (q09 covers left outer).
+    * BUILDING customers ⟗ per-customer urgent-order aggregates: 39
+    * customer-only rows, 1034 order-only rows, 263 matched — every null
+    * combination is exercised. The orders side is pre-aggregated to one
+    * row per custkey BEFORE the join (partial-agg shuffle on a narrow
+    * projection), so the full outer joins two unique-key inputs and the
+    * coalesced key stays unique — the aggregate-then-outer-join shape
+    * that avoids exploding the null-padded side at 100 TB. The sort key
+    * is the coalesced (non-null) key: nullable sort keys would diverge
+    * between Spark (NULLS FIRST) and DuckDB (NULLS LAST). */
+  def q09b_join_full(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_urgent"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("urgent_total"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        c("c_custkey").isNotNull.as("has_cust"),
+        o("o_custkey").isNotNull.as("has_urgent"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("urgent_total"), lit(0.0)).as("urgent_total"))
+      .orderBy("custkey")
+  }
+
+  val q09bSql: String =
+    s"""WITH c AS (SELECT c_custkey FROM customer
+       |           WHERE c_mktsegment = 'BUILDING'),
+       |o AS (SELECT o_custkey, count(*) AS n_urgent,
+       |        CAST(SUM(CAST(o_totalprice AS $D18)) AS DOUBLE) AS urgent_total
+       |      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+       |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       |  c_custkey IS NOT NULL AS has_cust,
+       |  o_custkey IS NOT NULL AS has_urgent,
+       |  COALESCE(n_urgent, 0) AS n_urgent,
+       |  COALESCE(urgent_total, 0.0) AS urgent_total
+       |FROM c FULL JOIN o ON c_custkey = o_custkey
+       |ORDER BY custkey""".stripMargin
+
   // ---------------------------------------------------------------- Q10
   /** Semi join: customers having at least one order over 450k. */
   def q10_join_semi(s: SparkSession, dir: String): DataFrame = {
@@ -1192,6 +1235,7 @@ object Relational {
     "q07_join_broadcast" -> (q07_join_broadcast _),
     "q08_join_multiway" -> (q08_join_multiway _),
     "q09_join_outer" -> (q09_join_outer _),
+    "q09b_join_full" -> (q09b_join_full _),
     "q10_join_semi" -> (q10_join_semi _),
     "q10_join_anti" -> (q10_join_anti _),
     "q11_join_range" -> (q11_join_range _),
@@ -1234,6 +1278,7 @@ object Relational {
     "q07_join_broadcast" -> q07Sql,
     "q08_join_multiway" -> q08Sql,
     "q09_join_outer" -> q09Sql,
+    "q09b_join_full" -> q09bSql,
     "q10_join_semi" -> q10SemiSql,
     "q10_join_anti" -> q10AntiSql,
     "q11_join_range" -> q11Sql,

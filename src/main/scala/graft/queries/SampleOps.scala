@@ -122,13 +122,90 @@ object SampleOps {
       |FROM p WHERE tok_pos < budget
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-weighted mixture allocation (α = 0.5): the multilingual
+    * /multi-source rebalancing step — each source's sampling weight is
+    * tokens^α, flattening the source distribution so small sources are
+    * upsampled relative to their share (the mT5/XLM-R recipe). With
+    * α = 1/2 the weight is `floor(sqrt(tokens))`: IEEE-754 sqrt is
+    * correctly rounded in both engines and the floor lands the weight
+    * back in exact integer space, so the whole allocation — budget =
+    * half the corpus tokens, alloc_s = budget × w_s div Σw — is
+    * hash-exact with no float summation anywhere. The same key-hash
+    * greedy fill as q26_mix then realizes each allocation at doc
+    * granularity, and the output reports per source: tokens, weight,
+    * allocation, and what the fill actually selected.
+    *
+    * Scale: per-source totals are one partial-agg groupBy (|sources|
+    * rows); weights/allocations ride a broadcast of that tiny result;
+    * the running token position is the keyed two-level PrefixSum (never
+    * a whole source through one window task); the final report is a
+    * second |sources|-row partial agg. */
+  def q26_temperature(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("n_toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h", bucketOf("doc_id"))
+      .select("doc_id", "source", "n_toks", "h")
+      .localCheckpoint() // PrefixSum forks its input (see q26_mix)
+    val totals = d.groupBy("source").agg(sum(col("n_toks")).as("tot"))
+      .withColumn("w", floor(sqrt(col("tot").cast("double"))).cast("long"))
+    val global = totals.agg(
+      expr("sum(tot) div 2").as("budget"), sum(col("w")).as("sum_w"))
+    val alloc = totals.crossJoin(broadcast(global))
+      .withColumn("alloc", expr("(budget * w) div sum_w"))
+      .select("source", "tot", "w", "alloc")
+    PrefixSum.exclusiveRunningSum(d, "n_toks", "tok_pos",
+        seqCol = "h", keys = Seq("source"))
+      .join(broadcast(alloc), "source")
+      .groupBy("source")
+      .agg(max(col("tot")).as("n_toks"), max(col("w")).as("w"),
+        max(col("alloc")).as("alloc"),
+        count(when(col("tok_pos") < col("alloc"), lit(1))).as("n_sel"),
+        coalesce(sum(when(col("tok_pos") < col("alloc"), col("n_toks"))),
+          lit(0L)).as("sel_toks"))
+      .orderBy("source")
+  }
+
+  val q26TemperatureSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks,
+      |    (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents),
+      |t AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tot
+      |      FROM d GROUP BY 1),
+      |w AS (SELECT source, tot,
+      |        CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS w
+      |      FROM t),
+      |g AS (SELECT CAST(SUM(tot) // 2 AS BIGINT) AS budget,
+      |        CAST(SUM(w) AS BIGINT) AS sum_w
+      |      FROM w),
+      |a AS (SELECT source, tot, w,
+      |        CAST((g.budget * w.w) // g.sum_w AS BIGINT) AS alloc
+      |      FROM w, g),
+      |p AS (SELECT doc_id, source, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_pos
+      |  FROM d)
+      |SELECT a.source, a.tot AS n_toks, a.w, a.alloc,
+      |  COUNT(CASE WHEN p.tok_pos < a.alloc THEN 1 END) AS n_sel,
+      |  CAST(COALESCE(
+      |    SUM(CASE WHEN p.tok_pos < a.alloc THEN p.n_toks END), 0)
+      |    AS BIGINT) AS sel_toks
+      |FROM a JOIN p USING (source)
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
-    "q26_mix" -> (q26_mix _))
+    "q26_mix" -> (q26_mix _),
+    "q26_temperature" -> (q26_temperature _))
 
   def oracles: Map[String, String] = Map(
     "q26_sample_hash" -> q26SampleSql,
     "q26_split_stratified" -> q26SplitSql,
-    "q26_mix" -> q26MixSql)
+    "q26_mix" -> q26MixSql,
+    "q26_temperature" -> q26TemperatureSql)
 }

@@ -238,6 +238,61 @@ object TextOps {
       |FROM rk WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Corpus-LM quality score — the CCNet/Gopher "perplexity filter"
+    * shape with an integer-exact statistic: score each document by the
+    * mean corpus frequency of its token BIGRAMS. Documents whose
+    * bigrams are rare in the corpus (gibberish, OCR noise, unusual
+    * boilerplate) score low; templated/common prose scores high. A
+    * production pipeline swaps the corpus-frequency table for an
+    * external LM's n-gram table — the join/aggregate shape is
+    * identical. Integer mean (`div`) keeps the score hash-exact.
+    *
+    * Scale: bigram extraction is row-local (`transform` over the token
+    * array); the corpus bigram-count table is ONE partial-agg groupBy
+    * (map-side combine collapses the zipf head before the shuffle); the
+    * doc↔count join shuffles on the bigram where AQE's skew split
+    * handles the hot head; the per-doc fold-back is a second partial
+    * agg keyed on doc_id. Nothing is driver-side, nothing is quadratic. */
+  def q24_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val d = toks(s, dir).select("doc_id", "toks", "n_toks")
+    val bg = d.withColumn("bg", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |THEN transform(sequence(0, size(toks) - 2),
+          |               i -> concat(toks[i], ' ', toks[i + 1]))
+          |ELSE array() END""".stripMargin)))
+      .select("doc_id", "bg")
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val perDoc = bg.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+    d.select("doc_id", "n_toks")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+        coalesce(expr("freq_sum div n_bigrams"), lit(0L)).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val q24LmScoreSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |b AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      |  FROM d),
+      |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1),
+      |p AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(SUM(cnt) AS BIGINT) AS freq_sum
+      |  FROM b JOIN c USING (bg) GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_toks,
+      |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(p.freq_sum, 0) AS freq_sum,
+      |  COALESCE(p.freq_sum // p.n_bigrams, 0) AS lm_score
+      |FROM d LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** BPE tokenizer-training step: corpus-wide adjacent character-pair
     * frequencies (the statistic each merge round of byte-pair encoding
     * maximizes), top-200 by (count desc, pair asc).
@@ -520,6 +575,7 @@ object TextOps {
     "q24_fingerprint" -> (q24_fingerprint _),
     "q24_vocab" -> (q24_vocab _),
     "q24_tfidf" -> (q24_tfidf _),
+    "q24_lm_score" -> (q24_lm_score _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
     // hash-checked via q24BpeTrainSql (recursive-CTE greedy rewrites);
     // ScalaTest additionally pins a single-machine BPE reference
@@ -538,6 +594,7 @@ object TextOps {
     "q24_fingerprint" -> q24FingerprintSql,
     "q24_vocab" -> q24VocabSql,
     "q24_tfidf" -> q24TfidfSql,
+    "q24_lm_score" -> q24LmScoreSql,
     "q24_bpe_pairs" -> q24BpePairsSql,
     "q24_bpe_train" -> q24BpeTrainSql,
     "q24_quantiles" -> q24QuantilesSql)

@@ -53,6 +53,35 @@ class MultimodalSpec extends SparkSpec {
       media.collect().map(_.media_id).sorted.toSeq)
   }
 
+  test("patch grid tiles every image exactly: per-image patch count " +
+      "is nx*ny and clipped areas sum to w*h") {
+    val rows = Multimodal.q25c_patchify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val dims = mediaFromDocuments(spark, sfDir).collect()
+      .map { r =>
+        val n = r.media.length.toLong
+        val w = 16 + n % 33
+        val h = (n + w - 1) / w
+        (r.media_id, (w, h))
+      }.toMap
+    rows.groupBy(_._1).foreach { case (id, ps) =>
+      val (w, h) = dims(id)
+      val nx = (w + 15) / 16
+      val ny = (h + 15) / 16
+      assert(ps.length == nx * ny, s"media $id patch count")
+      assert(ps.map(_._7).sum == w * h, s"media $id area coverage")
+      // every patch lies inside the image and is non-empty
+      ps.foreach { case (_, _, x0, y0, pw, ph, npix) =>
+        assert(pw >= 1 && ph >= 1 && npix == pw * ph)
+        assert(x0 + pw <= w && y0 + ph <= h)
+      }
+    }
+    // the dims derivation must actually exercise clipping on both axes
+    assert(rows.exists(_._5 < 16) && rows.exists(_._6 < 16),
+      "fixture should produce clipped edge patches")
+  }
+
   test("approx distinct stays within HLL error bound") {
     val rows = graft.queries.Relational
       .q04b_approx_distinct(spark, sfDir).collect()

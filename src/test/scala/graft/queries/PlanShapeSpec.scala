@@ -249,6 +249,49 @@ class PlanShapeSpec extends SparkSpec {
       "the key side is the small side and must broadcast")
   }
 
+  test("q09b full outer joins two pre-aggregated unique-key sides — " +
+      "the orders side collapses BEFORE the join, no nested loop") {
+    val plan = planOf(Relational.queries("q09b_join_full")(spark, sfDir))
+    assert(plan.contains("FullOuter"), "must plan a full outer join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "full outer on an equi key must stay a hash/merge join")
+    // the per-custkey aggregate must be partial (map-side combine) and
+    // sit under the join, not after it
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "orders must pre-aggregate with partial+final HashAggregate")
+  }
+
+  test("q26_temperature derives allocations from a broadcast summary — " +
+      "doc rows never shuffle for the tiny per-source table") {
+    val plan = planOf(SampleOps.queries("q26_temperature")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row allocation table must broadcast onto doc rows")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "only the 1-row global-budget cross join may nest")
+  }
+
+  test("q24_lm_score counts bigrams with map-side combine and keeps " +
+      "bigram extraction row-local") {
+    val plan = planOf(TextOps.queries("q24_lm_score")(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "corpus counts and per-doc fold must both be partial+final")
+    assert(plan.contains("Generate explode"),
+      "bigram extraction is a row-local explode")
+  }
+
+  test("q25c_patchify is one row-local explode — no exchange before " +
+      "the patch rows exist") {
+    val df = graft.multimodal.Multimodal.queries("q25c_patchify")(
+      spark, sfDir)
+    val plan = planOf(df)
+    val beforeSort = plan.split("Sort ").last // text below final sort
+    assert(plan.contains("Generate explode"),
+      "patch grid must be generated row-locally")
+    assert("Exchange".r.findAllIn(beforeSort).size <= 1,
+      "only the final output sort may exchange")
+  }
+
   test("q22_dedup_spans is partial aggregates + an equi join on the span " +
       "hash — no cartesian, span strings never in the plan") {
     val plan = planOf(DedupOps.queries("q22_dedup_spans")(spark, sfDir))

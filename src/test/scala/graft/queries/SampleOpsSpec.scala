@@ -42,4 +42,45 @@ class SampleOpsSpec extends SparkSpec {
     assert(bySrc.exists { case (s, n) => n < input(s) },
       "at least one source must be downsampled")
   }
+
+  test("temperature: sqrt-weighted allocations realized by the " +
+      "key-hash fill, all integer-exact") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").length.toLong))
+    val hashOf = (id: Long) =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val weights = totals.view
+      .mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong).toMap
+    val budget = totals.values.sum / 2
+    val sumW = weights.values.sum
+    val want = totals.keys.map { src =>
+      val alloc = budget * weights(src) / sumW
+      var cum = 0L
+      var nSel = 0L
+      var selToks = 0L
+      docs.filter(_._2 == src).sortBy(r => hashOf(r._1)).foreach {
+        case (_, _, n) =>
+          if (cum < alloc) { nSel += 1; selToks += n }
+          cum += n
+      }
+      (src, totals(src), weights(src), alloc, nSel, selToks)
+    }.toSet
+    val got = SampleOps.q26_temperature(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == want)
+    // temperature flattening: the smallest source's alloc/tokens rate
+    // must exceed the largest source's (sqrt upsamples the tail)
+    val bySize = want.toSeq.sortBy(_._2)
+    val rate = (r: (String, Long, Long, Long, Long, Long)) =>
+      r._4.toDouble / r._2
+    assert(rate(bySize.head) > rate(bySize.last),
+      "sqrt weighting must favor smaller sources")
+  }
 }

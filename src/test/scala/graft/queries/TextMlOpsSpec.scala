@@ -244,4 +244,32 @@ class TextMlOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == want)
   }
+
+  test("lm score: mean corpus-bigram frequency equals the naive " +
+      "two-pass count") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), trim(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val bigramsOf = (tk: Seq[String]) =>
+      if (tk.length < 2) Seq.empty[String]
+      else tk.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    val corpus = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (_, tk) =>
+      bigramsOf(tk).foreach(b => corpus(b) = corpus.getOrElse(b, 0L) + 1)
+    }
+    val want = docs.map { case (id, tk) =>
+      val bgs = bigramsOf(tk)
+      val freqSum = bgs.map(corpus).sum
+      val score = if (bgs.isEmpty) 0L else freqSum / bgs.length
+      (id, tk.length.toLong, bgs.length.toLong, freqSum, score)
+    }.toSet
+    val got = TextOps.q24_lm_score(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(got == want)
+    // a bigram occurs at least once (itself) → scores are ≥ 1 wherever
+    // a doc has any bigram at all
+    assert(got.filter(_._3 > 0).forall(_._5 >= 1))
+  }
 }
