@@ -197,15 +197,72 @@ object SampleOps {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY source""".stripMargin
 
+  /** PPS systematic sampling (probability proportional to size — the
+    * Madow '49 estimator, the standard weighted corpus sampler): lay
+    * every document's tokens end-to-end in deterministic key-hash order,
+    * then take one "dart" every `step = total div 50` tokens; a document
+    * is selected iff a dart lands inside its token interval. Selection
+    * probability is exactly n_toks/step (capped at 1) — long documents
+    * proportionally more likely, any document with n_toks ≥ step
+    * CERTAIN — with a fixed sample size of ~50, no randomness, and
+    * map-side decidability once the token position is known. `pick` is
+    * the index of the first dart inside the interval. All arithmetic is
+    * nonnegative-integer (`div`), so both engines agree exactly —
+    * DuckDB's floor-`//` and Spark's truncating `div` only diverge on
+    * negatives, which the first-dart formulation avoids.
+    *
+    * Scale: the token position is the keyless two-level PrefixSum (no
+    * global window); the (total, step) row broadcasts; everything else
+    * is a row-local predicate. */
+  def q26_pps(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("n_toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h", bucketOf("doc_id"))
+      .select("doc_id", "source", "n_toks", "h")
+      .localCheckpoint() // PrefixSum forks its input (see q26_mix)
+    val tot = d.agg(sum(col("n_toks")).as("total"))
+      .withColumn("step", greatest(expr("total div 50"), lit(1L)))
+      .select("step")
+    PrefixSum.exclusiveRunningSum(d, "n_toks", "tok_pos", seqCol = "h")
+      .crossJoin(broadcast(tot))
+      .withColumn("pick", expr("(tok_pos + step - 1) div step"))
+      .filter(col("pick") * col("step") < col("tok_pos") + col("n_toks"))
+      .select("doc_id", "source", "n_toks", "tok_pos", "pick")
+      .orderBy("doc_id")
+  }
+
+  val q26PpsSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_toks,
+      |    (doc_id * 2654435761) % 4294967296 AS h
+      |  FROM documents),
+      |t AS (SELECT greatest(CAST(SUM(n_toks) AS BIGINT) // 50,
+      |        CAST(1 AS BIGINT)) AS step FROM d),
+      |p AS (SELECT doc_id, source, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY h
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_pos
+      |  FROM d)
+      |SELECT doc_id, source, n_toks, tok_pos,
+      |  (tok_pos + t.step - 1) // t.step AS pick
+      |FROM p, t
+      |WHERE ((tok_pos + t.step - 1) // t.step) * t.step
+      |      < tok_pos + n_toks
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
     "q26_mix" -> (q26_mix _),
-    "q26_temperature" -> (q26_temperature _))
+    "q26_temperature" -> (q26_temperature _),
+    "q26_pps" -> (q26_pps _))
 
   def oracles: Map[String, String] = Map(
     "q26_sample_hash" -> q26SampleSql,
     "q26_split_stratified" -> q26SplitSql,
     "q26_mix" -> q26MixSql,
-    "q26_temperature" -> q26TemperatureSql)
+    "q26_temperature" -> q26TemperatureSql,
+    "q26_pps" -> q26PpsSql)
 }

@@ -383,6 +383,107 @@ object SimilarityOps {
       |    AS centroid
       |FROM u2 GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---------------------------------------------------------------- pq
+  /** Product quantization + ADC search (Jégou et al., TPAMI'11) — the
+    * memory layout every billion-vector ANN index actually serves from:
+    * each 64-dim vector is split into m = 8 subspaces of 8 dims, each
+    * subvector replaced by the id of its nearest codebook entry (k = 16
+    * per subspace), so a candidate travels as EIGHT 4-bit codes instead
+    * of 64 floats (64× smaller). A query computes one 8×16 distance
+    * table against the codebooks, then scores any candidate with 8
+    * table lookups — asymmetric distance computation — never touching
+    * the original vectors.
+    *
+    * All arithmetic runs in the q23_kmeans shifted micro-int space, so
+    * encode ties (lowest code wins), ADC sums, and the final ranking are
+    * integer-exact in both engines. Codebooks are the k smallest
+    * vec_ids' subvectors (deterministic init, the q23_kmeans convention;
+    * a production index would Lloyd-refine them — q23_kmeans IS that
+    * loop, run per subspace).
+    *
+    * Scale shape: the codebook is k·dim literals (collected once — an
+    * init, not data); ENCODING is row-local against those literals (no
+    * join, no shuffle — same argument as the k-means assign step); the
+    * ADC join broadcasts 10 query rows each carrying its 8×16 table,
+    * while the corpus side ships only (vec_id, 8 codes) — the narrow-row
+    * discipline the LSH pipeline established, taken to its limit. */
+  def q23_pq(s: SparkSession, dir: String): DataFrame = {
+    val m = 8      // subspaces
+    val k = 16     // codes per subspace
+    val sub = 8    // dims per subspace
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+        .as("vm"))
+    // codebook init: subvectors of the k smallest vec_ids (k rows to the
+    // driver). cb(s)(j) = 8 longs.
+    val cb: Seq[Seq[Seq[Long]]] = {
+      val init = v.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq)
+      (0 until m).map(sp => init.toSeq.map(_.slice(sp * sub, (sp + 1) * sub)))
+    }
+    def subdist(a: Column, cbVec: Seq[Long]): Column =
+      aggregate(zip_with(a, array(cbVec.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // per subspace: distances to the k codebook entries; argmin with
+    // first-occurrence (= lowest code) tie-break
+    def distsCol(sp: Int): Column =
+      array(cb(sp).map(cv =>
+        subdist(slice(col("vm"), sp * sub + 1, sub), cv)): _*)
+    val codes = array((0 until m).map { sp =>
+      val d = distsCol(sp)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+    val enc = v.withColumn("codes", codes).drop("vm")
+    // query side: the ADC distance table (8×16 longs per query row)
+    val qtab = array((0 until m).map(distsCol): _*)
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .withColumn("qtab", qtab)
+      .select(col("vec_id").as("q_id"), col("qtab")))
+    val scored = enc.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)), lit(0L), _ + _))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"),
+        col("adc_dist"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** DuckDB PQ/ADC re-derivation. `d` serves double duty: rows with
+    * vec_id ≥ 10 pick each vector's code per subspace (argmin), rows
+    * with vec_id < 10 ARE the query distance tables the ADC join looks
+    * up — the same dual use the Spark side gets from `distsCol`. */
+  val q23PqSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |         + 2000000) AS vm
+      |  FROM embeddings),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |    AS j, vm
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+      |d AS (SELECT v.vec_id, s.s, cb.j,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (v.vm[s.s*8 + i] - cb.vm[s.s*8 + i])
+      |         * (v.vm[s.s*8 + i] - cb.vm[s.s*8 + i]))) AS BIGINT) AS dist
+      |  FROM v, range(8) s(s), cb),
+      |enc AS (SELECT vec_id, s, j AS code FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
+      |  WHERE rn = 1),
+      |adc AS (SELECT dq.vec_id AS q_id, e.vec_id AS cand_id,
+      |    CAST(SUM(dq.dist) AS BIGINT) AS adc_dist
+      |  FROM enc e JOIN d dq ON dq.vec_id < 10 AND dq.s = e.s
+      |    AND dq.j = e.code AND e.vec_id != dq.vec_id
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT q_id, cand_id, adc_dist, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist, cand_id) AS rk FROM adc)
+      |SELECT q_id, CAST(rk AS INT) AS rk, cand_id, adc_dist
+      |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** Full DuckDB re-derivation of the LSH pipeline (see q23_knn_lsh
     * scaladoc). The only non-obvious piece is splitmix64 in SQL: DuckDB
     * integer ops ERROR on overflow instead of wrapping, so each 64×64-bit
@@ -446,7 +547,8 @@ object SimilarityOps {
     "q23_knn_lsh" -> (q23_knn_lsh _),
     "q23_centroid" -> (q23_centroid _),
     "q23_quantize" -> (q23_quantize _),
-    "q23_kmeans" -> (q23_kmeans _))
+    "q23_kmeans" -> (q23_kmeans _),
+    "q23_pq" -> (q23_pq _))
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
@@ -454,5 +556,6 @@ object SimilarityOps {
     "q23_knn_lsh" -> q23LshSql,
     "q23_centroid" -> q23CentroidSql,
     "q23_quantize" -> q23QuantizeSql,
-    "q23_kmeans" -> q23KmeansSql)
+    "q23_kmeans" -> q23KmeansSql,
+    "q23_pq" -> q23PqSql)
 }

@@ -292,6 +292,28 @@ class PlanShapeSpec extends SparkSpec {
       "only the final output sort may exchange")
   }
 
+  test("q23_pq scores candidates as 8 codes against a broadcast query " +
+      "table — no vector ever crosses a shuffle join") {
+    val plan = planOf(SimilarityOps.queries("q23_pq")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 10 query rows (with their ADC tables) must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "the corpus side must never shuffle for the ADC join")
+  }
+
+  test("q26_pps gets its token position from the bucketed prefix sum " +
+      "and the (total, step) row broadcasts onto the scan") {
+    val plan = planOf(SampleOps.queries("q26_pps")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the one-row step table must broadcast, not shuffle")
+    // selection is a filter over prefix-sum output, never a sort+limit
+    assert(!plan.contains("TakeOrderedAndProject") ||
+      plan.indexOf("TakeOrderedAndProject") == plan.lastIndexOf(
+        "TakeOrderedAndProject"), "no hidden global sort beyond output")
+  }
+
   test("q22_dedup_spans is partial aggregates + an equi join on the span " +
       "hash — no cartesian, span strings never in the plan") {
     val plan = planOf(DedupOps.queries("q22_dedup_spans")(spark, sfDir))

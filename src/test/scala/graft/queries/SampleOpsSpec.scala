@@ -83,4 +83,42 @@ class SampleOpsSpec extends SparkSpec {
     assert(rate(bySize.head) > rate(bySize.last),
       "sqrt weighting must favor smaller sources")
   }
+
+  test("pps: one dart every total/50 tokens in key-hash order selects " +
+      "size-proportional docs, integer-exact") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").length.toLong))
+    val hashOf = (id: Long) =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val total = docs.map(_._3).sum
+    val step = math.max(total / 50, 1L)
+    var cum = 0L
+    val want = docs.sortBy(d => hashOf(d._1)).flatMap {
+      case (id, src, n) =>
+        val pick = (cum + step - 1) / step
+        val sel = if (pick * step < cum + n) Some((id, src, n, cum, pick))
+          else None
+        cum += n
+        sel
+    }.toSet
+    val got = SampleOps.q26_pps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+    // fixed-size property: each dart lands in exactly one doc, so the
+    // sample is at most the dart count (fewer only when one doc catches
+    // several darts)
+    val nDarts = (total + step - 1) / step
+    assert(got.nonEmpty && got.size <= nDarts)
+    // the size bias PPS exists for: selected docs average more tokens
+    // than the corpus at large
+    assert(got.toSeq.map(_._3).sum.toDouble / got.size >
+      total.toDouble / docs.length,
+      "token-weighted darts must favor longer documents")
+  }
 }
