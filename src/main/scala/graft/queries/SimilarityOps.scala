@@ -423,23 +423,15 @@ object SimilarityOps {
         .map(_.getSeq[Long](0).toIndexedSeq)
       (0 until m).map(sp => init.toSeq.map(_.slice(sp * sub, (sp + 1) * sub)))
     }
-    def subdist(a: Column, cbVec: Seq[Long]): Column =
-      aggregate(zip_with(a, array(cbVec.map(lit): _*),
-        (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    // per subspace: distances to the k codebook entries; argmin with
-    // first-occurrence (= lowest code) tie-break
-    def distsCol(sp: Int): Column =
-      array(cb(sp).map(cv =>
-        subdist(slice(col("vm"), sp * sub + 1, sub), cv)): _*)
-    val codes = array((0 until m).map { sp =>
-      val d = distsCol(sp)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }: _*)
-    val enc = v.withColumn("codes", codes).drop("vm")
-    // query side: the ADC distance table (8×16 longs per query row)
-    val qtab = array((0 until m).map(distsCol): _*)
+    // encode + query-table via the native PQ kernels: the codebook rides
+    // the expression object (≈8 KB), not the plan — the literal-tree +
+    // interpreted-lambda form cost 3.6 s at sf0.1 (and a 1.8 MB task
+    // binary); the kernels run the same integer loops compiled, with the
+    // identical lowest-code tie-break (strict <).
+    val enc = v.withColumn("codes",
+      graft.functions.native.pqEncode(col("vm"), cb)).drop("vm")
     val q = broadcast(v.filter(col("vec_id") < 10)
-      .withColumn("qtab", qtab)
+      .withColumn("qtab", graft.functions.native.pqDistTable(col("vm"), cb))
       .select(col("vec_id").as("q_id"), col("qtab")))
     val scored = enc.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist",
