@@ -945,6 +945,66 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Deterministic OLS trend fit per group — least-squares
+    * price-on-quantity line (slope, intercept, R²) from the same five
+    * exact decimal moments as q19c, evaluated in textbook formula order:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   R² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * The built-in regr_slope/regr_r2 stream doubles and depend on
+    * partition merge order (the q19c argument); decimal sums make the
+    * moments exact, and the identical double-formula text on both
+    * engines makes the derived values bit-reproducible at any
+    * partitioning. Scale: one partial+final hash aggregate, |groups|
+    * rows through the shuffle. */
+  def q19d_regression(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast(LongType).as("n_rows"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"))
+      .select(
+        col("l_returnflag"), col("n_rows"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val q19dSql: String =
+    s"""WITH m AS (SELECT l_returnflag,
+       |  CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(CAST(l_quantity AS $D18)) AS DOUBLE) AS sx,
+       |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_quantity AS $D18)) AS DOUBLE) AS sxx,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sy,
+       |  CAST(SUM(CAST(l_extendedprice AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS syy,
+       |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |s AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |    n, sx, sy, sxx, syy, sxy
+       |  FROM m)
+       |SELECT l_returnflag, n_rows, slope,
+       |  (sy - slope * sx) / n AS intercept,
+       |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
   val q19cSql: String =
     s"""WITH m AS (SELECT l_returnflag,
        |  CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1256,6 +1316,7 @@ object Relational {
     "q19_math" -> (q19_math _),
     "q19b_histogram" -> (q19b_histogram _),
     "q19c_stats" -> (q19c_stats _),
+    "q19d_regression" -> (q19d_regression _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
@@ -1299,6 +1360,7 @@ object Relational {
     "q19_math" -> q19Sql,
     "q19b_histogram" -> q19bSql,
     "q19c_stats" -> q19cSql,
+    "q19d_regression" -> q19dSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
