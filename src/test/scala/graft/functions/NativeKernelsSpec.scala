@@ -133,6 +133,38 @@ class NativeKernelsSpec extends SparkSpec {
     }
   }
 
+  test("PqEncode/PqDistTable == the interpreted subdistance expressions " +
+      "they replaced, on the real corpus in micro-int space") {
+    val m = 4; val k = 3; val sub = 16 // deliberately non-default shape
+    val v = embs.select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+      .as("vm"))
+    val cb: Seq[Seq[Seq[Long]]] = {
+      val init = v.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq)
+      (0 until m).map(sp => init.toSeq.map(_.slice(sp * sub, (sp + 1) * sub)))
+    }
+    def subdist(sp: Int, cv: Seq[Long]) =
+      aggregate(zip_with(slice(col("vm"), sp * sub + 1, sub),
+        array(cv.map(lit): _*), (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    def distsCol(sp: Int) = array(cb(sp).map(cv => subdist(sp, cv)): _*)
+    val refCodes = array((0 until m).map { sp =>
+      val d = distsCol(sp)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+    val refTab = array((0 until m).map(distsCol): _*)
+    val rows = v.select(
+        native.pqEncode(col("vm"), cb).as("nc"), refCodes.as("rc"),
+        native.pqDistTable(col("vm"), cb).as("nt"), refTab.as("rt"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      assert(r.getSeq[Seq[Long]](2) == r.getSeq[Seq[Long]](3))
+    }
+  }
+
   test("SQL registration exposes graft_dot and graft_rolling_hash") {
     val ext = new GraftExtensions
     // the shared test session wasn't built with the extension — register
