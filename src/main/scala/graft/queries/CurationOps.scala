@@ -389,6 +389,106 @@ object CurationOps {
       |WHERE start = 0 OR len(tk) > start + 16
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** End-to-end curation pipeline — the four stages a pretraining corpus
+    * actually runs, composed as ONE declarative plan so Catalyst sees
+    * (and prunes/pushes through) the whole DAG:
+    *   1. quality gate  — the q24_quality predicate (≥20 tokens,
+    *      repeated-token share < 1/2);
+    *   2. exact dedup   — keep the smallest doc_id per normalized text
+    *      (q22_dedup_exact's keep-first rule);
+    *   3. decontamination — drop survivors sharing any 3-token shingle
+    *      with the held-out benchmark slice (q27_decontaminate's split:
+    *      key-hash % 100 ≥ 95; bench grams come from the RAW slice —
+    *      a benchmark is external and not subject to the corpus gates);
+    *   4. sequence packing — q27_pack's per-lang 2048-token bins over
+    *      the survivors.
+    * Output: one row per packed survivor with its bin/offset.
+    *
+    * Scale notes: the doc frame (with row-local shingle sets) is
+    * materialized ONCE and every stage branch derives from it; the
+    * dedup window shuffles only (doc_id, lang, n_toks, norm_key) — the
+    * shingle sets re-join by id for the contamination probe rather than
+    * riding the dedup shuffle; bench grams broadcast; the final offsets
+    * are the keyed two-level PrefixSum. A production corpus would swap
+    * `norm_key` for a 128-bit fingerprint of it — the string key keeps
+    * the oracle exact here (same trade q22_dedup_exact documents). */
+  def q27_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val clean = pipelineClean(s, dir)
+      .localCheckpoint() // PrefixSum forks its input (see q27_pack)
+    PrefixSum.exclusiveRunningSum(clean, "n_toks", "tok_offset",
+        seqCol = "doc_id", keys = Seq("lang"))
+      .withColumn("bin", expr("tok_offset div 2048"))
+      .select("doc_id", "lang", "n_toks", "tok_offset", "bin")
+      .orderBy("doc_id")
+  }
+
+  /** Stages 1–3 of q27_pipeline (everything before the packing
+    * checkpoint) — factored out so PlanShapeSpec can pin the physical
+    * plan of the gate/dedup/decontaminate composition, which the
+    * checkpoint otherwise hides behind a Scan ExistingRDD. */
+  private[queries] def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(array_distinct(col("toks"))))
+          .cast("long").as("n_repeated"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("norm_key"),
+        (SampleOps.bucketOf("doc_id") % 100 >= 95).as("is_bench"),
+        graft.functions.native.shingleHashes(col("text"), 3).as("shingles"))
+      .localCheckpoint() // every stage branch forks this frame
+    val benchGrams = d.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("h")).distinct()
+    val pass = d.filter(!col("is_bench") &&
+      col("n_toks") >= 20 && col("n_repeated") * 2 < col("n_toks"))
+    val winners = pass.select("doc_id", "lang", "n_toks", "norm_key")
+      .withColumn("m",
+        min(col("doc_id")).over(Window.partitionBy("norm_key")))
+      .filter(col("doc_id") === col("m"))
+      .select("doc_id", "lang", "n_toks")
+    val hits = winners.select("doc_id")
+      .join(d.select("doc_id", "shingles"), "doc_id")
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .select("doc_id").distinct()
+    winners.join(hits, Seq("doc_id"), "left_anti")
+  }
+
+  val q27PipelineSql: String =
+    """WITH t AS (SELECT doc_id, lang, text,
+      |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |q AS (SELECT doc_id, lang, tk,
+      |    CAST(len(tk) AS BIGINT) AS n_toks,
+      |    CAST(len(tk) - len(list_distinct(tk)) AS BIGINT) AS n_repeated,
+      |    regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_key,
+      |    (doc_id * 2654435761) % 4294967296 % 100 >= 95 AS is_bench
+      |  FROM t),
+      |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |      range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))))
+      |      AS gram
+      |  FROM q WHERE is_bench),
+      |pass AS (SELECT * FROM q WHERE NOT is_bench
+      |  AND n_toks >= 20 AND n_repeated * 2 < n_toks),
+      |kept AS (SELECT doc_id, lang, n_toks, tk FROM (SELECT *,
+      |    min(doc_id) OVER (PARTITION BY norm_key) AS m FROM pass)
+      |  WHERE doc_id = m),
+      |contam AS (SELECT DISTINCT k.doc_id FROM (SELECT doc_id,
+      |      unnest(list_distinct(list_transform(range(1, len(tk)-1),
+      |        i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+      |    FROM kept) k
+      |  JOIN bg USING (gram)),
+      |clean AS (SELECT doc_id, lang, n_toks FROM kept
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+      |SELECT doc_id, lang, n_toks,
+      |  CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS tok_offset,
+      |  CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |    AS BIGINT) AS bin
+      |FROM clean ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_decontaminate" -> (q27_decontaminate _),
@@ -397,7 +497,8 @@ object CurationOps {
     "q27_pack" -> (q27_pack _),
     "q27_shuffle" -> (q27_shuffle _),
     "q27_redact" -> (q27_redact _),
-    "q27_chunk" -> (q27_chunk _))
+    "q27_chunk" -> (q27_chunk _),
+    "q27_pipeline" -> (q27_pipeline _))
 
   def oracles: Map[String, String] = Map(
     "q27_decontaminate" -> q27DecontaminateSql,
@@ -406,5 +507,6 @@ object CurationOps {
     "q27_pack" -> q27PackSql,
     "q27_shuffle" -> q27ShuffleSql,
     "q27_redact" -> q27RedactSql,
-    "q27_chunk" -> q27ChunkSql)
+    "q27_chunk" -> q27ChunkSql,
+    "q27_pipeline" -> q27PipelineSql)
 }

@@ -193,4 +193,41 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline: quality -> dedup-keep-first -> decontaminate -> pack " +
+      "equals the naive four-stage fold") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toksOf = (t: String) => t.trim.split("\\s+").toSeq
+    val gramsOf = (t: String) => toksOf(t).sliding(3)
+      .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val isBench = (id: Long) =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 >= 95
+    val bg = docs.filter(d => isBench(d._1)).flatMap(d => gramsOf(d._3)).toSet
+    val pass = docs.filter { case (id, _, t) =>
+      val tk = toksOf(t)
+      !isBench(id) && tk.length >= 20 &&
+        (tk.length - tk.distinct.length) * 2 < tk.length
+    }
+    val keepOf = pass.groupBy(d => d._3.trim.replaceAll("\\s+", " "))
+      .map { case (_, ds) => ds.map(_._1).min }.toSet
+    val clean = pass.filter(d => keepOf(d._1))
+      .filter(d => gramsOf(d._3).intersect(bg).isEmpty)
+    var want = Set.empty[(Long, String, Long, Long, Long)]
+    clean.groupBy(_._2).foreach { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, t) =>
+        val n = toksOf(t).length.toLong
+        want += ((id, lang, n, cum, cum / 2048))
+        cum += n
+      }
+    }
+    val got = CurationOps.q27_pipeline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty, "pipeline must keep some documents")
+  }
 }

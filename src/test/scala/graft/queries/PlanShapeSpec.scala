@@ -314,6 +314,23 @@ class PlanShapeSpec extends SparkSpec {
         "TakeOrderedAndProject"), "no hidden global sort beyond output")
   }
 
+  test("q27_pipeline composes its four stages with the right physical " +
+      "choices: broadcast gram probe, anti join, no shuffled text") {
+    // pin the pre-checkpoint composition (the checkpoint hides it from
+    // the full query's executed plan)
+    val plan = planOf(CurationOps.pipelineClean(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bench gram set must broadcast onto the survivor probe")
+    assert(plan.contains("LeftAnti"),
+      "contaminated survivors leave via an anti join")
+    // the contamination probe re-joins shingles BY ID; shingle sets must
+    // not ride the dedup window's exchange
+    val winStart = plan.indexOf("Window")
+    assert(winStart >= 0 && !plan.substring(winStart, math.min(
+      plan.length, winStart + 400)).contains("shingles"),
+      "dedup window must shuffle narrow rows, not shingle sets")
+  }
+
   test("q22_dedup_spans is partial aggregates + an equi join on the span " +
       "hash — no cartesian, span strings never in the plan") {
     val plan = planOf(DedupOps.queries("q22_dedup_spans")(spark, sfDir))
