@@ -446,6 +446,78 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-PQ — the two q23 scale techniques composed the way a real
+    * billion-vector index serves queries (the FAISS IVFPQ layout): the
+    * coarse quantizer (the `label` cell, as in q23_knn_ivf) restricts
+    * each query to 1/|cells| of the corpus, and within the cell
+    * candidates are scored from their 8 PQ codes against the query's
+    * broadcast ADC table (as in q23_pq) — so the probe reads narrow
+    * code rows from one cell, never a full vector. Same codebook init
+    * and integer space as q23_pq; top-3 per query like q23_knn_ivf.
+    *
+    * Scale: the cell is the shuffle partitioning of the code table;
+    * the join is an equi join on the cell id with the 10-row query side
+    * (each row carrying its 8×16 table) broadcast. */
+  def q23_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+        .as("vm"))
+    val cb: Seq[Seq[Seq[Long]]] = {
+      val init = v.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq)
+      (0 until 8).map(sp => init.toSeq.map(_.slice(sp * 8, (sp + 1) * 8)))
+    }
+    val enc = v.withColumn("codes",
+      graft.functions.native.pqEncode(col("vm"), cb)).drop("vm")
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .withColumn("qtab", graft.functions.native.pqDistTable(col("vm"), cb))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qtab")))
+    val scored = enc.join(q,
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)), lit(0L), _ + _))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"),
+        col("adc_dist"))
+      .orderBy("q_id", "rk")
+  }
+
+  val q23IvfPqSql: String =
+    """WITH v AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |         + 2000000) AS vm
+      |  FROM embeddings),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |    AS j, vm
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+      |d AS (SELECT v.vec_id, v.label, s.s, cb.j,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (v.vm[s.s*8 + i] - cb.vm[s.s*8 + i])
+      |         * (v.vm[s.s*8 + i] - cb.vm[s.s*8 + i]))) AS BIGINT) AS dist
+      |  FROM v, range(8) s(s), cb),
+      |enc AS (SELECT vec_id, label, s, j AS code FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j)
+      |      AS rn FROM d)
+      |  WHERE rn = 1),
+      |adc AS (SELECT dq.vec_id AS q_id, e.vec_id AS cand_id,
+      |    CAST(SUM(dq.dist) AS BIGINT) AS adc_dist
+      |  FROM enc e JOIN d dq ON dq.vec_id < 10 AND dq.s = e.s
+      |    AND dq.j = e.code AND e.label = dq.label
+      |    AND e.vec_id != dq.vec_id
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT q_id, cand_id, adc_dist, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist, cand_id) AS rk FROM adc)
+      |SELECT q_id, CAST(rk AS INT) AS rk, cand_id, adc_dist
+      |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   /** DuckDB PQ/ADC re-derivation. `d` serves double duty: rows with
     * vec_id ≥ 10 pick each vector's code per subspace (argmin), rows
     * with vec_id < 10 ARE the query distance tables the ADC join looks
@@ -540,7 +612,8 @@ object SimilarityOps {
     "q23_centroid" -> (q23_centroid _),
     "q23_quantize" -> (q23_quantize _),
     "q23_kmeans" -> (q23_kmeans _),
-    "q23_pq" -> (q23_pq _))
+    "q23_pq" -> (q23_pq _),
+    "q23_ivfpq" -> (q23_ivfpq _))
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
@@ -549,5 +622,6 @@ object SimilarityOps {
     "q23_centroid" -> q23CentroidSql,
     "q23_quantize" -> q23QuantizeSql,
     "q23_kmeans" -> q23KmeansSql,
-    "q23_pq" -> q23PqSql)
+    "q23_pq" -> q23PqSql,
+    "q23_ivfpq" -> q23IvfPqSql)
 }

@@ -195,4 +195,37 @@ class DedupSimilaritySpec extends SparkSpec {
       .toSet
     assert(got == want)
   }
+
+  test("IVF-PQ: same ADC arithmetic, candidates restricted to the " +
+      "query's coarse cell, top-3") {
+    val m = 8; val sub = 8; val k = 16
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(x =>
+        math.floor(x.toDouble * 1000000d).toLong + 2000000L).toIndexedSeq))
+      .sortBy(_._1)
+    val cb = vecs.take(k).map(_._3)
+    def subdist(a: IndexedSeq[Long], b: IndexedSeq[Long], s: Int): Long =
+      (0 until sub).map { i =>
+        val d = a(s * sub + i) - b(s * sub + i); d * d
+      }.sum
+    def encode(v: IndexedSeq[Long]): IndexedSeq[Int] =
+      (0 until m).map { s =>
+        cb.map(c => subdist(v, c, s)).zipWithIndex
+          .minBy(t => (t._1, t._2))._2
+      }.toIndexedSeq
+    val want = vecs.filter(_._1 < 10).flatMap { case (qid, qlabel, qv) =>
+      val qtab = Array.tabulate(m, k)((s, j) => subdist(qv, cb(j), s))
+      vecs.filter(c => c._1 != qid && c._2 == qlabel)
+        .map { case (cid, _, cv) =>
+          val codes = encode(cv)
+          (qid, cid, (0 until m).map(s => qtab(s)(codes(s))).sum)
+        }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((q, c, d), i) => (q, i + 1, c, d) }
+    }.toSet
+    val got = SimilarityOps.q23_ivfpq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
 }

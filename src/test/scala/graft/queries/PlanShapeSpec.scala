@@ -302,6 +302,15 @@ class PlanShapeSpec extends SparkSpec {
       "the corpus side must never shuffle for the ADC join")
   }
 
+  test("q23_ivfpq probes one cell per query through an equi hash join " +
+      "on the cell id — codes shuffle, vectors never") {
+    val plan = planOf(SimilarityOps.queries("q23_ivfpq")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "label-cell restriction must plan as a broadcast equi join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the cell id gives IVF-PQ an equi key — no nested loop")
+  }
+
   test("q26_pps gets its token position from the bucketed prefix sum " +
       "and the (total, step) row broadcasts onto the scan") {
     val plan = planOf(SampleOps.queries("q26_pps")(spark, sfDir))
