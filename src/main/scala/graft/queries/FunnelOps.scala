@@ -158,10 +158,11 @@ object FunnelOps {
   def q34_gapfill(s: SparkSession, dir: String): DataFrame =
     gapFilled(s, dir).orderBy("event_type", "day")
 
-  /** Unordered gap-filled daily series — shared by q34 (which adds the
-    * output order) and q35 (whose window brings its own partitioning; an
-    * inherited ORDER BY would be a wasted range exchange + sort). */
-  private def gapFilled(s: SparkSession, dir: String): DataFrame = {
+  /** Scaffolded daily series with gap days kept as NULL — the common
+    * core of the zero-fill (q34/q35) and interpolation (q34b) variants:
+    * every calendar day in each type's active range, observed counts
+    * where they exist, NULL where the scaffold invented the day. */
+  private def scaffolded(s: SparkSession, dir: String): DataFrame = {
     val usDay = 86400000000L
     val e = Tables.events(s, dir)
       .select(col("event_type"), expr(s"ts_us div $usDay").as("day"))
@@ -173,13 +174,20 @@ object FunnelOps {
       .select(col("event_type"),
         explode(expr("sequence(mn, mx)")).as("day"))
     scaffold.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("n"), lit(0L)).as("n"))
   }
 
-  /** The gap-fill CTE chain, shared by the q34 and q35 oracles — ONE
-    * definition, like the Spark side's shared gapFilled(). */
-  private val gapFillCtes: String =
+  /** Unordered gap-filled daily series — shared by q34 (which adds the
+    * output order) and q35 (whose window brings its own partitioning; an
+    * inherited ORDER BY would be a wasted range exchange + sort). */
+  private def gapFilled(s: SparkSession, dir: String): DataFrame =
+    scaffolded(s, dir)
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+
+  /** The nullable-scaffold CTE chain (ends in `g`: gap days NULL),
+    * shared by all three oracles — ONE definition, like the Spark
+    * side's shared scaffolded(). */
+  private val scaffoldCtes: String =
     s"""WITH e AS ${Tables.eventsNormSql},
        |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
        |      FROM e GROUP BY 1, 2),
@@ -187,13 +195,75 @@ object FunnelOps {
        |      FROM d GROUP BY 1),
        |sc AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
        |       FROM b),
-       |f AS (SELECT sc.event_type, sc.day, COALESCE(d.n, 0) AS n
+       |g AS (SELECT sc.event_type, sc.day, d.n
        |      FROM sc LEFT JOIN d ON d.event_type = sc.event_type
        |        AND d.day = sc.day)""".stripMargin
+
+  /** The zero-filled chain the q34 and q35 oracles consume. */
+  private val gapFillCtes: String =
+    s"""$scaffoldCtes,
+       |f AS (SELECT event_type, day, COALESCE(n, 0) AS n FROM g)""".stripMargin
 
   val q34Sql: String =
     s"""$gapFillCtes
        |SELECT event_type, day, n FROM f
+       |ORDER BY event_type, day""".stripMargin
+
+  /** LINEAR-INTERPOLATION gap fill — the q34 scaffold with gaps filled
+    * by the line between the neighboring OBSERVED days instead of zero
+    * (sensor/metric series where a missing day means "not measured",
+    * not "nothing happened"). Neighbor discovery is the q14d carry
+    * idiom twice over ONE sort: last_value(IGNORE NULLS) over the
+    * backward running frame, first_value(IGNORE NULLS) over the
+    * forward one — Spark plans both frames in a single WindowExec
+    * (same partitioning + ordering), so the whole operator costs one
+    * shuffle + one sort, no self-join back to the observed rows.
+    *
+    * Exactness: the lerp stays in integers — micro-units via the
+    * symmetric form (pn·(nd−day) + nn·(day−pd))·10⁶ div (nd−pd), every
+    * term non-negative so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree. Each type's range endpoints are observed by
+    * construction (the scaffold spans min..max of observed days), so
+    * every gap day has both neighbors and the observed branch guards
+    * the nd = pd division. */
+  def q34b_interpolate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    scaffolded(s, dir)
+      .withColumn("pd", last(when(col("n").isNotNull, col("day")),
+        ignoreNulls = true).over(back))
+      .withColumn("pn", last(col("n"), ignoreNulls = true).over(back))
+      .withColumn("nd", first(when(col("n").isNotNull, col("day")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("nn", first(col("n"), ignoreNulls = true).over(fwd))
+      .withColumn("interp_micro",
+        when(col("n").isNotNull, col("n") * lit(1000000L)).otherwise(expr(
+          "(pn * (nd - day) + nn * (day - pd)) * 1000000 div (nd - pd)")))
+      .select(col("event_type"), col("day"),
+        col("n").isNotNull.as("observed"), col("interp_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  val q34bSql: String =
+    s"""$scaffoldCtes,
+       |w AS (SELECT event_type, day, n,
+       |        LAST_VALUE(CASE WHEN n IS NOT NULL THEN day END
+       |          IGNORE NULLS) OVER back AS pd,
+       |        LAST_VALUE(n IGNORE NULLS) OVER back AS pn,
+       |        FIRST_VALUE(CASE WHEN n IS NOT NULL THEN day END
+       |          IGNORE NULLS) OVER fwd AS nd,
+       |        FIRST_VALUE(n IGNORE NULLS) OVER fwd AS nn
+       |      FROM g
+       |      WINDOW back AS (PARTITION BY event_type ORDER BY day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |        fwd AS (PARTITION BY event_type ORDER BY day
+       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, day, n IS NOT NULL AS observed,
+       |  CAST(CASE WHEN n IS NOT NULL THEN n * 1000000
+       |    ELSE (pn * (nd - day) + nn * (day - pd)) * 1000000 // (nd - pd)
+       |    END AS BIGINT) AS interp_micro
+       |FROM w
        |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------- Q35
@@ -253,11 +323,13 @@ object FunnelOps {
     "q29_funnel" -> (q29_funnel _),
     "q30_retention" -> (q30_retention _),
     "q34_gapfill" -> (q34_gapfill _),
+    "q34b_interpolate" -> (q34b_interpolate _),
     "q35_anomaly" -> (q35_anomaly _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
     "q30_retention" -> q30Sql,
     "q34_gapfill" -> q34Sql,
+    "q34b_interpolate" -> q34bSql,
     "q35_anomaly" -> q35Sql)
 }

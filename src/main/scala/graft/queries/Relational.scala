@@ -258,6 +258,40 @@ object Relational {
        |GROUP BY CUBE(n_name, o_orderpriority)
        |ORDER BY gid, n_name, o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form rollup/cube are special
+    * cases of: exactly the strata the report needs ((nation),
+    * (priority), (nation, priority)), nothing else — no grand-total row
+    * a ROLLUP would force, no extra stratum a CUBE would pay for. One
+    * SQL text runs verbatim on BOTH engines (the q33 pattern), so the
+    * oracle is the query itself; per-column GROUPING() flags
+    * disambiguate a genuine NULL from a rolled-up one.
+    *
+    * Scale: same Expand-based single-pass plan family as q05/q05b —
+    * each input row fans to one copy per covering stratum BEFORE the
+    * partial aggregate, so the shuffle carries |groups| rows per
+    * stratum, never row-scale, and cutting the unused grand-total
+    * stratum cuts its Expand copy too (3 copies/row, not rollup's 3 +
+    * cube's 4). */
+  def q05c_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(q05cSql)
+  }
+
+  val q05cSql: String =
+    s"""SELECT n_name, o_orderpriority,
+       |  CAST(GROUPING(n_name) AS INT) AS g_n,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+       |  CAST(SUM(CAST(o_totalprice AS $D18)) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY GROUPING SETS ((n_name), (o_orderpriority),
+       |  (n_name, o_orderpriority))
+       |ORDER BY g_n, g_p, n_name, o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- Q06
   /** Row-level inner equi-join. At 100 TB this is a shuffle join on
     * custkey; customer is small enough here that AQE may broadcast it —
@@ -1291,6 +1325,7 @@ object Relational {
     "q04b_approx_distinct" -> (q04b_approx_distinct _),
     "q05_rollup" -> (q05_rollup _),
     "q05b_cube" -> (q05b_cube _),
+    "q05c_grouping_sets" -> (q05c_grouping_sets _),
     "q06_join_inner" -> (q06_join_inner _),
     "q07_join_broadcast" -> (q07_join_broadcast _),
     "q08_join_multiway" -> (q08_join_multiway _),
@@ -1335,6 +1370,7 @@ object Relational {
     "q04_agg_distinct" -> q04Sql,
     "q05_rollup" -> q05Sql,
     "q05b_cube" -> q05bSql,
+    "q05c_grouping_sets" -> q05cSql,
     "q06_join_inner" -> q06Sql,
     "q07_join_broadcast" -> q07Sql,
     "q08_join_multiway" -> q08Sql,

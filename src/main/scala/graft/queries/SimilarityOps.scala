@@ -231,6 +231,48 @@ object SimilarityOps {
       |GROUP BY 1, 2
       |ORDER BY label, idx""".stripMargin
 
+  // -------------------------------------------------------------- gram
+  /** Upper-triangle GRAM MATRIX accumulation (XᵀX + row count) — the
+    * distributed step of embedding whitening / PCA: covariance follows
+    * from (Σxᵢxⱼ, Σxᵢ, n), and the 64×64 eigendecomposition that
+    * finishes the job is O(dim³) driver-side work on this one tiny
+    * result — data never moves for it. Each row contributes its
+    * dim·(dim+1)/2 = 2080 upper-triangle products ROW-LOCALLY (nested
+    * `transform` over the tail slice, flatten, explode); map-side
+    * partial aggregation then collapses the shuffle to ≤2080 rows per
+    * partition — like q23_centroid, the exchange is dimension-scale,
+    * never corpus-scale, at any row count.
+    *
+    * Exactness: components quantize to 10⁻⁴ units (ints ≤10⁴ for
+    * unit-norm components), so each product ≤10⁸ and the int64 sum has
+    * headroom past 10¹⁰ rows — order-independent and bit-identical in
+    * both engines; a production pass would sum doubles (the
+    * quantization serves the oracle, the shape is the algorithm). */
+  def q23_gram(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(expr("transform(embedding," +
+        " x -> cast(floor(cast(x as double) * 10000) as bigint))").as("q"))
+      .select(explode(expr(
+        "flatten(transform(q, (x, i) -> " +
+          "transform(slice(q, i + 1, size(q) - i), " +
+          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_e8"))
+      .orderBy("i", "j")
+
+  val q23GramSql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |p AS (SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+      |        q.e[i.i + 1] * q.e[j.j + 1] AS p
+      |      FROM q, (SELECT unnest(range(64)) AS i) i,
+      |        (SELECT unnest(range(64)) AS j) j
+      |      WHERE j.j >= i.i)
+      |SELECT i, j, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS s_e8
+      |FROM p GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
+
   // ---------------------------------------------------------- quantize
   /** Int8 max-abs quantization of the embedding column — the standard
     * 4× memory cut before an ANN index is built at scale (the float
@@ -610,6 +652,7 @@ object SimilarityOps {
     "q23_knn_ivf" -> (q23_knn_ivf _),
     "q23_knn_lsh" -> (q23_knn_lsh _),
     "q23_centroid" -> (q23_centroid _),
+    "q23_gram" -> (q23_gram _),
     "q23_quantize" -> (q23_quantize _),
     "q23_kmeans" -> (q23_kmeans _),
     "q23_pq" -> (q23_pq _),
@@ -620,6 +663,7 @@ object SimilarityOps {
     "q23_knn_ivf" -> q23IvfSql,
     "q23_knn_lsh" -> q23LshSql,
     "q23_centroid" -> q23CentroidSql,
+    "q23_gram" -> q23GramSql,
     "q23_quantize" -> q23QuantizeSql,
     "q23_kmeans" -> q23KmeansSql,
     "q23_pq" -> q23PqSql,

@@ -360,12 +360,23 @@ object TextOps {
     * stays as the semantic check. */
   def q24_bpe_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val iterations = 3
+    val (merges, _) = bpeLoop(s, dir, iterations = 3, applyLast = false)
+    merges.toDF("iter", "left", "right", "cnt").orderBy("iter")
+  }
+
+  /** Shared BPE merge-learning loop (q24_bpe_train emits the merges,
+    * q24_bpe_encode consumes the fully-merged vocabulary). Carries the
+    * word alongside its symbol sequence so the final vocabulary is a
+    * (w → tokens) lookup; `applyLast` controls whether the final
+    * iteration's merge is applied (training doesn't need it — nothing
+    * downstream reads the vocab — encoding does). */
+  private def bpeLoop(s: SparkSession, dir: String, iterations: Int,
+      applyLast: Boolean): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = Tables.load(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(expr(
+      .select(col("w"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("sym"), col("freq"))
       .localCheckpoint()
@@ -391,9 +402,7 @@ object TextOps {
       // last-output-element check alone gives non-overlapping greedy
       // semantics ("aaa" + merge(a,a) -> [aa, a]: after the merge the
       // last element is "aa" != "a", and the final "a" appends).
-      // The last iteration's merge decides nothing downstream — skip
-      // its distributed apply pass entirely.
-      if (it < iterations) {
+      if (it < iterations || applyLast) {
         val applied = aggregate(
           col("sym"),
           typedLit(Seq.empty[String]),
@@ -404,11 +413,39 @@ object TextOps {
               slice(out, lit(1), size(out) - 1), array(lit(l + r))))
               .otherwise(concat(out, array(x)))
           })
-        vocab = vocab.select(applied.as("sym"), col("freq"))
+        vocab = vocab.select(col("w"), applied.as("sym"), col("freq"))
           .localCheckpoint()
       }
     }
-    merges.result().toDF("iter", "left", "right", "cnt").orderBy("iter")
+    (merges.result(), vocab)
+  }
+
+  /** Distributed tokenizer APPLY (BPE encode) — the deployment half of
+    * q24_bpe_train: learn the 3 merges, then tokenize the corpus with
+    * them and emit per-document whitespace-token and BPE-token counts.
+    *
+    * Scale: tokenization cost rides the DISTINCT-WORD vocabulary, not
+    * the token stream — a word's tokenization depends only on the word,
+    * so each distinct word is encoded ONCE (the same 10⁵× collapse the
+    * training loop exploits) and token counts rejoin the corpus through
+    * a narrow (w, n_sym) equi-join against the per-(doc, word)
+    * histogram. Encoding every token occurrence would fold ~10¹³ cells
+    * at 100 TB; this folds ~10⁸ vocabulary rows and shuffles only
+    * (doc_id, w, c) triples. */
+  def q24_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeLoop(s, dir, iterations = 3, applyLast = true)
+    val wordTok = vocab.select(col("w"),
+      size(col("sym")).cast("long").as("n_sym"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .join(wordTok, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * col("n_sym")).as("n_bpe"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB twin of the 3-iteration training loop. Each iteration is a
@@ -419,25 +456,39 @@ object TextOps {
     * for why leftmost-iterate == the greedy fold). The top row is
     * cross-joined into the recursion because DuckDB lambdas cannot hold
     * subqueries. */
-  val q24BpeTrainSql: String = {
-    def stage(n: Int, vocab: String): String =
-      s"""cnt$n AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(list_transform(range(1, len(sym)),
-         |          i -> struct_pack(l := sym[i], r := sym[i+1]))) AS p, freq
-         |        FROM $vocab WHERE len(sym) >= 2) t
-         |  GROUP BY 1, 2),
-         |top$n AS (SELECT l, r, cnt FROM cnt$n
-         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-    val idx = "list_aggregate(list_transform(range(1, len(sym)), " +
-      "i -> CASE WHEN sym[i] = l AND sym[i+1] = r THEN i END), 'min')"
-    def apply(n: Int, vocab: String): String =
-      s"""r$n(sym, freq, l, r) AS (
-         |  SELECT v.sym, v.freq, t.l, t.r FROM $vocab v, top$n t
-         |  UNION ALL
-         |  SELECT list_concat(list_concat(sym[1:($idx)-1], [l || r]),
-         |      sym[($idx)+2:]) AS sym, freq, l, r
-         |  FROM r$n WHERE $idx IS NOT NULL),
-         |ap$n AS (SELECT sym, freq FROM r$n WHERE $idx IS NULL)""".stripMargin
+  /** Pair-count + top-pick CTE pair for BPE iteration n — shared by the
+    * train and encode oracles. */
+  private def bpeStageSql(n: Int, vocab: String): String =
+    s"""cnt$n AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_transform(range(1, len(sym)),
+       |          i -> struct_pack(l := sym[i], r := sym[i+1]))) AS p, freq
+       |        FROM $vocab WHERE len(sym) >= 2) t
+       |  GROUP BY 1, 2),
+       |top$n AS (SELECT l, r, cnt FROM cnt$n
+       |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+
+  private val bpeIdxSql = "list_aggregate(list_transform(range(1, len(sym)), " +
+    "i -> CASE WHEN sym[i] = l AND sym[i+1] = r THEN i END), 'min')"
+
+  /** Recursive greedy-apply CTE pair for BPE iteration n; `carryW`
+    * threads the word column through the recursion (the encode oracle
+    * needs the final vocab keyed by word, training doesn't). */
+  private def bpeApplySql(n: Int, vocab: String,
+      carryW: Boolean = false): String = {
+    val idx = bpeIdxSql
+    val wCol = if (carryW) "w, " else ""
+    s"""r$n(${wCol}sym, freq, l, r) AS (
+       |  SELECT ${if (carryW) "v.w, " else ""}v.sym, v.freq, t.l, t.r
+       |  FROM $vocab v, top$n t
+       |  UNION ALL
+       |  SELECT ${wCol}list_concat(list_concat(sym[1:($idx)-1], [l || r]),
+       |      sym[($idx)+2:]) AS sym, freq, l, r
+       |  FROM r$n WHERE $idx IS NOT NULL),
+       |ap$n AS (SELECT ${wCol}sym, freq FROM r$n WHERE $idx IS NULL)"""
+      .stripMargin
+  }
+
+  val q24BpeTrainSql: String =
     s"""WITH RECURSIVE
        |w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        |      FROM documents),
@@ -445,18 +496,45 @@ object TextOps {
        |         AS sym,
        |        CAST(count(*) AS BIGINT) AS freq
        |       FROM w WHERE length(w) >= 1 GROUP BY w),
-       |${stage(1, "v0")},
-       |${apply(1, "v0")},
-       |${stage(2, "ap1")},
-       |${apply(2, "ap1")},
-       |${stage(3, "ap2")}
+       |${bpeStageSql(1, "v0")},
+       |${bpeApplySql(1, "v0")},
+       |${bpeStageSql(2, "ap1")},
+       |${bpeApplySql(2, "ap1")},
+       |${bpeStageSql(3, "ap2")}
        |SELECT * FROM (
        |  SELECT CAST(1 AS INT) AS iter, l AS "left", r AS "right", cnt
        |  FROM top1
        |  UNION ALL SELECT 2, l, r, cnt FROM top2
        |  UNION ALL SELECT 3, l, r, cnt FROM top3)
        |ORDER BY iter""".stripMargin
-  }
+
+  /** DuckDB twin of the encode pass: the same three learned merges
+    * (train CTE chain, words carried), the THIRD merge also applied
+    * (ap3), then per-doc word counts join the tokenized vocabulary. */
+  val q24BpeEncodeSql: String =
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents),
+       |v0 AS (SELECT w,
+       |        list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym,
+       |        CAST(count(*) AS BIGINT) AS freq
+       |       FROM w WHERE length(w) >= 1 GROUP BY w),
+       |${bpeStageSql(1, "v0")},
+       |${bpeApplySql(1, "v0", carryW = true)},
+       |${bpeStageSql(2, "ap1")},
+       |${bpeApplySql(2, "ap1", carryW = true)},
+       |${bpeStageSql(3, "ap2")},
+       |${bpeApplySql(3, "ap2", carryW = true)},
+       |dc AS (SELECT doc_id, dw.w, CAST(count(*) AS BIGINT) AS c
+       |       FROM (SELECT doc_id,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |             FROM documents) dw
+       |       WHERE length(dw.w) >= 1 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+       |  CAST(SUM(c * len(sym)) AS BIGINT) AS n_bpe
+       |FROM dc JOIN ap3 USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Exact per-language length quantiles (p50/p90/p99 of `n_chars`) via
     * the VALUE-HISTOGRAM cumsum — the scale-safe exact-quantile shape:
@@ -580,6 +658,7 @@ object TextOps {
     // hash-checked via q24BpeTrainSql (recursive-CTE greedy rewrites);
     // ScalaTest additionally pins a single-machine BPE reference
     "q24_bpe_train" -> (q24_bpe_train _),
+    "q24_bpe_encode" -> (q24_bpe_encode _),
     "q24_quantiles" -> (q24_quantiles _),
     // rows-only: sketch internals engine-specific (see scaladoc)
     "q24_quantiles_approx" -> (q24_quantiles_approx _),
@@ -597,5 +676,6 @@ object TextOps {
     "q24_lm_score" -> q24LmScoreSql,
     "q24_bpe_pairs" -> q24BpePairsSql,
     "q24_bpe_train" -> q24BpeTrainSql,
+    "q24_bpe_encode" -> q24BpeEncodeSql,
     "q24_quantiles" -> q24QuantilesSql)
 }

@@ -239,6 +239,19 @@ class PlanShapeSpec extends SparkSpec {
         "again:\n" + plan)
   }
 
+  test("q34b interpolation: both carry directions ride one window sort " +
+      "(no second exchange below the windows)") {
+    val plan = planOf(FunnelOps.queries("q34b_interpolate")(spark, sfDir))
+    // backward and forward IGNORE-NULLS carries share partitioning and
+    // ordering — at most the output ORDER BY's range exchange may appear
+    assert("rangepartitioning".r.findAllIn(plan).size == 1,
+      "a second range exchange means a carry direction re-sorted:\n" + plan)
+    val hashEx = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3,
+      s"expected only the daily-agg / scaffold-join / window exchanges, " +
+        s"got $hashEx:\n" + plan)
+  }
+
   test("q36 audit's referential check anti-joins against the broadcast " +
       "key side") {
     val plan = planOf(Relational.queries("q36_audit")(spark, sfDir))
