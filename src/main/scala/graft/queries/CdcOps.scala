@@ -423,6 +423,89 @@ object CdcOps {
       |  FROM orders WHERE o_orderkey % 4 != 1
       |) ORDER BY pk, valid_from""".stripMargin
 
+  // -------------------------------------------------------------- CDC7
+  /** Schema-evolution replay: per table (one per order priority, its
+    * leading digit d deciding the version count — odd-d tables evolve
+    * through 4 versions, even-d stop at 3), one out-of-band `schema`
+    * line per version. The column sets exercise every drift kind the
+    * diff must catch: v2 ADDS `amount`, v3 RETYPES `status`
+    * varchar→text, v4 REMOVES `amount`. */
+  private[graft] def schemaEvoLines(s: SparkSession, dir: String): DataFrame =
+      replayFixture(s, dir, "schemaevo") {
+    val cols =
+      when(col("v") === 1,
+        lit(""""id": "integer", "status": "varchar""""))
+        .when(col("v") === 2,
+          lit(""""id": "integer", "status": "varchar", "amount": "numeric""""))
+        .when(col("v") === 3,
+          lit(""""id": "integer", "status": "text", "amount": "numeric""""))
+        .otherwise(lit(""""id": "integer", "status": "text""""))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("tbl")).distinct()
+      .withColumn("d", expr("cast(substring(tbl, 1, 1) as int)"))
+      .select(col("tbl"), explode(expr(
+        "sequence(1, case when d % 2 = 0 then 3 else 4 end)")).as("v"))
+      .select(col("v").as("seq"),
+        format_string(
+          """{"schema": {%s, "v": "%d"}, "table": "%s"}""",
+          cols, col("v"), col("tbl")).as("line"))
+  }
+
+  /** DDL-drift report from the schema-event stream: consecutive schema
+    * versions per table diffed into added / removed / retyped column
+    * lists — the audit a CDC consumer runs before trusting a replay
+    * (the reference only CACHES the latest schema per table; this also
+    * explains what changed between cache generations). The real decoder
+    * classifies the lines; the column maps diff with row-local set
+    * algebra (array_except / filter over map keys) after one
+    * lag(1) window per table.
+    *
+    * Scale: schema events are rarer than DML by ~10⁶× and the window
+    * partitions by table with ≤|versions| rows each — bounded partitions,
+    * one narrow shuffle of (table, seq, colmap) rows, nothing row-scale
+    * anywhere. */
+  def cdc7_schema_diff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val w = Window.partitionBy("table").orderBy("seq")
+    val keysOf = (m: org.apache.spark.sql.Column) => map_keys(m)
+    JsonCdc.decode(schemaEvoLines(s, dir))
+      .filter(col("kind") === "schema")
+      .select(col("table"), col("seq"),
+        from_json(col("schema_json"), MapType(StringType, StringType))
+          .as("m"))
+      .withColumn("pm", lag(col("m"), 1).over(w))
+      .filter(col("pm").isNotNull)
+      .select(
+        col("table"),
+        element_at(col("pm"), "v").cast("int").as("v_from"),
+        element_at(col("m"), "v").cast("int").as("v_to"),
+        array_join(sort_array(array_except(
+          keysOf(col("m")), keysOf(col("pm")))), ",").as("added"),
+        array_join(sort_array(array_except(
+          keysOf(col("pm")), keysOf(col("m")))), ",").as("removed"),
+        array_join(sort_array(filter(keysOf(col("m")),
+          k => k =!= lit("v") && array_contains(keysOf(col("pm")), k) &&
+            element_at(col("m"), k) =!= element_at(col("pm"), k))), ",")
+          .as("retyped"))
+      .orderBy("table", "v_to")
+  }
+
+  /** Oracle restates the generation rules (the cdc1 pattern): which
+    * transitions each table sees and what each one changes. */
+  val cdc7Sql: String =
+    """WITH p AS (SELECT DISTINCT o_orderpriority AS "table",
+      |    CAST(substring(o_orderpriority, 1, 1) AS INT) AS d
+      |  FROM orders),
+      |t AS (SELECT "table",
+      |        unnest(range(2, CASE WHEN d % 2 = 0 THEN 4 ELSE 5 END)) AS v
+      |      FROM p)
+      |SELECT "table", CAST(v - 1 AS INT) AS v_from, CAST(v AS INT) AS v_to,
+      |  CASE WHEN v = 2 THEN 'amount' ELSE '' END AS added,
+      |  CASE WHEN v = 4 THEN 'amount' ELSE '' END AS removed,
+      |  CASE WHEN v = 3 THEN 'status' ELSE '' END AS retyped
+      |FROM t ORDER BY "table", v_to""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -430,7 +513,8 @@ object CdcOps {
     "cdc3_mysql" -> (cdc3_mysql _),
     "cdc4_mongo" -> (cdc4_mongo _),
     "cdc5_apply" -> (cdc5_apply _),
-    "cdc6_scd2" -> (cdc6_scd2 _))
+    "cdc6_scd2" -> (cdc6_scd2 _),
+    "cdc7_schema_diff" -> (cdc7_schema_diff _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -438,5 +522,6 @@ object CdcOps {
     "cdc3_mysql" -> cdc3Sql,
     "cdc4_mongo" -> cdc4Sql,
     "cdc5_apply" -> cdc5Sql,
-    "cdc6_scd2" -> cdc6Sql)
+    "cdc6_scd2" -> cdc6Sql,
+    "cdc7_schema_diff" -> cdc7Sql)
 }

@@ -737,6 +737,42 @@ object Relational {
       |  ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** RUNNING DISTINCT COUNT — each event stamped with how many distinct
+    * event types its user has produced so far. The scale-safe shape for
+    * "cumulative COUNT(DISTINCT) over a window" (which neither engine
+    * supports directly, and a per-row collect_set would hold row-scale
+    * state): mark each (user, type)'s FIRST occurrence with row_number,
+    * then a running SUM of the 0/1 flag — two keyed windows, each
+    * per-user bounded, no distinct-state anywhere. */
+  def q14e_cum_distinct(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val wCum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types", sum(col("is_first")).over(wCum))
+      .select("user_id", "ts_us", "event_id", "n_types")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val q14eSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |f AS (SELECT user_id, ts_us, event_id,
+       |        CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+       |            ORDER BY ts_us, event_id) = 1
+       |          THEN 1 ELSE 0 END AS is_first
+       |      FROM e)
+       |SELECT user_id, ts_us, event_id,
+       |  CAST(SUM(is_first) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_types
+       |FROM f
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   // ---------------------------------------------------------------- Q15
   /** Global top-100 — TakeOrderedAndProject: each partition keeps its local
     * top-100 and only 100×partitions rows reach the driver-side merge, so
@@ -1038,6 +1074,61 @@ object Relational {
        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
        |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** CHI-SQUARED contingency cells — independence test between order
+    * priority and status: observed counts, row/column/grand totals, the
+    * expected count under independence, and each cell's χ² contribution.
+    * Emitted PER CELL (no cross-cell double sum — summing IEEE doubles
+    * in engine-specific order would never hash-match; the |P|·|S|-row
+    * result lets the caller fold the statistic however it likes).
+    *
+    * Scale: one partial-agg groupBy collapses the fact table to its
+    * |P|×|S| contingency cells; the row/column total windows run over
+    * that ~15-row aggregate, and the grand total arrives as a broadcast
+    * ONE-ROW cross join (the q32 tiny-side pattern) — no unpartitioned
+    * window anywhere, so nothing ever funnels into a single task even
+    * if the cell count grew. Doubles derive from identical integer
+    * operands in one pinned op order (the q19c argument), so every
+    * cell hash-matches. */
+  def q19e_chi2(s: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy("o_orderpriority")
+    val wc = Window.partitionBy("o_orderstatus")
+    val obsD = col("obs").cast(DoubleType)
+    val cells = t(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // totals + cells derive from ONE aggregation
+    val grand = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .withColumn("rt", sum(col("obs")).over(wr))
+      .withColumn("ct", sum(col("obs")).over(wc))
+      .crossJoin(broadcast(grand))
+      .withColumn("exp",
+        (col("rt") * col("ct")).cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("contrib", (obsD - col("exp")) * (obsD - col("exp")) /
+        col("exp"))
+      .select("o_orderpriority", "o_orderstatus", "obs", "rt", "ct",
+        "exp", "contrib")
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val q19eSql: String =
+    """WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+      |           FROM orders GROUP BY 1, 2),
+      |w AS (SELECT o_orderpriority, o_orderstatus, obs,
+      |        CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+      |          AS rt,
+      |        CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+      |          AS ct,
+      |        CAST(SUM(obs) OVER () AS BIGINT) AS n
+      |      FROM c)
+      |SELECT o_orderpriority, o_orderstatus, obs, rt, ct,
+      |  CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS "exp",
+      |  (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+      |FROM w
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
   val q19cSql: String =
     s"""WITH m AS (SELECT l_returnflag,
@@ -1342,6 +1433,7 @@ object Relational {
     "q14b_distribution" -> (q14b_distribution _),
     "q14c_range_frame" -> (q14c_range_frame _),
     "q14d_navigation" -> (q14d_navigation _),
+    "q14e_cum_distinct" -> (q14e_cum_distinct _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q16b_setops_all" -> (q16b_setops_all _),
@@ -1352,6 +1444,7 @@ object Relational {
     "q19b_histogram" -> (q19b_histogram _),
     "q19c_stats" -> (q19c_stats _),
     "q19d_regression" -> (q19d_regression _),
+    "q19e_chi2" -> (q19e_chi2 _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
@@ -1387,6 +1480,7 @@ object Relational {
     "q14b_distribution" -> q14bSql,
     "q14c_range_frame" -> q14cSql,
     "q14d_navigation" -> q14dSql,
+    "q14e_cum_distinct" -> q14eSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q16b_setops_all" -> q16bSql,
@@ -1397,6 +1491,7 @@ object Relational {
     "q19b_histogram" -> q19bSql,
     "q19c_stats" -> q19cSql,
     "q19d_regression" -> q19dSql,
+    "q19e_chi2" -> q19eSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
