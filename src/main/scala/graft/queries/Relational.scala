@@ -1405,6 +1405,78 @@ object Relational {
       |     HAVING COUNT(*) > 1))
       |ORDER BY "check"""".stripMargin
 
+  // ---------------------------------------------------------------- Q37
+  /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
+    * a tree resolved to its (root, depth) in O(log depth) rounds. The
+    * tree is the decimal-prefix closure of the order keys (node k's
+    * parent is k div 10; single digits are roots — ancestors are
+    * materialized as DATA so the edge table is complete and the
+    * operator stays generic: nothing below reads the arithmetic rule).
+    *
+    * Each round, every pointer jumps to its pointer's pointer and
+    * accumulates the hop distance — after r rounds pointers span 2^r
+    * edges, so 3 rounds close any depth ≤ 8 (a driver-side assert
+    * proves closure; deeper trees take ⌈log₂ depth⌉ rounds, the same
+    * bound the q22 connected-components loop rides). The naive
+    * level-at-a-time walk is O(depth) shuffles and touches the whole
+    * frontier each step; doubling is the canonical distributed-tree
+    * shape: each round ONE narrow (id, ptr, d) self equi-join,
+    * localCheckpoint'd to truncate lineage. The oracle walks the same
+    * tree with a recursive CTE. */
+  def q37_hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "orders")
+      .select(explode(array(
+        col("o_orderkey"), expr("o_orderkey div 10"),
+        expr("o_orderkey div 100"), expr("o_orderkey div 1000"),
+        expr("o_orderkey div 10000"), expr("o_orderkey div 100000"),
+        expr("o_orderkey div 1000000"))).as("id"))
+      .filter(col("id") > 0).distinct()
+    var state = nodes
+      .select(col("id"),
+        when(col("id") >= 10, expr("id div 10")).otherwise(col("id"))
+          .as("ptr"),
+        when(col("id") >= 10, 1L).otherwise(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val t2 = state.select(col("id").as("t_id"), col("ptr").as("t_ptr"),
+        col("d").as("t_d"))
+      state = state.join(t2, col("ptr") === col("t_id"))
+        .select(col("id"), col("t_ptr").as("ptr"),
+          (col("d") + col("t_d")).as("d"))
+        .localCheckpoint()
+    }
+    // closure proof: a converged pointer targets a root (ptr = its own
+    // pointer); one count job, the CC-loop convergence-check pattern
+    val unresolved = state.join(
+      state.filter(col("ptr") =!= col("id"))
+        .select(col("id").as("nr_id")),
+      col("ptr") === col("nr_id"), "left_semi").count()
+    require(unresolved == 0,
+      s"pointer doubling left $unresolved nodes unresolved — tree deeper " +
+        "than 2^rounds; raise the round count")
+    state.select(col("id"), col("ptr").as("root"),
+      col("d").cast(IntegerType).as("depth"))
+      .orderBy("id")
+  }
+
+  val q37Sql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT DISTINCT id FROM (
+      |    SELECT unnest([o_orderkey, o_orderkey // 10, o_orderkey // 100,
+      |      o_orderkey // 1000, o_orderkey // 10000, o_orderkey // 100000,
+      |      o_orderkey // 1000000]) AS id
+      |    FROM orders) t
+      |  WHERE id > 0),
+      |walk(id, root, depth) AS (
+      |  SELECT id, id, 0 FROM nodes WHERE id < 10
+      |  UNION ALL
+      |  SELECT n.id, w.root, w.depth + 1
+      |  FROM nodes n JOIN walk w ON n.id // 10 = w.id
+      |  WHERE n.id >= 10)
+      |SELECT id, root, CAST(depth AS INT) AS depth
+      |FROM walk
+      |ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01_scan _),
@@ -1452,7 +1524,8 @@ object Relational {
     "q31_nulls" -> (q31_nulls _),
     "q32_grid_cross" -> (q32_grid_cross _),
     "q33_lateral" -> (q33_lateral _),
-    "q36_audit" -> (q36_audit _))
+    "q36_audit" -> (q36_audit _),
+    "q37_hierarchy" -> (q37_hierarchy _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1499,5 +1572,6 @@ object Relational {
     "q31_nulls" -> q31Sql,
     "q32_grid_cross" -> q32Sql,
     "q33_lateral" -> q33Sql,
-    "q36_audit" -> q36Sql)
+    "q36_audit" -> q36Sql,
+    "q37_hierarchy" -> q37Sql)
 }
