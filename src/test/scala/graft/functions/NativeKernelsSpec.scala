@@ -165,6 +165,28 @@ class NativeKernelsSpec extends SparkSpec {
     }
   }
 
+  test("GramAggregate == the declarative nested-transform explode + " +
+      "groupBy cells, bit-exact, at any partitioning") {
+    val q = embs
+      .select(expr("transform(embedding," +
+        " x -> cast(floor(cast(x as double) * 10000) as bigint))").as("q"))
+      .repartition(7) // force multi-buffer partial merges
+    val kernel = q
+      .agg(native.gramAgg(col("q"), 64).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        col("c.s_e8").as("s"))
+    val reference = q
+      .select(explode(expr(
+        "flatten(transform(q, (x, i) -> " +
+          "transform(slice(q, i + 1, size(q) - i), " +
+          "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s"))
+    assert(kernel.count() === 64L * 65 / 2)
+    assert(kernel.except(reference).isEmpty && reference.except(kernel).isEmpty)
+  }
+
   test("SQL registration exposes graft_dot and graft_rolling_hash") {
     val ext = new GraftExtensions
     // the shared test session wasn't built with the extension — register
