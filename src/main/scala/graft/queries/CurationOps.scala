@@ -115,6 +115,68 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** NEAR-duplicate decontamination — the fuzzy twin of
+    * q27_decontaminate: corpus documents that are near-copies
+    * (3-gram Jaccard ≥ 0.5) of a held-out benchmark document, found via
+    * the q22 MinHash-LSH machinery so no corpus×bench pair materializes
+    * without a band collision. Exact-gram overlap (q27) catches verbatim
+    * leakage; this catches paraphrased/reformatted leakage — the case
+    * real eval-contamination audits (GPT-3 appendix C, Dodge et al.
+    * C4 study) handle with n-gram/fuzzy matching.
+    *
+    * Scale: bench and corpus band separately off ONE materialized
+    * shingle frame; the candidate join is (band, band_sig) equi —
+    * |bench| bands are tiny (the 5% slice), so AQE broadcasts them and
+    * the corpus side never shuffles for candidacy. Verification re-joins
+    * only candidates against the shingle sets (the q22 verified-pairs
+    * path). With 64×2 banding a J = 0.5 pair escapes with p < 1e-8, so
+    * the result equals the exact all-pairs answer and the oracle states
+    * that exact form. Output: contaminated corpus doc, how many bench
+    * docs it near-matches, and its largest gram overlap. */
+  def q27c_near_decontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleSets(s, dir)
+      .withColumn("is_bench", SampleOps.bucketOf("doc_id") % 100 >= 95)
+      .localCheckpoint()
+    val benchBands = DedupOps.minhashBands(sh.filter(col("is_bench")))
+    val corpusBands = DedupOps.minhashBands(sh.filter(!col("is_bench")))
+    val cand = corpusBands.as("L").join(benchBands.as("R"),
+        col("L.band") === col("R.band") &&
+        col("L.band_sig") === col("R.band_sig"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+      .distinct()
+    DedupOps.verified(cand, sh.select("doc_id", "shingles"))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench"), max(col("inter")).as("max_inter"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle = the exact corpus×bench J ≥ 0.5 pairs (see scaladoc: the
+    * banding loses nothing at this threshold), rolled up per corpus
+    * doc — string grams stand in for the 64-bit gram hashes (the
+    * q22_dedup_ngram collision-tail argument). */
+  val q27cNearSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |m AS (SELECT doc_id, s,
+      |        (doc_id * 2654435761) % 4294967296 % 100 >= 95 AS is_bench
+      |      FROM sh),
+      |exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS g
+      |        FROM m WHERE NOT is_bench AND len(s) > 0),
+      |exb AS (SELECT doc_id, len(s) AS n, unnest(s) AS g
+      |        FROM m WHERE is_bench AND len(s) > 0),
+      |p AS (SELECT c.doc_id AS doc_a, b.doc_id AS doc_b, c.n AS na,
+      |             b.n AS nb, count(*) AS inter
+      |      FROM exc c JOIN exb b ON c.g = b.g
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a AS doc_id, COUNT(*) AS n_bench,
+      |  CAST(MAX(inter) AS BIGINT) AS max_inter
+      |FROM p WHERE 2*inter >= na + nb - inter
+      |GROUP BY doc_a
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- repetition
   /** Gopher-style repetition signals per document: most-common-token
     * count, 2-gram duplicate count, and the integer-only keep gate
@@ -493,6 +555,7 @@ object CurationOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_decontaminate" -> (q27_decontaminate _),
     "q27b_decontam_bloom" -> (q27b_decontam_bloom _),
+    "q27c_near_decontam" -> (q27c_near_decontam _),
     "q27_repetition" -> (q27_repetition _),
     "q27_pack" -> (q27_pack _),
     "q27_shuffle" -> (q27_shuffle _),
@@ -503,6 +566,7 @@ object CurationOps {
   def oracles: Map[String, String] = Map(
     "q27_decontaminate" -> q27DecontaminateSql,
     "q27b_decontam_bloom" -> q27DecontaminateSql, // exact twin by design
+    "q27c_near_decontam" -> q27cNearSql,
     "q27_repetition" -> q27RepetitionSql,
     "q27_pack" -> q27PackSql,
     "q27_shuffle" -> q27ShuffleSql,

@@ -102,7 +102,7 @@ object DedupOps {
     * The two lookups join the SAME un-renamed `sh` subtree so the
     * shuffle-by-doc_id exchange is computed once and reused (renaming
     * below the exchange would defeat ReuseExchange). */
-  private def verified(cand: DataFrame, sh: DataFrame): DataFrame =
+  private[queries] def verified(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
       .join(sh.as("B"), col("doc_b") === col("B.doc_id"))
