@@ -318,18 +318,75 @@ object FunnelOps {
        |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 2.0
        |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- Q38
+  /** PEAK CONCURRENCY by SWEEP LINE — per event type, the maximum number
+    * of simultaneously-active 30-minute windows and the earliest instant
+    * it is reached. Each interval becomes two delta points (+1 at start,
+    * −1 at end), a per-type running sum walks the boundary multiset, and
+    * the peak reads off the walk — the classic rewrite that replaces the
+    * quadratic interval self-join (`a.start < b.end AND b.start < a.end`
+    * explodes on hot keys) with ONE sort and two window passes sharing
+    * it (running sum + per-type max: same partitioning, zero extra
+    * exchanges). Ordering (t, delta) puts −1 before +1 at equal t, i.e.
+    * half-open [start, end) intervals — a window ending exactly when
+    * another starts never overlaps it. Equal boundary points permute
+    * only WHICH row carries which prefix value, never the value
+    * multiset, so peak and its earliest instant are deterministic at
+    * any partitioning. A single dominant type would bucket the running
+    * sum two-level (graft.queries.PrefixSum) — same semantics. */
+  def q38_overlap(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 1800000000L // 30 min
+    val pts = Tables.events(s, dir)
+      .select(col("event_type"), explode(array(
+        struct(col("ts_us").as("t"), lit(1L).as("delta")),
+        struct((col("ts_us") + lit(winUs)).as("t"),
+          lit(-1L).as("delta")))).as("p"))
+      .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"))
+    val wRun = Window.partitionBy("event_type").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    pts
+      .withColumn("active", sum(col("delta")).over(wRun))
+      .withColumn("peak", max(col("active")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("peak")).as("peak"),
+        min(when(col("active") === col("peak"), col("t"))).as("peak_t"))
+      .orderBy("event_type")
+  }
+
+  val q38Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |pts AS (SELECT event_type, ts_us AS t, 1 AS delta FROM e
+       |        UNION ALL
+       |        SELECT event_type, ts_us + 1800000000, -1 FROM e),
+       |a AS (SELECT event_type, t,
+       |        CAST(SUM(delta) OVER (PARTITION BY event_type
+       |          ORDER BY t, delta
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS active
+       |      FROM pts),
+       |p AS (SELECT event_type, t, active,
+       |        MAX(active) OVER (PARTITION BY event_type) AS peak
+       |      FROM a)
+       |SELECT event_type, CAST(MAX(peak) AS BIGINT) AS peak,
+       |  MIN(CASE WHEN active = peak THEN t END) AS peak_t
+       |FROM p GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
     "q30_retention" -> (q30_retention _),
     "q34_gapfill" -> (q34_gapfill _),
     "q34b_interpolate" -> (q34b_interpolate _),
-    "q35_anomaly" -> (q35_anomaly _))
+    "q35_anomaly" -> (q35_anomaly _),
+    "q38_overlap" -> (q38_overlap _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
     "q30_retention" -> q30Sql,
     "q34_gapfill" -> q34Sql,
     "q34b_interpolate" -> q34bSql,
-    "q35_anomaly" -> q35Sql)
+    "q35_anomaly" -> q35Sql,
+    "q38_overlap" -> q38Sql)
 }
