@@ -1477,6 +1477,42 @@ object Relational {
       |FROM walk
       |ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- Q39
+  /** Z-ORDER (Morton) interleave key — the multi-dimensional LAYOUT
+    * primitive: interleaving the bits of (l_partkey, l_suppkey) gives a
+    * single sort key under which rows close in EITHER dimension land in
+    * the same file, so per-file min/max statistics prune scans for
+    * predicates on both columns (a plain sort clusters only its leading
+    * column; everything else degenerates to a full scan). The deployment
+    * shape is `repartitionByRange(z)` + sorted write before the
+    * statistics-collecting sink (graft.sinks.Bucketing territory); this
+    * operator pins the z computation itself — a row-local 20-bit
+    * interleave fold, zero shuffles beyond the output order — so the
+    * layout key is oracle-exact across engines.
+    *
+    * 20 bits per dimension covers keys to ~10⁶; wider keys mask high
+    * bits (locality only needs the low bits to agree — document scale:
+    * at 100 TB you interleave the bucket id, not the raw key). */
+  def q39_zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      .withColumn("z", expr(
+        "aggregate(sequence(0, 19), 0L, (acc, i) -> acc" +
+          " + shiftleft(shiftright(l_partkey, i) & 1, 2*i + 1)" +
+          " + shiftleft(shiftright(l_suppkey, i) & 1, 2*i))"))
+      // lineitem has no unique key in this fixture — total order needs
+      // every (input) column; z is functionally dependent on them
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val q39Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(list_sum(list_transform(range(0, 20),
+      |    i -> (((l_partkey >> i) & 1) << (2*i + 1))
+      |       + (((l_suppkey >> i) & 1) << (2*i)))) AS BIGINT) AS z
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01_scan _),
@@ -1525,7 +1561,8 @@ object Relational {
     "q32_grid_cross" -> (q32_grid_cross _),
     "q33_lateral" -> (q33_lateral _),
     "q36_audit" -> (q36_audit _),
-    "q37_hierarchy" -> (q37_hierarchy _))
+    "q37_hierarchy" -> (q37_hierarchy _),
+    "q39_zorder" -> (q39_zorder _))
 
   def oracles: Map[String, String] = Map(
     "q01_scan" -> q01Sql,
@@ -1573,5 +1610,6 @@ object Relational {
     "q32_grid_cross" -> q32Sql,
     "q33_lateral" -> q33Sql,
     "q36_audit" -> q36Sql,
-    "q37_hierarchy" -> q37Sql)
+    "q37_hierarchy" -> q37Sql,
+    "q39_zorder" -> q39Sql)
 }
