@@ -334,9 +334,18 @@ object FunnelOps {
     * multiset, so peak and its earliest instant are deterministic at
     * any partitioning. A single dominant type would bucket the running
     * sum two-level (graft.queries.PrefixSum) — same semantics. */
-  def q38_overlap(s: SparkSession, dir: String): DataFrame = {
-    val winUs = 1800000000L // 30 min
-    val pts = Tables.events(s, dir)
+  def q38_overlap(s: SparkSession, dir: String): DataFrame =
+    sweepLinePeak(
+      Tables.events(s, dir).select("event_type", "ts_us"),
+      winUs = 1800000000L) // 30 min
+      .orderBy("event_type")
+
+  /** Sweep-line core over any (event_type, ts_us) frame — split out so
+    * specs can run it on planted interval patterns (half-open boundary
+    * semantics, tie handling). */
+  private[queries] def sweepLinePeak(events: DataFrame,
+      winUs: Long): DataFrame = {
+    val pts = events
       .select(col("event_type"), explode(array(
         struct(col("ts_us").as("t"), lit(1L).as("delta")),
         struct((col("ts_us") + lit(winUs)).as("t"),
@@ -351,7 +360,6 @@ object FunnelOps {
       .groupBy("event_type")
       .agg(max(col("peak")).as("peak"),
         min(when(col("active") === col("peak"), col("t"))).as("peak_t"))
-      .orderBy("event_type")
   }
 
   val q38Sql: String =

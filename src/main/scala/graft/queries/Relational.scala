@@ -1431,13 +1431,26 @@ object Relational {
         expr("o_orderkey div 10000"), expr("o_orderkey div 100000"),
         expr("o_orderkey div 1000000"))).as("id"))
       .filter(col("id") > 0).distinct()
-    var state = nodes
+    val init = nodes
       .select(col("id"),
         when(col("id") >= 10, expr("id div 10")).otherwise(col("id"))
           .as("ptr"),
         when(col("id") >= 10, 1L).otherwise(0L).as("d"))
-      .localCheckpoint()
-    for (_ <- 1 to 3) {
+    pointerDouble(init, rounds = 3)
+      .select(col("id"), col("ptr").as("root"),
+        col("d").cast(IntegerType).as("depth"))
+      .orderBy("id")
+  }
+
+  /** Pointer-doubling core over an (id, ptr, d) frame — ptr = parent
+    * (self for roots), d = hops to ptr. After `rounds` rounds pointers
+    * span 2^rounds edges; a driver-side count proves closure (every
+    * pointer targets a root) or fails loudly. Split out so specs can
+    * run it on planted deep chains. */
+  private[queries] def pointerDouble(init: DataFrame,
+      rounds: Int): DataFrame = {
+    var state = init.localCheckpoint()
+    for (_ <- 1 to rounds) {
       val t2 = state.select(col("id").as("t_id"), col("ptr").as("t_ptr"),
         col("d").as("t_d"))
       state = state.join(t2, col("ptr") === col("t_id"))
@@ -1454,9 +1467,7 @@ object Relational {
     require(unresolved == 0,
       s"pointer doubling left $unresolved nodes unresolved — tree deeper " +
         "than 2^rounds; raise the round count")
-    state.select(col("id"), col("ptr").as("root"),
-      col("d").cast(IntegerType).as("depth"))
-      .orderBy("id")
+    state
   }
 
   val q37Sql: String =

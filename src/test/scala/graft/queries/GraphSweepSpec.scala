@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic pins for the pointer-doubling (q37) and sweep-line (q38)
+  * cores on PLANTED inputs — the corpus oracles prove the fixture
+  * shapes; these prove the edge semantics the fixture never reaches
+  * (maximum-depth chains, exactly-touching intervals, boundary ties).
+  */
+class GraphSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointerDouble resolves a depth-8 chain in exactly 3 rounds") {
+    // 1 <- 2 <- ... <- 9: node 9 sits 8 edges from the root, the
+    // maximum 3 doubling rounds can span (2^3 = 8)
+    val init = (1L to 9L).map(i =>
+        if (i == 1L) (i, i, 0L) else (i, i - 1, 1L))
+      .toDF("id", "ptr", "d")
+    val done = Relational.pointerDouble(init, rounds = 3)
+      .select("id", "ptr", "d").as[(Long, Long, Long)].collect().toMap2
+    (1L to 9L).foreach { i =>
+      val (root, depth) = done(i)
+      assert(root == 1L, s"node $i root")
+      assert(depth == i - 1, s"node $i depth")
+    }
+  }
+
+  test("pointerDouble fails loudly when the tree outruns 2^rounds") {
+    val init = (1L to 9L).map(i =>
+        if (i == 1L) (i, i, 0L) else (i, i - 1, 1L))
+      .toDF("id", "ptr", "d")
+    val e = intercept[IllegalArgumentException] {
+      Relational.pointerDouble(init, rounds = 2).count()
+    }
+    assert(e.getMessage.contains("unresolved"))
+  }
+
+  test("sweepLinePeak: overlapping chain peaks at 2, earliest instant") {
+    // win=15: [0,15) [10,25) [20,35) — pairwise overlaps, never 3 deep;
+    // first peak moment is t=10
+    val ev = Seq(("a", 0L), ("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("event_type", "ts_us")
+    val r = FunnelOps.sweepLinePeak(ev, winUs = 15L)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(("a", 2L, 10L), ("b", 1L, 5L)))
+  }
+
+  test("sweepLinePeak: half-open intervals — touching windows never " +
+      "overlap") {
+    // [0,30) and [30,60): the -1 at t=30 orders before the +1 at t=30
+    val ev = Seq(("a", 0L), ("a", 30L)).toDF("event_type", "ts_us")
+    val r = FunnelOps.sweepLinePeak(ev, winUs = 30L)
+      .as[(String, Long, Long)].collect()
+    assert(r.toSeq == Seq(("a", 1L, 0L)))
+  }
+
+  test("sweepLinePeak: identical timestamps stack deterministically") {
+    val ev = Seq(("a", 7L), ("a", 7L), ("a", 7L)).toDF("event_type", "ts_us")
+    val r = FunnelOps.sweepLinePeak(ev, winUs = 10L)
+      .as[(String, Long, Long)].collect()
+    assert(r.toSeq == Seq(("a", 3L, 7L)))
+  }
+
+  private implicit class MapOps(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (id, p, d) => id -> (p, d) }.toMap
+  }
+}
