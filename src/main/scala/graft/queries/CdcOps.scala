@@ -506,6 +506,55 @@ object CdcOps {
       |  CASE WHEN v = 3 THEN 'status' ELSE '' END AS retyped
       |FROM t ORDER BY "table", v_to""".stripMargin
 
+  // -------------------------------------------------------------- CDC8
+  /** INCREMENTAL VIEW MAINTENANCE — a per-status row-count aggregate
+    * maintained from change-stream DELTAS alone (the DBSP /
+    * differential-dataflow algebra): insert → +1 its status, update →
+    * −1 old +1 new, delete → −1 last status. The old status is not in
+    * the delete's image (the fixture mirrors the reference wire format:
+    * the old row carries only the pk), so each event's predecessor
+    * state comes from ONE lag(1) window per pk — the same bounded
+    * per-key partitions as cdc6. Summing the signed deltas yields
+    * exactly the aggregate a full snapshot recompute (cdc5 + groupBy)
+    * would — which is what the oracle states.
+    *
+    * Scale: this is why IVM exists at 100 TB — the maintained view
+    * never rescans the base table; the delta stream is |changes| narrow
+    * (status, ±1) rows collapsing map-side to |statuses| per partition.
+    * The streaming twin is the same delta derivation in foreachBatch,
+    * merged into the aggregate store per microbatch. */
+  def cdc8_ivm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pk").orderBy("seq")
+    JsonCdc.decode(syntheticHistory(s, dir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+      .select(col("pk"), col("seq"), col("kind"),
+        get_json_object(col("item"), "$.status").as("status"))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .select(explode(array(
+        when(col("kind").isin("insert", "update"),
+          struct(col("status").as("status"), lit(1L).as("delta"))),
+        when(col("kind").isin("update", "delete"),
+          struct(col("prev_status").as("status"), lit(-1L).as("delta")))))
+        .as("d"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("d.status").as("status"))
+      .agg(sum(col("d.delta")).as("n"))
+      .filter(col("n") =!= 0)
+      .orderBy("status")
+  }
+
+  /** Oracle = the full recompute the deltas must equal (cdc5's
+    * current-state rule, grouped). */
+  val cdc8Sql: String =
+    """WITH cur AS (
+      |  SELECT CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'
+      |         ELSE o_orderstatus END AS status
+      |  FROM orders WHERE o_orderkey % 4 != 3)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM cur GROUP BY status
+      |ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -514,7 +563,8 @@ object CdcOps {
     "cdc4_mongo" -> (cdc4_mongo _),
     "cdc5_apply" -> (cdc5_apply _),
     "cdc6_scd2" -> (cdc6_scd2 _),
-    "cdc7_schema_diff" -> (cdc7_schema_diff _))
+    "cdc7_schema_diff" -> (cdc7_schema_diff _),
+    "cdc8_ivm" -> (cdc8_ivm _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -523,5 +573,6 @@ object CdcOps {
     "cdc4_mongo" -> cdc4Sql,
     "cdc5_apply" -> cdc5Sql,
     "cdc6_scd2" -> cdc6Sql,
-    "cdc7_schema_diff" -> cdc7Sql)
+    "cdc7_schema_diff" -> cdc7Sql,
+    "cdc8_ivm" -> cdc8Sql)
 }
