@@ -578,6 +578,47 @@ object Relational {
        |FROM e p WHERE p.event_type = 'purchase'
        |ORDER BY p.event_id""".stripMargin
 
+  /** TOLERANCE-bounded as-of join — q12 with a staleness cap: the
+    * latest strictly-prior click only counts within 10 minutes of the
+    * purchase (every production as-of has one: quotes expire, sensors
+    * go stale). The carry stays ONE window pass — the carried value is
+    * the (ts, id) struct, and the freshness test is a row-local filter
+    * on it: the latest prior click is by definition the freshest, so
+    * rejecting it can never resurrect an older one. Emits the staleness
+    * alongside (null pair when no click qualifies). */
+  def q12c_asof_tolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 600000000L // 10 min
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_pair", when(col("event_type") === "click",
+        struct(col("ts_us").as("cts"), col("event_id").as("cid"))))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fresh = col("pc").isNotNull && col("pc.cts") >= col("ts_us") - tolUs
+    e.withColumn("pc", last(col("click_pair"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        when(fresh, col("pc.cid")).as("prior_click_id"),
+        when(fresh, col("ts_us") - col("pc.cts")).as("staleness_us"))
+      .orderBy("event_id")
+  }
+
+  val q12cSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql}
+       |SELECT p.event_id, p.user_id, t.cid AS prior_click_id,
+       |  CASE WHEN t.cid IS NOT NULL THEN p.ts_us - t.cts END
+       |    AS staleness_us
+       |FROM e p LEFT JOIN LATERAL (
+       |  SELECT c.event_id AS cid, c.ts_us AS cts FROM e c
+       |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |    AND (c.ts_us < p.ts_us
+       |         OR (c.ts_us = p.ts_us AND c.event_id < p.event_id))
+       |    AND c.ts_us >= p.ts_us - 600000000
+       |  ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) t ON TRUE
+       |WHERE p.event_type = 'purchase'
+       |ORDER BY p.event_id""".stripMargin
+
   // ---------------------------------------------------------------- Q13
   /** Ranking window: top-3 orders per customer by totalprice. Ties broken
     * by orderkey so both engines rank identically. */
@@ -772,6 +813,52 @@ object Relational {
        |    AS n_types
        |FROM f
        |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** GAPS-AND-ISLANDS — longest streak of consecutive active days per
+    * user: the canonical `day − row_number()` trick makes each
+    * consecutive run share a constant group key, so islands fall out of
+    * ONE partial-agg groupBy with no self-join and no iterative logic.
+    * The best-island pick (longest; earliest start on ties) reads the
+    * per-user max over the ISLAND aggregate — a window on |islands|
+    * rows, never on events. Distinct-day collapse first: the window
+    * sorts |user-days|, not raw events. */
+  def q14f_streaks(s: SparkSession, dir: String): DataFrame = {
+    val usDay = 86400000000L
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $usDay").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    val wu = Window.partitionBy("user_id")
+    islands.withColumn("best", max(col("len")).over(wu))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("best_len"),
+        min(when(col("len") === col("best"), col("start"))).as("best_start"))
+      .orderBy("user_id")
+  }
+
+  val q14fSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |d AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM e),
+       |i AS (SELECT user_id, day,
+       |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+       |          AS grp
+       |      FROM d),
+       |g AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+       |        MIN(day) AS start
+       |      FROM i GROUP BY 1, 2),
+       |b AS (SELECT user_id, len, start,
+       |        MAX(len) OVER (PARTITION BY user_id) AS best
+       |      FROM g)
+       |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       |  CAST(MAX(len) AS BIGINT) AS best_len,
+       |  MIN(CASE WHEN len = best THEN start END) AS best_start
+       |FROM b GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- Q15
   /** Global top-100 — TakeOrderedAndProject: each partition keeps its local
@@ -1553,12 +1640,14 @@ object Relational {
     "q11b_range_bin" -> (q11b_range_bin _),
     "q12_asof" -> (q12_asof _),
     "q12b_asof_fwd" -> (q12b_asof_fwd _),
+    "q12c_asof_tolerance" -> (q12c_asof_tolerance _),
     "q13_window_rank" -> (q13_window_rank _),
     "q14_window_analytic" -> (q14_window_analytic _),
     "q14b_distribution" -> (q14b_distribution _),
     "q14c_range_frame" -> (q14c_range_frame _),
     "q14d_navigation" -> (q14d_navigation _),
     "q14e_cum_distinct" -> (q14e_cum_distinct _),
+    "q14f_streaks" -> (q14f_streaks _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q16b_setops_all" -> (q16b_setops_all _),
@@ -1602,12 +1691,14 @@ object Relational {
     "q11b_range_bin" -> q11bSql,
     "q12_asof" -> q12Sql,
     "q12b_asof_fwd" -> q12bSql,
+    "q12c_asof_tolerance" -> q12cSql,
     "q13_window_rank" -> q13Sql,
     "q14_window_analytic" -> q14Sql,
     "q14b_distribution" -> q14bSql,
     "q14c_range_frame" -> q14cSql,
     "q14d_navigation" -> q14dSql,
     "q14e_cum_distinct" -> q14eSql,
+    "q14f_streaks" -> q14fSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q16b_setops_all" -> q16bSql,
