@@ -266,7 +266,54 @@ object FunnelOps {
        |FROM w
        |ORDER BY event_type, day""".stripMargin
 
-  // ---------------------------------------------------------------- Q35
+  /** EWMA smoothing (α = 1/8) over the gap-filled daily series — the
+    * recursive per-series fold window functions cannot express (each
+    * state needs the previous STATE, not a previous input). Per type,
+    * the ordered (day, n) array collects ONCE and a row-local
+    * `aggregate` fold emits every intermediate state; the recursion
+    * never crosses rows, so there is exactly one shuffle (the per-type
+    * collect) and the per-type array is bounded by the calendar span,
+    * never by event count — the q29-funnel argument. A series too long
+    * to collect would fold per-segment and stitch the boundary states
+    * (the PrefixSum two-level shape, since s_t = f(s_{t-1}, x_t) is
+    * associative in the segment-composition sense).
+    *
+    * Exactness: states live in 8ths (s₁ = 8·x₁; sₜ = (7·sₜ₋₁ + 8·xₜ)
+    * div 8) — every operand non-negative, so truncating `div` and
+    * flooring `//` agree and both engines walk identical integer
+    * states; the oracle replays the same recurrence with a recursive
+    * CTE. */
+  def q34c_ewma(s: SparkSession, dir: String): DataFrame =
+    gapFilled(s, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("xs"))
+      .withColumn("st", expr(
+        """aggregate(xs, cast(array() as array<struct<day: bigint, s: bigint>>),
+          |  (acc, x) -> acc || array(struct(x.day AS day,
+          |    case when size(acc) = 0 then x.n * 8
+          |         else (7 * element_at(acc, -1).s + x.n * 8) div 8
+          |    end AS s)))""".stripMargin))
+      .select(col("event_type"), explode(col("st")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.s").as("ewma_8ths"))
+      .orderBy("event_type", "day")
+
+  val q34cSql: String =
+    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |rr AS (SELECT event_type, day, n,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |           AS rn
+       |       FROM f),
+       |rec AS (
+       |  SELECT event_type, rn, day, n * 8 AS s FROM rr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rr.event_type, rr.rn, rr.day, (7 * rec.s + rr.n * 8) // 8
+       |  FROM rr JOIN rec ON rr.event_type = rec.event_type
+       |    AND rr.rn = rec.rn + 1)
+       |SELECT event_type, day, CAST(s AS BIGINT) AS ewma_8ths
+       |FROM rec
+       |ORDER BY event_type, day""".stripMargin
   /** Trailing-window ANOMALY SCORE: each day's event count z-scored
     * against the strictly-preceding 7 days of the same type. The moments
     * (n, Σx, Σx²) come from integer sums over a ROWS frame on the
@@ -387,6 +434,7 @@ object FunnelOps {
     "q30_retention" -> (q30_retention _),
     "q34_gapfill" -> (q34_gapfill _),
     "q34b_interpolate" -> (q34b_interpolate _),
+    "q34c_ewma" -> (q34c_ewma _),
     "q35_anomaly" -> (q35_anomaly _),
     "q38_overlap" -> (q38_overlap _))
 
@@ -395,6 +443,7 @@ object FunnelOps {
     "q30_retention" -> q30Sql,
     "q34_gapfill" -> q34Sql,
     "q34b_interpolate" -> q34bSql,
+    "q34c_ewma" -> q34cSql,
     "q35_anomaly" -> q35Sql,
     "q38_overlap" -> q38Sql)
 }
