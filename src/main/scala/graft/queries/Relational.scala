@@ -1354,6 +1354,31 @@ object Relational {
        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
        |ORDER BY o.o_orderkey""".stripMargin
 
+  /** EXISTS / NOT EXISTS decorrelation — customers holding at least one
+    * urgent order but no failed-delivery order, stated as correlated
+    * EXISTS subqueries (the SQL shape q10's DataFrame semi/anti joins
+    * compile FROM): one text on both engines, and Catalyst must
+    * decorrelate each predicate into the same left-semi / left-anti
+    * hash joins the explicit form plans — pinned in PlanShapeSpec so a
+    * planner regression to a per-outer-row nested loop fails fast. */
+  def q21b_exists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q21bSql)
+  }
+
+  val q21bSql: String =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_orderpriority = '5-LOW')
+      |ORDER BY c.c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- Q33
   /** LATERAL correlated subquery: per customer, the top-2 orders by
     * price — the SQL form of "top-k per key" where the subquery sees the
@@ -1663,6 +1688,7 @@ object Relational {
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
     "q21_subquery" -> (q21_subquery _),
+    "q21b_exists" -> (q21b_exists _),
     "q31_nulls" -> (q31_nulls _),
     "q32_grid_cross" -> (q32_grid_cross _),
     "q33_lateral" -> (q33_lateral _),
@@ -1714,6 +1740,7 @@ object Relational {
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
     "q21_subquery" -> q21Sql,
+    "q21b_exists" -> q21bSql,
     "q31_nulls" -> q31Sql,
     "q32_grid_cross" -> q32Sql,
     "q33_lateral" -> q33Sql,

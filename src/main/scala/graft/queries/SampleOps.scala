@@ -61,6 +61,33 @@ object SampleOps {
       |GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** K-FOLD cross-validation assignment — the same key hash deals every
+    * doc into one of 5 folds; output is the per-(lang, fold) balance
+    * check plus each fold's token mass (the two numbers that decide
+    * whether hash folding is safe for a given corpus). Reproducible,
+    * shuffle-free per row, one partial-agg groupBy — and because the
+    * fold is a pure key function, any machine can recompute membership
+    * without the assignment table (the q26 family's defining
+    * property). */
+  def q26_kfold(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("fold", (bucketOf("doc_id") % 5).cast("int"))
+      .withColumn("n_toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .groupBy("lang", "fold")
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"))
+      .orderBy("lang", "fold")
+
+  val q26KfoldSql: String =
+    """SELECT lang,
+      |  CAST((doc_id * 2654435761) % 4294967296 % 5 AS INT) AS fold,
+      |  count(*) AS n,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS toks
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, fold""".stripMargin
+
   /** Data mixing: sample each source at its own rate against a
     * per-source TOKEN budget (the Pile/Dolma "mixture weights" step —
     * downsample the over-represented sources, keep the rest). A doc is
@@ -255,6 +282,7 @@ object SampleOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
+    "q26_kfold" -> (q26_kfold _),
     "q26_mix" -> (q26_mix _),
     "q26_temperature" -> (q26_temperature _),
     "q26_pps" -> (q26_pps _))
@@ -262,6 +290,7 @@ object SampleOps {
   def oracles: Map[String, String] = Map(
     "q26_sample_hash" -> q26SampleSql,
     "q26_split_stratified" -> q26SplitSql,
+    "q26_kfold" -> q26KfoldSql,
     "q26_mix" -> q26MixSql,
     "q26_temperature" -> q26TemperatureSql,
     "q26_pps" -> q26PpsSql)

@@ -239,6 +239,16 @@ class PlanShapeSpec extends SparkSpec {
         "again:\n" + plan)
   }
 
+  test("q21b EXISTS/NOT EXISTS decorrelate to semi/anti hash joins, " +
+      "never a per-outer-row nested loop") {
+    val plan = planOf(Relational.queries("q21b_exists")(spark, sfDir))
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "correlated EXISTS must not re-execute per outer row:\n" + plan)
+  }
+
   test("q34b interpolation: both carry directions ride one window sort " +
       "(no second exchange below the windows)") {
     val plan = planOf(FunnelOps.queries("q34b_interpolate")(spark, sfDir))
