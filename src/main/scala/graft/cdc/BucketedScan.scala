@@ -78,8 +78,13 @@ private[graft] object BucketedScan {
     val bCol = summaries.columns(0)
     val vField = summaries.schema.fields(1)
     val nonNull = summaries.filter(col(bCol).isNotNull)
+    // FLOOR division, not `div`: truncation would merge the negative
+    // bucket ids in (−superSize, superSize) with super-bucket 0 and
+    // double the documented per-task bound on replays with negative
+    // seqs; (b − pmod(b, n)) div n floors exactly in integer space
     val withSuper = nonNull
-      .select(expr(s"`$bCol` div $superSize").as("_sb"),
+      .select(expr(s"(`$bCol` - pmod(`$bCol`, $superSize)) div $superSize")
+        .as("_sb"),
         col(bCol), col(vField.name))
     // per-super-bucket folded totals, in bucket order (groups are
     // contiguous after the sort; the buffer holds one row per

@@ -341,6 +341,9 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[Long],
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == m * sub,
+      s"graft_pq_encode(m=$m, sub=$sub) got a ${v.numElements()}-component" +
+        " vector — reading past the buffer would yield silent garbage codes")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -392,6 +395,10 @@ case class PqDistTable(child: Expression, codebook: IndexedSeq[Long],
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val rows = new Array[ArrayData](m)
+    require(v.numElements() == m * sub,
+      s"graft_pq_dist_table(m=$m, sub=$sub) got a ${v.numElements()}-" +
+        "component vector — reading past the buffer would yield a silent" +
+        " garbage table")
     var s = 0
     while (s < m) {
       val row = new Array[Long](k)

@@ -526,23 +526,36 @@ object CdcOps {
   def cdc8_ivm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("pk").orderBy("seq")
-    JsonCdc.decode(syntheticHistory(s, dir))
+    val ev = JsonCdc.decode(syntheticHistory(s, dir))
       .filter(col("kind").isin("insert", "update", "delete"))
       .select(col("pk"), col("seq"), col("kind"),
         get_json_object(col("item"), "$.status").as("status"))
-      .withColumn("prev_status", lag(col("status"), 1).over(w))
-      .select(explode(array(
-        when(col("kind").isin("insert", "update"),
-          struct(col("status").as("status"), lit(1L).as("delta"))),
-        when(col("kind").isin("update", "delete"),
-          struct(col("prev_status").as("status"), lit(-1L).as("delta")))))
-        .as("d"))
-      .filter(col("d").isNotNull)
-      .groupBy(col("d.status").as("status"))
-      .agg(sum(col("d.delta")).as("n"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+    statusDeltas(ev)
+      .groupBy("status")
+      .agg(sum(col("delta")).as("n"))
       .filter(col("n") =!= 0)
       .orderBy("status")
   }
+
+  /** Signed IVM delta derivation over (kind, status, prev) rows — ONE
+    * definition shared by the batch operator and the streaming twin
+    * (graft.streaming.IvmStream), whose equivalence is the contract:
+    * insert/update contribute +1 to their status, update/delete −1 to
+    * the predecessor's. A null predecessor contributes NOTHING (never a
+    * −1 booked against a NULL status group); callers that cannot prove
+    * every update/delete has a known predecessor must check for orphans
+    * themselves (IvmStream fails loudly on them — stream bootstrap). */
+  private[graft] def statusDeltas(ev: DataFrame): DataFrame =
+    ev.select(explode(array(
+        when(col("kind").isin("insert", "update"),
+          struct(col("status").as("status"), lit(1L).as("delta"))),
+        when(col("kind").isin("update", "delete") &&
+            col("prev").isNotNull,
+          struct(col("prev").as("status"), lit(-1L).as("delta")))))
+        .as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.status").as("status"), col("d.delta").as("delta"))
 
   /** Oracle = the full recompute the deltas must equal (cdc5's
     * current-state rule, grouped). */

@@ -451,39 +451,57 @@ object SimilarityOps {
     * while the corpus side ships only (vec_id, 8 codes) — the narrow-row
     * discipline the LSH pipeline established, taken to its limit. */
   def q23_pq(s: SparkSession, dir: String): DataFrame = {
-    val m = 8      // subspaces
-    val k = 16     // codes per subspace
-    val sub = 8    // dims per subspace
+    val (enc, q) = pqPrep(s, dir, carry = Nil)
+    adcTopK(enc, q.select(col("vec_id").as("q_id"), col("qtab")),
+      col("vec_id") =!= col("q_id"), kTop = 5)
+  }
+
+  /** Shared PQ preparation (q23_pq / q23_ivfpq must stay in lockstep —
+    * same micro-int space, codebook init, kernel encode, and broadcast
+    * query-table build): returns the encoded corpus (vec_id [, carry],
+    * codes) and the query rows (vec_id [, carry], qtab) still
+    * un-broadcast so callers shape the query side. Codebook init: the
+    * k = 16 smallest vec_ids' subvectors (deterministic, the q23_kmeans
+    * convention; m = 8 subspaces of 8 dims). The codebook rides the
+    * kernel expression object (≈8 KB), not the plan — the literal-tree
+    * + interpreted-lambda form cost 3.6 s at sf0.1 and a 1.8 MB task
+    * binary; the kernels run the same integer loops compiled, with the
+    * identical lowest-code tie-break (strict <). */
+  private def pqPrep(s: SparkSession, dir: String,
+      carry: Seq[String]): (DataFrame, DataFrame) = {
+    val m = 8; val k = 16; val sub = 8
     val v = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), expr(
+      .select(col("vec_id") +: carry.map(col) :+ expr(
         "transform(embedding, x -> " +
           "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
-        .as("vm"))
-    // codebook init: subvectors of the k smallest vec_ids (k rows to the
-    // driver). cb(s)(j) = 8 longs.
+        .as("vm"): _*)
     val cb: Seq[Seq[Seq[Long]]] = {
       val init = v.orderBy("vec_id").limit(k).select("vm").collect()
         .map(_.getSeq[Long](0).toIndexedSeq)
       (0 until m).map(sp => init.toSeq.map(_.slice(sp * sub, (sp + 1) * sub)))
     }
-    // encode + query-table via the native PQ kernels: the codebook rides
-    // the expression object (≈8 KB), not the plan — the literal-tree +
-    // interpreted-lambda form cost 3.6 s at sf0.1 (and a 1.8 MB task
-    // binary); the kernels run the same integer loops compiled, with the
-    // identical lowest-code tie-break (strict <).
     val enc = v.withColumn("codes",
       graft.functions.native.pqEncode(col("vm"), cb)).drop("vm")
-    val q = broadcast(v.filter(col("vec_id") < 10)
+    val q = v.filter(col("vec_id") < 10)
       .withColumn("qtab", graft.functions.native.pqDistTable(col("vm"), cb))
-      .select(col("vec_id").as("q_id"), col("qtab")))
-    val scored = enc.join(q, col("vec_id") =!= col("q_id"))
+      .drop("vm")
+    (enc, q)
+  }
+
+  /** Shared ADC scoring + per-query top-k: broadcast the (tiny) query
+    * side, score each candidate's 8 codes against the query's table
+    * with row-local lookups, rank with the deterministic
+    * (adc_dist, cand_id) tiebreak. */
+  private def adcTopK(enc: DataFrame, q: DataFrame,
+      joinCond: org.apache.spark.sql.Column, kTop: Int): DataFrame = {
+    val scored = enc.join(broadcast(q), joinCond)
       .withColumn("adc_dist",
         aggregate(zip_with(col("codes"), col("qtab"),
           (c, row) => element_at(row, c + 1)), lit(0L), _ + _))
     val w = Window.partitionBy("q_id")
       .orderBy(col("adc_dist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= kTop)
       .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"),
         col("adc_dist"))
       .orderBy("q_id", "rk")
@@ -502,35 +520,12 @@ object SimilarityOps {
     * the join is an equi join on the cell id with the 10-row query side
     * (each row carrying its 8×16 table) broadcast. */
   def q23_ivfpq(s: SparkSession, dir: String): DataFrame = {
-    val k = 16
-    val v = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr(
-        "transform(embedding, x -> " +
-          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
-        .as("vm"))
-    val cb: Seq[Seq[Seq[Long]]] = {
-      val init = v.orderBy("vec_id").limit(k).select("vm").collect()
-        .map(_.getSeq[Long](0).toIndexedSeq)
-      (0 until 8).map(sp => init.toSeq.map(_.slice(sp * 8, (sp + 1) * 8)))
-    }
-    val enc = v.withColumn("codes",
-      graft.functions.native.pqEncode(col("vm"), cb)).drop("vm")
-    val q = broadcast(v.filter(col("vec_id") < 10)
-      .withColumn("qtab", graft.functions.native.pqDistTable(col("vm"), cb))
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("qtab")))
-    val scored = enc.join(q,
-        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .withColumn("adc_dist",
-        aggregate(zip_with(col("codes"), col("qtab"),
-          (c, row) => element_at(row, c + 1)), lit(0L), _ + _))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("adc_dist"), col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("q_id"), col("rk"), col("vec_id").as("cand_id"),
-        col("adc_dist"))
-      .orderBy("q_id", "rk")
+    val (enc, q) = pqPrep(s, dir, carry = Seq("label"))
+    adcTopK(enc,
+      q.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qtab")),
+      col("label") === col("q_label") && col("vec_id") =!= col("q_id"),
+      kTop = 3)
   }
 
   val q23IvfPqSql: String =

@@ -77,6 +77,14 @@ object IvmStream {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
+    // a missing predecessor version means a batch-id gap or a
+    // checkpoint reset against existing state — continuing from empty
+    // state would silently corrupt the maintained aggregate
+    require(batchId == 0 ||
+      new java.io.File(s"$stateDir/counts/b=${batchId - 1}").exists(),
+      s"state version b=${batchId - 1} missing under $stateDir/counts — " +
+        "batch-id gap or checkpoint reset; rebuild the view from a full " +
+        "replay instead of silently restarting from empty state")
     val w = Window.partitionBy("pk").orderBy("seq")
     val prevLast = readVersion(spark, s"$stateDir/last", batchId - 1,
       lastSchema).withColumnRenamed("status", "state_status")
@@ -88,14 +96,17 @@ object IvmStream {
       .withColumn("prev",
         when(col("rn") === 1, col("state_status")).otherwise(col("prev_in")))
       .localCheckpoint() // deltas + last-state advance both fork it
-    val deltas = ev.select(explode(array(
-        when(col("kind").isin("insert", "update"),
-          struct(col("status").as("status"), lit(1L).as("delta"))),
-        when(col("kind").isin("update", "delete"),
-          struct(col("prev").as("status"), lit(-1L).as("delta")))))
-        .as("d"))
-      .filter(col("d").isNotNull)
-      .select(col("d.status").as("status"), col("d.delta").as("n"))
+    // an update/delete whose predecessor neither the batch nor the
+    // state knows = the stream started mid-history; its −1 has no
+    // status to land on, so the view would silently drift — fail loudly
+    val orphans = ev.filter(
+      col("kind").isin("update", "delete") && col("prev").isNull).count()
+    require(orphans == 0,
+      s"$orphans update/delete event(s) with unknown predecessor state — " +
+        "the stream was attached mid-history; seed the state tables from " +
+        "a snapshot (cdc5) before attaching")
+    val deltas = graft.queries.CdcOps.statusDeltas(ev)
+      .withColumnRenamed("delta", "n")
     val newCounts = readVersion(spark, s"$stateDir/counts", batchId - 1,
         countsSchema)
       .unionByName(deltas)
@@ -114,6 +125,20 @@ object IvmStream {
         .select("pk", "status"))
     writeVersion(newCounts, s"$stateDir/counts", batchId)
     writeVersion(newLast, s"$stateDir/last", batchId)
+    // retention: re-delivery of batch b only ever reads b−1; versions
+    // ≤ b−2 are dead weight that would otherwise grow O(batches)
+    Seq("counts", "last").foreach { t =>
+      Option(new java.io.File(s"$stateDir/$t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
+          f.getName.stripPrefix("b=").toLong <= batchId - 2)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+          }
+          rm(f)
+        }
+    }
   }
 
   /** Wire a streaming frame of decoded envelopes into the loop. */
