@@ -33,6 +33,44 @@ class IvmStreamSpec extends SparkSpec {
     assert(countsSet(dir) == batch)
   }
 
+  test("a batch-id gap (checkpoint reset against existing state) fails " +
+      "loudly instead of silently restarting from empty state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm3").toString
+    val ev = envelopes.localCheckpoint()
+    IvmStream.processBatch(ev, 0, dir)
+    val e = intercept[IllegalArgumentException] {
+      IvmStream.processBatch(ev.limit(0), 2, dir) // skipped batch 1
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("attaching mid-history (updates with unknown predecessor) fails " +
+      "loudly instead of booking deltas against NULL status") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm4").toString
+    val ev = envelopes.localCheckpoint()
+    // drop every insert: the first batch then opens with updates whose
+    // predecessors neither the batch nor the (empty) state knows
+    val e = intercept[IllegalArgumentException] {
+      IvmStream.processBatch(ev.filter(col("kind") =!= "insert"), 0, dir)
+    }
+    assert(e.getMessage.contains("predecessor"))
+  }
+
+  test("state versions older than b-1 are pruned after each commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm5").toString
+    val ev = envelopes.localCheckpoint()
+    val maxSeq = ev.agg(max(col("seq"))).head.getLong(0)
+    val third = maxSeq / 3
+    IvmStream.processBatch(ev.filter(col("seq") <= third), 0, dir)
+    IvmStream.processBatch(
+      ev.filter(col("seq") > third && col("seq") <= 2 * third), 1, dir)
+    IvmStream.processBatch(ev.filter(col("seq") > 2 * third), 2, dir)
+    val versions = new java.io.File(s"$dir/counts").listFiles()
+      .filter(_.getName.startsWith("b=")).map(_.getName).sorted
+    assert(versions.toSeq == Seq("b=1", "b=2"),
+      s"expected only b=1 and b=2 to survive, got ${versions.toSeq}")
+  }
+
   test("a re-delivered batch recomputes the same state (idempotent)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivm2").toString
     val ev = envelopes.localCheckpoint()
