@@ -531,6 +531,10 @@ object CdcOps {
       .select(col("pk"), col("seq"), col("kind"),
         get_json_object(col("item"), "$.status").as("status"))
       .withColumn("prev", lag(col("status"), 1).over(w))
+      // in the complete batch stream, "a predecessor exists" is exactly
+      // "this is not the pk's first event" — NOT prev.isNotNull, which
+      // a predecessor with a genuinely NULL status would also fail
+      .withColumn("has_prev", row_number().over(w) > 1)
     statusDeltas(ev)
       .groupBy("status")
       .agg(sum(col("delta")).as("n"))
@@ -538,20 +542,22 @@ object CdcOps {
       .orderBy("status")
   }
 
-  /** Signed IVM delta derivation over (kind, status, prev) rows — ONE
-    * definition shared by the batch operator and the streaming twin
-    * (graft.streaming.IvmStream), whose equivalence is the contract:
-    * insert/update contribute +1 to their status, update/delete −1 to
-    * the predecessor's. A null predecessor contributes NOTHING (never a
-    * −1 booked against a NULL status group); callers that cannot prove
-    * every update/delete has a known predecessor must check for orphans
-    * themselves (IvmStream fails loudly on them — stream bootstrap). */
+  /** Signed IVM delta derivation over (kind, status, prev, has_prev)
+    * rows — ONE definition shared by the batch operator and the
+    * streaming twin (graft.streaming.IvmStream), whose equivalence is
+    * the contract: insert/update contribute +1 to their status,
+    * update/delete −1 to the predecessor's. NULL is a legitimate
+    * status group (an insert with no status key books +1 there, and
+    * the −1 that cancels it on the way out must land there too) — so
+    * "predecessor exists" travels as the EXPLICIT `has_prev` flag, not
+    * as prev.isNotNull. Callers that cannot prove every update/delete
+    * has has_prev = true must check for such orphans themselves
+    * (IvmStream fails loudly on them — stream bootstrap). */
   private[graft] def statusDeltas(ev: DataFrame): DataFrame =
     ev.select(explode(array(
         when(col("kind").isin("insert", "update"),
           struct(col("status").as("status"), lit(1L).as("delta"))),
-        when(col("kind").isin("update", "delete") &&
-            col("prev").isNotNull,
+        when(col("kind").isin("update", "delete") && col("has_prev"),
           struct(col("prev").as("status"), lit(-1L).as("delta")))))
         .as("d"))
       .filter(col("d").isNotNull)
