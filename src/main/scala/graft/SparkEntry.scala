@@ -14,9 +14,11 @@ import graft.{queries => q}
 object SparkEntry {
 
   /** Session config every entry point needs:
-    *   - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) which Spark
-    *     cannot represent; we read the raw long and manage precision
-    *     explicitly (see Tables.events).
+    *   - nanosAsLong: older generations of events.parquet store
+    *     TIMESTAMP(NANOS) which Spark cannot represent; with this set we
+    *     read the raw long and manage precision explicitly. Harmless on
+    *     the current TIMESTAMP(MICROS) fixture — Tables.events handles
+    *     both generations.
     */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

@@ -28,19 +28,30 @@ object Tables {
 
   /** `events` with deterministic integer time columns.
     *
-    * The parquet stores TIMESTAMP(NANOS) which Spark cannot represent
-    * (µs precision); sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * so `ts` arrives as a raw nanosecond long. We derive:
+    * Two generations of the fixture exist: TIMESTAMP(NANOS), which Spark
+    * reads as a raw ns long under `spark.sql.legacy.parquet.nanosAsLong`,
+    * and TIMESTAMP(MICROS), which arrives as a (NTZ) timestamp. Both
+    * normalize to:
     *   - ts_us: integer µs (floor) — canonical time for oracle-compared
-    *     arithmetic; DuckDB's parquet reader truncates ns→µs identically
-    *     (`epoch_us(ts)`).
+    *     arithmetic; DuckDB's parquet reader yields the same µs instants
+    *     (`epoch_us(ts)` truncates ns→µs identically).
     *   - ts: TimestampType at µs for Spark window()/session_window().
+    * NTZ→timestamp is wall-clock-preserving because every session pins
+    * `spark.sql.session.timeZone=UTC`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .drop("ts_ns")
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+    }
+  }
 
   /** DuckDB-side equivalent of [[events]], spliced into oracle SQL. */
   val eventsNormSql: String =

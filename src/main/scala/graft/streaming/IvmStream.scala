@@ -86,8 +86,12 @@ object IvmStream {
         "batch-id gap or checkpoint reset; rebuild the view from a full " +
         "replay instead of silently restarting from empty state")
     val w = Window.partitionBy("pk").orderBy("seq")
+    // in_state marks "this pk exists in carried state" explicitly:
+    // state_status.isNotNull can't — NULL is a legitimate last status
+    // (statusDeltas' contract), and its −1 must still land on it
     val prevLast = readVersion(spark, s"$stateDir/last", batchId - 1,
       lastSchema).withColumnRenamed("status", "state_status")
+      .withColumn("in_state", lit(true))
     val ev = batch
       .filter(col("kind").isin("insert", "update", "delete"))
       .withColumn("prev_in", lag(col("status"), 1).over(w))
@@ -95,12 +99,14 @@ object IvmStream {
       .join(prevLast, Seq("pk"), "left")
       .withColumn("prev",
         when(col("rn") === 1, col("state_status")).otherwise(col("prev_in")))
+      .withColumn("has_prev",
+        col("rn") > 1 || coalesce(col("in_state"), lit(false)))
       .localCheckpoint() // deltas + last-state advance both fork it
     // an update/delete whose predecessor neither the batch nor the
     // state knows = the stream started mid-history; its −1 has no
     // status to land on, so the view would silently drift — fail loudly
     val orphans = ev.filter(
-      col("kind").isin("update", "delete") && col("prev").isNull).count()
+      col("kind").isin("update", "delete") && !col("has_prev")).count()
     require(orphans == 0,
       s"$orphans update/delete event(s) with unknown predecessor state — " +
         "the stream was attached mid-history; seed the state tables from " +
