@@ -44,9 +44,28 @@ object Bench {
       // leaves JIT/GC debt draining on background threads; without a
       // pause the alphabetically-first timed queries (the cdc family)
       // absorb that tail — observed 1.2s isolated vs 14s back-to-back
-      // for cdc2_routing. 5s is enough for the load to fall off.
+      // for cdc2_routing, and a fixed 5s stopped sufficing once the
+      // surface passed 100 queries (cdc1 33.8s in-run vs 6.5s isolated).
+      // Adaptive: GC, then wait until 1-min loadavg falls below the
+      // core count (cap 60s — never hang the official bench on a busy
+      // box; the contention tripwire below still flags that case).
       System.gc()
-      Thread.sleep(5000)
+      val settleDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def load1(): Double =
+        try scala.io.Source.fromFile("/proc/loadavg").mkString
+          .split("\\s+")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+      while (load1() > cpus.toDouble && System.nanoTime() < settleDeadline)
+        Thread.sleep(2000)
+      // one untimed probe of the first timed query at the TIMED scale:
+      // whatever per-plan debt the sf0.001 warmup can't reach (row-count
+      // -dependent codegen paths, page-cache for the sf0.1 files) lands
+      // here instead of inside the first query's timed minimum
+      selected.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        finally dropPinnedRdds()
+      }
     }
     // min of 2 timed runs per query: single samples on a shared box
     // vary up to 2.5x with CPU contention; the minimum is the standard

@@ -574,6 +574,129 @@ object CdcOps {
       |FROM cur GROUP BY status
       |ORDER BY status""".stripMargin
 
+  // -------------------------------------------------------------- CDC9
+  /** Key-INTERLEAVED multi-version history: unlike [[syntheticHistory]]
+    * (whole chains on consecutive seqs), real capture streams interleave
+    * keys over time — all the rev-1 inserts land in epoch 1 (seq = k),
+    * the rev-2 updates in epoch 2 (seq = EPOCH + k, skipping k%4==1),
+    * the deletes in epoch 3 (seq = 2·EPOCH + k, only k%4==3). A seq cut
+    * inside epoch 2 therefore slices MID-CHAIN for half the keys — the
+    * straddle an incremental SCD2 merge must handle. EPOCH is a fixed
+    * lane stride; the build asserts the key range fits it. */
+  private val Epoch = 1L << 20
+  private[graft] def interleavedHistory(s: SparkSession,
+      dir: String): DataFrame = replayFixture(s, dir, "history-interleaved") {
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .repartition(n)
+    val mx = o.agg(max(col("k"))).head().getLong(0)
+    require(mx < Epoch,
+      s"interleavedHistory: max orderkey $mx overflows the seq lane " +
+        s"stride $Epoch — widen Epoch for this scale")
+    o.select(
+        struct(col("k").as("seq"), format_string(
+          """{"insert": {"id": %d, "status": "NEW", "rev": "1"}, "table": "orders"}""",
+          col("k")).as("line")).as("e1"),
+        when(pmod(col("k"), lit(4)) =!= 1,
+          struct((col("k") + Epoch).as("seq"), format_string(
+            """{"update": {"id": %d, "status": "%s", "rev": "2"}, "table": "orders"}""",
+            col("k"), col("st")).as("line"))).as("e2"),
+        when(pmod(col("k"), lit(4)) === 3,
+          struct((col("k") + 2 * Epoch).as("seq"), format_string(
+            """{"delete": true, "@": {"id": %d}, "table": "orders"}""",
+            col("k")).as("line"))).as("e3"))
+      .selectExpr(
+        "inline(filter(array(e1, e2, e3), x -> x IS NOT NULL))")
+  }
+
+  /** INCREMENTAL SCD2 maintenance: merge a change batch into an existing
+    * SCD2 table (cdc6's shape) without rebuilding history. The existing
+    * table splits three ways on the batch's key set:
+    *   - untouched keys (anti join) pass through byte-identical — at
+    *     100 TB these are never read or written (pk partition pruning);
+    *     the merge's cost is ∝ |batch| + |open versions of touched keys|;
+    *   - CLOSED versions of touched keys are immutable history — a later
+    *     event can't re-open them — so they also pass through;
+    *   - OPEN versions of touched keys re-enter the chain builder as
+    *     pseudo-insert events alongside the batch, and ONE bounded
+    *     per-key lead(seq) window (cdc6's) closes/extends them.
+    * The batch's key set rides a broadcast (a CDC batch is minutes of
+    * changes — always the small side against the dimension).
+    *
+    * The oracle is the FULL rebuild over the complete history: the hash
+    * match is the proof that merge(existing, batch) ≡ rebuild(all) —
+    * the invariant every warehouse MERGE INTO must keep. The cut falls
+    * mid-epoch-2 (see [[interleavedHistory]]): half the updates and all
+    * deletes arrive as the batch, so chains straddle the cut. */
+  /** cdc6's version-chain builder over normalized
+    * (pk, seq, kind, rev, status) events — ONE bounded per-key lead
+    * window; shared by the full rebuild and the incremental merge. */
+  private[graft] def scd2Chains(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pk")).orderBy(col("seq"))
+    events.withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("kind") =!= "delete")
+      .select(col("pk"), col("rev"), col("status"),
+        col("seq").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  /** The incremental merge itself: existing is an SCD2 table in
+    * [[scd2Chains]]'s shape, batch is normalized events all strictly
+    * later than every existing valid_from. Returns the merged table,
+    * ≡ scd2Chains(all events). */
+  private[graft] def scd2Merge(existing: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val touched = batch.select("pk").distinct()
+    val untouched = existing
+      .join(broadcast(touched), Seq("pk"), "left_anti")
+    val affected = existing
+      .join(broadcast(touched), Seq("pk"), "left_semi")
+      .localCheckpoint() // closed + open branches below
+    val closed = affected.filter(col("is_current") === 0)
+    val reopened = affected.filter(col("is_current") === 1)
+      .select(col("pk"), col("valid_from").as("seq"),
+        lit("insert").as("kind"), col("rev"), col("status"))
+    val rebuilt = scd2Chains(reopened.unionByName(
+      batch.select("pk", "seq", "kind", "rev", "status")))
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
+  def cdc9_scd2_merge(s: SparkSession, dir: String): DataFrame = {
+    val ev = JsonCdc.decode(interleavedHistory(s, dir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+      .select(col("pk").cast("long").as("pk"), col("seq"), col("kind"),
+        get_json_object(col("item"), "$.rev").cast("long").as("rev"),
+        get_json_object(col("item"), "$.status").as("status"))
+    val cut = Epoch + Epoch / 2 // the checkpoint seq the table was built to
+    // the stored table + the arriving batch — each feeds two branches,
+    // so snapshot both (same reason cdc1 checkpoints between carries)
+    val existing = scd2Chains(ev.filter(col("seq") < cut)).localCheckpoint()
+    val batch = ev.filter(col("seq") >= cut).localCheckpoint()
+    scd2Merge(existing, batch).orderBy("pk", "valid_from")
+  }
+
+  /** Oracle: the full SCD2 rebuild the incremental merge must equal,
+    * stated closed-form from the [[interleavedHistory]] construction
+    * (EPOCH = 1048576): rev 1 'NEW' from seq k, closed at EPOCH+k by the
+    * rev-2 update unless k%4==1 (never updated → still current); rev 2
+    * from EPOCH+k, closed at 2·EPOCH+k by the delete when k%4==3. */
+  val cdc9Sql: String =
+    """SELECT pk, rev, status, valid_from, valid_to, is_current FROM (
+      |  SELECT o_orderkey AS pk, CAST(1 AS BIGINT) AS rev,
+      |    'NEW' AS status, o_orderkey AS valid_from,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN NULL
+      |         ELSE o_orderkey + 1048576 END AS valid_to,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END AS is_current
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, o_orderstatus, o_orderkey + 1048576,
+      |    CASE WHEN o_orderkey % 4 = 3 THEN o_orderkey + 2097152 END,
+      |    CASE WHEN o_orderkey % 4 IN (0, 2) THEN 1 ELSE 0 END
+      |  FROM orders WHERE o_orderkey % 4 != 1
+      |) ORDER BY pk, valid_from""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -583,7 +706,8 @@ object CdcOps {
     "cdc5_apply" -> (cdc5_apply _),
     "cdc6_scd2" -> (cdc6_scd2 _),
     "cdc7_schema_diff" -> (cdc7_schema_diff _),
-    "cdc8_ivm" -> (cdc8_ivm _))
+    "cdc8_ivm" -> (cdc8_ivm _),
+    "cdc9_scd2_merge" -> (cdc9_scd2_merge _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -593,5 +717,6 @@ object CdcOps {
     "cdc5_apply" -> cdc5Sql,
     "cdc6_scd2" -> cdc6Sql,
     "cdc7_schema_diff" -> cdc7Sql,
-    "cdc8_ivm" -> cdc8Sql)
+    "cdc8_ivm" -> cdc8Sql,
+    "cdc9_scd2_merge" -> cdc9Sql)
 }

@@ -428,6 +428,61 @@ object FunnelOps {
        |FROM p GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q40
+  /** Batch SESSIONIZATION: the 30-minute gap rule — a gap of more than
+    * 30 min of inactivity per user closes the session — assigns every
+    * event a (user, session) id, then sessions collapse to
+    * start/end/count/revenue. This is s03's session-window semantics as
+    * a batch operator with session IDENTITY exposed (session_window
+    * keeps only the window bounds; joins back to events need the id).
+    *
+    * One sort per user partition serves both window passes (the gap
+    * lag and the running new-session count share partitionBy+orderBy,
+    * so Spark plans a single WindowExec), then one partial-agg groupBy.
+    * Per-user partitions are bounded by that user's event count —
+    * skew-free at any corpus size; revenue sums DECIMAL(18,2) so the
+    * total is order-independent (the repo's money convention). */
+  /** Core sessionizer over (user_id, event_id, ts_us, value) rows —
+    * exposed so specs can plant gap-boundary cases. */
+  private[graft] def sessionize(e: DataFrame,
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("revenue"))
+  }
+
+  def q40_sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(s, dir)).orderBy("user_id", "session_id")
+
+  val q40Sql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |m AS (SELECT user_id, event_id, ts_us, value,
+       |        CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+       |            ORDER BY ts_us, event_id) > 1800000000
+       |          THEN 1 ELSE 0 END AS new_s
+       |      FROM e),
+       |s AS (SELECT user_id, ts_us, value,
+       |        CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |          ORDER BY ts_us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS session_id
+       |      FROM m)
+       |SELECT user_id, session_id,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
@@ -436,7 +491,8 @@ object FunnelOps {
     "q34b_interpolate" -> (q34b_interpolate _),
     "q34c_ewma" -> (q34c_ewma _),
     "q35_anomaly" -> (q35_anomaly _),
-    "q38_overlap" -> (q38_overlap _))
+    "q38_overlap" -> (q38_overlap _),
+    "q40_sessionize" -> (q40_sessionize _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
@@ -445,5 +501,6 @@ object FunnelOps {
     "q34b_interpolate" -> q34bSql,
     "q34c_ewma" -> q34cSql,
     "q35_anomaly" -> q35Sql,
-    "q38_overlap" -> q38Sql)
+    "q38_overlap" -> q38Sql,
+    "q40_sessionize" -> q40Sql)
 }

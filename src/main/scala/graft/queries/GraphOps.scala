@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q41 — iterative graph centrality (PageRank) as a declarative Spark
+  * loop, joining the q37 pointer-doubling / q22 connected-components
+  * family of iterative DataFrame operators.
+  *
+  * PageRank at 100 TB is the canonical "iterate a join until done"
+  * workload: per iteration, ONE shuffle keyed on edge source (pick up
+  * the current score), one keyed on destination (sum the arriving
+  * mass), and a left join back onto the node set (teleport base for
+  * nodes nothing links to). Scores are node-scale so nothing
+  * broadcasts — the joins are honest shuffle joins, and each round
+  * localCheckpoints so lineage stays flat (the q37/q22 loop
+  * discipline).
+  *
+  * Determinism: all arithmetic is INTEGER micro-units — score/out-deg
+  * floors per edge, damping as (850 · m) div 1000 — so partition
+  * merge order can't perturb a single bit and the DuckDB oracle can
+  * replay the identical three iterations as unrolled CTE stages.
+  * (Float PageRank would converge the same ranking but could not
+  * hash-match any oracle; the micro-unit grid serves the proof, the
+  * loop shape is the algorithm.)
+  */
+object GraphOps {
+
+  /** Deterministic synthetic "referral" graph: customers are nodes;
+    * each order contributes an edge from its customer to a key-hashed
+    * pseudo-random customer (the q26 Knuth mix keeps it engine-exact),
+    * deduplicated to simple edges. Self-links stay — they're legal
+    * PageRank edges and exercise the src==dst path. */
+  private def edgesOf(orders: DataFrame, nCust: Long) =
+    orders.select(col("o_custkey").as("src"),
+        (pmod(col("o_orderkey") * 2654435761L, lit(4294967296L))
+          % nCust + 1L).as("dst"))
+      .distinct()
+
+  /** The iteration loop over arbitrary (node) / (src, dst) frames —
+    * exposed so specs can plant hand-computed graphs. Unordered. */
+  private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    var scores = nodes.select(col("node"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("s div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("850 * coalesce(m, 0L) div 1000")).as("s"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
+  def q41_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(s, dir, "customer")
+    // one scalar to the driver: the hash range of the synthetic dst —
+    // a query constant in both engines (q24_tfidf's N precedent)
+    val nCust = customer.count()
+    val nodes = customer.select(col("c_custkey").as("node"))
+      .localCheckpoint()
+    val edges = edgesOf(Tables.load(s, dir, "orders"), nCust)
+      .localCheckpoint() // reused every iteration
+    pagerank(nodes, edges, 3).orderBy("node")
+  }
+
+  /** The same three iterations unrolled as CTE stages (standard SQL
+    * forbids aggregation in a recursive term, and unrolling keeps each
+    * stage visibly identical to the Spark loop body). */
+  val q41Sql: String =
+    """WITH n AS (SELECT count(*) AS nc FROM customer),
+      |e AS (SELECT DISTINCT o_custkey AS src,
+      |        (o_orderkey * 2654435761) % 4294967296
+      |          % (SELECT nc FROM n) + 1 AS dst
+      |      FROM orders),
+      |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |s0 AS (SELECT c_custkey AS node, CAST(1000000 AS BIGINT) AS s
+      |       FROM customer),
+      |c1 AS (SELECT e.dst AS node, CAST(SUM(s0.s // deg.d) AS BIGINT) AS m
+      |       FROM e JOIN deg USING (src) JOIN s0 ON s0.node = e.src
+      |       GROUP BY e.dst),
+      |s1 AS (SELECT s0.node,
+      |         CAST(150000 + (850 * COALESCE(c1.m, 0)) // 1000 AS BIGINT)
+      |           AS s
+      |       FROM s0 LEFT JOIN c1 ON c1.node = s0.node),
+      |c2 AS (SELECT e.dst AS node, CAST(SUM(s1.s // deg.d) AS BIGINT) AS m
+      |       FROM e JOIN deg USING (src) JOIN s1 ON s1.node = e.src
+      |       GROUP BY e.dst),
+      |s2 AS (SELECT s1.node,
+      |         CAST(150000 + (850 * COALESCE(c2.m, 0)) // 1000 AS BIGINT)
+      |           AS s
+      |       FROM s1 LEFT JOIN c2 ON c2.node = s1.node),
+      |c3 AS (SELECT e.dst AS node, CAST(SUM(s2.s // deg.d) AS BIGINT) AS m
+      |       FROM e JOIN deg USING (src) JOIN s2 ON s2.node = e.src
+      |       GROUP BY e.dst),
+      |s3 AS (SELECT s2.node,
+      |         CAST(150000 + (850 * COALESCE(c3.m, 0)) // 1000 AS BIGINT)
+      |           AS s
+      |       FROM s2 LEFT JOIN c3 ON c3.node = s2.node)
+      |SELECT node, s FROM s3 ORDER BY node""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_pagerank" -> (q41_pagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "q41_pagerank" -> q41Sql)
+}

@@ -279,13 +279,49 @@ object SampleOps {
       |      < tok_pos + n_toks
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic per-stratum RESERVOIR: exactly k=8 docs per language,
+    * selected by key-hash priority — the fixed-size sample every
+    * dashboard / eval-set / spot-check pipeline draws per stratum.
+    * Hash-priority order makes the reservoir REPRODUCIBLE (same keys →
+    * same sample, any partitioning, any engine) and STABLE under corpus
+    * growth: a new doc displaces at most one incumbent — lower-priority
+    * members are unaffected (the property random sort can't give).
+    *
+    * Scale: `row_number() <= k` over (lang, priority) is exactly the
+    * shape the TopKPerKey rewrite compiles to a bounded per-partition
+    * heap — k rows per stratum cross the exchange, never the corpus. */
+  def q26_reservoir(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("pri", bucketOf("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("pri"))
+      .orderBy("lang", "rk")
+  }
+
+  val q26ReservoirSql: String =
+    """WITH p AS (SELECT lang, doc_id,
+      |    (doc_id * 2654435761) % 4294967296 AS pri
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, pri,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+      |      AS rk
+      |  FROM p)
+      |SELECT lang, rk, doc_id, pri
+      |FROM r WHERE rk <= 8
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
     "q26_kfold" -> (q26_kfold _),
     "q26_mix" -> (q26_mix _),
     "q26_temperature" -> (q26_temperature _),
-    "q26_pps" -> (q26_pps _))
+    "q26_pps" -> (q26_pps _),
+    "q26_reservoir" -> (q26_reservoir _))
 
   def oracles: Map[String, String] = Map(
     "q26_sample_hash" -> q26SampleSql,
@@ -293,5 +329,6 @@ object SampleOps {
     "q26_kfold" -> q26KfoldSql,
     "q26_mix" -> q26MixSql,
     "q26_temperature" -> q26TemperatureSql,
-    "q26_pps" -> q26PpsSql)
+    "q26_pps" -> q26PpsSql,
+    "q26_reservoir" -> q26ReservoirSql)
 }

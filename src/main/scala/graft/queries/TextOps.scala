@@ -644,6 +644,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer VOCABULARY COVERAGE / OOV rate per language: what share
+    * of a corpus's tokens fall outside the trained top-500 vocabulary
+    * (q24_vocab's selection rule) — the go/no-go check before shipping
+    * a tokenizer (a stratum with high OOV will fragment into bytes and
+    * blow up its token budget downstream).
+    *
+    * Scale: the vocabulary is top-k-bounded, so it BROADCASTS; the
+    * probe is a map-side broadcast left join on the token stream (no
+    * token-keyed exchange), collapsing to one partial-agg row per
+    * language. The corpus is tokenized twice (train + probe) — same
+    * trade as q24_tfidf's tf/df forks: re-tokenizing is cheaper at
+    * scale than materializing the token stream. */
+  def q24_oov(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(500)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_pct", expr("n_oov * 100 div n_tokens"))
+      .orderBy("lang")
+  }
+
+  val q24OovSql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |v AS (SELECT token FROM (
+      |  SELECT token, count(*) AS n FROM tok
+      |  GROUP BY token ORDER BY n DESC, token LIMIT 500))
+      |SELECT lang, count(*) AS n_tokens,
+      |  COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+      |  COUNT(CASE WHEN v.token IS NULL THEN 1 END) * 100
+      |    // count(*) AS oov_pct
+      |FROM tok LEFT JOIN v ON tok.token = v.token
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> (q24_text_stats _),
@@ -652,6 +695,7 @@ object TextOps {
     "q24_token_count" -> (q24_token_count _),
     "q24_fingerprint" -> (q24_fingerprint _),
     "q24_vocab" -> (q24_vocab _),
+    "q24_oov" -> (q24_oov _),
     "q24_tfidf" -> (q24_tfidf _),
     "q24_lm_score" -> (q24_lm_score _),
     "q24_bpe_pairs" -> (q24_bpe_pairs _),
@@ -672,6 +716,7 @@ object TextOps {
     "q24_token_count" -> q24TokenCountSql,
     "q24_fingerprint" -> q24FingerprintSql,
     "q24_vocab" -> q24VocabSql,
+    "q24_oov" -> q24OovSql,
     "q24_tfidf" -> q24TfidfSql,
     "q24_lm_score" -> q24LmScoreSql,
     "q24_bpe_pairs" -> q24BpePairsSql,

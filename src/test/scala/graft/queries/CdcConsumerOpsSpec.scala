@@ -53,4 +53,59 @@ class CdcConsumerOpsSpec extends SparkSpec {
         .count() == 0)
     } finally { hist.unpersist(); () }
   }
+
+  test("cdc9 incremental SCD2 merge over the interleaved fixture equals " +
+      "the full rebuild, row for row") {
+    import graft.cdc.JsonCdc
+    val ev = JsonCdc.decode(CdcOps.interleavedHistory(spark, sfDir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+      .select(col("pk").cast("long").as("pk"), col("seq"), col("kind"),
+        get_json_object(col("item"), "$.rev").cast("long").as("rev"),
+        get_json_object(col("item"), "$.status").as("status"))
+    val full = CdcOps.scd2Chains(ev).orderBy("pk", "valid_from").collect()
+    val merged = CdcOps.cdc9_scd2_merge(spark, sfDir).collect()
+    assert(full.length == merged.length)
+    assert(full.sameElements(merged))
+  }
+
+  test("cdc9 merge handles a planted batch: update closing an open " +
+      "version, delete ending a chain, and a brand-new key arriving " +
+      "only in the batch") {
+    // existing table built from: k1 insert@1 (open);
+    // k2 insert@2, update@3 (closed rev1 + open rev2); k3 insert@4 (open,
+    // untouched by the batch — must pass through byte-identical)
+    val baseEv = Seq(
+      (1L, 1L, "insert", 1L, "NEW"),
+      (2L, 2L, "insert", 1L, "NEW"),
+      (2L, 3L, "update", 2L, "A"),
+      (3L, 4L, "insert", 1L, "NEW"))
+      .toDF("pk", "seq", "kind", "rev", "status")
+    // batch: k1 updated twice (two new versions in ONE batch),
+    // k2 deleted, k4 is a key the existing table has never seen
+    val batchEv = Seq(
+      (1L, 10L, "update", Option(2L), Option("B")),
+      (1L, 11L, "update", Option(3L), Option("C")),
+      (2L, 12L, "delete", Option.empty[Long], Option.empty[String]),
+      (4L, 13L, "insert", Option(1L), Option("NEW")))
+      .toDF("pk", "seq", "kind", "rev", "status")
+    val existing = CdcOps.scd2Chains(baseEv)
+    val merged = CdcOps.scd2Merge(existing, batchEv)
+      .orderBy("pk", "valid_from")
+    val full = CdcOps.scd2Chains(baseEv.unionByName(batchEv))
+      .orderBy("pk", "valid_from")
+    assert(merged.collect().sameElements(full.collect()))
+    val rows = merged.collect()
+    // k1: NEW closed at 10, B closed at 11, C open
+    assert(rows.filter(_.getLong(0) == 1L).map(r =>
+      (r.getString(2), Option(r.get(4)), r.getInt(5))).toSeq ==
+      Seq(("NEW", Some(10L), 0), ("B", Some(11L), 0), ("C", None, 1)))
+    // k2: both versions closed, none current (deleted)
+    assert(rows.filter(_.getLong(0) == 2L).forall(_.getInt(5) == 0))
+    // k3 untouched: still the single open version
+    assert(rows.filter(_.getLong(0) == 3L).map(r =>
+      (r.getString(2), r.getInt(5))).toSeq == Seq(("NEW", 1)))
+    // k4 new in batch: one open version
+    assert(rows.filter(_.getLong(0) == 4L).map(r =>
+      (r.getString(2), r.getInt(5))).toSeq == Seq(("NEW", 1)))
+  }
 }

@@ -61,6 +61,32 @@ class GraphSweepSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", 3L, 7L)))
   }
 
+  test("pagerank: three integer-exact iterations on a hand-computed " +
+      "star graph (A→B, A→C, B→A; C dangling)") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    // s0 = 1e6 each. i1: A gets B's 1e6 → 150000+850000 = 1000000;
+    //   B,C get A's 500000 each → 575000.
+    // i2: A gets 575000 → 638750; B,C get 500000 → 575000.
+    // i3: A gets 575000 → 638750; B,C get 638750 div 2 = 319375
+    //   → 150000 + (850·319375) div 1000 = 421468.
+    val got = GraphOps.pagerank(nodes, edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 638750L, 2L -> 421468L, 3L -> 421468L))
+  }
+
+  test("pagerank: mass conservation bound — every score stays within " +
+      "[teleport base, teleport + damped total] on the fixture graph") {
+    val r = GraphOps.queries("q41_pagerank")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._2 >= 150000L))
+    val total = r.map(_._2).sum
+    // damping leaks dangling-node mass, so the total can only shrink
+    // below nodes × 1e6
+    assert(total <= r.length * 1000000L)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (id, p, d) => id -> (p, d) }.toMap

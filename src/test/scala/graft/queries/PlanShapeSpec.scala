@@ -89,6 +89,13 @@ class PlanShapeSpec extends SparkSpec {
       s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
   }
 
+  test("q26_reservoir per-stratum top-8 plans as TopKPerKey — k rows " +
+      "per language cross the exchange, never the corpus") {
+    val plan = planOf(SampleOps.queries("q26_reservoir")(spark, sfDir))
+    assert(plan.contains("TopKPerKey"),
+      s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
+  }
+
   test("no query plans an unpartitioned WindowExec (the single-task " +
       "whole-dataset window Spark itself warns about)") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
   * PlanShapeSpec.) */
 class SampleOpsSpec extends SparkSpec {
 
+  test("reservoir: the hash-priority-minimal 8 docs per language, and " +
+      "corpus growth displaces at most the boundary member") {
+    val hashOf = (id: Long) =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      ds.sortBy(d => (hashOf(d._1), d._1)).take(8).zipWithIndex
+        .map { case ((id, _), i) => (lang, (i + 1).toLong, id, hashOf(id)) }
+        .toSeq
+    }.toSet
+    val got = SampleOps.q26_reservoir(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // stability: re-running the sample without one NON-member leaves the
+    // sample identical — membership depends only on the surviving keys'
+    // own hashes, not on corpus composition (what rand() can't give)
+    val members = want.map(_._3)
+    val nonMember = docs.map(_._1).filterNot(members).head
+    val again = docs.filter(_._1 != nonMember).groupBy(_._2)
+      .flatMap { case (lang, ds) =>
+        ds.sortBy(d => (hashOf(d._1), d._1)).take(8).zipWithIndex
+          .map { case ((id, _), i) =>
+            (lang, (i + 1).toLong, id, hashOf(id)) }
+          .toSeq
+      }.toSet
+    assert(again == want)
+  }
+
   test("mix: greedy per-source token fill in key-hash order, " +
       "integer budgets") {
     val docs = spark.read

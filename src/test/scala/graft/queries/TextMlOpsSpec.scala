@@ -272,4 +272,18 @@ class TextMlOpsSpec extends SparkSpec {
     // a doc has any bigram at all
     assert(got.filter(_._3 > 0).forall(_._5 >= 1))
   }
+
+  test("oov: per-language token totals reconcile with text_stats, the " +
+      "rate is a valid percentage, and every vocab token is by " +
+      "construction in-vocabulary") {
+    val oov = TextOps.q24_oov(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(oov.nonEmpty)
+    assert(oov.forall { case (_, n, o, pct) =>
+      o >= 0 && o <= n && pct == o * 100 / n })
+    // the same tokenization feeds q24_text_stats' sum_toks — totals agree
+    val stats = TextOps.q24_text_stats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(oov.forall { case (lang, n, _, _) => stats(lang) == n })
+  }
 }
