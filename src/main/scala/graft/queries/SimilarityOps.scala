@@ -79,6 +79,50 @@ object SimilarityOps {
       |SELECT q_id, CAST(rk AS INT) AS rk, cand_id, cos
       |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ----------------------------------------------------------- hardneg
+  /** HARD-NEGATIVE MINING: for each query, the top-5 most-similar
+    * candidates with a DIFFERENT label — the contrastive-training
+    * counterpart of q23_knn_exact (the negatives that sit closest to
+    * the decision boundary are the ones worth training on; random
+    * negatives are too easy to move an embedding). Same broadcast-query
+    * / partitioned-candidate shape; the label-inequality predicate
+    * rides the join condition so rejected pairs never materialize. */
+  def q23_hardneg(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("q_nrm")))
+    val cand = e.select(col("vec_id").as("cand_id"),
+      col("label").as("c_label"), col("v").as("cv"), col("nrm").as("c_nrm"))
+    val scored = cand.join(q, col("c_label") =!= col("q_label"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("q_id", "q_label", "rk", "cand_id", "c_label", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val q23HardnegSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    c.vec_id AS cand_id, c.label AS c_label,
+      |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]),
+      |      (x,y) -> x+y) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.label != q.label),
+      |rk AS (SELECT q_id, q_label, cand_id, c_label, cos, ROW_NUMBER()
+      |    OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, q_label, CAST(rk AS INT) AS rk, cand_id, c_label, cos
+      |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // --------------------------------------------------------------- ivf
   /** IVF-style partitioned search: `label` plays the role of the coarse
     * quantizer cell; each query searches only its own cell. Exact within
@@ -645,6 +689,7 @@ object SimilarityOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_knn_exact" -> (q23_knn_exact _),
+    "q23_hardneg" -> (q23_hardneg _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
     "q23_knn_lsh" -> (q23_knn_lsh _),
     "q23_centroid" -> (q23_centroid _),
@@ -656,6 +701,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] = Map(
     "q23_knn_exact" -> q23ExactSql,
+    "q23_hardneg" -> q23HardnegSql,
     "q23_knn_ivf" -> q23IvfSql,
     "q23_knn_lsh" -> q23LshSql,
     "q23_centroid" -> q23CentroidSql,

@@ -38,38 +38,16 @@ object IvmStream {
     StructField("pk", LongType), StructField("status", StringType)))
 
   private def readVersion(spark: SparkSession, dir: String, batchId: Long,
-      schema: StructType): DataFrame = {
-    val p = new java.io.File(s"$dir/b=$batchId")
-    if (batchId >= 0 && p.exists())
-      spark.read.schema(schema).parquet(p.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+      schema: StructType): DataFrame =
+    VersionedState.read(spark, dir, batchId, schema)
 
   private def writeVersion(df: DataFrame, dir: String,
-      batchId: Long): Unit = {
-    val tmp = new java.io.File(s"$dir/.tmp-b=$batchId")
-    val dst = new java.io.File(s"$dir/b=$batchId")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (dst.exists()) { // re-delivery: replace the identical version
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dst)
-    }
-    require(tmp.renameTo(dst), s"rename $tmp -> $dst failed")
-  }
+      batchId: Long): Unit =
+    VersionedState.write(df, dir, batchId)
 
   /** Current maintained counts (after the latest committed batch). */
-  def counts(spark: SparkSession, stateDir: String): DataFrame = {
-    val versions = Option(new java.io.File(s"$stateDir/counts").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .map(_.getName.stripPrefix("b=").toLong)
-    if (versions.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
-    else readVersion(spark, s"$stateDir/counts", versions.max, countsSchema)
-  }
+  def counts(spark: SparkSession, stateDir: String): DataFrame =
+    VersionedState.latest(spark, s"$stateDir/counts", countsSchema)
 
   /** One microbatch of decoded envelopes (pk, seq, kind, status) through
     * the maintenance loop. Exposed for tests; `start` wires it into
@@ -77,14 +55,8 @@ object IvmStream {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
-    // a missing predecessor version means a batch-id gap or a
-    // checkpoint reset against existing state — continuing from empty
-    // state would silently corrupt the maintained aggregate
-    require(batchId == 0 ||
-      new java.io.File(s"$stateDir/counts/b=${batchId - 1}").exists(),
-      s"state version b=${batchId - 1} missing under $stateDir/counts — " +
-        "batch-id gap or checkpoint reset; rebuild the view from a full " +
-        "replay instead of silently restarting from empty state")
+    VersionedState.requireLineage(s"$stateDir/counts", batchId,
+      "maintained view")
     val w = Window.partitionBy("pk").orderBy("seq")
     // in_state marks "this pk exists in carried state" explicitly:
     // state_status.isNotNull can't — NULL is a legitimate last status
@@ -131,20 +103,8 @@ object IvmStream {
         .select("pk", "status"))
     writeVersion(newCounts, s"$stateDir/counts", batchId)
     writeVersion(newLast, s"$stateDir/last", batchId)
-    // retention: re-delivery of batch b only ever reads b−1; versions
-    // ≤ b−2 are dead weight that would otherwise grow O(batches)
-    Seq("counts", "last").foreach { t =>
-      Option(new java.io.File(s"$stateDir/$t").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
-          f.getName.stripPrefix("b=").toLong <= batchId - 2)
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-          }
-          rm(f)
-        }
-    }
+    Seq("counts", "last").foreach(t =>
+      VersionedState.prune(s"$stateDir/$t", batchId))
   }
 
   /** Wire a streaming frame of decoded envelopes into the loop. */
