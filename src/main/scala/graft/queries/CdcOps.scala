@@ -664,16 +664,20 @@ object CdcOps {
   }
 
   def cdc9_scd2_merge(s: SparkSession, dir: String): DataFrame = {
+    // snapshot the DECODE once: the existing-table and batch branches
+    // both derive from it by a narrow seq filter, and without the
+    // checkpoint each would re-parse the whole replay (cdc1's lesson)
     val ev = JsonCdc.decode(interleavedHistory(s, dir))
       .filter(col("kind").isin("insert", "update", "delete"))
       .select(col("pk").cast("long").as("pk"), col("seq"), col("kind"),
         get_json_object(col("item"), "$.rev").cast("long").as("rev"),
         get_json_object(col("item"), "$.status").as("status"))
+      .localCheckpoint()
     val cut = Epoch + Epoch / 2 // the checkpoint seq the table was built to
-    // the stored table + the arriving batch — each feeds two branches,
-    // so snapshot both (same reason cdc1 checkpoints between carries)
+    // the stored table feeds two merge branches (anti + semi), so it
+    // snapshots too; the batch is a cheap filter over the snapshot
     val existing = scd2Chains(ev.filter(col("seq") < cut)).localCheckpoint()
-    val batch = ev.filter(col("seq") >= cut).localCheckpoint()
+    val batch = ev.filter(col("seq") >= cut)
     scd2Merge(existing, batch).orderBy("pk", "valid_from")
   }
 

@@ -115,6 +115,81 @@ object DedupOps {
       .filter(col("inter") * 2 >= col("uni"))
       .select("doc_a", "doc_b", "inter", "uni")
 
+  // -------------------------------------------------------- containment
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
+    * subset-duplicate detector. A short document embedded in a long one
+    * (article + boilerplate, quote + commentary — endemic in web
+    * corpora) scores near 1.0 here while its Jaccard stays below any
+    * useful threshold, so the q22_dedup_ngram pass never sees it.
+    *
+    * Candidate generation is one-sided prefix-vs-full-index: a pair at
+    * C ≥ t shares ≥ t·min(na,nb) of the SMALLER set's shingles, so the
+    * smaller doc's rarest-first prefix (its n − ceil(t·n) + 1 globally
+    * rarest shingles) provably contains a shared shingle — and that
+    * shingle sits somewhere in the other doc's FULL shingle set. Both
+    * docs' prefixes therefore probe the full inverted index (whichever
+    * of the pair is smaller probes successfully; no length filter
+    * exists for containment, so the larger side cannot be prefixed).
+    * Fan-out stays bounded because prefixes are RAREST-first: the hot
+    * boilerplate shingles with corpus-scale df sit outside every
+    * prefix, so Σ df over probed shingles — the candidate volume — is
+    * driven by the df of rare shingles, not the hot tail. Exact
+    * set-intersection verification then runs on candidates only. */
+  def q22_dedup_contain(s: SparkSession, dir: String): DataFrame =
+    containPairs(shingleSets(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** Core of q22_dedup_contain over any (doc_id, shingles) frame —
+    * split out so specs can run it on planted corpora. */
+  private[queries] def containPairs(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sh.sparkSession
+    val ex = shingleEx(sh)
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val prefix = ex.join(dfreq, "h")
+      .repartition(n, col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")))
+      .filter(col("rk") <=
+        col("n") - ceil(col("n") * 0.8).cast("long") + 1)
+      .select("doc_id", "h")
+    val cand = prefix.as("L")
+      .join(ex.as("R"),
+        col("L.h") === col("R.h") && col("L.doc_id") =!= col("R.doc_id"))
+      .select(least(col("L.doc_id"), col("R.doc_id")).as("doc_a"),
+        greatest(col("L.doc_id"), col("R.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sh.as("B"), col("doc_b") === col("B.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("A.shingles"), col("B.shingles")))
+          .cast("long"))
+      .withColumn("mn", least(size(col("A.shingles")),
+        size(col("B.shingles"))).cast("long"))
+      .filter(col("inter") * 5 >= col("mn") * 4)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("mn"))
+      .withColumn("contain_pct", expr("inter * 100 div mn"))
+  }
+
+  /** Oracle: the direct all-pairs containment (it needn't scale). */
+  val q22ContainSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+      |             b.n AS nb, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, inter,
+      |  CAST(LEAST(na, nb) AS BIGINT) AS mn,
+      |  inter * 100 // LEAST(na, nb) AS contain_pct
+      |FROM p WHERE inter * 5 >= LEAST(na, nb) * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- exact
   /** Exact dedup by normalized text: hash-groupBy on the normalized key,
     * keep the smallest doc_id. One shuffle on the text hash; at 100 TB
@@ -670,6 +745,7 @@ object DedupOps {
     "q22_dedup_lines" -> (q22_dedup_lines _),
     "q22_dedup_spans" -> (q22_dedup_spans _),
     "q22_dedup_ngram" -> (q22_dedup_ngram _),
+    "q22_dedup_contain" -> (q22_dedup_contain _),
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
     "q22_dedup_cluster" -> (q22_dedup_cluster _),
@@ -682,6 +758,7 @@ object DedupOps {
     "q22_dedup_lines" -> q22LinesSql,
     "q22_dedup_spans" -> q22SpansSql,
     "q22_dedup_ngram" -> q22NgramSql,
+    "q22_dedup_contain" -> q22ContainSql,
     // minhash banding covers every J >= 0.5 pair (miss < 1e-7) and
     // verifies candidates exactly → its output IS the exact result
     "q22_dedup_minhash" -> q22NgramSql,

@@ -108,4 +108,52 @@ class CdcConsumerOpsSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) == 4L).map(r =>
       (r.getString(2), r.getInt(5))).toSeq == Seq(("NEW", 1)))
   }
+
+  test("property: scd2Merge equals the full rebuild on random " +
+      "interleaved histories at random cut points — new keys, null " +
+      "statuses, deletes, multi-event batches all land the same bytes") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 6) {
+      val nKeys = 5 + rnd.nextInt(10)
+      val remaining = scala.collection.mutable.Map[Long, List[String]]()
+      (1L to nKeys).foreach { k =>
+        remaining(k) = List("insert") ++
+          List.fill(rnd.nextInt(4))("update") ++
+          (if (rnd.nextBoolean()) List("delete") else Nil)
+      }
+      val alive = scala.collection.mutable.ArrayBuffer((1L to nKeys): _*)
+      val revAt = scala.collection.mutable.Map[Long, Long]()
+      val evs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, Option[Long], Option[String])]
+      var seq = 0L
+      while (alive.nonEmpty) {
+        val i = rnd.nextInt(alive.size)
+        val k = alive(i)
+        val kind :: rest = remaining(k): @unchecked
+        remaining(k) = rest
+        if (rest.isEmpty) { alive.remove(i); () }
+        seq += 1 + rnd.nextInt(3)
+        if (kind == "delete") evs += ((k, seq, kind, None, None))
+        else {
+          val rev = revAt.getOrElse(k, 0L) + 1
+          revAt(k) = rev
+          // ~1 in 6 versions carries a genuinely NULL status
+          val st = if (rnd.nextInt(6) == 0) None
+            else Some(s"S${rnd.nextInt(3)}")
+          evs += ((k, seq, kind, Some(rev), st))
+        }
+      }
+      val all = evs.toSeq.toDF("pk", "seq", "kind", "rev", "status")
+        .localCheckpoint()
+      val cut = 1 + rnd.nextInt(seq.toInt.max(2) - 1)
+      val merged = CdcOps.scd2Merge(
+          CdcOps.scd2Chains(all.filter(col("seq") <= cut)),
+          all.filter(col("seq") > cut))
+        .orderBy("pk", "valid_from").collect()
+      val full = CdcOps.scd2Chains(all)
+        .orderBy("pk", "valid_from").collect()
+      assert(merged.sameElements(full),
+        s"merge != rebuild at cut=$cut over ${evs.size} events")
+    }
+  }
 }

@@ -45,6 +45,35 @@ class DedupSimilaritySpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("containment catches the subset-duplicate Jaccard misses, at " +
+      "the planted 80% boundary") {
+    // doc 2 is the first third of doc 1: containment 1.0, Jaccard ~0.32
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val sub = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 3 shares 15 of doc 4's 20 tokens (distinct vocab from 1/2):
+    // shingle containment lands BELOW 0.8 → excluded
+    val corpus = Seq(
+      (1L, big), (2L, sub),
+      (3L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (4L, ((1 to 15).map(i => s"x$i") ++ (1 to 5).map(i => s"y$i"))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.native.shingleHashes(col("text"), 3).as("shingles"))
+    val got = DedupOps.containPairs(sh)
+      .select("doc_a", "doc_b", "contain_pct")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc2 has 18 shingles, all inside doc1 → pct 100; pair (3,4):
+    // doc4's 18 shingles intersect doc3's in 13 ("x1..x15" runs) →
+    // 13/18 = 72% < 80% → absent
+    assert(got == Set((1L, 2L, 100L)), s"got $got")
+    // and the Jaccard pass must NOT see the subset pair (18/58 < 0.5)
+    val jac = DedupOps.verified(
+        DedupOps.containPairs(sh).select("doc_a", "doc_b"), sh)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(jac.isEmpty, s"subset pair must fail Jaccard, got ${jac.toSeq}")
+  }
+
   test("incremental near-dup = exact pairs touching the new batch") {
     val exact = DedupOps.q22_dedup_ngram(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
