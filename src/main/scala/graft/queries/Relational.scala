@@ -1297,6 +1297,63 @@ object Relational {
        |  FROM m)
        |ORDER BY l_returnflag""".stripMargin
 
+  /** WINSORIZED (robust) statistics: per return flag, the p10/p90
+    * quantity bounds from integer histogram ranks, then the mean with
+    * every value clamped into [p10, p90] — the outlier-proof aggregate
+    * a metrics pipeline reports next to the raw mean (one bad batch of
+    * sentinel values cannot move it). The q24_quantiles argument at
+    * Q19 scale: the rank scan runs over the per-flag VALUE HISTOGRAM
+    * (|flags| × |distinct values| rows — for integer quantities,
+    * thousands, never row count), bounds broadcast back onto the scan,
+    * and the clamped sum is one partial-agg groupBy. Ranks are integer
+    * (`ceil(q·n)` as `(q·n + 9) div 10`), sums are exact integers; the
+    * only doubles are the two final divisions, identical both engines. */
+  def q19f_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("int").as("q"))
+    val wCum = Window.partitionBy("flag").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = li.groupBy("flag", "q").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("flag")))
+    val bounds = cum.groupBy("flag").agg(
+      min(when(col("cum") >= expr("(n + 9) div 10"), col("q"))).as("lo"),
+      min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("q")))
+        .as("hi"))
+    li.join(broadcast(bounds), "flag")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("q"))))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        (sum(col("q").cast(LongType)).cast(DoubleType)
+          / count(lit(1))).as("raw_mean"),
+        (sum(col("w").cast(LongType)).cast(DoubleType)
+          / count(lit(1))).as("win_mean"))
+      .orderBy("flag")
+  }
+
+  val q19fSql: String =
+    """WITH li AS (SELECT l_returnflag AS flag,
+      |    CAST(l_quantity AS INT) AS q FROM lineitem),
+      |h AS (SELECT flag, q, count(*) AS c FROM li GROUP BY 1, 2),
+      |cm AS (SELECT flag, q,
+      |    SUM(c) OVER (PARTITION BY flag ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY flag) AS n
+      |  FROM h),
+      |b AS (SELECT flag,
+      |    MIN(CASE WHEN cum >= (n + 9) // 10 THEN q END) AS lo,
+      |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN q END) AS hi
+      |  FROM cm GROUP BY flag)
+      |SELECT flag, count(*) AS n_rows, MIN(lo) AS lo, MIN(hi) AS hi,
+      |  CAST(SUM(CAST(q AS BIGINT)) AS DOUBLE) / count(*) AS raw_mean,
+      |  CAST(SUM(CAST(GREATEST(lo, LEAST(hi, q)) AS BIGINT)) AS DOUBLE)
+      |    / count(*) AS win_mean
+      |FROM li JOIN b USING (flag)
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
     * event-type array is distinct+sorted, then joined to a single string so
@@ -1747,6 +1804,7 @@ object Relational {
     "q19c_stats" -> (q19c_stats _),
     "q19d_regression" -> (q19d_regression _),
     "q19e_chi2" -> (q19e_chi2 _),
+    "q19f_winsorize" -> (q19f_winsorize _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
@@ -1800,6 +1858,7 @@ object Relational {
     "q19c_stats" -> q19cSql,
     "q19d_regression" -> q19dSql,
     "q19e_chi2" -> q19eSql,
+    "q19f_winsorize" -> q19fSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,
