@@ -89,6 +89,15 @@ class PlanShapeSpec extends SparkSpec {
       s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
   }
 
+  test("q22_dedup_contain candidates ride the shingle equi join — " +
+      "never a nested-loop product (containment has no length filter, " +
+      "so a regression here would be quadratic at corpus scale)") {
+    val plan = planOf(DedupOps.queries("q22_dedup_contain")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"containment must stay an equi join, plan:\n${plan.take(800)}")
+  }
+
   test("q26_reservoir per-stratum top-8 plans as TopKPerKey — k rows " +
       "per language cross the exchange, never the corpus") {
     val plan = planOf(SampleOps.queries("q26_reservoir")(spark, sfDir))
