@@ -202,13 +202,55 @@ object Multimodal {
       |    AS n_pix
       |FROM p ORDER BY media_id, patch_idx""".stripMargin
 
+  // ------------------------------------------------------------- pairs
+  /** CONTRASTIVE (text, embedding) pair assembly — the CLIP-style
+    * training-set build: each document pairs with its embedding row
+    * (doc_id = vec_id — the keying a real pipeline gets from running
+    * the encoder over the same corpus), stamped with the q26 key-hash
+    * train/test split so pair membership is recomputable from the key
+    * alone. Output is the per-(lang, label, split) pair inventory with
+    * token mass — the balance sheet checked before a contrastive run.
+    *
+    * Scale: ONE equi-join on the id (both sides shuffle-partition on
+    * it; at corpus scale this is a bucketed co-located join via
+    * graft.sinks.Bucketing), then a partial-agg groupBy. The embedding
+    * vectors themselves never move — only (id, label) projects into
+    * the join. */
+  def q25d_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    d.join(e, col("doc_id") === col("vec_id"))
+      .withColumn("split",
+        when(pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+          % 100 < 80, "train").otherwise("test"))
+      .groupBy("lang", "label", "split")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_toks")).as("toks"))
+      .orderBy("lang", "label", "split")
+  }
+
+  val q25dSql: String =
+    """SELECT lang, label,
+      |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+      |       THEN 'train' ELSE 'test' END AS split,
+      |  count(*) AS n_pairs,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS toks
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY 1, 2, 3
+      |ORDER BY lang, label, split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal" -> (q25_multimodal _),
     "q25b_frame_sample" -> (q25b_frame_sample _),
-    "q25c_patchify" -> (q25c_patchify _))
+    "q25c_patchify" -> (q25c_patchify _),
+    "q25d_pairs" -> (q25d_pairs _))
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal" -> q25Sql,
     "q25b_frame_sample" -> q25bSql,
-    "q25c_patchify" -> q25cSql)
+    "q25c_patchify" -> q25cSql,
+    "q25d_pairs" -> q25dSql)
 }
