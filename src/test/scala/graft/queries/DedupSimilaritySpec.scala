@@ -74,6 +74,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jac.isEmpty, s"subset pair must fail Jaccard, got ${jac.toSeq}")
   }
 
+  test("property: containment prefix-filter finds EVERY pair brute " +
+      "force finds on random overlapping corpora (candidate " +
+      "completeness — the subtle half of the prefix argument)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 3) {
+      // small vocab forces heavy shingle sharing; mixed doc lengths
+      // force min-size asymmetry (the case Jaccard prefixes get wrong)
+      val corpus = (1L to 25L).map { id =>
+        val nTok = 4 + rnd.nextInt(30)
+        (id, (1 to nTok).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = corpus.select(col("doc_id"),
+        graft.functions.native.shingleHashes(col("text"), 3).as("shingles"))
+      val sets = sh.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        ia = sets(a).intersect(sets(b)).size
+        mn = math.min(sets(a).size, sets(b).size)
+        if mn > 0 && ia * 5 >= mn * 4
+      } yield (a, b, ia.toLong, mn.toLong, ia.toLong * 100 / mn)).toSet
+      val got = DedupOps.containPairs(sh)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == brute,
+        s"missing=${brute -- got} spurious=${got -- brute}")
+    }
+  }
+
   test("incremental near-dup = exact pairs touching the new batch") {
     val exact = DedupOps.q22_dedup_ngram(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
