@@ -37,7 +37,7 @@ object SparkEntry {
     q.Relational.queries ++ q.DedupOps.queries ++ q.SimilarityOps.queries ++
       q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
       q.SampleOps.queries ++ q.CurationOps.queries ++ q.SkewOps.queries ++
-      q.FunnelOps.queries ++ q.GraphOps.queries ++
+      q.FunnelOps.queries ++ q.GraphOps.queries ++ q.IndexOps.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +47,6 @@ object SparkEntry {
     q.Relational.oracles ++ q.DedupOps.oracles ++ q.SimilarityOps.oracles ++
       q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
       q.SampleOps.oracles ++ q.CurationOps.oracles ++ q.SkewOps.oracles ++
-      q.FunnelOps.oracles ++ q.GraphOps.oracles ++
+      q.FunnelOps.oracles ++ q.GraphOps.oracles ++ q.IndexOps.oracles ++
       graft.multimodal.Multimodal.oracles
 }

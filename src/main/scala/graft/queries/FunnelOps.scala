@@ -106,6 +106,47 @@ object FunnelOps {
        |  UNION ALL SELECT 4, 'purchase', COUNT(t4) FROM u4)
        |ORDER BY stage""".stripMargin
 
+  // --------------------------------------------------------------- Q29b
+  /** MARKOV TRANSITION MATRIX over the event stream: for every ordered
+    * pair of event types, how often does `prev → next` occur as two
+    * consecutive events of the same user, and what fraction of all
+    * transitions out of `prev` is it (the first-order behavioral model
+    * behind next-action prediction and funnel drop-off diagnosis).
+    *
+    * Shape: the only row-scale shuffle is the per-user lag(1) window
+    * (per-user partitions bounded by that user's event count — the q40
+    * sessionize exchange); transition pairs then collapse through one
+    * partial-agg groupBy to |types|² rows, and the per-prev normalizer
+    * is a window over THAT aggregate (≤ |types| rows per partition) —
+    * never over events. Probabilities are integer micro-units
+    * (`n·10⁶ div Σn`), so both engines agree bit-for-bit. */
+  def q29b_transitions(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .withColumn("p_micro", expr("n * 1000000 div tot"))
+      .select("prev_type", "next_type", "n", "p_micro")
+      .orderBy("prev_type", "next_type")
+  }
+
+  val q29bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |x AS (SELECT user_id, event_type,
+       |        LAG(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts_us, event_id) AS prev_type
+       |      FROM e),
+       |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+       |      FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev_type, next_type, n,
+       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type)
+       |    AS BIGINT) AS p_micro
+       |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   // ---------------------------------------------------------------- Q30
   /** Cohort retention: users grouped by the epoch-day of their FIRST
     * event; for each (cohort_day, day_offset) the number of distinct
@@ -365,6 +406,71 @@ object FunnelOps {
        |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 2.0
        |ORDER BY event_type, day""".stripMargin
 
+  // --------------------------------------------------------------- Q35b
+  /** CUSUM CHANGE-POINT detection on the gap-filled daily series — the
+    * sequential-analysis complement to q35's trailing z-score: the
+    * one-sided cumulative sum `s_t = max(0, s_{t-1} + x_t·10⁶ − μ)`
+    * accumulates evidence of a SUSTAINED upward level shift (many
+    * slightly-elevated days trip it; one spike decays), alarming when
+    * the statistic exceeds 4μ. μ is each type's series mean in
+    * micro-units — derived row-locally from the collected series, so
+    * no second aggregate pass and no join.
+    *
+    * The recursion is the q34c/EWMA shape window functions can't
+    * express: per-type collect-once (≤ days-of-history rows per type —
+    * series length, never event count) + one left-to-right `aggregate`
+    * fold emitting every intermediate state. All integer micro-units:
+    * `Σn·10⁶ div days` with non-negative operands, so Spark's
+    * truncating div and DuckDB's flooring // agree, and max(0, ·)
+    * keeps every later term exact. Oracle replays the recurrence as a
+    * recursive CTE. */
+  /** Core over (event_type, day, n) series rows — exposed so specs can
+    * plant level-shift shapes. */
+  private[graft] def cusum(series: DataFrame): DataFrame =
+    series
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("xs"))
+      .withColumn("mu",
+        expr("aggregate(xs, 0L, (a, x) -> a + x.n) * 1000000 div size(xs)"))
+      .withColumn("st", expr(
+        """aggregate(xs, cast(array() as array<struct<day: bigint, s: bigint>>),
+          |  (acc, x) -> acc || array(struct(x.day AS day,
+          |    greatest(0L,
+          |      case when size(acc) = 0 then 0L
+          |           else element_at(acc, -1).s end
+          |        + x.n * 1000000 - mu) AS s)))""".stripMargin))
+      .select(col("event_type"), col("mu"), explode(col("st")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.s").as("cusum_micro"),
+        (col("e.s") > col("mu") * 4).as("alarm"))
+      .orderBy("event_type", "day")
+
+  def q35b_cusum(s: SparkSession, dir: String): DataFrame =
+    cusum(gapFilled(s, dir))
+
+  val q35bSql: String =
+    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |mu AS (SELECT event_type, SUM(n) * 1000000 // COUNT(*) AS mu
+       |       FROM f GROUP BY 1),
+       |rr AS (SELECT f.event_type, day, n, mu,
+       |         row_number() OVER (PARTITION BY f.event_type
+       |           ORDER BY day) AS rn
+       |       FROM f JOIN mu ON mu.event_type = f.event_type),
+       |rec AS (
+       |  SELECT event_type, rn, day, mu,
+       |    GREATEST(0, n * 1000000 - mu) AS s
+       |  FROM rr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rr.event_type, rr.rn, rr.day, rr.mu,
+       |    GREATEST(0, rec.s + rr.n * 1000000 - rr.mu)
+       |  FROM rr JOIN rec ON rr.event_type = rec.event_type
+       |    AND rr.rn = rec.rn + 1)
+       |SELECT event_type, day, CAST(s AS BIGINT) AS cusum_micro,
+       |  s > mu * 4 AS alarm
+       |FROM rec
+       |ORDER BY event_type, day""".stripMargin
+
   // ---------------------------------------------------------------- Q38
   /** PEAK CONCURRENCY by SWEEP LINE — per event type, the maximum number
     * of simultaneously-active 30-minute windows and the earliest instant
@@ -486,21 +592,25 @@ object FunnelOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
+    "q29b_transitions" -> (q29b_transitions _),
     "q30_retention" -> (q30_retention _),
     "q34_gapfill" -> (q34_gapfill _),
     "q34b_interpolate" -> (q34b_interpolate _),
     "q34c_ewma" -> (q34c_ewma _),
     "q35_anomaly" -> (q35_anomaly _),
+    "q35b_cusum" -> (q35b_cusum _),
     "q38_overlap" -> (q38_overlap _),
     "q40_sessionize" -> (q40_sessionize _))
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
+    "q29b_transitions" -> q29bSql,
     "q30_retention" -> q30Sql,
     "q34_gapfill" -> q34Sql,
     "q34b_interpolate" -> q34bSql,
     "q34c_ewma" -> q34cSql,
     "q35_anomaly" -> q35Sql,
+    "q35b_cusum" -> q35bSql,
     "q38_overlap" -> q38Sql,
     "q40_sessionize" -> q40Sql)
 }

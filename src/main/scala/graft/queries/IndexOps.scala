@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Association / retrieval index builders: market-basket co-occurrence
+  * (Q42) and a capped inverted phrase index (Q43) — the two "turn the
+  * corpus into a lookup structure" operators a recommendation or RAG
+  * consumer of this engine runs over the tables the CDC stream lands.
+  *
+  * Both are pure aggregation pipelines: the heavy shuffle is a single
+  * partial-agg groupBy keyed on the item/term, and every per-key result
+  * is bounded (pair counts / top-k postings), so output scales with the
+  * vocabulary, never the corpus.
+  */
+object IndexOps {
+
+  // ---------------------------------------------------------------- Q42
+  /** CO-OCCURRENCE counts (market-basket): for every unordered pair of
+    * parts appearing in the same order, the number of orders containing
+    * both — the support counts behind "frequently bought together" and
+    * item-item collaborative filtering.
+    *
+    * ONE shuffle on the basket key collects each order's distinct sorted
+    * part set (`collect_set` dedups in the partial aggregate, so the
+    * exchange carries at most one row per (order, part)); pairs are then
+    * generated ROW-LOCALLY from the sorted set — ascending order makes
+    * every pair emit exactly once as (a < b), no dedup pass, no
+    * self-join that would shuffle the items table twice. The pair
+    * explosion is quadratic in basket size: bounded (≤ 7 lines/order
+    * here, human-scale carts generally); a bot-scale basket needs a
+    * size cap or a frequency prefilter before this operator — that is
+    * a data contract, not a plan property. Final counts collapse through
+    * a second partial-agg groupBy to one row per surviving pair; the
+    * `n ≥ 2` support floor keeps the result the interesting tail.
+    * Ordering (n DESC, a, b) is total because (a, b) is unique. */
+  /** Core over (basket, item) rows — exposed so specs can plant
+    * baskets; `minSupport` floors the emitted pair counts. */
+  private[graft] def cooccur(items: DataFrame, minSupport: Long): DataFrame =
+    items
+      .groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .orderBy(desc("n"), col("a"), col("b"))
+
+  def q42_cooccur(s: SparkSession, dir: String): DataFrame =
+    cooccur(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 2)
+
+  val q42Sql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey)
+      |SELECT a, b, count(*) AS n FROM p GROUP BY a, b
+      |HAVING count(*) >= 2
+      |ORDER BY n DESC, a, b""".stripMargin
+
+  // ---------------------------------------------------------------- Q43
+  /** CAPPED INVERTED PHRASE INDEX: bigram term → document-frequency +
+    * the top-8 postings (doc_id, tf) per term, ranked by tf then doc_id
+    * — the structure a phrase-search / RAG retrieval layer probes, built
+    * as a declarative plan.
+    *
+    * Bigrams generate row-locally (slice+transform over the token
+    * array — `slice(tk, 1, size-1)` is empty for one-token docs, no
+    * degenerate `sequence(1, 0)` descent); term frequencies collapse
+    * through one token-scale partial-agg groupBy on (term, doc). The
+    * top-8 cut is `row_number() ≤ 8` over (tf DESC, doc_id) — the
+    * graft.plans.TopKPerKey rewrite turns it into a bounded heap, so a
+    * stopword bigram with df ≈ |docs| never materializes its full
+    * posting list in one task. df itself comes from a SEPARATE
+    * vocabulary-scale aggregate joined back broadcast onto the ≤8·|vocab|
+    * surviving rows — deliberately NOT a count() sharing the ranking
+    * window, which would force full-partition materialization and
+    * defeat the heap. */
+  /** Core over (doc_id, text) rows — exposed so specs can plant
+    * documents; `k` caps the posting list per term. */
+  private[graft] def invertedIndex(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(tk, 1, size(tk) - 1),
+          |  (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"""
+          .stripMargin)).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
+    tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(broadcast(df), "term")
+      .select(col("term"), col("df"), col("rk"), col("doc_id"), col("tf"))
+      .orderBy("term", "rk")
+  }
+
+  def q43_index(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.load(s, dir, "documents")
+      .select("doc_id", "text"), k = 8)
+
+  val q43Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |b AS (SELECT doc_id, array_to_string(tk[i.i:i.i + 1], ' ') AS term
+      |      FROM d, LATERAL (SELECT unnest(range(1, len(tk))) AS i) i),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM b GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT term, doc_id, tf,
+      |        row_number() OVER (PARTITION BY term
+      |          ORDER BY tf DESC, doc_id) AS rk
+      |      FROM tf)
+      |SELECT r.term, df.df, CAST(rk AS INT) AS rk, doc_id, r.tf
+      |FROM r JOIN df ON df.term = r.term
+      |WHERE rk <= 8
+      |ORDER BY r.term, rk""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_cooccur" -> (q42_cooccur _),
+    "q43_index" -> (q43_index _))
+
+  def oracles: Map[String, String] = Map(
+    "q42_cooccur" -> q42Sql,
+    "q43_index" -> q43Sql)
+}
