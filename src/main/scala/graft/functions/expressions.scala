@@ -524,12 +524,131 @@ case class GramAggregate(
     copy(child = newChildren.head)
 }
 
+/** MISRA-GRIES heavy-hitter sketch AGGREGATE over a string column — the
+  * hot-key detector that feeds the q28 salted join: find the keys worth
+  * salting WITHOUT a full groupBy when key cardinality is huge (the
+  * full aggregate is itself the skew victim). At most k counters live
+  * in the buffer; a miss against a full buffer decrements every counter
+  * (dropping zeros) — the classic one-pass summary. Merge follows
+  * Agarwal et al., "Mergeable Summaries" (PODS'12): sum counters, then
+  * subtract the (k+1)-largest count and drop ≤0, restoring the k bound.
+  *
+  * Guarantees (any partitioning, any order): every counter is a LOWER
+  * bound on the true count, short by at most n/(k+1) (n = rows seen);
+  * every key with true count > n/(k+1) survives. When the column has
+  * ≤ k distinct values no decrement ever fires, so the counts are
+  * EXACT and partition-order independent — the q28b oracle case.
+  * Emits array<struct<item, n>> sorted (n DESC, item). */
+case class MisraGriesAggregate(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+
+  require(k >= 1, s"graft_heavy_hitters needs k >= 1, got $k")
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buf: Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      buf.get(key) match {
+        case Some(c) => buf.update(key, c + 1)
+        case None if buf.size < k => buf.update(key, 1L)
+        case None => // decrement-all; the arriving key cancels against one
+          val dead = buf.iterator.collect {
+            case (it, c) if c == 1L => it }.toList
+          buf.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  /** Sum, then cut back to k by the (k+1)-largest count. */
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (it, c) =>
+      a.update(it, a.getOrElse(it, 0L) + c) }
+    if (a.size > k) {
+      val cut = a.values.toArray.sorted(Ordering.Long.reverse).apply(k)
+      val dead = a.iterator.collect {
+        case (it, c) if c <= cut => it }.toList
+      a.mapValuesInPlace((_, c) => c - cut)
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val rows = buf.toArray.sortBy { case (it, c) => (-c, it) }
+      .map { case (it, c) => org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(it), c) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (it, c) =>
+      val bytes = it.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): MisraGriesAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): MisraGriesAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAggregate =
+    copy(child = newChildren.head)
+}
+
 object native {
   /** Gram-matrix aggregate (see [[GramAggregate]]): one call per
     * grouping, result explodes to the (i, j, n, s_e8) cells. */
   def gramAgg(vec: Column, dim: Int): Column =
     GraftColumnBridge.column(
       GramAggregate(GraftColumnBridge.expression(vec), dim)
+        .toAggregateExpression())
+
+  /** Misra-Gries heavy-hitter aggregate (see [[MisraGriesAggregate]]):
+    * one call per grouping, result explodes to (item, n) counters. */
+  def heavyHitters(c: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MisraGriesAggregate(GraftColumnBridge.expression(c), k)
         .toAggregateExpression())
 
   def dot(a: Column, b: Column): Column =

@@ -80,9 +80,39 @@ object SkewOps {
       |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty_dev_micro"""
       .stripMargin
 
+  // --------------------------------------------------------------- Q28b
+  /** HOT-KEY DETECTION — the step BEFORE salting: which keys are worth
+    * spreading? The full `groupBy(key).count` answer is itself the skew
+    * victim at 100 TB (the hot key's partial counts still converge on
+    * one reducer, and a billion-key cardinality makes the aggregate
+    * huge). The Misra-Gries sketch (graft.functions.native.heavyHitters,
+    * k counters per partition buffer, mergeable with summed error) finds
+    * every key above the n/(k+1) frequency floor in ONE pass with a
+    * CONSTANT-size buffer crossing the exchange — the partial-aggregate
+    * shape where the exchange carries k counters per partition
+    * regardless of corpus size.
+    *
+    * Demo on events.event_type (5 distinct values ≤ k=64, so no
+    * decrement ever fires and the sketch counts are EXACT — the oracle
+    * is the plain groupBy; MisraGriesSpec pins the saturated-sketch
+    * bounds the fixture can't reach). */
+  def q28b_hot_keys(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .agg(graft.functions.native.heavyHitters(col("event_type"), 64)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.n").as("n"))
+
+  val q28bSql: String =
+    """SELECT event_type AS item, count(*) AS n
+      |FROM events GROUP BY 1
+      |ORDER BY n DESC, item""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_skew_join" -> (q28_skew_join _))
+    "q28_skew_join" -> (q28_skew_join _),
+    "q28b_hot_keys" -> (q28b_hot_keys _))
 
   def oracles: Map[String, String] = Map(
-    "q28_skew_join" -> q28SkewJoinSql)
+    "q28_skew_join" -> q28SkewJoinSql,
+    "q28b_hot_keys" -> q28bSql)
 }

@@ -98,6 +98,28 @@ class PlanShapeSpec extends SparkSpec {
       s"containment must stay an equi join, plan:\n${plan.take(800)}")
   }
 
+  test("q43_index posting-list cut plans as TopKPerKey and the df side " +
+      "broadcasts — a stopword bigram never sorts its full posting " +
+      "list in one task") {
+    val plan = planOf(IndexOps.queries("q43_index")(spark, sfDir))
+    assert(plan.contains("TopKPerKey"),
+      s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocabulary-scale df aggregate must broadcast onto the kept rows")
+  }
+
+  test("q42_cooccur pair expansion is row-local: no self-join of the " +
+      "items (exactly the basket groupBy + pair groupBy exchanges " +
+      "before the output sort)") {
+    val plan = planOf(IndexOps.queries("q42_cooccur")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"pairs must come from the collected set, not a join:\n${plan.take(800)}")
+    // basket collect + pair count: two hash exchanges, plus the final
+    // ORDER BY range exchange. More would mean a lost partial agg.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"expected ≤2 hash exchanges, got $hashEx")
+  }
+
   test("q26_reservoir per-stratum top-8 plans as TopKPerKey — k rows " +
       "per language cross the exchange, never the corpus") {
     val plan = planOf(SampleOps.queries("q26_reservoir")(spark, sfDir))
