@@ -636,6 +636,102 @@ case class MisraGriesAggregate(
     copy(child = newChildren.head)
 }
 
+/** COUNT-MIN SKETCH frequency aggregate over a LONG key column
+  * (Cormode & Muthukrishnan '05) — the mergeable point-frequency
+  * summary that complements [[MisraGriesAggregate]]: MG finds WHICH
+  * keys are heavy; CMS answers "how often did key k occur" for ANY k
+  * after the fact, in depth×width longs regardless of key cardinality.
+  * Each of `depth` rows hashes the key into `width` buckets and
+  * increments one counter; the estimate is the MIN over rows —
+  * an overestimate by at most n·e/width with prob 1−e^−depth.
+  *
+  * Buffers merge by elementwise SUM, so the sketch is exact-associative:
+  * any partitioning, any merge order, bit-identical counters — which is
+  * why a plain SQL groupBy over the same hash can serve as the oracle.
+  * The row hash is the Knuth multiplicative mix over (key + row·97),
+  * matching q26's engine-portable convention; intermediates stay within
+  * Long for keys < 3.4e9 (guarded), and DuckDB replays it verbatim
+  * (no overflow-wrapping needed, unlike splitmix64).
+  *
+  * Emits the flat counter array row-major (array<long>, depth·width);
+  * estimates are row-local `element_at` + `least` over it. */
+case class CmsAggregate(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && width >= 2,
+    s"graft_cms needs depth >= 1, width >= 2; got $depth x $width")
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cms"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CmsAggregate.bucket(key, r, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](depth * width)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsAggregate =
+    copy(child = newChildren.head)
+}
+
+object CmsAggregate {
+  /** Row-r bucket of `key`: ((key + r·97) · 2654435761) mod 2³² mod w.
+    * Engine-portable (DuckDB states it verbatim — every intermediate
+    * fits BIGINT for key < 3.4e9, asserted here so an overflow can't
+    * silently diverge the two engines). */
+  def bucket(key: Long, row: Int, width: Int): Int = {
+    require(key >= 0 && key < 3465871437L,
+      s"graft_cms key $key outside the engine-portable hash range")
+    (java.lang.Math.floorMod((key + row * 97L) * 2654435761L,
+      4294967296L) % width).toInt
+  }
+}
+
 object native {
   /** Gram-matrix aggregate (see [[GramAggregate]]): one call per
     * grouping, result explodes to the (i, j, n, s_e8) cells. */
@@ -649,6 +745,13 @@ object native {
   def heavyHitters(c: Column, k: Int): Column =
     GraftColumnBridge.column(
       MisraGriesAggregate(GraftColumnBridge.expression(c), k)
+        .toAggregateExpression())
+
+  /** Count-Min Sketch aggregate (see [[CmsAggregate]]): one call per
+    * grouping, result is the flat depth×width counter array. */
+  def cmsAgg(c: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CmsAggregate(GraftColumnBridge.expression(c), depth, width)
         .toAggregateExpression())
 
   def dot(a: Column, b: Column): Column =

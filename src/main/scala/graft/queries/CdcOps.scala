@@ -701,6 +701,139 @@ object CdcOps {
       |  FROM orders WHERE o_orderkey % 4 != 1
       |) ORDER BY pk, valid_from""".stripMargin
 
+  // ------------------------------------------------------------- CDC10
+  /** IVM OF A JOIN VIEW WITH BOTH SIDES CHANGING — cdc8 maintains a
+    * single-table aggregate; real views join. The bilinear delta rule
+    * (DBSP / differential dataflow; Green et al.'s Z-set algebra):
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * with signed multiplicities multiplying through the join. The view
+    * here is `count of current (order, customer) pairs per (nation,
+    * status)`: orders change status and get deleted, customers change
+    * nation and get deleted, and the batch (everything past a seq cut
+    * that falls mid-chain for half the keys) applies WITHOUT rescanning
+    * A ⋈ B — the three delta terms each key on custkey, and the two
+    * batch sides ride broadcasts (a CDC batch is minutes of changes —
+    * always small against the accumulated state). The maintained
+    * aggregate is |nations × statuses| rows; maintenance cost is
+    * ∝ |batch| · avg-matches, which is the entire point of IVM at
+    * 100 TB. Oracle = the full recompute over final states; the green
+    * hash IS the maintain ≡ recompute proof (cdc9's contract shape).
+    *
+    * Events are synthesized as ALREADY-NORMALIZED envelopes (pk, seq,
+    * kind, attrs): wire decoding is cdc1–cdc4's proven ground, and
+    * skipping it here keeps the fixture focused on the algebra. */
+  private[graft] def signedAttrDeltas(ev: DataFrame,
+      attrs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pk").orderBy("seq")
+    val withPrev = attrs.foldLeft(ev)((d, a) =>
+      d.withColumn(s"prev_$a", lag(col(a), 1).over(w)))
+    val plus = struct(attrs.map(col) :+ lit(1L).as("m"): _*)
+    val minus = struct(
+      attrs.map(a => col(s"prev_$a").as(a)) :+ lit(-1L).as("m"): _*)
+    withPrev.select(col("seq"), explode(array(
+        when(col("kind").isin("insert", "update"), plus),
+        when(col("kind").isin("update", "delete"), minus))).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("seq") +: attrs.map(a => col(s"d.$a")) :+ col("d.m"): _*)
+  }
+
+  def cdc10_ivm_join(s: SparkSession, dir: String): DataFrame = {
+    val cut = Epoch + Epoch / 2
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck0"),
+        col("o_orderstatus").as("st0"))
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nat0"))
+    require(o.agg(max("k")).head().getLong(0) < Epoch &&
+      c.agg(max("k")).head().getLong(0) < Epoch,
+      "cdc10: key range overflows the seq lane stride — widen Epoch")
+    // orders: insert 'NEW' → (k%4!=1) status update → (k%4==3) delete
+    val oEv = o.select(col("k").as("pk"),
+        struct(col("k").as("seq"), lit("insert").as("kind"),
+          col("ck0").as("ck"), lit("NEW").as("st")).as("e1"),
+        when(pmod(col("k"), lit(4)) =!= 1,
+          struct((col("k") + Epoch).as("seq"), lit("update").as("kind"),
+            col("ck0").as("ck"), col("st0").as("st"))).as("e2"),
+        when(pmod(col("k"), lit(4)) === 3,
+          struct((col("k") + 2 * Epoch).as("seq"), lit("delete").as("kind"),
+            lit(null).cast("bigint").as("ck"),
+            lit(null).cast("string").as("st"))).as("e3"))
+      .selectExpr("pk", "inline(filter(array(e1, e2, e3), x -> x IS NOT NULL))")
+    // customers: insert → (k%3==0) nation move → (k%5==0) delete
+    val cEv = c.select(col("k").as("pk"),
+        struct(col("k").as("seq"), lit("insert").as("kind"),
+          col("k").as("ck"), col("nat0").as("nat")).as("e1"),
+        when(pmod(col("k"), lit(3)) === 0,
+          struct((col("k") + Epoch).as("seq"), lit("update").as("kind"),
+            col("k").as("ck"),
+            pmod(col("nat0") + 7, lit(25)).as("nat"))).as("e2"),
+        when(pmod(col("k"), lit(5)) === 0,
+          struct((col("k") + 2 * Epoch).as("seq"), lit("delete").as("kind"),
+            lit(null).cast("bigint").as("ck"),
+            lit(null).cast("int").as("nat"))).as("e3"))
+      .selectExpr("pk", "inline(filter(array(e1, e2, e3), x -> x IS NOT NULL))")
+    val dOrd = signedAttrDeltas(oEv, Seq("ck", "st")).localCheckpoint()
+    val dCus = signedAttrDeltas(cEv, Seq("ck", "nat")).localCheckpoint()
+    ivmJoinMaintain(dOrd, dCus, cut)
+      .select(col("nat").as("nation"), col("st").as("status"), col("n"))
+      .orderBy("nation", "status")
+  }
+
+  /** The bilinear maintenance itself, over (seq, ck, st, m) orders
+    * deltas and (seq, ck, nat, m) customer deltas: state accumulates to
+    * `cut`, everything at/after it applies as the batch. Exposed so the
+    * spec can prove cut-INDEPENDENCE (any split yields the recompute)
+    * — the fixture oracle only witnesses one cut. Unordered. */
+  private[graft] def ivmJoinMaintain(dOrd: DataFrame, dCus: DataFrame,
+      cut: Long): DataFrame = {
+    // pre-cut Z-set states and the batch deltas, each collapsed to net
+    // multiplicities (narrow attr, m rows)
+    def net(d: DataFrame, pre: Boolean, attrs: Seq[String], mc: String) = {
+      val f = if (pre) d.filter(col("seq") < cut)
+              else d.filter(col("seq") >= cut)
+      f.groupBy(attrs.map(col): _*).agg(sum("m").as(mc))
+        .filter(col(mc) =!= 0)
+    }
+    val aPre = net(dOrd, pre = true, Seq("ck", "st"), "ma").localCheckpoint()
+    val bPre = net(dCus, pre = true, Seq("ck", "nat"), "mb").localCheckpoint()
+    val dA = net(dOrd, pre = false, Seq("ck", "st"), "ma")
+    val dB = net(dCus, pre = false, Seq("ck", "nat"), "mb")
+    // the maintained view state as of the cut (at scale: the stored MV)
+    val vPre = aPre.join(bPre, "ck")
+      .groupBy("nat", "st").agg(sum(col("ma") * col("mb")).as("m"))
+      .localCheckpoint()
+    // the three bilinear delta terms; batch sides broadcast
+    val pair = (col("ma") * col("mb")).as("m")
+    val t1 = broadcast(dA).join(bPre, "ck").select(col("nat"), col("st"), pair)
+    val t2 = aPre.join(broadcast(dB), "ck").select(col("nat"), col("st"), pair)
+    val t3 = broadcast(dA).join(dB, "ck").select(col("nat"), col("st"), pair)
+    vPre.unionByName(t1).unionByName(t2).unionByName(t3)
+      .groupBy("nat", "st").agg(sum("m").as("n"))
+      .filter(col("n") =!= 0)
+  }
+
+  /** Oracle: the full recompute from final states, closed-form from the
+    * event construction — orders current unless k%4==3, status 'NEW'
+    * when never updated (k%4==1); customers current unless k%5==0,
+    * nation moved by +7 mod 25 when k%3==0. */
+  val cdc10Sql: String =
+    """WITH ocur AS (
+      |  SELECT o_custkey AS ck,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'
+      |         ELSE o_orderstatus END AS status
+      |  FROM orders WHERE o_orderkey % 4 != 3),
+      |ccur AS (
+      |  SELECT c_custkey AS ck,
+      |    CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 7) % 25
+      |         ELSE c_nationkey END AS nation
+      |  FROM customer WHERE c_custkey % 5 != 0)
+      |SELECT nation, status, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM ocur JOIN ccur USING (ck)
+      |GROUP BY nation, status ORDER BY nation, status""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -711,7 +844,8 @@ object CdcOps {
     "cdc6_scd2" -> (cdc6_scd2 _),
     "cdc7_schema_diff" -> (cdc7_schema_diff _),
     "cdc8_ivm" -> (cdc8_ivm _),
-    "cdc9_scd2_merge" -> (cdc9_scd2_merge _))
+    "cdc9_scd2_merge" -> (cdc9_scd2_merge _),
+    "cdc10_ivm_join" -> (cdc10_ivm_join _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -722,5 +856,6 @@ object CdcOps {
     "cdc6_scd2" -> cdc6Sql,
     "cdc7_schema_diff" -> cdc7Sql,
     "cdc8_ivm" -> cdc8Sql,
-    "cdc9_scd2_merge" -> cdc9Sql)
+    "cdc9_scd2_merge" -> cdc9Sql,
+    "cdc10_ivm_join" -> cdc10Sql)
 }

@@ -105,10 +105,94 @@ object GraphOps {
       |       FROM s2 LEFT JOIN c3 ON c3.node = s2.node)
       |SELECT node, s FROM s3 ORDER BY node""".stripMargin
 
+  // -------------------------------------------------------------- Q44
+  /** TRIANGLE COUNTING by degree orientation — per-node triangle
+    * participation over the q41 referral graph (self-loops dropped,
+    * edges canonicalized undirected).
+    *
+    * The naive plan (three-way self-join of the edge list) explodes on
+    * hub nodes: a degree-d vertex contributes d² wedge candidates. The
+    * scale shape is Cohen's MapReduce orientation (also Suri & Vassilvitskii
+    * WWW'11): direct every edge from its lower-(degree, id) endpoint to
+    * the higher one, generate wedges ONLY at each edge's source — the
+    * oriented out-degree is bounded by O(√m), so total wedge volume is
+    * O(m^1.5) worst-case instead of Σd², and each triangle is produced
+    * exactly once (at its orientation-minimum vertex). Two shuffle
+    * joins: wedge generation keyed on the pivot, closure probe keyed on
+    * the canonical (lo, hi) pair. No broadcast — at 100 TB every side
+    * is edge-scale.
+    *
+    * Determinism: exact integer counts; orientation only changes WHERE
+    * a triangle is found, never whether. The oracle therefore counts
+    * the same triangles by plain id-ordering (a < b < c), which DuckDB
+    * can state as the textbook three-way join. */
+  private[graft] def triangles(edges: DataFrame): DataFrame = {
+    // edges: undirected simple graph, one row per edge, a < b
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint() // wedge + closure branches both read it
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    // closure probe against the CANONICAL edge set: {x, y} is an edge
+    // iff (least, greatest) appears — orientation of the closing edge
+    // is irrelevant to membership
+    val tris = wedges.join(edges,
+      least(col("x"), col("y")) === col("a") &&
+        greatest(col("x"), col("y")) === col("b"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  def q44_triangles(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(s, dir, "customer")
+    val nCust = customer.count()
+    val edges = edgesOf(Tables.load(s, dir, "orders"), nCust)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    triangles(edges)
+  }
+
+  /** Oracle: the same triangle set enumerated by id-order (a < b < c) —
+    * one row per triangle, attributed to all three corners. */
+  val q44Sql: String =
+    """WITH n AS (SELECT count(*) AS nc FROM customer),
+      |raw AS (SELECT DISTINCT o_custkey AS src,
+      |          (o_orderkey * 2654435761) % 4294967296
+      |            % (SELECT nc FROM n) + 1 AS dst
+      |        FROM orders),
+      |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |      FROM raw WHERE src != dst),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (SELECT x AS node FROM t
+      |            UNION ALL SELECT y FROM t
+      |            UNION ALL SELECT z FROM t)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM corners GROUP BY node ORDER BY node""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q41_pagerank" -> (q41_pagerank _))
+    "q41_pagerank" -> (q41_pagerank _),
+    "q44_triangles" -> (q44_triangles _))
 
   def oracles: Map[String, String] = Map(
-    "q41_pagerank" -> q41Sql)
+    "q41_pagerank" -> q41Sql,
+    "q44_triangles" -> q44Sql)
 }

@@ -108,11 +108,64 @@ object SkewOps {
       |FROM events GROUP BY 1
       |ORDER BY n DESC, item""".stripMargin
 
+  // --------------------------------------------------------------- Q28c
+  /** COUNT-MIN SKETCH point-frequency estimates — the complement of
+    * q28b: Misra-Gries tells you WHICH keys are heavy, the CMS answers
+    * "how often did key k occur" for ANY key after one pass, in
+    * depth×width longs no matter the key cardinality (a billion-key
+    * groupBy materializes a billion-row aggregate; the sketch crosses
+    * the exchange as 4×1024 counters per partition, elementwise-summed).
+    *
+    * The estimate — min over 4 hash rows of the bucket counter — is
+    * row-local arithmetic over the one broadcast sketch row: probes
+    * never shuffle. Counters merge by exact addition, so the sketch is
+    * deterministic under any partitioning and the DuckDB oracle can
+    * recompute the identical buckets with a plain GROUP BY over the
+    * same Knuth hash ([[graft.functions.CmsAggregate.bucket]]).
+    * Estimates overshoot truth by at most n·e/width with prob
+    * 1−e^−depth (CmsSpec pins both the overestimate direction and
+    * exactness on planted collision-free keys). */
+  def q28c_cms_freq(s: SparkSession, dir: String): DataFrame = {
+    val sketch = Tables.load(s, dir, "lineitem")
+      .agg(graft.functions.native.cmsAgg(col("l_partkey"), 4, 1024)
+        .as("cms"))
+    def bucketIdx(r: Int): Column =
+      (lit(r * 1024) +
+        pmod((col("l_partkey") + lit(r * 97L)) * lit(2654435761L),
+          lit(4294967296L)) % 1024 + 1).cast("int")
+    s.range(1, 51).select(col("id").as("l_partkey"))
+      .crossJoin(broadcast(sketch))
+      .select(col("l_partkey"),
+        least(element_at(col("cms"), bucketIdx(0)),
+          element_at(col("cms"), bucketIdx(1)),
+          element_at(col("cms"), bucketIdx(2)),
+          element_at(col("cms"), bucketIdx(3))).as("n_est"))
+      .orderBy("l_partkey")
+  }
+
+  /** Oracle: the same 4×1024 bucket counters via GROUP BY, the same
+    * min-over-rows probe for keys 1..50. */
+  val q28cSql: String =
+    """WITH h AS (SELECT t.d,
+      |    ((l_partkey + t.d * 97) * 2654435761) % 4294967296 % 1024 AS b
+      |  FROM lineitem, range(4) t(d)),
+      |bs AS (SELECT d, b, COUNT(*) AS n FROM h GROUP BY d, b),
+      |probe AS (SELECT unnest(range(1, 51)) AS k),
+      |pe AS (SELECT p.k, t.d,
+      |    ((p.k + t.d * 97) * 2654435761) % 4294967296 % 1024 AS b
+      |  FROM probe p, range(4) t(d))
+      |SELECT pe.k AS l_partkey, CAST(MIN(COALESCE(bs.n, 0)) AS BIGINT)
+      |  AS n_est
+      |FROM pe LEFT JOIN bs ON bs.d = pe.d AND bs.b = pe.b
+      |GROUP BY pe.k ORDER BY pe.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_skew_join" -> (q28_skew_join _),
-    "q28b_hot_keys" -> (q28b_hot_keys _))
+    "q28b_hot_keys" -> (q28b_hot_keys _),
+    "q28c_cms_freq" -> (q28c_cms_freq _))
 
   def oracles: Map[String, String] = Map(
     "q28_skew_join" -> q28SkewJoinSql,
-    "q28b_hot_keys" -> q28bSql)
+    "q28b_hot_keys" -> q28bSql,
+    "q28c_cms_freq" -> q28cSql)
 }

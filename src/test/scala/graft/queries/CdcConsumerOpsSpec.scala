@@ -156,4 +156,77 @@ class CdcConsumerOpsSpec extends SparkSpec {
         s"merge != rebuild at cut=$cut over ${evs.size} events")
     }
   }
+
+  test("cdc10 signedAttrDeltas: insert/update/delete book the signed " +
+      "attribute pairs, NULL attrs carried faithfully") {
+    // pk 1: insert(ck=5, st=A) → update(ck=5, st=B) → delete
+    // pk 2: insert(ck=7, st=NULL) — null is a legitimate attr value
+    val ev = Seq(
+        (1L, 1L, "insert", Some(5L), Some("A")),
+        (1L, 2L, "update", Some(5L), Some("B")),
+        (1L, 3L, "delete", None, None),
+        (2L, 1L, "insert", Some(7L), None))
+      .toDF("pk", "seq", "kind", "ck", "st")
+    val got = CdcOps.signedAttrDeltas(ev, Seq("ck", "st"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, Some(5L), Some("A"), 1L),   // insert +new
+      (2L, Some(5L), Some("A"), -1L),  // update -prev
+      (2L, Some(5L), Some("B"), 1L),   // update +new
+      (3L, Some(5L), Some("B"), -1L),  // delete -prev
+      (1L, Some(7L), None, 1L)))       // insert with null attr
+  }
+
+  test("property: cdc10 join-view maintenance equals the recompute at " +
+      "EVERY cut of a random interleaved two-sided history") {
+    // small planted domain: 6 customers moving between 3 nations with
+    // deletes, 10 orders over 3 statuses with re-pointing custkeys —
+    // update may change the JOIN KEY itself, the case the fixture
+    // (custkey never changes) cannot reach
+    val rnd = new scala.util.Random(17)
+    val oEvs = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, String, Option[Long], Option[String])]()
+    val cEvs = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, String, Option[Long], Option[Int])]()
+    var seq = 0L
+    val oAlive = scala.collection.mutable.Set[Long]()
+    val cAlive = scala.collection.mutable.Set[Long]()
+    for (_ <- 1 to 120) {
+      seq += 1
+      if (rnd.nextBoolean()) {
+        val k = 1L + rnd.nextInt(10)
+        if (!oAlive(k)) { oAlive += k
+          oEvs += ((k, seq, "insert", Some(1L + rnd.nextInt(6)),
+            Some(s"S${rnd.nextInt(3)}")))
+        } else if (rnd.nextInt(4) == 0) { oAlive -= k
+          oEvs += ((k, seq, "delete", None, None))
+        } else oEvs += ((k, seq, "update", Some(1L + rnd.nextInt(6)),
+          Some(s"S${rnd.nextInt(3)}")))
+      } else {
+        val k = 1L + rnd.nextInt(6)
+        if (!cAlive(k)) { cAlive += k
+          cEvs += ((k, seq, "insert", Some(k), Some(rnd.nextInt(3))))
+        } else if (rnd.nextInt(5) == 0) { cAlive -= k
+          cEvs += ((k, seq, "delete", None, None))
+        } else cEvs += ((k, seq, "update", Some(k), Some(rnd.nextInt(3))))
+      }
+    }
+    val dOrd = CdcOps.signedAttrDeltas(
+        oEvs.toSeq.toDF("pk", "seq", "kind", "ck", "st"), Seq("ck", "st"))
+      .localCheckpoint()
+    val dCus = CdcOps.signedAttrDeltas(
+        cEvs.toSeq.toDF("pk", "seq", "kind", "ck", "nat"), Seq("ck", "nat"))
+      .localCheckpoint()
+    def result(cut: Long) =
+      CdcOps.ivmJoinMaintain(dOrd, dCus, cut)
+        .orderBy("nat", "st").collect().toSeq
+    // cut=0: everything is the batch; cut=seq+1: pure recompute of the
+    // accumulated state — these two extremes bracket every mid-cut
+    val want = result(seq + 1)
+    assert(want.nonEmpty, "degenerate fixture: empty join view")
+    for (cut <- Seq(0L, 1L, seq / 3, seq / 2, 2 * seq / 3, seq))
+      assert(result(cut) == want, s"maintenance != recompute at cut=$cut")
+  }
 }

@@ -87,6 +87,38 @@ class GraphSweepSpec extends SparkSpec {
     assert(total <= r.length * 1000000L)
   }
 
+  test("triangles: K4 plus a pendant edge — 3 per clique corner, " +
+      "pendant absent") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, each corner in 3 of
+    // them; node 5 hangs off 4 and joins none
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.triangles(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: degree orientation matches id-ordered brute force " +
+      "on a planted random graph") {
+    // deterministic pseudo-random simple graph on 30 nodes — dense
+    // enough (p≈0.3) that hubs, ties, and shared wedges all occur
+    val rnd = new scala.util.Random(42)
+    val pairs = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val expected = {
+      val es = pairs.toSet
+      val tri = for {
+        (a, b) <- pairs; c <- (b + 1) to 30L
+        if es.contains((b, c)) && es.contains((a, c))
+      } yield Seq(a, b, c)
+      tri.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val got = GraphOps.triangles(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (id, p, d) => id -> (p, d) }.toMap
