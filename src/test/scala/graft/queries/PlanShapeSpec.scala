@@ -465,4 +465,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       "a broadcast would make the salting a no-op")
   }
+
+  test("q28c CMS builds with partial (map-side) sketch merge and probes " +
+      "the one sketch row by broadcast — probes never shuffle") {
+    val plan = planOf(SkewOps.queries("q28c_cms_freq")(spark, sfDir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two levels
+    // (partial + final) around the exchange = counters merge map-side
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "the sketch must combine per-partition before one-row final merge")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the single sketch row must broadcast onto the probe keys")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "probing a 4KB sketch must never shuffle the probe side")
+  }
+
+  test("q44 triangles: closure probe joins without a cartesian and the " +
+      "edge orientation reuses one checkpointed edge list") {
+    val plan = planOf(GraphOps.queries("q44_triangles")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge generation and closure must stay equi joins — a cartesian " +
+        "here is the O(n^3) failure mode")
+    // oriented edge list is localCheckpointed: the wedge self-join scans
+    // it twice as an in-memory table, not two re-derivations
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("InMemory"),
+      "the oriented edge list must be materialized once and reused")
+  }
+
+  test("cdc10 join-view IVM: the three delta terms broadcast the batch " +
+      "side — maintenance must not shuffle the accumulated state twice") {
+    val plan = planOf(CdcOps.queries("cdc10_ivm_join")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "dA ⋈ B_pre and A_pre ⋈ dB must ride broadcasts of the batch side")
+    assert(!plan.contains("CartesianProduct"),
+      "delta terms are custkey equi joins")
+  }
 }
