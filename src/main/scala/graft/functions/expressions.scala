@@ -108,6 +108,98 @@ case class RollingHash(child: Expression) extends UnaryExpression {
       newChild: Expression): RollingHash = copy(child = newChild)
 }
 
+/** HASHED-FEATURE LINEAR CLASSIFIER score over a text column — model
+  * INFERENCE as a row-local codegen kernel (the fastText/Vowpal-Wabbit
+  * hashing-trick shape): tokenize, hash each token into one of 256
+  * weight buckets, sum the bucket weights. One pass over the string,
+  * zero shuffles, zero per-token object allocation — the way a trained
+  * quality/spam gate actually runs over 100 TB.
+  *
+  * The "trained" weights are a deterministic function of the bucket
+  * (Knuth-mixed into [−1000, 1000]) so the DuckDB oracle can replay
+  * scoring exactly; swapping in real weights means replacing one pure
+  * function, the plan shape is the product. Token hash = the
+  * [[RollingHash]] polynomial (oracle-portable ascii/codePoint fold);
+  * token boundary = the ASCII whitespace class Spark's
+  * `split(trim(text), '\\s+')` uses, empty tokens skipped. */
+case class HashedLinearScore(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_linear_score"
+
+  // token boundary = ASCII whitespace {9..13, 32}: exactly Java regex
+  // \\s, the class `split(trim(text), '\\\\s+')` applies — stated
+  // numerically so interpreted eval and generated Java share one
+  // definition with no escape-sequence indirection
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= 9 && c <= 13)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var score = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      if (isWs(str.charAt(i))) {
+        i += 1
+      } else {
+        var h = 0L
+        var done = false
+        while (i < n && !done) {
+          if (isWs(str.charAt(i))) done = true
+          else {
+            val cp = str.codePointAt(i)
+            h = (h * 31 + cp) % 1000000007L
+            i += Character.charCount(cp)
+          }
+        }
+        score += (h % 256L) * 2654435761L % 4294967296L % 2001L - 1000L
+      }
+    }
+    score
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val score = ctx.freshName("score")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val cp = ctx.freshName("cp")
+      val done = ctx.freshName("done")
+      def ws(v: String) = s"($v == 32 || ($v >= 9 && $v <= 13))"
+      s"""
+         |java.lang.String $str = $c.toString();
+         |long $score = 0L;
+         |int $i = 0;
+         |int $n = $str.length();
+         |while ($i < $n) {
+         |  if (${ws(s"$str.charAt($i)")}) { $i++; }
+         |  else {
+         |    long $h = 0L;
+         |    boolean $done = false;
+         |    while ($i < $n && !$done) {
+         |      if (${ws(s"$str.charAt($i)")}) { $done = true; }
+         |      else {
+         |        int $cp = $str.codePointAt($i);
+         |        $h = ($h * 31 + $cp) % 1000000007L;
+         |        $i += java.lang.Character.charCount($cp);
+         |      }
+         |    }
+         |    $score += ($h % 256L) * 2654435761L % 4294967296L % 2001L
+         |      - 1000L;
+         |  }
+         |}
+         |${ev.value} = $score;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedLinearScore = copy(child = newChild)
+}
+
 /** 64-bit FNV-1a over a string's UTF-16 code units — the internal shingle
   * hash (consistency is all that matters: every consumer of a shingle uses
   * the same function; a collision among ~10⁶ shingles has probability
@@ -761,6 +853,12 @@ object native {
   def rollingHash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
 
+  /** Hashed-feature linear classifier score (see [[HashedLinearScore]]):
+    * row-local model inference, one pass over the text. */
+  def hashedLinearScore(c: Column): Column =
+    GraftColumnBridge.column(
+      HashedLinearScore(GraftColumnBridge.expression(c)))
+
   def shingleHashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(
       ShingleHashes(GraftColumnBridge.expression(text), k))
@@ -827,6 +925,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_linear_score"),
+      new ExpressionInfo(classOf[HashedLinearScore].getName,
+        "graft_linear_score"),
+      (children: Seq[Expression]) => HashedLinearScore(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -740,18 +740,16 @@ object CdcOps {
       .select(col("seq") +: attrs.map(a => col(s"d.$a")) :+ col("d.m"): _*)
   }
 
-  def cdc10_ivm_join(s: SparkSession, dir: String): DataFrame = {
-    val cut = Epoch + Epoch / 2
+  /** The orders-side change stream shared by cdc10/cdc11: insert 'NEW'
+    * → (k%4!=1) status update → (k%4==3) delete, on cdc9's epoch
+    * lanes. Normalized (pk, seq, kind, ck, st) rows. */
+  private[graft] def orderEvents(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_custkey").as("ck0"),
         col("o_orderstatus").as("st0"))
-    val c = Tables.load(s, dir, "customer")
-      .select(col("c_custkey").as("k"), col("c_nationkey").as("nat0"))
-    require(o.agg(max("k")).head().getLong(0) < Epoch &&
-      c.agg(max("k")).head().getLong(0) < Epoch,
-      "cdc10: key range overflows the seq lane stride — widen Epoch")
-    // orders: insert 'NEW' → (k%4!=1) status update → (k%4==3) delete
-    val oEv = o.select(col("k").as("pk"),
+    require(o.agg(max("k")).head().getLong(0) < Epoch,
+      "orderEvents: key range overflows the seq lane stride — widen Epoch")
+    o.select(col("k").as("pk"),
         struct(col("k").as("seq"), lit("insert").as("kind"),
           col("ck0").as("ck"), lit("NEW").as("st")).as("e1"),
         when(pmod(col("k"), lit(4)) =!= 1,
@@ -762,6 +760,15 @@ object CdcOps {
             lit(null).cast("bigint").as("ck"),
             lit(null).cast("string").as("st"))).as("e3"))
       .selectExpr("pk", "inline(filter(array(e1, e2, e3), x -> x IS NOT NULL))")
+  }
+
+  def cdc10_ivm_join(s: SparkSession, dir: String): DataFrame = {
+    val cut = Epoch + Epoch / 2
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nat0"))
+    require(c.agg(max("k")).head().getLong(0) < Epoch,
+      "cdc10: key range overflows the seq lane stride — widen Epoch")
+    val oEv = orderEvents(s, dir)
     // customers: insert → (k%3==0) nation move → (k%5==0) delete
     val cEv = c.select(col("k").as("pk"),
         struct(col("k").as("seq"), lit("insert").as("kind"),
@@ -834,6 +841,67 @@ object CdcOps {
       |FROM ocur JOIN ccur USING (ck)
       |GROUP BY nation, status ORDER BY nation, status""".stripMargin
 
+  // ------------------------------------------------------------- CDC11
+  /** IVM OF A DISTINCT-COUNT VIEW — the NON-LINEAR case cdc8/cdc10's
+    * signed sums cannot express: `COUNT(DISTINCT custkey) per status`
+    * of current orders. Distinct counts don't add (a +1 on a customer
+    * already present changes nothing), so the view maintains through a
+    * SUPPORT Z-set: multiplicities per (status, custkey); the distinct
+    * count is the number of pairs with net support > 0, and a batch
+    * changes the view only where support crosses zero:
+    *
+    *   Δview(status) = Σ_pairs [after > 0] − [before > 0]
+    *
+    * Scale: the stored Z-set is |live (status, custkey)| narrow rows —
+    * the state any exact distinct-IVM must carry (sketch columns, q04c,
+    * are the lossy alternative); the batch touches only its own pairs
+    * (broadcast into the zero-crossing join), and the view merge is
+    * |statuses| rows. The accumulated order set never rescans. Oracle =
+    * full recompute from the final state; cut-independence pinned by
+    * the cdc11 property spec (support rising from 0, falling to 0, and
+    * staying positive all cross correctly). */
+  private[graft] def ivmDistinctMaintain(deltas: DataFrame,
+      cut: Long): DataFrame = {
+    def net(pre: Boolean) = {
+      val f = if (pre) deltas.filter(col("seq") < cut)
+              else deltas.filter(col("seq") >= cut)
+      f.groupBy("st", "ck").agg(sum("m").as("m")).filter(col("m") =!= 0)
+    }
+    val zPre = net(pre = true).localCheckpoint() // view + crossing join
+    val dZ = net(pre = false)
+    // the stored view as of the cut
+    val vPre = zPre.filter(col("m") > 0)
+      .groupBy("st").agg(count(lit(1)).as("n"))
+    // zero crossings: only the batch's own (status, custkey) pairs
+    val crossings = broadcast(dZ.withColumnRenamed("m", "dm"))
+      .join(zPre, Seq("st", "ck"), "left")
+      .select(col("st"),
+        ((coalesce(col("m"), lit(0L)) + col("dm") > 0).cast("long")
+          - (coalesce(col("m"), lit(0L)) > 0).cast("long")).as("n"))
+    vPre.unionByName(crossings)
+      .groupBy("st").agg(sum("n").as("n"))
+      .filter(col("n") > 0)
+      .select(col("st").as("status"), col("n"))
+      .orderBy("status")
+  }
+
+  def cdc11_ivm_distinct(s: SparkSession, dir: String): DataFrame = {
+    val deltas = signedAttrDeltas(orderEvents(s, dir), Seq("ck", "st"))
+      .localCheckpoint()
+    ivmDistinctMaintain(deltas, Epoch + Epoch / 2)
+  }
+
+  /** Oracle: distinct current customers per status, closed-form from
+    * [[orderEvents]]'s construction. */
+  val cdc11Sql: String =
+    """WITH cur AS (
+      |  SELECT o_custkey AS ck,
+      |    CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'
+      |         ELSE o_orderstatus END AS status
+      |  FROM orders WHERE o_orderkey % 4 != 3)
+      |SELECT status, CAST(COUNT(DISTINCT ck) AS BIGINT) AS n
+      |FROM cur GROUP BY status ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -845,7 +913,8 @@ object CdcOps {
     "cdc7_schema_diff" -> (cdc7_schema_diff _),
     "cdc8_ivm" -> (cdc8_ivm _),
     "cdc9_scd2_merge" -> (cdc9_scd2_merge _),
-    "cdc10_ivm_join" -> (cdc10_ivm_join _))
+    "cdc10_ivm_join" -> (cdc10_ivm_join _),
+    "cdc11_ivm_distinct" -> (cdc11_ivm_distinct _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -857,5 +926,6 @@ object CdcOps {
     "cdc7_schema_diff" -> cdc7Sql,
     "cdc8_ivm" -> cdc8Sql,
     "cdc9_scd2_merge" -> cdc9Sql,
-    "cdc10_ivm_join" -> cdc10Sql)
+    "cdc10_ivm_join" -> cdc10Sql,
+    "cdc11_ivm_distinct" -> cdc11Sql)
 }

@@ -589,9 +589,52 @@ object FunnelOps {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // -------------------------------------------------------------- Q29c
+  /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
+    * recent preceding non-purchase event ("channel"); purchases with no
+    * prior touch are 'direct'. The marketing-analytics sibling of the
+    * funnel: same one-sort-per-user discipline — ONE window carries the
+    * last touch to every row (IGNORE NULLS last_value over the bounded
+    * per-user partition; never a self-join of purchases × touches,
+    * which is the quadratic trap), then a |channels|-row partial-agg
+    * rollup of purchase count + exact DECIMAL revenue. Total order
+    * inside a user = (ts_us, event_id) so simultaneous events attribute
+    * deterministically in both engines. */
+  def q29c_attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("channel")
+  }
+
+  val q29cSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |t AS (SELECT *,
+       |    LAST_VALUE(CASE WHEN event_type != 'purchase'
+       |                    THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS touch
+       |  FROM e)
+       |SELECT COALESCE(touch, 'direct') AS channel,
+       |  COUNT(*) AS n_purchases,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
+    "q29c_attribution" -> (q29c_attribution _),
     "q29b_transitions" -> (q29b_transitions _),
     "q30_retention" -> (q30_retention _),
     "q34_gapfill" -> (q34_gapfill _),
@@ -604,6 +647,7 @@ object FunnelOps {
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
+    "q29c_attribution" -> q29cSql,
     "q29b_transitions" -> q29bSql,
     "q30_retention" -> q30Sql,
     "q34_gapfill" -> q34Sql,

@@ -123,12 +123,102 @@ object IndexOps {
       |WHERE rk <= 8
       |ORDER BY r.term, rk""".stripMargin
 
+  // --------------------------------------------------------------- Q43b
+  /** BM25 RANKED RETRIEVAL over the unigram index — the scoring layer a
+    * RAG/search consumer runs on top of q43's structure: for each probe
+    * term, the top-5 documents by Okapi BM25 (k1 = 1.2, b = 0.75).
+    *
+    * Integer-exact variant: the tf-saturation factor is computed in
+    * micro-units with the length ratio dl/avgdl carried as
+    * dl·N·10⁶ div ΣDL (one corpus-stats row, broadcast), and the idf
+    * uses the pre-log odds ratio ((N−df)·2+1)·10⁶ div (df·2+1) — a
+    * monotone surrogate for ln-idf that keeps every bit engine-portable
+    * (doubles + ln would diverge in the last ulp across libm
+    * implementations and break the oracle hash; per-term ranking is
+    * unchanged, cross-term sums are documented as surrogate).
+    *
+    * Plan: token-scale (term, doc) partial-agg tf; probe terms = top-3
+    * by document frequency among length ≥ 4 tokens (deterministic,
+    * scale-independent selection — a driver-squashed 3-row result that
+    * broadcasts back as a semi filter); per-term top-5 through the
+    * TopKPerKey bounded heap. Magnitude guard: intermediates stay in
+    * Long while tf·2.2e12 and idf_e6·tfn_e6 < 2⁶³ — corpus-stats
+    * require() documents the bound rather than silently wrapping. */
+  def q43b_bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term") =!= "")
+      .localCheckpoint() // tf, dl, corpus stats, probe all derive from it
+    val tf = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus stats: two scalars to the driver (q41's nCust precedent)
+    val dls = toks.select("doc_id", "dl").distinct()
+    val stats = dls.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val (nDocs, sumDl) = (stats.getLong(0), stats.getLong(1))
+    require(sumDl < Long.MaxValue / 2200000L,
+      "q43b: corpus token mass overflows the micro-unit BM25 grid — " +
+        "rescale the constants for this corpus size")
+    val probe = df.filter(length(col("term")) >= 4)
+      .orderBy(desc("df"), col("term")).limit(3)
+    val scored = tf.join(broadcast(probe), "term")
+      .withColumn("dlr_e6",
+        expr(s"dl * ${nDocs}L * 1000000 div ${sumDl}L"))
+      .withColumn("tfn_e6", expr(
+        "tf * 2200000 * 1000000 div " +
+          "(tf * 1000000 + 300000 + 9 * dlr_e6 div 10)"))
+      .withColumn("idf_e6", expr(
+        s"((${nDocs}L - df) * 2 + 1) * 1000000 div (df * 2 + 1)"))
+      .withColumn("score_e6", expr("idf_e6 * tfn_e6 div 1000000"))
+    val w = Window.partitionBy("term").orderBy(desc("score_e6"),
+      col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"),
+        col("score_e6"))
+      .orderBy("term", "rk")
+  }
+
+  val q43bSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+      |        unnest(tk) AS term
+      |      FROM d),
+      |tok AS (SELECT * FROM t WHERE term != ''),
+      |tf AS (SELECT term, doc_id, count(*) AS tf, MIN(dl) AS dl
+      |       FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(dl) AS BIGINT) AS s
+      |       FROM (SELECT DISTINCT doc_id, dl FROM tok)),
+      |probe AS (SELECT term, df FROM df WHERE length(term) >= 4
+      |          ORDER BY df DESC, term LIMIT 3),
+      |sc AS (SELECT tf.term, tf.doc_id, tf.tf,
+      |    ((st.n - p.df) * 2 + 1) * 1000000 // (p.df * 2 + 1) AS idf_e6,
+      |    tf.tf * 2200000 * 1000000 // (tf.tf * 1000000 + 300000 +
+      |      9 * (tf.dl * st.n * 1000000 // st.s) // 10) AS tfn_e6
+      |  FROM tf JOIN probe p ON p.term = tf.term, st),
+      |r AS (SELECT term, doc_id, tf,
+      |        CAST(idf_e6 * tfn_e6 // 1000000 AS BIGINT) AS score_e6,
+      |        row_number() OVER (PARTITION BY term
+      |          ORDER BY idf_e6 * tfn_e6 // 1000000 DESC, doc_id) AS rk
+      |      FROM sc)
+      |SELECT term, CAST(rk AS INT) AS rk, doc_id, tf, score_e6
+      |FROM r WHERE rk <= 5
+      |ORDER BY term, rk""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cooccur" -> (q42_cooccur _),
-    "q43_index" -> (q43_index _))
+    "q43_index" -> (q43_index _),
+    "q43b_bm25" -> (q43b_bm25 _))
 
   def oracles: Map[String, String] = Map(
     "q42_cooccur" -> q42Sql,
-    "q43_index" -> q43Sql)
+    "q43_index" -> q43Sql,
+    "q43b_bm25" -> q43bSql)
 }

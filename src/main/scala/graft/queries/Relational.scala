@@ -190,6 +190,32 @@ object Relational {
         countDistinct(col("o_custkey")).as("exact_cust"))
       .orderBy("o_orderpriority")
 
+  /** MERGEABLE HLL SKETCH COLUMNS (Datasketches, Spark's
+    * hll_sketch_agg / hll_union_agg) — the q04b estimate answers one
+    * question once; a sketch COLUMN answers it at every roll-up level
+    * without re-touching the data: build one distinct-user sketch per
+    * event type, then UNION THE SKETCHES for the all-types estimate —
+    * the re-aggregation a plain count-distinct cannot do (distincts
+    * don't add) and the reason warehouses store sketch columns beside
+    * their aggregates at 100 TB. State is ~KB per group at any row
+    * count; registers merge by max so any partitioning/merge order
+    * lands the same estimate (rows-only driver check — sketch bytes
+    * are engine-internal; the spec bounds error vs exact and proves
+    * union-of-parts == sketch-of-whole). */
+  def q04c_hll_sketches(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .localCheckpoint() // per-type + rollup both read it
+    per.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+      .unionByName(per
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("__all__").as("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users")))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- Q05
   /** ROLLUP grouping sets over a 3-way join. grouping_id disambiguates
     * rollup-NULLs so the sort stays total without nullable keys deciding
@@ -1354,6 +1380,46 @@ object Relational {
       |GROUP BY flag
       |ORDER BY flag""".stripMargin
 
+  /** PERCENTILE-TRANSFORM NORMALIZATION (q19g) — map every document's
+    * length to its corpus percentile, the feature-normalization step of
+    * a training pipeline, WITHOUT the global-sort window a naive
+    * `cume_dist() OVER (ORDER BY x)` plans (one task owns the whole
+    * corpus — the single-partition trap q14's scaladoc warns about).
+    * Scale shape: collapse to the VALUE HISTOGRAM first (|distinct
+    * values| rows), run the window over the histogram, then a narrow
+    * equi-join carries (below, total) back onto the rows — the
+    * histogram side is value-scale and broadcasts. Integer percentile
+    * (below·100 div N, 'percent of docs strictly shorter') keeps both
+    * engines bit-exact. */
+  def q19g_percentile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // value histogram, then the keyless two-level prefix sum (never a
+    // global window, even over the histogram — PrefixSum's bucketed
+    // carry) gives each distinct length the count strictly below it
+    val hist = d.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val below = PrefixSum.exclusiveRunningSum(
+      hist, "c", "below", seqCol = "n_chars")
+    val total = d.count()
+    d.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(below.select(col("n_chars"), col("below"))),
+        Seq("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"below * 100 div ${total}L").as("pctile"))
+      .orderBy("doc_id")
+  }
+
+  val q19gSql: String =
+    """WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+      |cm AS (SELECT n_chars,
+      |    COALESCE(SUM(c) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM h),
+      |n AS (SELECT COUNT(*) AS tot FROM documents)
+      |SELECT d.doc_id, d.n_chars,
+      |  CAST(cm.below * 100 // (SELECT tot FROM n) AS BIGINT) AS pctile
+      |FROM documents d JOIN cm USING (n_chars)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   /** JSON extraction + array aggregation over events.props. The collected
     * event-type array is distinct+sorted, then joined to a single string so
@@ -1770,6 +1836,7 @@ object Relational {
     "q03c_unpivot" -> (q03c_unpivot _),
     "q04_agg_distinct" -> (q04_agg_distinct _),
     "q04b_approx_distinct" -> (q04b_approx_distinct _),
+    "q04c_hll_sketches" -> (q04c_hll_sketches _),
     "q05_rollup" -> (q05_rollup _),
     "q05b_cube" -> (q05b_cube _),
     "q05c_grouping_sets" -> (q05c_grouping_sets _),
@@ -1805,6 +1872,7 @@ object Relational {
     "q19d_regression" -> (q19d_regression _),
     "q19e_chi2" -> (q19e_chi2 _),
     "q19f_winsorize" -> (q19f_winsorize _),
+    "q19g_percentile" -> (q19g_percentile _),
     "q20_json_array" -> (q20_json_array _),
     "q20b_array_hof" -> (q20b_array_hof _),
     "q20c_map" -> (q20c_map _),
@@ -1859,6 +1927,7 @@ object Relational {
     "q19d_regression" -> q19dSql,
     "q19e_chi2" -> q19eSql,
     "q19f_winsorize" -> q19fSql,
+    "q19g_percentile" -> q19gSql,
     "q20_json_array" -> q20Sql,
     "q20b_array_hof" -> q20bSql,
     "q20c_map" -> q20cSql,

@@ -142,6 +142,44 @@ object TextOps {
       |  CASE WHEN n_toks > 0 THEN n_bpe * 100 // n_toks END AS pct_vs_ws
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- classify
+  /** HASHED-FEATURE LINEAR CLASSIFIER inference — the hashing-trick
+    * quality/spam gate (fastText / Vowpal Wabbit shape) run the way it
+    * runs at 100 TB: one row-local codegen pass per document
+    * (graft.functions.HashedLinearScore — tokenize, poly-hash each
+    * token into one of 256 weight buckets, sum the bucket weights),
+    * zero shuffles before the output sort. Weights are a deterministic
+    * Knuth mix of the bucket id into [−1000, 1000] so DuckDB replays
+    * the scoring exactly (a real model swaps in trained weights; the
+    * plan shape — inference as a scan-side scalar — is the product). */
+  def q24_classify(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("score",
+        graft.functions.native.hashedLinearScore(col("text")))
+      .select(col("doc_id"), col("score"),
+        (col("score") > 0).as("flagged"))
+      .orderBy("doc_id")
+
+  /** Oracle: per-token rolling hash → bucket → weight, re-summed in
+    * SQL (empty tokens filtered exactly as the kernel skips them). */
+  val q24ClassifySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(t)+1),
+      |          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 256)
+      |      * 2654435761 % 4294967296 % 2001 - 1000 AS w
+      |  FROM tok WHERE t != ''),
+      |sc AS (SELECT doc_id, CAST(COALESCE(SUM(w), 0) AS BIGINT) AS score
+      |  FROM w GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+      |  COALESCE(sc.score, 0) > 0 AS flagged
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------- fingerprint
   /** Rolling polynomial hash of the document (mod 1e9+7) — a content
     * fingerprint whose fold both engines evaluate in the same order.
@@ -693,6 +731,7 @@ object TextOps {
     "q24_langid" -> (q24_langid _),
     "q24_quality" -> (q24_quality _),
     "q24_token_count" -> (q24_token_count _),
+    "q24_classify" -> (q24_classify _),
     "q24_fingerprint" -> (q24_fingerprint _),
     "q24_vocab" -> (q24_vocab _),
     "q24_oov" -> (q24_oov _),
@@ -714,6 +753,7 @@ object TextOps {
     "q24_langid" -> q24LangidSql,
     "q24_quality" -> q24QualitySql,
     "q24_token_count" -> q24TokenCountSql,
+    "q24_classify" -> q24ClassifySql,
     "q24_fingerprint" -> q24FingerprintSql,
     "q24_vocab" -> q24VocabSql,
     "q24_oov" -> q24OovSql,

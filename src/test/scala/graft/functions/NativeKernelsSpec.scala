@@ -54,6 +54,44 @@ class NativeKernelsSpec extends SparkSpec {
     assert(mismatches.isEmpty)
   }
 
+  test("HashedLinearScore == single-machine tokenize-hash-weight " +
+      "reference over the corpus (covers codegen AND interpreted)") {
+    def reference(text: String): Long = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      toks.map { t =>
+        var h = 0L
+        var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          h = (h * 31 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        (h % 256L) * 2654435761L % 4294967296L % 2001L - 1000L
+      }.sum
+    }
+    val rows = docs.select(col("text"),
+        native.hashedLinearScore(col("text")).as("score"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == reference(r.getString(0)),
+        s"mismatch on: ${r.getString(0).take(60)}")
+    }
+  }
+
+  test("HashedLinearScore edge shapes: empty, all-whitespace, single " +
+      "token, tabs/newlines as separators") {
+    val r = Seq("", "   ", "a", "a\tb\nc").toDF("t")
+      .select(native.hashedLinearScore(col("t"))).as[Long].collect()
+    def w(tok: String): Long = {
+      val h = tok.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      (h % 256L) * 2654435761L % 4294967296L % 2001L - 1000L
+    }
+    assert(r(0) == 0L && r(1) == 0L)
+    assert(r(2) == w("a"))
+    assert(r(3) == w("a") + w("b") + w("c"))
+  }
+
   test("ShingleHashes == window-built distinct shingle sets (as sets)") {
     import org.apache.spark.sql.expressions.Window
     val nativeSets = docs.select(col("doc_id"),

@@ -92,4 +92,28 @@ class MultimodalSpec extends SparkSpec {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("q04c sketch columns: per-type estimates within error of exact, " +
+      "and the union row equals a direct sketch of all users") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Relational
+      .q04c_hll_sketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sfDir).localCheckpoint()
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k).toDouble - n) / n < 0.05,
+        s"$k: sketch ${got(k)} vs exact $n")
+    }
+    // the re-aggregation property: union of per-type sketches must land
+    // the SAME estimate as one sketch built over everything — registers
+    // merge by max, so this is equality, not approximation
+    val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))))
+      .head().getLong(0)
+    assert(got("__all__") == direct,
+      s"union ${got("__all__")} != direct sketch $direct")
+  }
 }

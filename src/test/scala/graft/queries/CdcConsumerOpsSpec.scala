@@ -229,4 +229,49 @@ class CdcConsumerOpsSpec extends SparkSpec {
     for (cut <- Seq(0L, 1L, seq / 3, seq / 2, 2 * seq / 3, seq))
       assert(result(cut) == want, s"maintenance != recompute at cut=$cut")
   }
+
+  test("property: cdc11 distinct-count maintenance equals the recompute " +
+      "at every cut — support rising from 0, returning to 0, and " +
+      "re-rising all cross correctly") {
+    // orders churn over few (status, custkey) pairs so supports
+    // repeatedly hit and leave zero — the non-linear edge the fixture's
+    // one-pass history can't fully exercise
+    val rnd = new scala.util.Random(29)
+    val evs = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, String, Option[Long], Option[String])]()
+    val alive = scala.collection.mutable.Set[Long]()
+    var seq = 0L
+    for (_ <- 1 to 200) {
+      seq += 1
+      val k = 1L + rnd.nextInt(15)
+      if (!alive(k)) { alive += k
+        evs += ((k, seq, "insert", Some(1L + rnd.nextInt(3)),
+          Some(s"S${rnd.nextInt(2)}")))
+      } else if (rnd.nextInt(3) == 0) { alive -= k
+        evs += ((k, seq, "delete", None, None))
+      } else evs += ((k, seq, "update", Some(1L + rnd.nextInt(3)),
+        Some(s"S${rnd.nextInt(2)}")))
+    }
+    val deltas = CdcOps.signedAttrDeltas(
+        evs.toSeq.toDF("pk", "seq", "kind", "ck", "st"), Seq("ck", "st"))
+      .localCheckpoint()
+    def result(cut: Long) =
+      CdcOps.ivmDistinctMaintain(deltas, cut).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = result(seq + 1)
+    assert(want.nonEmpty)
+    // sanity vs an independent in-memory replay of final state
+    val state = scala.collection.mutable.Map[Long, (Long, String)]()
+    evs.foreach {
+      case (k, _, "insert", Some(ck), Some(st)) => state(k) = (ck, st)
+      case (k, _, "update", Some(ck), Some(st)) => state(k) = (ck, st)
+      case (k, _, "delete", _, _) => state.remove(k)
+      case _ =>
+    }
+    val exact = state.values.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet.size.toLong).toMap
+    assert(want.toMap == exact, "maintenance != in-memory truth")
+    for (cut <- Seq(0L, 1L, seq / 4, seq / 2, 3 * seq / 4, seq))
+      assert(result(cut) == want, s"maintenance != recompute at cut=$cut")
+  }
 }
