@@ -902,6 +902,52 @@ object CdcOps {
       |SELECT status, CAST(COUNT(DISTINCT ck) AS BIGINT) AS n
       |FROM cur GROUP BY status ORDER BY status""".stripMargin
 
+  // ------------------------------------------------------------- CDC12
+  /** CORRUPT-LINE QUARANTINE — the PERMISSIVE-mode contract a 100 TB
+    * replay needs: a malformed capture line (truncated write, encoding
+    * damage, a foreign log line) must never abort the stream OR vanish
+    * silently; it surfaces as a counted quarantine channel while every
+    * well-formed line decodes normally. `from_json` already returns a
+    * null parse for garbage — the quarantine is the decoder's own
+    * `unknown` kind (no recognized top-level key) from the same
+    * single-parse decode (no second validation pass, no exception
+    * path). Output: envelope counts per table, tx-control
+    * lines under `__txctl__`, quarantined lines under `__corrupt__` —
+    * the audit a consumer alerts on. Fixture plants a deterministic
+    * non-JSON line for every 13th order on a reserved seq range. */
+  def cdc12_quarantine(s: SparkSession, dir: String): DataFrame = {
+    val corrupt = Tables.load(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select((col("o_orderkey") + 10000000L).as("seq"),
+        format_string("corrupt line #%d not json", col("o_orderkey"))
+          .as("line"))
+    val all = syntheticLines(s, dir).unionByName(corrupt)
+    JsonCdc.decode(all)
+      .select(when(col("kind") === "unknown", lit("__corrupt__"))
+        .otherwise(coalesce(col("table"), lit("__txctl__"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle: bucket counts closed-form from [[syntheticLines]]'s
+    * construction (3 lines/order + 2 schema lines) + the planted
+    * corruption. */
+  val cdc12Sql: String =
+    """WITH b AS (
+      |  SELECT '__txctl__' AS bucket,
+      |    2 * (SELECT count(*) FROM orders) AS n
+      |  UNION ALL SELECT 'orders',
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_orderkey % 10 NOT IN (8, 9)) + 2
+      |  UNION ALL SELECT 'pg_temp_refresh',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 9)
+      |  UNION ALL SELECT 'audit_log',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 8)
+      |  UNION ALL SELECT '__corrupt__',
+      |    (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0))
+      |SELECT bucket, CAST(n AS BIGINT) AS n FROM b
+      |WHERE n > 0 ORDER BY bucket""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -914,7 +960,8 @@ object CdcOps {
     "cdc8_ivm" -> (cdc8_ivm _),
     "cdc9_scd2_merge" -> (cdc9_scd2_merge _),
     "cdc10_ivm_join" -> (cdc10_ivm_join _),
-    "cdc11_ivm_distinct" -> (cdc11_ivm_distinct _))
+    "cdc11_ivm_distinct" -> (cdc11_ivm_distinct _),
+    "cdc12_quarantine" -> (cdc12_quarantine _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -927,5 +974,6 @@ object CdcOps {
     "cdc8_ivm" -> cdc8Sql,
     "cdc9_scd2_merge" -> cdc9Sql,
     "cdc10_ivm_join" -> cdc10Sql,
-    "cdc11_ivm_distinct" -> cdc11Sql)
+    "cdc11_ivm_distinct" -> cdc11Sql,
+    "cdc12_quarantine" -> cdc12Sql)
 }

@@ -623,6 +623,72 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** KEEP-BEST representative selection — the production variant of
+    * q22_dedup_cluster's keep decision: instead of "lowest doc_id
+    * survives", each near-dup cluster keeps its RICHEST member
+    * (most distinct tokens — the quality signal a C4-style pipeline
+    * would plug in here; the argmax is one `max_by` over a unique
+    * (quality, -doc_id) struct, so ties are impossible and the choice
+    * is partition-order-independent). Quality joins onto cluster
+    * members only (cluster-scale, not corpus-scale), and the per-root
+    * argmax is one partial-agg groupBy — nothing new shuffles at
+    * corpus scale beyond the clustering itself. */
+  def q22_dedup_keep_best(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir).localCheckpoint()
+    val pairs = verified(candidatePairs(shingleEx(sh)), sh)
+      .select("doc_a", "doc_b")
+    val cc = connectedComponents(pairs).localCheckpoint()
+    val quality = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(expr("split(trim(text), '\\\\s+')")))
+          .cast("long").as("nd"))
+      // members only: the quality join is cluster-scale
+      .join(cc.select("doc_id"), Seq("doc_id"), "left_semi")
+    val withQ = cc.join(quality, "doc_id")
+    val best = withQ.groupBy("keep_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("nd"), (-col("doc_id")).as("neg"))).as("best_id"))
+    withQ.join(best, "keep_id")
+      .select(col("doc_id"), col("keep_id"), col("nd"), col("best_id"),
+        (col("doc_id") === col("best_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q22KeepBestSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |       FROM t),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+      |             b.n AS nb, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT doc_a, doc_b FROM p
+      |          WHERE 2*inter >= na + nb - inter),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT u, u FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u AS doc_id, min(v) AS keep_id FROM reach GROUP BY u),
+      |q AS (SELECT doc_id,
+      |        CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+      |      FROM t),
+      |m AS (SELECT lbl.doc_id, lbl.keep_id, q.nd
+      |      FROM lbl JOIN q USING (doc_id)),
+      |b AS (SELECT keep_id, doc_id AS best_id FROM (
+      |        SELECT keep_id, doc_id, row_number() OVER (
+      |          PARTITION BY keep_id ORDER BY nd DESC, doc_id) AS rk
+      |        FROM m) WHERE rk = 1)
+      |SELECT m.doc_id, m.keep_id, m.nd, b.best_id,
+      |  m.doc_id = b.best_id AS kept
+      |FROM m JOIN b USING (keep_id)
+      |ORDER BY m.doc_id""".stripMargin
+
   val q22ClusterSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -749,6 +815,7 @@ object DedupOps {
     "q22_dedup_minhash" -> (q22_dedup_minhash _),
     "q22_dedup_simhash" -> (q22_dedup_simhash _),
     "q22_dedup_cluster" -> (q22_dedup_cluster _),
+    "q22_dedup_keep_best" -> (q22_dedup_keep_best _),
     "q22_dedup_incremental" -> (q22_dedup_incremental _),
     "q22_dedup_incr_near" -> (q22_dedup_incr_near _),
     "q22_dedup_embed" -> (q22_dedup_embed _))
@@ -764,6 +831,7 @@ object DedupOps {
     "q22_dedup_minhash" -> q22NgramSql,
     "q22_dedup_simhash" -> q22SimhashSql,
     "q22_dedup_cluster" -> q22ClusterSql,
+    "q22_dedup_keep_best" -> q22KeepBestSql,
     "q22_dedup_incremental" -> q22IncrementalSql,
     // banding covers every J >= 0.5 pair (miss < 1e-8) and candidates
     // verify exactly → output equals the exact new-vs-anything pairs

@@ -314,7 +314,66 @@ object SampleOps {
       |FROM r WHERE rk <= 8
       |ORDER BY lang, rk""".stripMargin
 
+  // ------------------------------------------------------- curriculum
+  /** CURRICULUM ORDERING — training positions easy→hard (Bengio et al.
+    * '09): documents sort by length-percentile QUARTILE (difficulty),
+    * deterministically shuffled INSIDE each quartile (the q27_shuffle
+    * hash order), every row getting its global position. Composes the
+    * engine's own primitives at their scale shapes: the q19g histogram
+    * + keyless PrefixSum for percentiles (no global cume_dist window),
+    * then the bucket-decomposed global rank over the composite
+    * (difficulty, hash-bucket) order — counts per composite bucket,
+    * exclusive prefix sum over the 4·|buckets| summary rows, broadcast
+    * offsets + within-bucket row_number. No single-task window touches
+    * row-scale data anywhere. */
+  def q26_curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 1024L
+    val bucketWidth = 4294967296L / nBuckets
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "n_chars")
+    // difficulty: length percentile → quartile (q19g's histogram shape)
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val below = PrefixSum.exclusiveRunningSum(
+      hist, "c", "below", seqCol = "n_chars")
+    val total = docs.count()
+    val d = docs
+      .join(broadcast(below.select(col("n_chars"), col("below"))),
+        Seq("n_chars"))
+      .withColumn("diff", expr(s"below * 100 div ${total}L div 25"))
+      .withColumn("h", bucketOf("doc_id"))
+      .withColumn("bkt", expr(s"diff * $nBuckets + h div $bucketWidth"))
+      .select("doc_id", "diff", "h", "bkt")
+    val counts = d.groupBy("bkt").agg(count(lit(1)).as("n"))
+    val offsets = PrefixSum
+      .exclusiveRunningSum(counts, "n", "off", seqCol = "bkt",
+        bucketSize = 4 * nBuckets)
+      .select("bkt", "off")
+    val wLocal = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(offsets), "bkt")
+      .withColumn("pos", col("off") + row_number().over(wLocal) - 1)
+      .select("doc_id", "diff", "pos")
+      .orderBy("doc_id")
+  }
+
+  val q26CurriculumSql: String =
+    """WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+      |cm AS (SELECT n_chars,
+      |    COALESCE(SUM(c) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM h),
+      |n AS (SELECT COUNT(*) AS tot FROM documents),
+      |d AS (SELECT doc_id,
+      |    CAST(cm.below * 100 // (SELECT tot FROM n) // 25 AS BIGINT)
+      |      AS diff,
+      |    (doc_id * 2654435761) % 4294967296 AS hsh
+      |  FROM documents JOIN cm USING (n_chars))
+      |SELECT doc_id, diff,
+      |  ROW_NUMBER() OVER (ORDER BY diff, hsh, doc_id) - 1 AS pos
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_curriculum" -> (q26_curriculum _),
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
     "q26_kfold" -> (q26_kfold _),
@@ -324,6 +383,7 @@ object SampleOps {
     "q26_reservoir" -> (q26_reservoir _))
 
   def oracles: Map[String, String] = Map(
+    "q26_curriculum" -> q26CurriculumSql,
     "q26_sample_hash" -> q26SampleSql,
     "q26_split_stratified" -> q26SplitSql,
     "q26_kfold" -> q26KfoldSql,
