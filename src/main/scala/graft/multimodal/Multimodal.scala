@@ -242,15 +242,148 @@ object Multimodal {
       |GROUP BY 1, 2, 3
       |ORDER BY lang, label, split""".stripMargin
 
+  /** Stub perceptual hash: 60-bit signature, one parity bit per
+    * EQUAL-WIDTH payload block — the fixed-grid discipline of a real
+    * pHash (resize → per-block DCT sign); block boundaries scale with
+    * the payload (block i = bytes [i·len/60, (i+1)·len/60)), so every
+    * media fills all 60 bits and no length class degenerates into one
+    * shared bucket (a frame-indexed signature left every short doc's
+    * high bands zero → all-pairs among them, measured 124k candidate
+    * pairs on 500 docs). A real build swaps the block feature at this
+    * same codec seam. */
+  def phashStub(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    var total = 0L
+    var t = 0
+    while (t < len) { total += (bytes(t) & 0xff); t += 1 }
+    var hash = 0L
+    var i = 0
+    while (i < 60) {
+      val from = i.toLong * len / 60
+      val until = (i + 1).toLong * len / 60
+      var s = 0L
+      var j = from
+      while (j < until) { s += (bytes(j.toInt) & 0xff); j += 1 }
+      // aHash bit: block mean above the payload mean, exact integer
+      // cross-multiply (s/w > total/len ⇔ s·len > total·w) — edit-
+      // robust, so near-identical payloads land small Hamming
+      // distances (a checksum-parity bit flips on ANY byte change and
+      // finds only byte-identical media)
+      if (s * len > total * (until - from)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** A (media, signature) row. */
+  case class MediaSig(media_id: Long, hash: Long)
+
+  /** q25e — PERCEPTUAL-HASH NEAR-DUP over media payloads: the image
+    * dedup step of a multimodal pipeline (pHash/aHash family), run at
+    * its production scale shape. Per media, the 60-bit [[phashStub]]
+    * signature (partition-batched through the codec seam); candidates
+    * come from MULTI-INDEX HAMMING SEARCH (Norouzi, Punjani & Fleet,
+    * CVPR'12): split the signature into 4 bands of 15 bits — by
+    * pigeonhole, any pair within distance 8 agrees within 2 bits in
+    * SOME band — and probe each band value against its ≤2-error
+    * neighborhood (121 masks), an EQUI join on (band, value), never an
+    * all-pairs scan (plain exact-band LSH provably misses distance-8
+    * pairs; the corpus's closest real pair sits at exactly 8).
+    * Survivors verify by exact Hamming ≤ 8 on the full signature.
+    * Oracle re-derives signatures from the text with substring block
+    * math (the q25b precedent) and replays the same mask probe. */
+  def q25e_phash_dedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[MediaSig]
+    val sigs = mediaFromDocuments(s, dir)
+      .mapPartitions { rows => // codec init once per partition
+        rows.map(r => MediaSig(r.media_id, phashStub(r.media)))
+      }
+      .toDF()
+      .localCheckpoint() // bands + verify both read it
+    // all masks of Hamming weight ≤ 2 over 15 bits: 1 + 15 + 105
+    val masks: Seq[Long] = 0L +:
+      ((0 until 15).map(1L << _) ++
+        (for { i <- 0 until 15; j <- (i + 1) until 15 }
+          yield (1L << i) | (1L << j)))
+    val bands = sigs.select(col("media_id"), col("hash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("band_val",
+        expr("hash div shiftleft(1L, 15 * b) % 32768"))
+    val probes = bands
+      .withColumn("mask", explode(typedlit(masks)))
+      .select(col("b"), expr("band_val ^ mask").as("band_val"),
+        col("media_id").as("id_b"), col("hash").as("hb"))
+    val cand = bands.select(col("b"), col("band_val"),
+        col("media_id").as("id_a"), col("hash").as("ha"))
+      .join(probes, Seq("b", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 8)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q25eSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |f AS (SELECT doc_id, unnest(range(0, 60)) AS idx, text, len
+      |  FROM d),
+      |tot AS (SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(text)+1),
+      |          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+      |      (acc, c) -> acc + c) AS total
+      |  FROM d),
+      |blk AS (SELECT doc_id, idx, len,
+      |    substring(text, CAST(idx * len // 60 AS INT) + 1,
+      |      CAST((idx + 1) * len // 60 - idx * len // 60 AS INT)) AS s
+      |  FROM f),
+      |bit AS (SELECT blk.doc_id, idx,
+      |    CASE WHEN list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(s)+1),
+      |            i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> acc + c) * len
+      |      > tot.total * CAST(length(s) AS BIGINT)
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM blk JOIN tot ON tot.doc_id = blk.doc_id),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(b * (CAST(1 AS BIGINT) << CAST(idx AS INT))) AS BIGINT)
+      |      AS hash
+      |  FROM bit GROUP BY doc_id),
+      |bands AS (SELECT doc_id, hash, b.b,
+      |    hash // (CAST(1 AS BIGINT) << CAST(15 * b.b AS INT)) % 32768
+      |      AS band_val
+      |  FROM sig, range(4) b(b)),
+      |mk AS (SELECT CAST(0 AS BIGINT) AS mask
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) << CAST(i.i AS INT) FROM range(15) i(i)
+      |  UNION ALL
+      |  SELECT (CAST(1 AS BIGINT) << CAST(i.i AS INT))
+      |       | (CAST(1 AS BIGINT) << CAST(j.j AS INT))
+      |  FROM range(15) i(i), range(15) j(j) WHERE j.j > i.i),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    x.hash AS ha, y.hash AS hb
+      |  FROM bands x, bands y, mk
+      |  WHERE x.b = y.b AND x.band_val = xor(y.band_val, mk.mask)
+      |    AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal" -> (q25_multimodal _),
     "q25b_frame_sample" -> (q25b_frame_sample _),
     "q25c_patchify" -> (q25c_patchify _),
-    "q25d_pairs" -> (q25d_pairs _))
+    "q25d_pairs" -> (q25d_pairs _),
+    "q25e_phash_dedup" -> (q25e_phash_dedup _))
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal" -> q25Sql,
     "q25b_frame_sample" -> q25bSql,
     "q25c_patchify" -> q25cSql,
-    "q25d_pairs" -> q25dSql)
+    "q25d_pairs" -> q25dSql,
+    "q25e_phash_dedup" -> q25eSql)
 }

@@ -93,6 +93,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashStub: equal-width blocks, aHash bit semantics, edit " +
+      "locality — a few changed bytes move few bits") {
+    val base = Array.tabulate(600)(i => ((i * 37) % 251).toByte)
+    val h = graft.multimodal.Multimodal.phashStub(base)
+    assert(h == graft.multimodal.Multimodal.phashStub(base.clone()),
+      "deterministic")
+    // flip a handful of bytes in one region: bounded signature movement
+    val edited = base.clone()
+    (100 until 110).foreach(i => edited(i) = (edited(i) + 90).toByte)
+    val h2 = graft.multimodal.Multimodal.phashStub(edited)
+    assert(java.lang.Long.bitCount(h ^ h2) <= 6,
+      s"local edit moved ${java.lang.Long.bitCount(h ^ h2)} bits")
+    assert(graft.multimodal.Multimodal.phashStub(Array.empty[Byte]) == 0L)
+  }
+
+  test("q25e multi-index probe: pigeonhole recall is total at " +
+      "Hamming <= 8 on planted signatures (plain exact-band LSH " +
+      "provably misses some)") {
+    // the operator's candidate scheme, replayed in-memory over planted
+    // hashes: every pair within 8 must surface; distance-9+ pairs may
+    // or may not (they're verify-filtered anyway)
+    val rnd = new scala.util.Random(5)
+    val base = rnd.nextLong() & ((1L << 60) - 1)
+    def flip(h: Long, bits: Seq[Int]) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    // distance exactly 8, spread 2-per-band (the worst case for exact
+    // bands: NO band matches exactly, 2 errors in each)
+    val spread8 = flip(base, Seq(0, 7, 15, 22, 30, 37, 45, 52))
+    val sigs = Seq(1L -> base, 2L -> spread8,
+      3L -> flip(base, Seq(3)), 4L -> flip(base, (0 until 12)))
+    def bandVals(h: Long) = (0 until 4).map(b => (b, (h >> (15 * b)) & 0x7FFF))
+    val masks = 0L +: ((0 until 15).map(1L << _) ++
+      (for { i <- 0 until 15; j <- (i + 1) until 15 }
+        yield (1L << i) | (1L << j)))
+    def candidates(a: Long, b: Long): Boolean =
+      bandVals(a).exists { case (i, va) =>
+        val vb = bandVals(b)(i)._2
+        masks.exists(m => va == (vb ^ m))
+      }
+    // exact-band LSH misses the spread-8 pair; the probe finds it
+    assert(!bandVals(base).zip(bandVals(spread8)).exists {
+      case ((_, x), (_, y)) => x == y }, "planted case defeats exact bands")
+    for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 8
+    } assert(candidates(ha, hb), s"pair $ia-$ib missed")
+  }
+
   test("q04c sketch columns: per-type estimates within error of exact, " +
       "and the union row equals a direct sketch of all users") {
     import org.apache.spark.sql.functions._
