@@ -600,11 +600,13 @@ object FunnelOps {
     * rollup of purchase count + exact DECIMAL revenue. Total order
     * inside a user = (ts_us, event_id) so simultaneous events attribute
     * deterministically in both engines. */
-  def q29c_attribution(s: SparkSession, dir: String): DataFrame = {
+  /** Core over (user_id, ts_us, event_id, event_type, value) rows —
+    * exposed so specs can plant sequences. */
+  private[graft] def attribution(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, dir)
+    events
       .withColumn("touch",
         last(when(col("event_type") =!= "purchase", col("event_type")),
           ignoreNulls = true).over(w))
@@ -613,8 +615,10 @@ object FunnelOps {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("revenue"))
-      .orderBy("channel")
   }
+
+  def q29c_attribution(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir)).orderBy("channel")
 
   val q29cSql: String =
     s"""WITH e AS ${Tables.eventsNormSql},

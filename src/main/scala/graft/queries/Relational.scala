@@ -1702,6 +1702,49 @@ object Relational {
       |     HAVING COUNT(*) > 1))
       |ORDER BY "check"""".stripMargin
 
+  /** ANALYZE-style COLUMN STATISTICS (q36b) — the stats a cost-based
+    * optimizer / data catalog maintains per column: row count, null
+    * count, exact distinct count, lexical min/max — computed in ONE
+    * partial-agg pass over the table and unpivoted to a row per
+    * column. Exact countDistinct serves the oracle contract; at 100 TB
+    * the same query swaps in approx_count_distinct / q04c sketch
+    * columns (constant state) without changing shape. Min/max travel
+    * as strings so one stats schema covers every column type;
+    * double-typed columns are excluded from the demo set because
+    * engine float-formatting differs (the stats shape, not the
+    * formatting, is the product). */
+  def q36b_column_stats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val li = t(s, dir, "lineitem")
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"null_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    li.agg(count(lit(1)).as("n"), aggs: _*)
+      .select(expr("stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', n, null_$c, nd_$c, min_$c, max_$c")
+          .mkString(", ") +
+        ") AS (col_name, n, n_null, n_distinct, min_s, max_s)"))
+      .orderBy("col_name")
+  }
+
+  val q36bSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s,
+         |  CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+  }
+
   // ---------------------------------------------------------------- Q37
   /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
     * a tree resolved to its (root, depth) in O(log depth) rounds. The
@@ -1882,6 +1925,7 @@ object Relational {
     "q32_grid_cross" -> (q32_grid_cross _),
     "q33_lateral" -> (q33_lateral _),
     "q36_audit" -> (q36_audit _),
+    "q36b_column_stats" -> (q36b_column_stats _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -1937,6 +1981,7 @@ object Relational {
     "q32_grid_cross" -> q32Sql,
     "q33_lateral" -> q33Sql,
     "q36_audit" -> q36Sql,
+    "q36b_column_stats" -> q36bSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

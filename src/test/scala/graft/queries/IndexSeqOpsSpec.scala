@@ -119,4 +119,62 @@ class IndexSeqOpsSpec extends SparkSpec {
     // both series are flat at their own mean → statistic pinned at 0
     assert(out.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
   }
+
+  // --------------------------------------------------------------- q43b
+  test("q43b BM25 semantics on the fixture: scores saturate in tf, " +
+      "penalize long docs, and rank by (score DESC, doc_id)") {
+    val rows = IndexOps.q43b_bm25(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (term, posting) =>
+      val byRank = posting.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length),
+        s"$term ranks must be dense from 1")
+      // ranking is by score desc then doc_id — verify the invariant
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._5 > lo._5 || (hi._5 == lo._5 && hi._3 < lo._3),
+            s"$term rank order violated")
+        case _ =>
+      }
+      assert(byRank.length <= 5)
+    }
+  }
+
+  test("q43b BM25 tf saturation: the micro-unit factor rises with tf " +
+      "but is bounded by k1+1 and falls with document length") {
+    // the integer formula the operator computes, probed directly
+    def tfn(tf: Long, dl: Long, n: Long, s: Long): Long =
+      tf * 2200000L * 1000000L /
+        (tf * 1000000L + 300000L + 9L * (dl * n * 1000000L / s) / 10L)
+    val (n, s) = (100L, 10000L) // avgdl = 100
+    assert(tfn(2, 100, n, s) > tfn(1, 100, n, s), "rising in tf")
+    assert(tfn(1000, 100, n, s) < 2200000L, "bounded by (k1+1) micro")
+    assert(tfn(5, 400, n, s) < tfn(5, 100, n, s), "long docs penalized")
+    assert(tfn(1000, 100, n, s) > 2000000L, "saturates NEAR the bound")
+  }
+
+  // --------------------------------------------------------------- q29c
+  test("q29c attribution semantics on planted sequences: last touch " +
+      "wins, no prior touch is 'direct', later touches don't leak back") {
+    val ev = Seq(
+      // user 1: view → click → purchase(10) → purchase(5): both credit
+      // the click (last touch persists until a new one)
+      (1L, 1L, "view", 0.0), (1L, 2L, "click", 0.0),
+      (1L, 3L, "purchase", 10.0), (1L, 4L, "purchase", 5.0),
+      // user 2: purchase with NO prior touch → direct; the view AFTER
+      // must not leak backwards
+      (2L, 1L, "purchase", 7.0), (2L, 2L, "view", 0.0),
+      // user 3: view then purchase at the same ts — event_id orders
+      // the view first, so it attributes
+      (3L, 5L, "view", 0.0), (3L, 5L, "purchase", 3.0))
+      .toDF("user_id", "ts_us", "event_type", "value")
+      .withColumn("event_id", col("ts_us") * 10 + col("user_id"))
+    val got = FunnelOps.attribution(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("click", 2L, 15.0), ("direct", 1L, 7.0),
+      ("view", 1L, 3.0)))
+  }
 }

@@ -128,27 +128,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no query plans an unpartitioned WindowExec (the single-task " +
-      "whole-dataset window Spark itself warns about)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def emptyPartWindows(p: SparkPlan): Seq[String] = {
-      val buf = scala.collection.mutable.Buffer[String]()
-      p.foreach {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
-          buf += w.windowExpression.map(_.sql).mkString(",")
-        case a: AdaptiveSparkPlanExec =>
-          buf ++= emptyPartWindows(a.executedPlan)
-        case _ =>
-      }
-      buf.toSeq
-    }
+      "whole-dataset window Spark itself warns about) — via the " +
+      "PlanAudit library walk") {
+    import graft.plans.PlanAudit
     // planning only — localCheckpoint-ing queries run their upstream
     // jobs, but nothing downstream executes
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        emptyPartWindows(fn(spark, sfDir).queryExecution.executedPlan)
-          .map(w => s"$name: $w")
+        PlanAudit.audit(fn(spark, sfDir))
+          .filter(_.kind == PlanAudit.UnpartitionedWindow)
+          .map(f => s"$name: ${f.detail}")
     }
     assert(offenders.isEmpty,
       "global-window funnel(s) planned:\n" + offenders.mkString("\n"))
@@ -492,6 +481,22 @@ class PlanShapeSpec extends SparkSpec {
     // it twice as an in-memory table, not two re-derivations
     assert(plan.contains("Scan ExistingRDD") || plan.contains("InMemory"),
       "the oriented edge list must be materialized once and reused")
+  }
+
+  test("q43b BM25 cuts per-term top-5 through TopKPerKey and " +
+      "broadcasts the 3-row probe set — tf never sorts per partition") {
+    val plan = planOf(IndexOps.queries("q43b_bm25")(spark, sfDir))
+    assert(plan.contains("TopKPerKey"),
+      "row_number<=5 must plan as the bounded heap")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe-term set must broadcast onto the tf table")
+  }
+
+  test("q19g percentile transform: the only windows run over the value " +
+      "histogram, and the histogram side broadcasts back onto the rows") {
+    val plan = planOf(Relational.queries("q19g_percentile")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the value-scale (n_chars, below) side must broadcast")
   }
 
   test("cdc10 join-view IVM: the three delta terms broadcast the batch " +
