@@ -54,10 +54,44 @@ object Main {
     EngineConfig(backends)
   }
 
+  /** `-q <name> <sfDir> [limit]` — run one named query from the
+    * engine's inventory against a parquet table directory and print
+    * the head of the result: the ad-hoc face of the library (the
+    * daemon covers streaming). `-q list` prints the inventory. */
+  private def runQuery(args: Array[String]): Unit = {
+    val builder = SparkSession.builder().appName("graft-query")
+    if (!sys.props.contains("spark.master") &&
+        !sys.env.contains("SPARK_MASTER"))
+      builder.master("local[*]")
+    SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    args.toSeq match {
+      case Seq("list") =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      case Seq(name, sfDir, rest @ _*) =>
+        val fn = SparkEntry.queries.getOrElse(name, {
+          System.err.println(
+            s"unknown query '$name' — `-q list` prints the inventory")
+          sys.exit(1)
+        })
+        val limit = rest.headOption.map(_.toInt).getOrElse(20)
+        val spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        fn(spark, sfDir).show(limit, truncate = false)
+        spark.stop()
+      case _ =>
+        System.err.println(
+          "usage: graft.cli.Main -q <name|list> <sfDir> [limit]")
+        sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val qIdx = args.indexOf("-q")
+    if (qIdx >= 0) { runQuery(args.drop(qIdx + 1)); return }
     val cfgPath = args.sliding(2).collectFirst {
       case Array("-c", p) => p }.getOrElse {
-      System.err.println("usage: graft.cli.Main -c config.json [-t]")
+      System.err.println(
+        "usage: graft.cli.Main -c config.json [-t] | -q <name|list> <sfDir>")
       sys.exit(1)
     }
     val validateOnly = args.contains("-t")
