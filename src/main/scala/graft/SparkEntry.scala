@@ -38,7 +38,7 @@ object SparkEntry {
       q.TextOps.queries ++ q.WindowedOps.queries ++ q.CdcOps.queries ++
       q.SampleOps.queries ++ q.CurationOps.queries ++ q.SkewOps.queries ++
       q.FunnelOps.queries ++ q.GraphOps.queries ++ q.IndexOps.queries ++
-      graft.multimodal.Multimodal.queries
+      q.LayoutOps.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -48,5 +48,5 @@ object SparkEntry {
       q.TextOps.oracles ++ q.WindowedOps.oracles ++ q.CdcOps.oracles ++
       q.SampleOps.oracles ++ q.CurationOps.oracles ++ q.SkewOps.oracles ++
       q.FunnelOps.oracles ++ q.GraphOps.oracles ++ q.IndexOps.oracles ++
-      graft.multimodal.Multimodal.oracles
+      q.LayoutOps.oracles ++ graft.multimodal.Multimodal.oracles
 }

@@ -499,6 +499,15 @@ class PlanShapeSpec extends SparkSpec {
       "the value-scale (n_chars, below) side must broadcast")
   }
 
+  test("q45 bucketed join: zero hash exchanges — the write paid the " +
+      "shuffle; join AND aggregate ride the bucket layout") {
+    val plan = planOf(LayoutOps.queries("q45_bucketed_join")(spark, sfDir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join/agg on the bucket key must not re-shuffle")
+    assert(plan.contains("SortMergeJoin"),
+      "bucketed sides zip with a sort-merge join")
+  }
+
   test("cdc10 join-view IVM: the three delta terms broadcast the batch " +
       "side — maintenance must not shuffle the accumulated state twice") {
     val plan = planOf(CdcOps.queries("cdc10_ivm_join")(spark, sfDir))
