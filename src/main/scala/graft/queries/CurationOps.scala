@@ -552,7 +552,61 @@ object CurationOps {
       |FROM clean ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // -------------------------------------------------- forget / erasure
+  /** RIGHT-TO-BE-FORGOTTEN PROPAGATION (q27d) — the governance op every
+    * data platform owes its users: given a deletion-request key set,
+    * purge the subject's rows from EVERY table that references them and
+    * emit the audit trail (per table: rows before, removed, after —
+    * the numbers a compliance report states). The forget set is always
+    * tiny against the corpus, so it rides one broadcast into per-table
+    * anti joins (at larger request volumes, the q27b Bloom gate
+    * prefilters map-side before the exchange — same composition).
+    * Fixture: every 97th customer files a request; it propagates to
+    * customer itself, their orders, and their events. */
+  def q27d_forget(s: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.load(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(97)) === 0)
+      .select(col("c_custkey").as("k"))
+      .localCheckpoint() // three anti joins read it
+    // declarative per-table audit: one broadcast left join marks the
+    // subject rows map-side, one partial agg counts both sides — no
+    // driver-side counts, the whole audit is one distributed plan
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k2"))
+        .join(broadcast(forget), col("k2") === col("k"), "left")
+        .agg(count(lit(1)).as("n_before"), count(col("k")).as("n_removed"))
+        .select(lit(name).as("table"), col("n_before"), col("n_removed"),
+          (col("n_before") - col("n_removed")).as("n_after"))
+    audit("customer", Tables.load(s, dir, "customer"), "c_custkey")
+      .unionByName(audit("events", Tables.events(s, dir), "user_id"))
+      .unionByName(audit("orders", Tables.load(s, dir, "orders"),
+        "o_custkey"))
+      .orderBy("table")
+  }
+
+  val q27dForgetSql: String =
+    s"""WITH f AS (SELECT c_custkey AS k FROM customer
+       |           WHERE c_custkey % 97 = 0),
+       |e AS ${graft.Tables.eventsNormSql},
+       |a AS (
+       |  SELECT 'customer' AS "table", COUNT(*) AS n_before,
+       |    COUNT(*) FILTER (WHERE c_custkey IN (SELECT k FROM f))
+       |      AS n_removed
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'events', COUNT(*),
+       |    COUNT(*) FILTER (WHERE user_id IN (SELECT k FROM f))
+       |  FROM e
+       |  UNION ALL
+       |  SELECT 'orders', COUNT(*),
+       |    COUNT(*) FILTER (WHERE o_custkey IN (SELECT k FROM f))
+       |  FROM orders)
+       |SELECT "table", n_before, n_removed,
+       |  n_before - n_removed AS n_after
+       |FROM a ORDER BY "table"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27d_forget" -> (q27d_forget _),
     "q27_decontaminate" -> (q27_decontaminate _),
     "q27b_decontam_bloom" -> (q27b_decontam_bloom _),
     "q27c_near_decontam" -> (q27c_near_decontam _),
@@ -564,6 +618,7 @@ object CurationOps {
     "q27_pipeline" -> (q27_pipeline _))
 
   def oracles: Map[String, String] = Map(
+    "q27d_forget" -> q27dForgetSql,
     "q27_decontaminate" -> q27DecontaminateSql,
     "q27b_decontam_bloom" -> q27DecontaminateSql, // exact twin by design
     "q27c_near_decontam" -> q27cNearSql,

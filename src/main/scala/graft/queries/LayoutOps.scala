@@ -72,10 +72,61 @@ object LayoutOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------- schema evolution
+  /** SCHEMA-EVOLUTION READ (q46) — a long-lived dataset accretes
+    * columns across writer generations; the engine must read the whole
+    * history as ONE table with the union schema (old files yield NULL
+    * for columns they predate) — Spark's `mergeSchema` parquet path,
+    * the batch face of the cdc7 drift report. Fixture: two generations
+    * written once per JVM/dir (gen 1: (key, status); gen 2 adds
+    * priority), read merged, aggregated per (status, priority) with
+    * gen-1 rows surfacing as '__none__'. The oracle restates the union
+    * from the source table. Generation handling is not hypothetical
+    * here: events.parquet itself shipped in TIMESTAMP(NANOS) and
+    * MICROS generations, normalized in graft.Tables. */
+  private def ensureGenerations(s: SparkSession, dir: String): String = {
+    val name = "gen_orders_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    writtenLock.synchronized {
+      if (!written((name, dir))) {
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-$name")
+        if (base.exists())
+          scala.reflect.io.Directory(base).deleteRecursively()
+        val o = Tables.load(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus")
+          .write.parquet(s"$base/gen=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .write.parquet(s"$base/gen=2")
+        written += ((name, dir))
+      }
+    }
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-$name").toString
+  }
+
+  def q46_schema_merge(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureGenerations(s, dir)
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("o_orderstatus").as("status"),
+        coalesce(col("o_orderpriority"), lit("__none__")).as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status", "priority")
+  }
+
+  val q46Sql: String =
+    """SELECT o_orderstatus AS status,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+      |       ELSE '__none__' END AS priority,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY status, priority""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q45_bucketed_join" -> (q45_bucketed_join _))
+    "q45_bucketed_join" -> (q45_bucketed_join _),
+    "q46_schema_merge" -> (q46_schema_merge _))
 
   def oracles: Map[String, String] = Map(
-    "q45_bucketed_join" -> q45Sql)
+    "q45_bucketed_join" -> q45Sql,
+    "q46_schema_merge" -> q46Sql)
 }
