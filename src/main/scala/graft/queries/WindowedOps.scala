@@ -186,7 +186,9 @@ object WindowedOps {
         col("user_id") === col("c_user") &&
         col("c_us") >= col("p_us") - 1800000000L &&
         col("c_us") <= col("p_us"), joinType)
-      .select(col("user_id"), col("purchase_id"), col("click_id"),
+      // full-outer: click-only rows carry their user on the c side
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"),
         (col("p_us") - col("c_us")).as("lag_us"))
   }
 
@@ -225,6 +227,28 @@ object WindowedOps {
        |FROM p LEFT JOIN c ON p.user_id = c_user
        |  AND c_us BETWEEN p_us - 1800000000 AND p_us
        |ORDER BY purchase_id, COALESCE(click_id, -1)""".stripMargin
+
+  // ------------------------------------------------------------ S09b
+  /** Batch twin of the FULL-OUTER interval join: S09's purchase misses
+    * PLUS the clicks that attributed nothing — the audit view that
+    * accounts for every event on both sides exactly once or more. */
+  def s09b_stream_join_full(s: SparkSession, dir: String): DataFrame =
+    attribution(s, dir, "full")
+      .orderBy(coalesce(col("purchase_id"), lit(-1L)),
+        coalesce(col("click_id"), lit(-1L)))
+
+  val s09bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_us
+       |      FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id AS c_user, event_id AS click_id, ts_us AS c_us
+       |      FROM e WHERE event_type = 'click')
+       |SELECT COALESCE(p.user_id, c_user) AS user_id, purchase_id,
+       |  click_id, p_us - c_us AS lag_us
+       |FROM p FULL JOIN c ON p.user_id = c_user
+       |  AND c_us BETWEEN p_us - 1800000000 AND p_us
+       |ORDER BY COALESCE(purchase_id, -1), COALESCE(click_id, -1)"""
+      .stripMargin
 
   // ------------------------------------------------------------- S08
   /** Stream-static enrichment: every event decorated with its user's
@@ -308,7 +332,8 @@ object WindowedOps {
     "s06_dedup" -> (s06_dedup _),
     "s07_stream_join" -> (s07_stream_join _),
     "s08_enrich" -> (s08_enrich _),
-    "s09_stream_join_outer" -> (s09_stream_join_outer _))
+    "s09_stream_join_outer" -> (s09_stream_join_outer _),
+    "s09b_stream_join_full" -> (s09b_stream_join_full _))
 
   def oracles: Map[String, String] = Map(
     "s10_funnel_live" -> s10Sql,
@@ -321,5 +346,6 @@ object WindowedOps {
     "s06_dedup" -> s06Sql,
     "s07_stream_join" -> s07Sql,
     "s08_enrich" -> s08Sql,
-    "s09_stream_join_outer" -> s09Sql)
+    "s09_stream_join_outer" -> s09Sql,
+    "s09b_stream_join_full" -> s09bSql)
 }

@@ -78,6 +78,14 @@ object EventStreams {
   def purchaseAttributionOuter(events: DataFrame): DataFrame =
     attribution(events, "left_outer")
 
+  /** S09b: FULL-OUTER interval join — both sides' misses surface: an
+    * unattributed purchase AND a click that attributed nothing each
+    * emit their null-row once the global watermark proves no partner
+    * can still arrive. Same eviction bound; the user_id survives on
+    * whichever side exists. */
+  def purchaseAttributionFull(events: DataFrame): DataFrame =
+    attribution(events, "full_outer")
+
   /** Shared S07/S09 body — one definition of the window, watermarks,
     * and join condition, so the inner and outer forms can never drift. */
   private def attribution(events: DataFrame, joinType: String): DataFrame = {
@@ -93,7 +101,9 @@ object EventStreams {
         col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
         col("c_ts") <= col("p_ts"), joinType)
-      .select(col("user_id"), col("purchase_id"), col("click_id"),
+      // full-outer: click-only rows carry their user on the c side
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 

@@ -145,6 +145,40 @@ class EventStreamsSpec extends SparkSpec {
       s"unexpected outer attribution set: $got")
   }
 
+  test("S09b full-outer interval join emits BOTH sides' misses: the " +
+      "unattributed purchase and the click that attributed nothing") {
+    val events = Seq(
+      Ev(t(0), "click", 1, 10, 1.0),
+      Ev(t(20), "click", 1, 11, 1.0),
+      Ev(t(25), "purchase", 1, 20, 9.0), // joins clicks 10 and 11
+      Ev(t(40), "click", 2, 12, 1.0),
+      Ev(t(95), "purchase", 2, 21, 9.0), // click 12 is 55m old -> both miss
+      Ev(t(31), "purchase", 1, 22, 9.0), // joins click 11 only
+      // watermark pushers on BOTH sides, then one more batch pair so
+      // the outer null rows (incl. the click-side miss) flush
+      Ev(t(600), "click", 9, 99, 1.0),
+      Ev(t(600), "purchase", 8, 97, 9.0),
+      Ev(t(800), "click", 9, 96, 1.0),
+      Ev(t(800), "purchase", 8, 95, 9.0))
+    val res = runStream(
+      Seq(events.take(3), events.slice(3, 6), events.slice(6, 8),
+        events.slice(8, 10)),
+      EventStreams.purchaseAttributionFull)
+    val all: Set[(Option[Long], Option[Long])] =
+      res.select($"purchase_id", $"click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+    // restrict to the planted core — the sentinel users' own miss
+    // rows depend on exactly where the final watermark lands
+    val got = all.filter(pc =>
+      pc._1.exists(_ <= 22L) || pc._2.exists(_ <= 12L))
+    assert(got == Set(
+      (Some(20L), Some(10L)), (Some(20L), Some(11L)),
+      (Some(22L), Some(11L)),
+      (Some(21L), None),  // purchase with no click in window
+      (None, Some(12L))), // click that attributed nothing
+      s"unexpected full-outer set: $got")
+  }
+
   test("S11 complete-mode leaderboard: the final table is the all-time " +
       "top-k, identical to the batch ranking over everything seen") {
     val events = Seq(
