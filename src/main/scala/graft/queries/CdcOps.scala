@@ -948,6 +948,77 @@ object CdcOps {
       |SELECT bucket, CAST(n AS BIGINT) AS n FROM b
       |WHERE n > 0 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------- CDC13
+  /** VERSION DIFF — `table_changes(v1, v2)` over the replayed history:
+    * which rows were added / removed / modified between two as-of
+    * points, the question every warehouse's versioned tables answer
+    * (downstream incremental consumers, audits, debugging "what changed
+    * overnight"). Two cdc5-shaped snapshots (ONE shared decode,
+    * max_by hash agg each — never a sort) full-outer join on pk and
+    * classify; unchanged rows drop out, so the result is change-scale.
+    * Cuts fall MID-CHAIN (3·n+1 — a key's insert has played but not
+    * its update/delete), so all three change kinds occur. Oracle =
+    * closed-form states from [[syntheticHistory]]'s construction. */
+  def cdc13_version_diff(s: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.load(s, dir, "orders")
+      .agg(max("o_orderkey")).head().getLong(0)
+    val (n1, n2) = (mx / 3, 2 * (mx / 3))
+    val ev = JsonCdc.decode(syntheticHistory(s, dir))
+      .filter(col("kind").isin("insert", "update", "delete"))
+      .select(col("pk").cast("long").as("pk"), col("seq"), col("kind"),
+        get_json_object(col("item"), "$.status").as("status"))
+      .localCheckpoint() // both as-of states read one decode
+    def stateAt(cut: Long) = ev.filter(col("seq") < cut)
+      .groupBy("pk")
+      .agg(max_by(struct(col("kind"), col("status")), col("seq")).as("l"))
+      .filter(col("l.kind") =!= "delete")
+      .select(col("pk"), col("l.status").as("status"))
+    val s1 = stateAt(3 * n1 + 1)
+      .select(col("pk").as("pk1"), col("status").as("old_status"))
+    val s2 = stateAt(3 * n2 + 1)
+      .select(col("pk").as("pk2"), col("status").as("new_status"))
+    s1.join(s2, col("pk1") === col("pk2"), "full")
+      .select(coalesce(col("pk1"), col("pk2")).as("pk"),
+        when(col("pk1").isNull, "added")
+          .when(col("pk2").isNull, "removed")
+          .when(col("old_status") =!= col("new_status"), "modified")
+          .as("change"),
+        col("old_status"), col("new_status"))
+      .filter(col("change").isNotNull)
+      .orderBy("pk")
+  }
+
+  /** Oracle: both as-of states closed-form (at cut 3n+1: insert played
+    * iff k ≤ n, update iff k < n and k%4≠1, delete iff k < n and
+    * k%4=3), diffed the same way. */
+  val cdc13Sql: String =
+    """WITH p AS (SELECT MAX(o_orderkey) // 3 AS n1,
+      |             2 * (MAX(o_orderkey) // 3) AS n2 FROM orders),
+      |s1 AS (SELECT o_orderkey AS pk,
+      |    CASE WHEN o_orderkey < (SELECT n1 FROM p)
+      |              AND o_orderkey % 4 != 1
+      |         THEN o_orderstatus ELSE 'NEW' END AS old_status
+      |  FROM orders
+      |  WHERE o_orderkey <= (SELECT n1 FROM p)
+      |    AND NOT (o_orderkey < (SELECT n1 FROM p)
+      |             AND o_orderkey % 4 = 3)),
+      |s2 AS (SELECT o_orderkey AS pk,
+      |    CASE WHEN o_orderkey < (SELECT n2 FROM p)
+      |              AND o_orderkey % 4 != 1
+      |         THEN o_orderstatus ELSE 'NEW' END AS new_status
+      |  FROM orders
+      |  WHERE o_orderkey <= (SELECT n2 FROM p)
+      |    AND NOT (o_orderkey < (SELECT n2 FROM p)
+      |             AND o_orderkey % 4 = 3)),
+      |d AS (SELECT COALESCE(s1.pk, s2.pk) AS pk,
+      |    CASE WHEN s1.pk IS NULL THEN 'added'
+      |         WHEN s2.pk IS NULL THEN 'removed'
+      |         WHEN old_status != new_status THEN 'modified' END AS change,
+      |    old_status, new_status
+      |  FROM s1 FULL JOIN s2 ON s1.pk = s2.pk)
+      |SELECT pk, change, old_status, new_status FROM d
+      |WHERE change IS NOT NULL ORDER BY pk""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -961,7 +1032,8 @@ object CdcOps {
     "cdc9_scd2_merge" -> (cdc9_scd2_merge _),
     "cdc10_ivm_join" -> (cdc10_ivm_join _),
     "cdc11_ivm_distinct" -> (cdc11_ivm_distinct _),
-    "cdc12_quarantine" -> (cdc12_quarantine _))
+    "cdc12_quarantine" -> (cdc12_quarantine _),
+    "cdc13_version_diff" -> (cdc13_version_diff _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -975,5 +1047,6 @@ object CdcOps {
     "cdc9_scd2_merge" -> cdc9Sql,
     "cdc10_ivm_join" -> cdc10Sql,
     "cdc11_ivm_distinct" -> cdc11Sql,
-    "cdc12_quarantine" -> cdc12Sql)
+    "cdc12_quarantine" -> cdc12Sql,
+    "cdc13_version_diff" -> cdc13Sql)
 }

@@ -1717,16 +1717,21 @@ object Relational {
     val cols = Seq("l_orderkey", "l_partkey", "l_linenumber",
       "l_returnflag", "l_linestatus")
     val li = t(s, dir, "lineitem")
-    val aggs = cols.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"null_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
-    li.agg(count(lit(1)).as("n"), aggs: _*)
-      .select(expr("stack(" + cols.length + ", " +
-        cols.map(c => s"'$c', n, null_$c, nd_$c, min_$c, max_$c")
-          .mkString(", ") +
-        ") AS (col_name, n, n_null, n_distinct, min_s, max_s)"))
+    // ONE aggregate per column, unioned — NOT one agg with N
+    // countDistincts, which Catalyst rewrites into an N-way Expand
+    // (N× the input rows through the exchange; measured 8.5s vs ~1s at
+    // sf0.1). Each branch scans only its own column (parquet pruning),
+    // and a single distinct per agg plans expand-free two-phase.
+    cols.map { c =>
+      li.select(col(c)).agg(
+          count(lit(1)).as("n"),
+          sum(col(c).isNull.cast("long")).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
       .orderBy("col_name")
   }
 
