@@ -1397,8 +1397,10 @@ object Relational {
     // global window, even over the histogram — PrefixSum's bucketed
     // carry) gives each distinct length the count strictly below it
     val hist = d.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    // explicit whole-range bucket size: one tiny histogram-scale
+    // level-1 partition, no auto-sizer stats job (q27_shuffle's lesson)
     val below = PrefixSum.exclusiveRunningSum(
-      hist, "c", "below", seqCol = "n_chars")
+      hist, "c", "below", seqCol = "n_chars", bucketSize = 1L << 30)
     val total = d.count()
     d.select(col("doc_id"), col("n_chars"))
       .join(broadcast(below.select(col("n_chars"), col("below"))),

@@ -334,8 +334,12 @@ object SampleOps {
       .select("doc_id", "n_chars")
     // difficulty: length percentile → quartile (q19g's histogram shape)
     val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    // explicit bucket size covering the whole n_chars range: skips the
+    // auto-sizer's stats job (which would re-run the scan + groupBy at
+    // plan build — q27_shuffle's lesson) and keeps the level-1 window
+    // one tiny histogram-scale partition
     val below = PrefixSum.exclusiveRunningSum(
-      hist, "c", "below", seqCol = "n_chars")
+      hist, "c", "below", seqCol = "n_chars", bucketSize = 1L << 30)
     val total = docs.count()
     val d = docs
       .join(broadcast(below.select(col("n_chars"), col("below"))),
@@ -344,6 +348,7 @@ object SampleOps {
       .withColumn("h", bucketOf("doc_id"))
       .withColumn("bkt", expr(s"diff * $nBuckets + h div $bucketWidth"))
       .select("doc_id", "diff", "h", "bkt")
+      .localCheckpoint() // counts + offsets-join both fork it
     val counts = d.groupBy("bkt").agg(count(lit(1)).as("n"))
     val offsets = PrefixSum
       .exclusiveRunningSum(counts, "n", "off", seqCol = "bkt",
