@@ -377,7 +377,67 @@ object SampleOps {
       |  ROW_NUMBER() OVER (ORDER BY diff, hsh, doc_id) - 1 AS pos
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- DSIR
+  /** IMPORTANCE RESAMPLING data selection (q26_dsir) — the DSIR recipe
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS'23): score every document by how much its
+    * hashed-feature distribution looks like a TARGET sample relative
+    * to the raw SOURCE pool, keep the top scorers. Features are hashed
+    * unigrams (the [[graft.functions.RollingHash]] kernel mod 1024 —
+    * codegen'd, oracle-portable); the target/source bucket histograms
+    * are 1024-row aggregates whose smoothed ratio broadcasts back onto
+    * the token stream (q24_oov's probe shape), so scoring is one
+    * map-side join + one doc-keyed partial agg. The integer ratio
+    * (t+1)·10⁶ div (s+1) replaces the paper's log-likelihood ratio —
+    * monotone per bucket, hash-exact on both engines (the q43b idf
+    * argument). Selection is top-100 by (importance, doc_id) —
+    * TakeOrderedAndProject, never a global sort. */
+  def q26_dsir(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("b",
+        pmod(graft.functions.native.rollingHash(col("token")), lit(1024L)))
+      .select("doc_id", "b")
+      .localCheckpoint() // target + source + scoring all read it
+    val target = tok.filter(col("doc_id") % 7 === 0)
+      .groupBy("b").agg(count(lit(1)).as("t"))
+    val source = tok.groupBy("b").agg(count(lit(1)).as("sdist"))
+    val ratio = source.join(target, Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(t, 0L) + 1) * 1000000 div (sdist + 1)").as("w"))
+    tok.join(broadcast(ratio), "b")
+      .groupBy("doc_id").agg(sum("w").as("sw"), count(lit(1)).as("nt"))
+      .select(col("doc_id"), expr("sw div nt").as("importance_e6"))
+      .orderBy(desc("importance_e6"), col("doc_id")).limit(100)
+  }
+
+  val q26DsirSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+      |    AS token
+      |  FROM documents),
+      |ne AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(token)+1),
+      |        i -> CAST(ascii(substring(token, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS b
+      |  FROM tok WHERE token != ''),
+      |tgt AS (SELECT b, COUNT(*) AS t FROM ne
+      |        WHERE doc_id % 7 = 0 GROUP BY b),
+      |src AS (SELECT b, COUNT(*) AS sdist FROM ne GROUP BY b),
+      |ratio AS (SELECT src.b,
+      |    (COALESCE(t, 0) + 1) * 1000000 // (sdist + 1) AS w
+      |  FROM src LEFT JOIN tgt ON tgt.b = src.b),
+      |sc AS (SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT)
+      |    AS importance_e6
+      |  FROM ne JOIN ratio USING (b) GROUP BY doc_id)
+      |SELECT doc_id, importance_e6 FROM sc
+      |ORDER BY importance_e6 DESC, doc_id LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dsir" -> (q26_dsir _),
     "q26_curriculum" -> (q26_curriculum _),
     "q26_sample_hash" -> (q26_sample_hash _),
     "q26_split_stratified" -> (q26_split_stratified _),
@@ -388,6 +448,7 @@ object SampleOps {
     "q26_reservoir" -> (q26_reservoir _))
 
   def oracles: Map[String, String] = Map(
+    "q26_dsir" -> q26DsirSql,
     "q26_curriculum" -> q26CurriculumSql,
     "q26_sample_hash" -> q26SampleSql,
     "q26_split_stratified" -> q26SplitSql,
