@@ -123,6 +123,60 @@ object IndexOps {
       |WHERE rk <= 8
       |ORDER BY r.term, rk""".stripMargin
 
+  // --------------------------------------------------------------- Q42b
+  /** FREQUENT TRIPLES with A-PRIORI pruning (q42b) — one lattice level
+    * above q42's pairs (Agrawal & Srikant VLDB'94): a triple can only
+    * be frequent if all three of its pairs are, so candidate triples
+    * filter against the (small) frequent-pair set BEFORE any shuffle —
+    * three broadcast LEFT-SEMI joins on the row-locally generated
+    * (a<b<c) triples. Without the pruning every basket ships C(n,3)
+    * candidate rows into the exchange; with it, only triples already
+    * plausible at the pair level survive map-side. Triple generation
+    * stays row-local from the sorted basket set (the q42 discipline);
+    * counts collapse through one partial-agg groupBy. The oracle skips
+    * the pruning — it is a pure optimization, the result set is
+    * provably identical (monotonicity of support). */
+  private[graft] def frequentTriples(items: DataFrame,
+      minSupport: Long): DataFrame = {
+    val pairs = cooccur(items, minSupport).select("a", "b")
+    val triples = items
+      .groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .select(explode(expr(
+        """flatten(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), (y, j) ->
+          |    transform(slice(ps, i + j + 3, size(ps)),
+          |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin))
+        .as("tr"))
+      .select(col("tr.a").as("a"), col("tr.b").as("b"), col("tr.c").as("c"))
+    val pruned = triples
+      .join(broadcast(pairs), Seq("a", "b"), "left_semi")
+      .join(broadcast(pairs.select(col("a"), col("b").as("c"))),
+        Seq("a", "c"), "left_semi")
+      .join(broadcast(pairs.select(col("a").as("b"), col("b").as("c"))),
+        Seq("b", "c"), "left_semi")
+    pruned.groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .orderBy(desc("n"), col("a"), col("b"), col("c"))
+  }
+
+  def q42b_triples(s: SparkSession, dir: String): DataFrame =
+    frequentTriples(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 2)
+
+  val q42bSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |t AS (SELECT a.l_partkey AS a, b.l_partkey AS b, c.l_partkey AS c
+      |      FROM i a
+      |      JOIN i b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      JOIN i c ON a.l_orderkey = c.l_orderkey
+      |        AND b.l_partkey < c.l_partkey)
+      |SELECT a, b, c, count(*) AS n FROM t GROUP BY 1, 2, 3
+      |HAVING count(*) >= 2
+      |ORDER BY n DESC, a, b, c""".stripMargin
+
   // --------------------------------------------------------------- Q43b
   /** BM25 RANKED RETRIEVAL over the unigram index — the scoring layer a
     * RAG/search consumer runs on top of q43's structure: for each probe
@@ -214,11 +268,13 @@ object IndexOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cooccur" -> (q42_cooccur _),
+    "q42b_triples" -> (q42b_triples _),
     "q43_index" -> (q43_index _),
     "q43b_bm25" -> (q43b_bm25 _))
 
   def oracles: Map[String, String] = Map(
     "q42_cooccur" -> q42Sql,
+    "q42b_triples" -> q42bSql,
     "q43_index" -> q43Sql,
     "q43b_bm25" -> q43bSql)
 }

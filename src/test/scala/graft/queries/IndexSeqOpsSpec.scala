@@ -120,6 +120,29 @@ class IndexSeqOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
   }
 
+  // --------------------------------------------------------------- q42b
+  test("frequentTriples == brute-force triple counts on random " +
+      "baskets — Apriori pruning never drops a qualifying triple") {
+    val rnd = new scala.util.Random(11)
+    val baskets = (1L to 40L).map(b =>
+      b -> (1 to 2 + rnd.nextInt(5)).map(_ => 1L + rnd.nextInt(12)).toSet)
+    val items = baskets.flatMap { case (b, is) => is.map(b -> _) }
+      .toDF("basket", "item")
+    val expected = baskets.flatMap { case (_, is) =>
+      val s = is.toSeq.sorted
+      for {
+        i <- s.indices; j <- (i + 1) until s.length
+        k <- (j + 1) until s.length
+      } yield (s(i), s(j), s(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    val got = IndexOps.frequentTriples(items, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    assert(got == expected, "pruned result must equal brute force")
+    assert(expected.nonEmpty, "degenerate fixture: no frequent triples")
+  }
+
   // --------------------------------------------------------------- q43b
   test("q43b BM25 semantics on the fixture: scores saturate in tf, " +
       "penalize long docs, and rank by (score DESC, doc_id)") {
