@@ -1019,6 +1019,74 @@ object CdcOps {
       |SELECT pk, change, old_status, new_status FROM d
       |WHERE change IS NOT NULL ORDER BY pk""".stripMargin
 
+  // ------------------------------------------------------------- CDC14
+  /** Transport-integrity audit — the check a consumer runs before
+    * trusting a replay: the at-least-once file/Kafka transport can
+    * re-deliver lines, and a capture crash can strand a transaction's
+    * begin without its commit (the reference holds open transactions in
+    * memory, postgresql.js:14-17 — a killed worker loses exactly the
+    * commit). Three independent anomaly detectors share one decode and
+    * union into one report:
+    *
+    *   - `orphan_tx`: a begin id with fewer commits than begins — the
+    *     open transaction a restarted assembler must discard;
+    *   - `stranded_commit`: a commit id with no begin (replay started
+    *     mid-transaction);
+    *   - `dup_delivery`: a seq delivered more than once (at-least-once
+    *     re-delivery; downstream appliers must dedup on seq).
+    *
+    * None of the checks needs the tx-id prefix carry: begin/commit
+    * pairing groups CONTROL rows only by their own ids, and duplicate
+    * detection groups the narrow (seq) column — two partial-agg
+    * shuffles over narrow rows, no windows, no carries, so the audit
+    * stays cheap enough to run on every replay at 100 TB. Faults are
+    * planted deterministically on the stride-4 seq grid (commit lane
+    * dropped where key%89=0, DML lane re-delivered where key%97=0), so
+    * the oracle is closed-form over `orders`. */
+  /** Audit core over any decoded stream with (seq, kind, begin_id,
+    * commit_id) — exposed so specs can plant hand-built anomalies. The
+    * input should be materialized (both detectors fork it). */
+  private[graft] def txAudit(decoded: DataFrame): DataFrame = {
+    val txPairing = decoded
+      .filter(col("kind").isin("beginTransaction", "commitTransaction"))
+      .groupBy(coalesce(col("begin_id"), col("commit_id")).as("key"))
+      .agg(count(col("begin_id")).as("n_begin"),
+        count(col("commit_id")).as("n_commit"))
+      .filter(col("n_begin") =!= col("n_commit"))
+      .select(
+        when(col("n_begin") > col("n_commit"), "orphan_tx")
+          .otherwise("stranded_commit").as("anomaly"),
+        col("key"), abs(col("n_begin") - col("n_commit")).as("n"))
+    val dupDelivery = decoded.groupBy(col("seq").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(lit("dup_delivery").as("anomaly"), col("key"), col("n"))
+    txPairing.unionAll(dupDelivery)
+  }
+
+  def cdc14_tx_audit(s: SparkSession, dir: String): DataFrame = {
+    val lines = syntheticLines(s, dir)
+    // planted transport faults (lane arithmetic: begin=4k, dml=4k+2,
+    // commit=4k+3): drop commits of k%89=0, re-deliver DML of k%97=0
+    val faulty = lines
+      .filter(!expr("seq % 4 = 3 AND (seq div 4) % 89 = 0"))
+      .unionAll(lines.filter(expr("seq % 4 = 2 AND (seq div 4) % 97 = 0")))
+    val d = JsonCdc.decode(faulty)
+      .select(col("seq"), col("kind"), col("begin_id"), col("commit_id"))
+      .localCheckpoint() // both detectors read one decode of one stream
+    txAudit(d).orderBy("anomaly", "key")
+  }
+
+  /** Oracle: the planted faults, closed-form from the key grid. */
+  val cdc14Sql: String =
+    """WITH k AS (SELECT o_orderkey AS k FROM orders)
+      |SELECT 'orphan_tx' AS anomaly, k AS key, CAST(1 AS BIGINT) AS n
+      |FROM k WHERE k % 89 = 0
+      |UNION ALL
+      |SELECT 'dup_delivery', 4 * k + 2, CAST(2 AS BIGINT)
+      |FROM k WHERE k % 97 = 0
+      |ORDER BY anomaly, key""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> (cdc1_decode _),
@@ -1033,7 +1101,8 @@ object CdcOps {
     "cdc10_ivm_join" -> (cdc10_ivm_join _),
     "cdc11_ivm_distinct" -> (cdc11_ivm_distinct _),
     "cdc12_quarantine" -> (cdc12_quarantine _),
-    "cdc13_version_diff" -> (cdc13_version_diff _))
+    "cdc13_version_diff" -> (cdc13_version_diff _),
+    "cdc14_tx_audit" -> (cdc14_tx_audit _))
 
   def oracles: Map[String, String] = Map(
     "cdc1_decode" -> cdc1Sql,
@@ -1048,5 +1117,6 @@ object CdcOps {
     "cdc10_ivm_join" -> cdc10Sql,
     "cdc11_ivm_distinct" -> cdc11Sql,
     "cdc12_quarantine" -> cdc12Sql,
-    "cdc13_version_diff" -> cdc13Sql)
+    "cdc13_version_diff" -> cdc13Sql,
+    "cdc14_tx_audit" -> cdc14Sql)
 }

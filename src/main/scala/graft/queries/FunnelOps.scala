@@ -636,8 +636,126 @@ object FunnelOps {
        |GROUP BY 1 ORDER BY channel""".stripMargin
 
   // ----------------------------------------------------------------
+  // -------------------------------------------------------------- Q29d
+  /** SESSION-PATH MINING — the top-20 most common within-session
+    * event-type sequences (the "user journey" report behind funnel
+    * design: which paths actually occur, and how many distinct users
+    * walk them). Same session identity as q40 (30-min gap over ONE
+    * per-user window sort), but instead of aggregating the session away
+    * the path materializes ROW-LOCALLY: collect each session's
+    * (ts_us, event_id, event_type) structs once, sort in-row, join the
+    * types with '>' — never a cross-session shuffle of partial paths.
+    * Then one |paths|-row partial-agg groupBy (sessions collapse
+    * map-side) and a global top-20 through TakeOrderedAndProject — k
+    * rows per partition cross to the driver, never the path table.
+    * Path length is bounded by session length (the 30-min gap bounds
+    * state the same way it bounds q40), so the collected array is
+    * session-scale, not user-scale. (ts_us, event_id) makes the
+    * in-session order total, so ties replay identically in both
+    * engines. */
+  /** Per-session path assembly over (user_id, ts_us, event_id,
+    * event_type) rows — exposed so specs can plant sequences. Returns
+    * one (user_id, session_id, path) row per session. */
+  private[graft] def sessionPaths(e: DataFrame,
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+  }
+
+  def q29d_paths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(Tables.events(s, dir))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
+  val q29dSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |m AS (SELECT user_id, event_id, ts_us, event_type,
+       |        CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+       |            ORDER BY ts_us, event_id) > 1800000000
+       |          THEN 1 ELSE 0 END AS new_s
+       |      FROM e),
+       |s AS (SELECT user_id, event_id, ts_us, event_type,
+       |        SUM(new_s) OVER (PARTITION BY user_id
+       |          ORDER BY ts_us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS session_id
+       |      FROM m),
+       |p AS (SELECT user_id, session_id,
+       |        string_agg(event_type, '>' ORDER BY ts_us, event_id)
+       |          AS path
+       |      FROM s GROUP BY user_id, session_id)
+       |SELECT path, count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------- Q34d
+  /** DAY-OF-WEEK SEASONAL PROFILE — per (event_type, weekday): observed
+    * days, total events, average daily volume, and the seasonal index
+    * (this weekday's average as ‰ of the type's all-days average — the
+    * multiplicative factor a forecast or the q35 anomaly baseline would
+    * deseasonalize by). Built on the q34 gap-filled series so quiet
+    * weekdays pull their average down (a day with no events is a 0, not
+    * a gap). Weekday = epoch-day mod 7 — calendar-free, identical in
+    * both engines. Two tiny stages after the daily aggregate: a
+    * 7-rows-per-type partial-agg groupBy, then per-type totals via a
+    * window over that 7-row aggregate (partitioned — never row-scale).
+    * All ratios in integer micro/milli units via two-step floor
+    * division, so every bit is engine-portable; magnitudes stay in
+    * int64 for daily volumes up to ~10¹² events per (type, weekday). */
+  def q34d_seasonal(s: SparkSession, dir: String): DataFrame = {
+    val byDow = gapFilled(s, dir)
+      .withColumn("dow", expr("day % 7"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val w = Window.partitionBy("event_type")
+    byDow
+      .withColumn("tot_days", sum(col("n_days")).over(w))
+      .withColumn("tot_events", sum(col("n_events")).over(w))
+      .withColumn("avg_micro", expr("1000000 * n_events div n_days"))
+      .withColumn("idx_milli",
+        expr("(1000 * (1000000 * n_events div n_days))" +
+          " div (1000000 * tot_events div tot_days)"))
+      .select("event_type", "dow", "n_days", "n_events", "avg_micro",
+        "idx_milli")
+      .orderBy("event_type", "dow")
+  }
+
+  val q34dSql: String =
+    s"""$gapFillCtes,
+       |w AS (SELECT event_type, day % 7 AS dow, count(*) AS n_days,
+       |        CAST(SUM(n) AS BIGINT) AS n_events
+       |      FROM f GROUP BY 1, 2),
+       |t AS (SELECT *,
+       |        CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT)
+       |          AS tot_days,
+       |        CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+       |          AS tot_events
+       |      FROM w)
+       |SELECT event_type, dow, n_days, n_events,
+       |  (1000000 * n_events) // n_days AS avg_micro,
+       |  (1000 * ((1000000 * n_events) // n_days))
+       |    // ((1000000 * tot_events) // tot_days) AS idx_milli
+       |FROM t ORDER BY event_type, dow""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_funnel" -> (q29_funnel _),
+    "q29d_paths" -> (q29d_paths _),
+    "q34d_seasonal" -> (q34d_seasonal _),
     "q29c_attribution" -> (q29c_attribution _),
     "q29b_transitions" -> (q29b_transitions _),
     "q30_retention" -> (q30_retention _),
@@ -651,6 +769,8 @@ object FunnelOps {
 
   def oracles: Map[String, String] = Map(
     "q29_funnel" -> q29Sql,
+    "q29d_paths" -> q29dSql,
+    "q34d_seasonal" -> q34dSql,
     "q29c_attribution" -> q29cSql,
     "q29b_transitions" -> q29bSql,
     "q30_retention" -> q30Sql,

@@ -687,10 +687,176 @@ object SimilarityOps {
       |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   // ----------------------------------------------------------------
+  // -------------------------------------------------------- ivf layout
+  /** IVF INDEX AT REST (q23_ivf_layout) — the q23_knn_ivf probe, but
+    * with the inverted lists materialized as the table's PHYSICAL
+    * layout: the corpus is written partitioned by cell (one directory
+    * per inverted list), and the probe joins the broadcast query set on
+    * the partition column, so Spark's dynamic partition pruning
+    * restricts the scan to the probed cells' FILES — the unprobed 90%
+    * of a 100 TB corpus is never read, which is the entire point of IVF
+    * (the in-memory variant only avoids comparing; this avoids IO).
+    * Same cells (= label), same scoring, same result as q23_knn_ivf —
+    * the oracle is shared, proving layout ≡ logical op — and the DPP
+    * plan shape is pinned by AuditPathsSpec. Written once per
+    * (JVM, dir), the LayoutOps/replayFixture harness convention. */
+  private val layoutLock = new Object
+  private var layoutPaths = Map.empty[String, String]
+  private def ensureCellLayout(s: SparkSession, dir: String): String =
+    layoutLock.synchronized {
+      layoutPaths.getOrElse(dir, {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-ivf-" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        if (base.exists())
+          scala.reflect.io.Directory(base).deleteRecursively()
+        Tables.load(s, dir, "embeddings")
+          .write.partitionBy("label").parquet(base.toString)
+        layoutPaths += dir -> base.toString
+        base.toString
+      })
+    }
+
+  def q23_ivf_layout(s: SparkSession, dir: String): DataFrame = {
+    val cells = s.read.parquet(ensureCellLayout(s, dir))
+      .select(col("vec_id").as("cand_id"), col("label"),
+        toDoubleVec(col("embedding")).as("cv"))
+      .withColumn("c_nrm", normExpr(col("cv")))
+    // query side reads the ORIGINAL table: the probe must not scan the
+    // layout it is trying to prune
+    val q = broadcast(normalized(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("q_nrm")))
+    val scored = cells.join(q,
+        col("label") === col("q_label") && col("cand_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("q_id", "rk", "cand_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  // ---------------------------------------------------------- semdedup
+  /** SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023 — arXiv:
+    * 2303.09540): cluster the embedding space, then hunt near-duplicate
+    * pairs only WITHIN each cluster — the clustering bounds the
+    * quadratic pair blast radius to Σ|cluster|² instead of n² (at 100 TB
+    * you size k ≈ √n so each cluster is ~√n and total pair work is
+    * ~n^1.5, the same budget as the q44 triangle orientation). Output:
+    * the DROP LIST — every vector that has an earlier (lower-id)
+    * same-cluster vector with cosine ≥ 0.35, with its keeper and the
+    * similarity that condemned it ("keep the earliest" is SemDeDup's
+    * deterministic representative rule; q22_dedup_keep_best is the
+    * quality-aware alternative).
+    *
+    * Shapes: assignment is ROW-LOCAL against k literal centroids
+    * (integer micro-space distances, the q23_kmeans convention — both
+    * engines agree bit-for-bit); within-cluster pairs ride the
+    * triangular block-bucket join of q22_dedup_embed but keyed on
+    * (cid, bucket), so a big cluster spreads over |blocks|²/2 tasks
+    * instead of one reducer; cosine is the shared native-kernel fold
+    * (identical IEEE order in both engines). The 0.35 threshold is
+    * calibrated to the fixture's near-random vectors (true neighbors
+    * sit at cos 0.26–0.39 — see the q23_knn_lsh band-sizing note); a
+    * production corpus with real duplicate structure uses ~0.9. */
+  def q23_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val nBlocks = 8
+    val vq = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+          .as("vm"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", normExpr(col("v")))
+      .localCheckpoint() // init collect + assignment read one scan
+    // deterministic init (the q23_kmeans rule): the k smallest vec_ids,
+    // cid = rank in vec_id order — k rows to the driver, not the data
+    val cents: Seq[(Long, Seq[Long])] =
+      vq.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0)).toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }
+    val cidLit = array(cents.map(c => lit(c._1)): _*)
+    val cmLit = array(cents.map(c => array(c._2.map(lit): _*)): _*)
+    val assigned = vq
+      .withColumn("dists", transform(cmLit, cv =>
+        aggregate(zip_with(col("vm"), cv, (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _)))
+      .withColumn("cid", element_at(cidLit,
+        array_position(col("dists"), array_min(col("dists"))).cast("int")))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+    val aSide = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("nrm_a"), col("blk").as("blk_a"))
+      .withColumn("bucket", explode(expr(
+        s"transform(sequence(blk_a, ${nBlocks - 1}), x -> blk_a * $nBlocks + x)")))
+    val bSide = assigned.select(col("cid").as("cid_b"),
+        col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("blk").as("blk_b"))
+      .withColumn("bucket_b", explode(expr(
+        s"transform(sequence(0, blk_b), x -> x * $nBlocks + blk_b)")))
+    // explicit partitioning, not AQE's: tiny shuffle, O(|block|²) work
+    // per bucket — coalescing would serialize the buckets (see
+    // q22_dedup_embed)
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pairs = aSide.repartition(n, col("cid"), col("bucket"))
+      .join(bSide.repartition(n, col("cid_b"), col("bucket_b")),
+        col("cid") === col("cid_b") && col("bucket") === col("bucket_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dotExpr(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= 0.35)
+      // normalize to (earlier keeper a, later dropped b)
+      .select(col("cid"), least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"), col("cos"))
+    pairs.groupBy(col("b").as("dropped"))
+      .agg(min(col("cid")).as("cid"), // constant within the group
+        // field-wise struct max: highest cos, then earliest keeper
+        max(struct(col("cos"), (-col("a")).as("na"))).as("best"))
+      .select(col("dropped"), col("cid"), (-col("best.na")).as("keeper"),
+        col("best.cos").as("cos"))
+      .orderBy("dropped")
+  }
+
+  val q23SemdedupSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 2000000)
+      |      AS vm,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, vm, dv,
+      |    sqrt(list_reduce(list_transform(dv, x -> x*x), (a,b) -> a+b))
+      |      AS nrm
+      |  FROM v),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+      |    AS cid, vm
+      |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+      |d AS (SELECT n.vec_id, n.dv, n.nrm, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (n.vm[i] - c.vm[i]) * (n.vm[i] - c.vm[i]))) AS dist
+      |  FROM n, c0 c),
+      |a AS (SELECT vec_id, dv, nrm, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      |  WHERE rn = 1),
+      |p AS (SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+      |    list_reduce(list_transform(list_zip(x.dv, y.dv), q -> q[1]*q[2]),
+      |      (s,t) -> s+t) / (x.nrm * y.nrm) AS cos
+      |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      |f AS (SELECT * FROM p WHERE cos >= 0.35),
+      |r AS (SELECT b AS dropped, cid, a AS keeper, cos, row_number()
+      |    OVER (PARTITION BY b ORDER BY cos DESC, a) AS rn FROM f)
+      |SELECT dropped, cid, keeper, cos FROM r WHERE rn = 1
+      |ORDER BY dropped""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_semdedup" -> (q23_semdedup _),
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_hardneg" -> (q23_hardneg _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
+    "q23_ivf_layout" -> (q23_ivf_layout _),
     "q23_knn_lsh" -> (q23_knn_lsh _),
     "q23_centroid" -> (q23_centroid _),
     "q23_gram" -> (q23_gram _),
@@ -700,9 +866,11 @@ object SimilarityOps {
     "q23_ivfpq" -> (q23_ivfpq _))
 
   def oracles: Map[String, String] = Map(
+    "q23_semdedup" -> q23SemdedupSql,
     "q23_knn_exact" -> q23ExactSql,
     "q23_hardneg" -> q23HardnegSql,
     "q23_knn_ivf" -> q23IvfSql,
+    "q23_ivf_layout" -> q23IvfSql, // layout ≡ logical op: shared oracle
     "q23_knn_lsh" -> q23LshSql,
     "q23_centroid" -> q23CentroidSql,
     "q23_gram" -> q23GramSql,

@@ -516,4 +516,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "delta terms are custkey equi joins")
   }
+
+  test("q23_ivf_layout: the probe dynamically prunes cell partitions — " +
+      "unprobed inverted lists must never be READ, not just not compared") {
+    val plan = planOf(SimilarityOps.queries("q23_ivf_layout")(spark, sfDir))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "cell scan must carry a DynamicPruningExpression partition filter")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query set broadcasts; the corpus side never shuffles")
+  }
+
+  test("q23_semdedup: within-cluster pairs ride the (cid, bucket) equi " +
+      "join — never a nested-loop product of the corpus") {
+    val plan = planOf(SimilarityOps.queries("q23_semdedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi join on (cid, block-bucket)")
+  }
+
+  test("q29d session paths: the global top-20 is TakeOrderedAndProject " +
+      "over the partial-agg'd path table, never a global sort") {
+    val plan = planOf(FunnelOps.queries("q29d_paths")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be per-partition heaps + driver merge")
+  }
+
+  test("cdc14 transport audit: both detectors are partial-agg groupBys " +
+      "— no windows, no carries, no sorts before the output order") {
+    val plan = planOf(CdcOps.queries("cdc14_tx_audit")(spark, sfDir))
+    assert(!plan.contains("Window"),
+      "the audit must not pay any window/prefix-carry pass")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "tx pairing and dup detection must combine map-side")
+  }
 }
