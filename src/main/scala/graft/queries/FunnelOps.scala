@@ -752,7 +752,140 @@ object FunnelOps {
        |    // ((1000000 * tot_events) // tot_days) AS idx_milli
        |FROM t ORDER BY event_type, dow""".stripMargin
 
+  // -------------------------------------------------------------- Q34e
+  /** LAG-k AUTOCORRELATION (ACF, k = 1..7) per event type over the
+    * zero-filled daily series — the "is there weekly structure / how
+    * fast does the signal decorrelate" diagnostic that decides a
+    * forecast's feature windows (a lag-7 spike confirms the q34d
+    * weekly seasonality; fast decay justifies the q35 7-day baseline).
+    *
+    * Shape: the gap-filled aggregate is |types|×days rows, so ALL
+    * seven lag columns ride ONE WindowExec (same partitioning +
+    * ordering — Spark fuses them into a single sort over the tiny
+    * aggregate, never over raw events); the seven (x, lag-k x) pair
+    * streams then stack row-locally and collapse through one
+    * partial-agg groupBy to 7·|types| moment rows. Determinism is the
+    * q19c recipe: exact decimal moment sums (counts square past int64
+    * at ~10⁹ events/day, so the products accumulate in decimal),
+    * doubles only in the final textbook correlation evaluated in
+    * identical expression order on both engines; constant series
+    * (zero variance) yield NULL rather than a 0/0 NaN. */
+  def q34e_acf(s: SparkSession, dir: String): DataFrame =
+    acfOf(gapFilled(s, dir), maxLag = 7)
+
+  /** Core over a complete (event_type, day, n) daily series — exposed so
+    * specs can plant series with known correlation structure. */
+  private[graft] def acfOf(daily: DataFrame, maxLag: Int): DataFrame = {
+    val lags = 1 to maxLag
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val withLags = lags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"p$k", lag(col("n"), k).over(w))
+    }
+    val dx = col("x").cast(DecimalType(18, 0))
+    val dy = col("y").cast(DecimalType(18, 0))
+    withLags
+      .select(col("event_type"), explode(array(lags.map(k =>
+          struct(lit(k).cast(IntegerType).as("k"), col("n").as("x"),
+            col(s"p$k").as("y"))): _*)).as("p"))
+      .select(col("event_type"), col("p.k").as("k"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .filter(col("y").isNotNull) // scaffold edge: first k days have no lag
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).cast(DoubleType).as("nn"),
+        sum(dx).cast(DoubleType).as("sx"),
+        sum(dx * dx).cast(DoubleType).as("sxx"),
+        sum(dy).cast(DoubleType).as("sy"),
+        sum(dy * dy).cast(DoubleType).as("syy"),
+        sum(dx * dy).cast(DoubleType).as("sxy"))
+      .select(col("event_type"), col("k"),
+        col("nn").cast(LongType).as("n_pairs"),
+        when(col("nn") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("nn") * col("syy") - col("sy") * col("sy") > 0,
+          (col("nn") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nn") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nn") * col("syy") - col("sy") * col("sy"))))
+          .as("acf"))
+      .orderBy("event_type", "k")
+  }
+
+  val q34eSql: String = {
+    val lagUnion = (1 to 7).map(k =>
+      s"""SELECT event_type, $k AS k, n AS x,
+         |  LAG(n, $k) OVER (PARTITION BY event_type ORDER BY day) AS y
+         |FROM f""".stripMargin).mkString("\nUNION ALL\n")
+    s"""$gapFillCtes,
+       |l AS (
+       |$lagUnion
+       |),
+       |m AS (SELECT event_type, k,
+       |    CAST(COUNT(*) AS DOUBLE) AS nn,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+       |      AS DOUBLE) AS sxy
+       |  FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, k, CAST(nn AS BIGINT) AS n_pairs,
+       |  CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+       |    THEN (nn * sxy - sx * sy) /
+       |      (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy))
+       |  END AS acf
+       |FROM m ORDER BY event_type, k""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Q29e
+  /** CONVERSION-LATENCY HISTOGRAM — how long users take from first
+    * signup to their first purchase AFTER it, binned by hour: the
+    * time-to-convert distribution that sits next to the q29 funnel
+    * (q29 says how many convert; this says how fast). First-signup
+    * discovery is a frame-less per-user window min (hash-style, no
+    * sort) riding the same single user_id exchange the qualifying-
+    * purchase filter and first-purchase groupBy reuse; the histogram
+    * is a second |bins|-row partial agg. Latency is integer µs,
+    * binned with `div` (strictly-after purchases make it positive, so
+    * floor == truncate on both engines). */
+  def q29e_convert_time(s: SparkSession, dir: String): DataFrame =
+    convertTime(Tables.events(s, dir))
+
+  /** Core over (user_id, event_type, ts_us) rows — exposed so specs can
+    * plant conversion shapes (no purchase / purchase-before-signup /
+    * repeat purchases). */
+  private[graft] def convertTime(events: DataFrame): DataFrame = {
+    val usHour = 3600000000L
+    val w = Window.partitionBy("user_id")
+    events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("user_id", "event_type", "ts_us")
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("t_signup").isNotNull && col("ts_us") > col("t_signup"))
+      .groupBy("user_id", "t_signup")
+      .agg(min(col("ts_us")).as("t_purchase"))
+      .withColumn("lat_h", expr(s"(t_purchase - t_signup) div $usHour"))
+      .groupBy("lat_h")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lat_h")
+  }
+
+  val q29eSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |s AS (SELECT user_id, MIN(ts_us) AS t_signup
+       |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+       |p AS (SELECT e.user_id, s.t_signup, MIN(e.ts_us) AS t_purchase
+       |      FROM e JOIN s ON e.user_id = s.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts_us > s.t_signup
+       |      GROUP BY 1, 2)
+       |SELECT (t_purchase - t_signup) // 3600000000 AS lat_h,
+       |  count(*) AS n_users
+       |FROM p GROUP BY 1 ORDER BY lat_h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34e_acf" -> (q34e_acf _),
+    "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
     "q34d_seasonal" -> (q34d_seasonal _),
@@ -768,6 +901,8 @@ object FunnelOps {
     "q40_sessionize" -> (q40_sessionize _))
 
   def oracles: Map[String, String] = Map(
+    "q34e_acf" -> q34eSql,
+    "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,
     "q34d_seasonal" -> q34dSql,

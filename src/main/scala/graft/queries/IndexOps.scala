@@ -36,9 +36,12 @@ object IndexOps {
     * a second partial-agg groupBy to one row per surviving pair; the
     * `n ≥ 2` support floor keeps the result the interesting tail.
     * Ordering (n DESC, a, b) is total because (a, b) is unique. */
-  /** Core over (basket, item) rows — exposed so specs can plant
-    * baskets; `minSupport` floors the emitted pair counts. */
-  private[graft] def cooccur(items: DataFrame, minSupport: Long): DataFrame =
+  /** Unordered pair-support core over (basket, item) rows — exposed so
+    * specs can plant baskets and so q42c can consume the counts without
+    * inheriting a mid-plan sort; `minSupport` floors the emitted pair
+    * counts. */
+  private[graft] def pairCounts(items: DataFrame,
+      minSupport: Long): DataFrame =
     items
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
@@ -49,6 +52,10 @@ object IndexOps {
       .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
+
+  /** [[pairCounts]] with the report's presentation order. */
+  private[graft] def cooccur(items: DataFrame, minSupport: Long): DataFrame =
+    pairCounts(items, minSupport)
       .orderBy(desc("n"), col("a"), col("b"))
 
   def q42_cooccur(s: SparkSession, dir: String): DataFrame =
@@ -64,6 +71,70 @@ object IndexOps {
       |SELECT a, b, count(*) AS n FROM p GROUP BY a, b
       |HAVING count(*) >= 2
       |ORDER BY n DESC, a, b""".stripMargin
+
+  // --------------------------------------------------------------- Q42c
+  /** RELATED-ITEMS retrieval: each part's top-5 most-related parts by
+    * basket Jaccard — the item-item collaborative-filtering table
+    * ("customers who bought X also bought…") built from the q42 pair
+    * supports. jaccard(a, b) = co / (n_a + n_b − co) in integer ppm
+    * (floor division, engine-portable); ties break on the neighbor id
+    * so the per-item ranking is total.
+    *
+    * Scale: pair supports come from [[pairCounts]] (row-local pair
+    * generation, no self-join); per-item basket counts are one
+    * distinct-collapse + partial-agg groupBy at vocabulary scale. Both
+    * joins onto the symmetrized pair list key on an item id — item-
+    * scale tables, shuffle-joinable at any corpus size (no broadcast
+    * assumption: at 100 TB the catalog itself can be huge). The top-5
+    * cut is `row_number() ≤ 5` over (jac DESC, other) — the
+    * TopKPerKey bounded-heap shape, so a hub item with 10⁵ neighbors
+    * never materializes its full candidate list in one task. */
+  def q42c_related(s: SparkSession, dir: String): DataFrame =
+    relatedItems(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 2, k = 5)
+
+  /** Core over (basket, item) rows — exposed so specs can plant baskets
+    * with known Jaccard structure. */
+  private[graft] def relatedItems(items: DataFrame, minSupport: Long,
+      k: Int): DataFrame = {
+    val pairs = pairCounts(items, minSupport)
+    val cnt = items.distinct()
+      .groupBy("item").agg(count(lit(1)).as("nb"))
+    val sym = pairs.select(col("a").as("item"), col("b").as("other"), col("n"))
+      .union(pairs.select(col("b").as("item"), col("a").as("other"), col("n")))
+    val w = Window.partitionBy("item")
+      .orderBy(desc("jac_ppm"), col("other"))
+    sym
+      .join(cnt.select(col("item"), col("nb").as("na")), "item")
+      .join(cnt.select(col("item").as("other"), col("nb").as("nob")), "other")
+      .withColumn("jac_ppm", expr("n * 1000000 div (na + nob - n)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("item"), col("rk").cast("long").as("rk"), col("other"),
+        col("n"), col("jac_ppm"))
+      .orderBy("item", "rk")
+  }
+
+  val q42cSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |           FROM lineitem),
+      |c AS (SELECT item, count(*) AS nb FROM i GROUP BY 1),
+      |p AS (SELECT a.item AS a, b.item AS b, count(*) AS n
+      |      FROM i a JOIN i b ON a.basket = b.basket AND a.item < b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT a AS item, b AS other, n FROM p
+      |        UNION ALL SELECT b, a, n FROM p),
+      |j AS (SELECT sym.item, sym.other, sym.n,
+      |        (sym.n * 1000000) // (ca.nb + cb.nb - sym.n) AS jac_ppm
+      |      FROM sym JOIN c ca ON ca.item = sym.item
+      |        JOIN c cb ON cb.item = sym.other),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |        ORDER BY jac_ppm DESC, other) AS rk
+      |      FROM j)
+      |SELECT item, rk, other, n, jac_ppm
+      |FROM r WHERE rk <= 5
+      |ORDER BY item, rk""".stripMargin
 
   // ---------------------------------------------------------------- Q43
   /** CAPPED INVERTED PHRASE INDEX: bigram term → document-frequency +
@@ -138,7 +209,7 @@ object IndexOps {
     * provably identical (monotonicity of support). */
   private[graft] def frequentTriples(items: DataFrame,
       minSupport: Long): DataFrame = {
-    val pairs = cooccur(items, minSupport).select("a", "b")
+    val pairs = pairCounts(items, minSupport).select("a", "b")
     val triples = items
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
@@ -268,12 +339,14 @@ object IndexOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cooccur" -> (q42_cooccur _),
+    "q42c_related" -> (q42c_related _),
     "q42b_triples" -> (q42b_triples _),
     "q43_index" -> (q43_index _),
     "q43b_bm25" -> (q43b_bm25 _))
 
   def oracles: Map[String, String] = Map(
     "q42_cooccur" -> q42Sql,
+    "q42c_related" -> q42cSql,
     "q42b_triples" -> q42bSql,
     "q43_index" -> q43Sql,
     "q43b_bm25" -> q43bSql)

@@ -1752,6 +1752,43 @@ object Relational {
         "\n) ORDER BY col_name")
   }
 
+  /** K-ANONYMITY audit (q36c) — the privacy gate beside the q36 quality
+    * gates and the q27d forget-propagation audit: group the table by its
+    * QUASI-IDENTIFIERS (here customer nationality × market segment — the
+    * columns an attacker can link to external data) and report every
+    * equivalence class with its size, the k<5 re-identification flag,
+    * and its share of the table in ppm. A release is 5-anonymous iff no
+    * class is flagged; the flagged rows are exactly what a suppression/
+    * generalization pass must rewrite.
+    *
+    * Scale: ONE partial-agg groupBy to |classes| rows; the grand total
+    * rides back as a broadcast one-row aggregate (the q19e discipline —
+    * never an unpartitioned window over data). Shares are integer ppm
+    * floor division, engine-portable. */
+  def q36c_anonymity(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val classes = cust
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    val total = cust.agg(count(lit(1)).as("n_total"))
+    classes.join(broadcast(total))
+      .withColumn("at_risk", col("class_size") < 5)
+      .withColumn("share_ppm", expr("class_size * 1000000 div n_total"))
+      .select("c_nationkey", "c_mktsegment", "class_size", "at_risk",
+        "share_ppm")
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val q36cSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    count(*) AS class_size FROM customer GROUP BY 1, 2),
+      |t AS (SELECT count(*) AS n_total FROM customer)
+      |SELECT c_nationkey, c_mktsegment, class_size,
+      |  class_size < 5 AS at_risk,
+      |  (class_size * 1000000) // n_total AS share_ppm
+      |FROM g, t
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- Q37
   /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
     * a tree resolved to its (root, depth) in O(log depth) rounds. The
@@ -1933,6 +1970,7 @@ object Relational {
     "q33_lateral" -> (q33_lateral _),
     "q36_audit" -> (q36_audit _),
     "q36b_column_stats" -> (q36b_column_stats _),
+    "q36c_anonymity" -> (q36c_anonymity _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -1989,6 +2027,7 @@ object Relational {
     "q33_lateral" -> q33Sql,
     "q36_audit" -> q36Sql,
     "q36b_column_stats" -> q36bSql,
+    "q36c_anonymity" -> q36cSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

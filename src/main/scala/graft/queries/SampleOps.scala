@@ -314,6 +314,53 @@ object SampleOps {
       |FROM r WHERE rk <= 8
       |ORDER BY lang, rk""".stripMargin
 
+  // --------------------------------------------------- weighted sample
+  /** Deterministic WEIGHTED per-stratum sample: k=8 docs per language
+    * with selection biased toward LONG documents — the
+    * Efraimidis–Spirakis A-Res recipe (priority = random^(1/w), keep
+    * the top-k) in an engine-portable integer surrogate: priority =
+    * hash·10⁶ div weight, keep the LOWEST k. The uniform key-hash
+    * stands in for the random draw, so a doc with twice the weight
+    * halves its expected priority (first-order proportional-to-weight
+    * inclusion rather than E–S's exact exponential order statistics —
+    * the trade that keeps every bit integer and reproducible: same
+    * keys → same sample on any engine, any partitioning). Shares
+    * q26_reservoir's stability: corpus growth displaces at most one
+    * incumbent per new doc.
+    *
+    * Scale: `row_number() ≤ k` over (lang, priority) — the TopKPerKey
+    * bounded-heap shape; k rows per stratum cross the exchange. */
+  def q26_weighted(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pri"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("wt", greatest(col("n_chars"), lit(1L)))
+      // `div`: exact Long floor division (Column./ detours through
+      // DOUBLE — h·10⁶ still double-exact at 4.3e15, but the repo
+      // convention is integer math stays integer)
+      .withColumn("h", bucketOf("doc_id"))
+      .withColumn("pri", expr("h * 1000000 div wt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("lang"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("wt"), col("pri"))
+      .orderBy("lang", "rk")
+  }
+
+  val q26WeightedSql: String =
+    """WITH p AS (SELECT lang, doc_id,
+      |    GREATEST(n_chars, 1) AS wt,
+      |    (((doc_id * 2654435761) % 4294967296) * 1000000)
+      |      // GREATEST(n_chars, 1) AS pri
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, wt, pri,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+      |      AS rk
+      |  FROM p)
+      |SELECT lang, rk, doc_id, wt, pri
+      |FROM r WHERE rk <= 8
+      |ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------------- curriculum
   /** CURRICULUM ORDERING — training positions easy→hard (Bengio et al.
     * '09): documents sort by length-percentile QUARTILE (difficulty),
@@ -445,7 +492,8 @@ object SampleOps {
     "q26_mix" -> (q26_mix _),
     "q26_temperature" -> (q26_temperature _),
     "q26_pps" -> (q26_pps _),
-    "q26_reservoir" -> (q26_reservoir _))
+    "q26_reservoir" -> (q26_reservoir _),
+    "q26_weighted" -> (q26_weighted _))
 
   def oracles: Map[String, String] = Map(
     "q26_dsir" -> q26DsirSql,
@@ -456,5 +504,6 @@ object SampleOps {
     "q26_mix" -> q26MixSql,
     "q26_temperature" -> q26TemperatureSql,
     "q26_pps" -> q26PpsSql,
-    "q26_reservoir" -> q26ReservoirSql)
+    "q26_reservoir" -> q26ReservoirSql,
+    "q26_weighted" -> q26WeightedSql)
 }

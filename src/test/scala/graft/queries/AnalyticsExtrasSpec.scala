@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics pins for the round-4 additions: q34e lag-k autocorrelation,
+  * q29e conversion-latency histogram, q42c related-items Jaccard top-k,
+  * q26_weighted weighted sampling, and the q36c k-anonymity audit — each
+  * on planted inputs (or recomputed invariants) the shared-fixture
+  * oracle can't isolate. */
+class AnalyticsExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q34e
+  test("acfOf: a period-2 alternating series is perfectly anticorrelated " +
+      "at lag 1 and perfectly correlated at lag 2") {
+    val daily = (0 until 10)
+      .map(d => ("a", d.toLong, if (d % 2 == 0) 1L else 3L))
+      .toDF("event_type", "day", "n")
+    val got = FunnelOps.acfOf(daily, maxLag = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byLag = got.map(t => t._1 -> t).toMap
+    assert(byLag(1)._2 == 9L && math.abs(byLag(1)._3 + 1.0) < 1e-12)
+    assert(byLag(2)._2 == 8L && math.abs(byLag(2)._3 - 1.0) < 1e-12)
+  }
+
+  test("acfOf: a constant series has zero variance — acf is NULL, " +
+      "never a 0/0 NaN") {
+    val daily = (0 until 6).map(d => ("c", d.toLong, 5L))
+      .toDF("event_type", "day", "n")
+    val got = FunnelOps.acfOf(daily, maxLag = 2).collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(3)))
+  }
+
+  test("acfOf: lags longer than the series produce no pair rows (the " +
+      "scaffold edge drops them; no empty-group placeholder)") {
+    val daily = (0 until 3).map(d => ("s", d.toLong, d.toLong))
+      .toDF("event_type", "day", "n")
+    val ks = FunnelOps.acfOf(daily, maxLag = 7)
+      .select("k").as[Int].collect().toSet
+    assert(ks == Set(1, 2)) // 3-day series: lag 3+ has no pairs
+  }
+
+  // ------------------------------------------------------------- q29e
+  test("convertTime: first-signup→first-later-purchase latency, binned " +
+      "by hour; non-converters, purchase-before-signup, and the exact " +
+      "signup instant are excluded; repeat purchases count once") {
+    val h = 3600000000L
+    val e = Seq(
+      // u1: converts in 90 min -> bin 1
+      (1L, "signup", 0L), (1L, "purchase", h + h / 2),
+      // u2: purchase but never signed up -> excluded
+      (2L, "purchase", h),
+      // u3: signup only -> excluded
+      (3L, "signup", 100L),
+      // u4: purchase before signup ignored; at the signup instant
+      // excluded (strict >); 30 min after -> bin 0
+      (4L, "purchase", 50L), (4L, "signup", 100L),
+      (4L, "purchase", 100L), (4L, "purchase", 100L + h / 2),
+      // u5: first purchase 10s after signup -> bin 0 (2h one ignored)
+      (5L, "signup", 0L), (5L, "purchase", 10000000L),
+      (5L, "purchase", 2 * h))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = FunnelOps.convertTime(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L)))
+  }
+
+  // ------------------------------------------------------------- q42c
+  test("relatedItems: jaccard ppm from pair supports and basket counts; " +
+      "ties rank by neighbor id; sub-support pairs never appear") {
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), // co(1,2)=2
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 3L), // co(1,3)=2
+      (14L, 2L), (14L, 3L)) // co(2,3)=1 -> below minSupport
+      .toDF("basket", "item")
+    // n(1)=4, n(2)=3, n(3)=3; jac(1,2)=jac(1,3)=2/5
+    val got = IndexOps.relatedItems(items, minSupport = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 2L, 400000L), // tie with 3 broken by id
+      (1L, 2L, 3L, 2L, 400000L),
+      (2L, 1L, 1L, 2L, 400000L),
+      (3L, 1L, 1L, 2L, 400000L)))
+  }
+
+  // ----------------------------------------------------- q26_weighted
+  test("q26_weighted: at most k per stratum, ranks consecutive from 1 " +
+      "in priority order, and every priority recomputes from the key " +
+      "and weight alone (reproducible membership)") {
+    val got = SampleOps.queries("q26_weighted")(spark, sfDir).collect()
+    val chars = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val rks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq && rks.length <= 8)
+      val pris = rows.sortBy(_.getLong(1)).map(_.getLong(4)).toSeq
+      assert(pris == pris.sorted) // rank follows priority
+    }
+    got.foreach { r =>
+      val (docId, wt, pri) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val h = java.lang.Math.floorMod(docId * 2654435761L, 4294967296L)
+      assert(wt == math.max(chars(docId), 1L))
+      assert(pri == h * 1000000L / wt)
+    }
+  }
+
+  // ------------------------------------------------------------- q36c
+  test("q36c_anonymity: classes partition the table (sizes sum to the " +
+      "row count), at_risk <=> size < 5, share is floor ppm") {
+    val got = Relational.queries("q36c_anonymity")(spark, sfDir).collect()
+    val total = graft.Tables.load(spark, sfDir, "customer").count()
+    assert(got.map(_.getLong(2)).sum == total)
+    got.foreach { r =>
+      val size = r.getLong(2)
+      assert(r.getBoolean(3) == (size < 5))
+      assert(r.getLong(4) == size * 1000000L / total)
+    }
+    assert(got.length > 1)
+  }
+}
