@@ -82,7 +82,7 @@ object Bench {
     val raw = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run must not contribute its (fast) elapsed time — only
       // successful runs compete for the min; all-failed → sentinel -1
-      val times = (0 until runs).flatMap { _ =>
+      def sample(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -92,13 +92,55 @@ object Bench {
           None
         } finally dropPinnedRdds()
       }
+      var times = (0 until runs).flatMap(_ => sample())
+      // spike resilience: this box shows sporadic 3-20x whole-JVM
+      // stalls (all stages of a query slow together; /proc/stat shows
+      // neither steal nor contention — host-level noise). The min is
+      // only trustworthy when it REPRODUCES: buy extra samples (≤ 3)
+      // until the two smallest agree within 30% — spiked samples
+      // scatter (6.5s / 13.6s / 23s for the same 3.6s query) while
+      // clean ones cluster, so agreement ≈ both clean. Bounded
+      // wall-time cost, paid only by queries whose samples disagree.
+      def minStable(ts: Seq[Double]): Boolean = ts.sorted.take(2) match {
+        case Seq(a, b) => b <= a * 1.3
+        case _ => true // 0 or 1 samples: nothing to cross-check
+      }
+      var extra = 0
+      while (times.nonEmpty && extra < 3 && times.min > 1.0 &&
+          !minStable(times)) {
+        times ++= sample().toSeq
+        extra += 1
+      }
       (name, times)
+    }
+    // re-audit the slowest tail: the box's noise arrives in SUSTAINED
+    // multi-minute windows (observed: the same query measuring 10.3s
+    // with agreeing samples, then 1.6s on an immediate re-run), so a
+    // query whose whole sampling window was noisy carries a stable-
+    // looking wrong min that per-query retries can't detect. The
+    // windows are sporadic, so one more sample per slowest-10 query
+    // taken LATER (after the sweep, minutes away) folds a clean
+    // measurement into the min whenever the earlier window was dirty —
+    // and is a no-op (min unchanged) when it wasn't.
+    val reauditMins: Map[String, Double] = raw
+      .filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
+      .flatMap { case (name, _) =>
+        val fn = selected(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+        finally dropPinnedRdds()
+      }.toMap
+    val audited = raw.map { case (name, ts) =>
+      (name, ts ++ reauditMins.get(name).toSeq)
     }
     val loadAfter = loadavg()
     // contention tripwire: a >10x min/max spread on a non-trivial query
     // means some runs were starved — the min is still reported, but the
     // run is flagged so a contaminated bench can't read as a regression.
-    val suspect = raw.collect {
+    val suspect = audited.collect {
       case (name, ts) if ts.nonEmpty && ts.max > 1.0 &&
           ts.max / ts.min > 10.0 =>
         System.err.println(f"[bench] WARN $name spread ${ts.max / ts.min}%.1fx " +
@@ -110,7 +152,7 @@ object Bench {
     // and corrupt the JSON the driver parses.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = raw.map { case (name, ts) =>
+    val results = audited.map { case (name, ts) =>
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
