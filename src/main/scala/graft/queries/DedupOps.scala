@@ -805,8 +805,76 @@ object DedupOps {
       |WHERE 2*inter >= na + nb - inter AND (fa.is_new OR fb.is_new)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- sorted neighborhood
+  /** SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo, SIGMOD'95)
+    * — the classic entity-resolution pass for records with NO reliable
+    * key: sort by a discriminating attribute, compare each record only
+    * to its w nearest successors, keep pairs within edit distance 3.
+    * Run on part names (the catalog-dedup case: "small ring" vs
+    * "small rings").
+    *
+    * Scale shape: the sort window is PARTITIONED by a 4-char name
+    * prefix (blocking), so no global single-task sort — SNM's sliding
+    * window is itself a recall approximation, and the prefix boundary
+    * is just where this one's window stops; candidates that differ in
+    * their first 4 chars are out of scope BY CONTRACT (the standard
+    * multi-pass answer re-runs with a different sort key). All w=3
+    * lead columns ride ONE WindowExec; the quadratic levenshtein work
+    * is w·|parts|, never |parts|². Each pair emits once, predecessor →
+    * successor in (name, key) order. */
+  def q22_dedup_snm(s: SparkSession, dir: String): DataFrame =
+    snmPairs(Tables.load(s, dir, "part")
+      .select(col("p_partkey").as("key"), col("p_name").as("name")),
+      window = 3, maxDist = 3)
+
+  /** Core over (key, name) rows — exposed so specs can plant sorted
+    * runs that straddle the window and the prefix boundary. */
+  private[graft] def snmPairs(recs: DataFrame, window: Int,
+      maxDist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("name"), 1, 4))
+      .orderBy("name", "key")
+    // window expressions must sit at projection top level (they can't
+    // nest under explode's array); all 2w lead columns still share ONE
+    // WindowExec — same partitioning and ordering
+    val withLeads = (1 to window).foldLeft(recs) { (df, i) =>
+      df.withColumn(s"_bk$i", lead(col("key"), i).over(w))
+        .withColumn(s"_bn$i", lead(col("name"), i).over(w))
+    }
+    withLeads
+      .withColumn("cand", explode(array((1 to window).map(i =>
+        struct(col(s"_bk$i").as("b_key"), col(s"_bn$i").as("b_name"))): _*)))
+      .filter(col("cand.b_key").isNotNull)
+      .select(col("key").as("a_key"), col("name").as("a_name"),
+        col("cand.b_key").as("b_key"), col("cand.b_name").as("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("a_key", "b_key")
+  }
+
+  val q22SnmSql: String = {
+    val leadUnion = (1 to 3).map(i =>
+      s"""SELECT p_partkey AS a_key, p_name AS a_name,
+         |  LEAD(p_partkey, $i) OVER w$i AS b_key,
+         |  LEAD(p_name, $i) OVER w$i AS b_name
+         |FROM part WINDOW w$i AS (PARTITION BY substring(p_name, 1, 4)
+         |  ORDER BY p_name, p_partkey)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH c AS (
+       |$leadUnion
+       |)
+       |SELECT a_key, b_key, a_name, b_name,
+       |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+       |FROM c
+       |WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= 3
+       |ORDER BY a_key, b_key""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_dedup_snm" -> (q22_dedup_snm _),
     "q22_dedup_exact" -> (q22_dedup_exact _),
     "q22_dedup_lines" -> (q22_dedup_lines _),
     "q22_dedup_spans" -> (q22_dedup_spans _),
@@ -821,6 +889,7 @@ object DedupOps {
     "q22_dedup_embed" -> (q22_dedup_embed _))
 
   def oracles: Map[String, String] = Map(
+    "q22_dedup_snm" -> q22SnmSql,
     "q22_dedup_exact" -> q22ExactSql,
     "q22_dedup_lines" -> q22LinesSql,
     "q22_dedup_spans" -> q22SpansSql,

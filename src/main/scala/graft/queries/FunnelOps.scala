@@ -752,6 +752,79 @@ object FunnelOps {
        |    // ((1000000 * tot_events) // tot_days) AS idx_milli
        |FROM t ORDER BY event_type, dow""".stripMargin
 
+  // -------------------------------------------------------------- Q34f
+  /** HOLT double-exponential smoothing (α = β = 1/4) over the gap-filled
+    * daily series — the level+trend forecaster one rung above q34c's
+    * EWMA (which tracks level only and lags any drift): per (type, day),
+    * the smoothed level, the smoothed trend, and the one-step-ahead
+    * forecast l+b. Coupled recurrences no window frame can express —
+    * same collect-once row-local `aggregate` fold as q34c, state in
+    * integer 8ths.
+    *
+    * Exactness: the trend can be NEGATIVE, where Spark's `div`
+    * (truncate) and DuckDB's `//` (floor) disagree — so both engines
+    * divide as `floor(x / 4.0)`: the operands are exact in double
+    * (counts ×8 ≪ 2^53) and IEEE floor is identical, restoring
+    * bit-portability where the q34c `div` idiom can't go. The oracle
+    * replays the recurrence as a recursive CTE. */
+  def q34f_holt(s: SparkSession, dir: String): DataFrame =
+    holtOf(gapFilled(s, dir))
+
+  /** Core over a complete (event_type, day, n) daily series — exposed so
+    * specs can plant series (constant lock-in, negative-trend floor). */
+  private[graft] def holtOf(daily: DataFrame): DataFrame = {
+    // l_t in 8ths; the b_t step needs l_t, and SQL lambdas have no
+    // let-binding, so the l_t expression appears twice (once as the l
+    // field, once inside b) — prev(.l/.b) is element_at(acc, -1)
+    val prevL = "element_at(acc, -1).l"
+    val prevB = "element_at(acc, -1).b"
+    val lNew = s"cast(floor((x.n * 8 + 3 * ($prevL + $prevB)) / 4.0)" +
+      " as bigint)"
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("xs"))
+      .withColumn("st", expr(
+        s"""aggregate(xs,
+           |  cast(array() as array<struct<day: bigint, l: bigint, b: bigint>>),
+           |  (acc, x) -> acc || array(
+           |    case when size(acc) = 0
+           |      then struct(x.day AS day, x.n * 8 AS l,
+           |        cast(0 as bigint) AS b)
+           |      else struct(x.day AS day, $lNew AS l,
+           |        cast(floor((($lNew - $prevL) + 3 * $prevB) / 4.0)
+           |          as bigint) AS b)
+           |    end))""".stripMargin))
+      .select(col("event_type"), explode(col("st")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.l").as("level_8ths"), col("e.b").as("trend_8ths"),
+        (col("e.l") + col("e.b")).as("forecast_8ths"))
+      .orderBy("event_type", "day")
+  }
+
+  val q34fSql: String = {
+    val lNew = "CAST(floor((rr.n * 8 + 3 * (rec.l + rec.b)) / 4.0)" +
+      " AS BIGINT)"
+    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |rr AS (SELECT event_type, day, n,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |           AS rn
+       |       FROM f),
+       |rec AS (
+       |  SELECT event_type, rn, day, n * 8 AS l, CAST(0 AS BIGINT) AS b
+       |  FROM rr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rr.event_type, rr.rn, rr.day, $lNew,
+       |    CAST(floor((($lNew - rec.l) + 3 * rec.b) / 4.0) AS BIGINT)
+       |  FROM rr JOIN rec ON rr.event_type = rec.event_type
+       |    AND rr.rn = rec.rn + 1)
+       |SELECT event_type, day, CAST(l AS BIGINT) AS level_8ths,
+       |  CAST(b AS BIGINT) AS trend_8ths,
+       |  CAST(l + b AS BIGINT) AS forecast_8ths
+       |FROM rec
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   // -------------------------------------------------------------- Q34e
   /** LAG-k AUTOCORRELATION (ACF, k = 1..7) per event type over the
     * zero-filled daily series — the "is there weekly structure / how
@@ -885,6 +958,7 @@ object FunnelOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34e_acf" -> (q34e_acf _),
+    "q34f_holt" -> (q34f_holt _),
     "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
@@ -902,6 +976,7 @@ object FunnelOps {
 
   def oracles: Map[String, String] = Map(
     "q34e_acf" -> q34eSql,
+    "q34f_holt" -> q34fSql,
     "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,

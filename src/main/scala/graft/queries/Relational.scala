@@ -1789,6 +1789,55 @@ object Relational {
       |FROM g, t
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** BENFORD'S-LAW first-digit audit (q19h) — the fraud/synthetic-data
+    * screen an auditor runs on a money column: observed first-significant-
+    * digit share vs Benford's expected log10(1+1/d), both in integer ppm,
+    * with the signed deviation. The first digit comes from the integer
+    * part's decimal string (every fixture price ≥ 1; no float log10
+    * anywhere), expected shares are pinned ppm literals (floor of
+    * log10(1+1/d)·10⁶), and the observed share is floor ppm against a
+    * broadcast one-row total — every bit engine-portable. ONE partial-agg
+    * groupBy to ≤ 9 rows. (The fixture's uniform-ish prices will NOT be
+    * Benford-distributed — the operator reports the deviation; judging it
+    * is the auditor's threshold policy.) */
+  def q19h_benford(s: SparkSession, dir: String): DataFrame = {
+    val expPpm = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 " +
+      "WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+      "WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152 " +
+      "WHEN 9 THEN 45757 END"
+    val o = t(s, dir, "orders")
+      .withColumn("digit", expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS INT)"))
+    val counts = o.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = o.agg(count(lit(1)).as("n_total"))
+    counts.join(broadcast(total))
+      .withColumn("obs_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("exp_ppm", expr(expPpm).cast("long"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
+  val q19hSql: String =
+    """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT count(*) AS n_total FROM d)
+      |SELECT digit, n,
+      |  (n * 1000000) // n_total AS obs_ppm,
+      |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+      |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+      |    WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm,
+      |  (n * 1000000) // n_total - CAST(CASE digit WHEN 1 THEN 301029
+      |    WHEN 2 THEN 176091 WHEN 3 THEN 124938 WHEN 4 THEN 96910
+      |    WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+      |    WHEN 8 THEN 51152 WHEN 9 THEN 45757 END AS BIGINT) AS dev_ppm
+      |FROM g, t
+      |ORDER BY digit""".stripMargin
+
   // ---------------------------------------------------------------- Q37
   /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
     * a tree resolved to its (root, depth) in O(log depth) rounds. The
@@ -1971,6 +2020,7 @@ object Relational {
     "q36_audit" -> (q36_audit _),
     "q36b_column_stats" -> (q36b_column_stats _),
     "q36c_anonymity" -> (q36c_anonymity _),
+    "q19h_benford" -> (q19h_benford _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -2028,6 +2078,7 @@ object Relational {
     "q36_audit" -> q36Sql,
     "q36b_column_stats" -> q36bSql,
     "q36c_anonymity" -> q36cSql,
+    "q19h_benford" -> q19hSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

@@ -320,10 +320,32 @@ object WindowedOps {
        |FROM e GROUP BY event_type
        |ORDER BY n DESC, event_type LIMIT 5""".stripMargin
 
+  // ------------------------------------------------------------- S12
+  /** Driver-visible batch twin of the LIVE last-touch attribution
+    * (graft.streaming.AttributionStream): the whole events table fed
+    * through the SAME keyed flatMapGroupsWithState fold as one
+    * converged microbatch, rolled up to per-channel totals. Output
+    * shape and oracle are q29c's — the streaming==batch equivalence
+    * AttributionStreamSpec proves over chunked replays, certified here
+    * by the driver's DuckDB compare. */
+  def s12_attribution(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.AttributionStream.attributed(Tables.events(s, dir))
+      .toDF()
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("channel")
+
+  // s12's oracle IS q29c's: the keyed fold and the carry window must
+  // agree on every channel's count and revenue.
+  val s12Sql: String = FunnelOps.q29cSql
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_funnel_live" -> (s10_funnel_live _),
     "s11_leaderboard" -> (s11_leaderboard _),
+    "s12_attribution" -> (s12_attribution _),
     "s01_tumbling" -> (s01_tumbling _),
     "s02_sliding" -> (s02_sliding _),
     "s03_session" -> (s03_session _),
@@ -338,6 +360,7 @@ object WindowedOps {
   def oracles: Map[String, String] = Map(
     "s10_funnel_live" -> s10Sql,
     "s11_leaderboard" -> s11Sql,
+    "s12_attribution" -> s12Sql,
     "s01_tumbling" -> s01Sql,
     "s02_sliding" -> s02Sql,
     "s03_session" -> s03Sql,

@@ -108,6 +108,77 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q34f
+  test("q34f holt: a constant series locks level = 8x and trend = 0 " +
+      "(in 8ths) from the first observation") {
+    val daily = (0 until 5).map(d => ("c", d.toLong, 7L))
+      .toDF("event_type", "day", "n")
+    val got = FunnelOps.holtOf(daily).collect()
+    assert(got.forall(r => r.getLong(2) == 56L && r.getLong(3) == 0L &&
+      r.getLong(4) == 56L))
+  }
+
+  test("q34f holt: a falling series goes through a NEGATIVE trend with " +
+      "FLOOR division (floor(-22/4) = -6, where truncation would say -5)") {
+    val daily = Seq(("d", 0L, 10L), ("d", 1L, 6L), ("d", 2L, 2L))
+      .toDF("event_type", "day", "n")
+    val got = FunnelOps.holtOf(daily).orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((80L, 0L), (72L, -2L), (56L, -6L)))
+  }
+
+  // ------------------------------------------------------------- q19h
+  test("q19h benford: digit classes partition the table, shares are " +
+      "floor ppm, deviation is observed minus the pinned expectation") {
+    val got = Relational.queries("q19h_benford")(spark, sfDir).collect()
+    val total = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(got.map(_.getLong(1)).sum == total)
+    val expPpm = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+      9 -> 45757L)
+    got.foreach { r =>
+      val (d, n) = (r.getInt(0), r.getLong(1))
+      assert(d >= 1 && d <= 9)
+      assert(r.getLong(2) == n * 1000000L / total)
+      assert(r.getLong(3) == expPpm(d))
+      assert(r.getLong(4) == r.getLong(2) - expPpm(d))
+    }
+  }
+
+  // --------------------------------------------------------- q22_snm
+  test("snmPairs: pairs emit within the w-window inside a prefix block " +
+      "only; beyond-window and cross-prefix neighbors never compare, " +
+      "and distance > maxDist drops") {
+    val recs = Seq(
+      // prefix 'aaaa': five records in sort order; w=2
+      (1L, "aaaa 1"), (2L, "aaaa 2"), (3L, "aaaa 3"),
+      (4L, "aaaa zzzzzz"), // dist > 3 from others
+      (5L, "aaaa 4"),
+      // prefix 'aaab': near-identical to an 'aaaa' record, but a
+      // different block — never compared
+      (6L, "aaab 1"))
+      .toDF("key", "name")
+    val got = DedupOps.snmPairs(recs, window = 2, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sort order in 'aaaa': "aaaa 1"(1), "aaaa 2"(2), "aaaa 3"(3),
+    // "aaaa 4"(5), "aaaa zzzzzz"(4)
+    // w=2 candidates: (1,2),(1,3),(2,3),(2,5),(3,5),(3,4),(5,4);
+    // (3,4) and (5,4) fail maxDist; (1,5) is beyond the window
+    assert(got.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 5L),
+      (3L, 5L)))
+    assert(!got.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  // -------------------------------------------------------------- s12
+  test("s12 attribution twin: the streaming fold's channel totals equal " +
+      "the batch q29c window on the real corpus") {
+    val twin = WindowedOps.queries("s12_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = FunnelOps.queries("q29c_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(twin.toSeq == batch.toSeq)
+  }
+
   // ------------------------------------------------------------- q36c
   test("q36c_anonymity: classes partition the table (sizes sum to the " +
       "row count), at_risk <=> size < 5, share is floor ppm") {
