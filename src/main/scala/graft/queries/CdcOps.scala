@@ -1095,8 +1095,53 @@ object CdcOps {
       |FROM k WHERE k % 97 = 0
       |ORDER BY anomaly, key""".stripMargin
 
+  // ------------------------------------------------------------- CDC15
+  /** FRESHNESS / REPLICATION-LAG report — the per-(table, kind) health
+    * dashboard a replay consumer watches: event count, last delivered
+    * seq, and the lag behind the stream head (a table whose lag only
+    * grows has stopped replicating; a kind that vanishes flags a
+    * producer-side filter change). Runs over the UNFILTERED decode —
+    * monitoring must see pg_temp/excluded traffic precisely because the
+    * query surface drops it. ONE decode (narrow columns, snapshotted so
+    * the head probe and the per-table agg don't parse twice), two
+    * partial aggs, |tables × kinds| + 1 rows total; the one-row head
+    * broadcasts. Oracle = the generation rules in closed form. */
+  def cdc15_lag(s: SparkSession, dir: String): DataFrame = {
+    val decoded = JsonCdc.decode(syntheticLines(s, dir))
+      .select("seq", "kind", "table").localCheckpoint()
+    val head = decoded.agg(max(col("seq")).as("head_seq"))
+    decoded
+      .filter(col("table").isNotNull &&
+        col("kind").isin("insert", "update", "delete"))
+      .groupBy("table", "kind")
+      .agg(count(lit(1)).as("n_events"), max(col("seq")).as("last_seq"))
+      .join(broadcast(head))
+      .withColumn("lag", col("head_seq") - col("last_seq"))
+      .select("table", "kind", "n_events", "last_seq", "lag")
+      .orderBy("table", "kind")
+  }
+
+  val cdc15Sql: String =
+    """WITH o AS (SELECT o_orderkey AS k FROM orders),
+      |d AS (SELECT
+      |    CASE WHEN k % 10 = 9 THEN 'pg_temp_refresh'
+      |         WHEN k % 10 = 8 THEN 'audit_log'
+      |         ELSE 'orders' END AS "table",
+      |    CASE WHEN k % 3 = 0 THEN 'insert'
+      |         WHEN k % 3 = 1 THEN 'update'
+      |         ELSE 'delete' END AS kind,
+      |    4 * k + 2 AS seq
+      |  FROM o),
+      |h AS (SELECT MAX(4 * k + 3) AS head_seq FROM o)
+      |SELECT "table", kind, count(*) AS n_events,
+      |  CAST(MAX(seq) AS BIGINT) AS last_seq,
+      |  CAST(h.head_seq - MAX(seq) AS BIGINT) AS lag
+      |FROM d, h GROUP BY "table", kind, h.head_seq
+      |ORDER BY "table", kind""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc15_lag" -> (cdc15_lag _),
     "cdc1_decode" -> (cdc1_decode _),
     "cdc2_routing" -> (cdc2_routing _),
     "cdc3_mysql" -> (cdc3_mysql _),
@@ -1126,5 +1171,6 @@ object CdcOps {
     "cdc11_ivm_distinct" -> cdc11Sql,
     "cdc12_quarantine" -> cdc12Sql,
     "cdc13_version_diff" -> cdc13Sql,
-    "cdc14_tx_audit" -> cdc14Sql)
+    "cdc14_tx_audit" -> cdc14Sql,
+    "cdc15_lag" -> cdc15Sql)
 }

@@ -229,6 +229,58 @@ object TextOps {
       |ORDER BY n DESC, token
       |LIMIT 500""".stripMargin
 
+  /** ZIPF RANK-FREQUENCY diagnostic (q24_zipf) — the vocabulary's
+    * frequency mass per power-of-two rank band: the curve a tokenizer /
+    * corpus-quality review reads to see whether token frequencies decay
+    * like natural language (straight line in log-log) or like template
+    * spam (mass bulging in one band). A term's band comes from its
+    * TIE-FREE rank base — the count of terms with STRICTLY higher
+    * frequency — so no within-frequency ordering exists to funnel the
+    * vocabulary-scale freq=1 tie class through one window task:
+    * after the token-scale tf aggregate everything is FREQUENCY-
+    * HISTOGRAM scale (|distinct freqs| rows), ranked by the keyless
+    * two-level PrefixSum (descending via negated freq), banded by
+    * integer log2 (binary-string length — no float log anywhere).
+    * Output: band k covers rank base + 1 ∈ [2^k, 2^(k+1)). */
+  def q24_zipf(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    // histogram materialized: PrefixSum forks its input, and the fork
+    // would otherwise re-explode the token stream (PrefixCarry's note)
+    val hist = tf.groupBy("n").agg(count(lit(1)).as("cf"))
+      .withColumn("negn", -col("n"))
+      .localCheckpoint()
+    // whole-range bucket: histogram-scale input, no auto-sizer job
+    PrefixSum.exclusiveRunningSum(hist, "cf", "higher",
+        seqCol = "negn", bucketSize = 1L << 33)
+      .withColumn("band", (length(bin(col("higher") + 1)) - 1).cast("int"))
+      .groupBy("band")
+      .agg(sum(col("cf")).as("n_terms"),
+        sum(col("n") * col("cf")).as("n_occurrences"),
+        max(col("n")).as("max_freq"),
+        min(col("n")).as("min_freq"))
+      .orderBy("band")
+  }
+
+  val q24ZipfSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+      |h AS (SELECT n, count(*) AS cf FROM tf GROUP BY 1),
+      |hi AS (SELECT n, cf,
+      |    CAST(COALESCE(SUM(cf) OVER (ORDER BY n DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS higher
+      |  FROM h)
+      |SELECT CAST(length(format('{:b}', higher + 1)) - 1 AS INT) AS band,
+      |  CAST(SUM(cf) AS BIGINT) AS n_terms,
+      |  CAST(SUM(n * cf) AS BIGINT) AS n_occurrences,
+      |  MAX(n) AS max_freq, MIN(n) AS min_freq
+      |FROM hi GROUP BY 1 ORDER BY band""".stripMargin
+
   /** TF-IDF top terms per document — the classic relevance/quality
     * primitive, in INTEGER math so both engines agree bit-for-bit:
     * idf_micro = (1_000_000 × N) div df (floor division stands in for
@@ -734,6 +786,7 @@ object TextOps {
     "q24_classify" -> (q24_classify _),
     "q24_fingerprint" -> (q24_fingerprint _),
     "q24_vocab" -> (q24_vocab _),
+    "q24_zipf" -> (q24_zipf _),
     "q24_oov" -> (q24_oov _),
     "q24_tfidf" -> (q24_tfidf _),
     "q24_lm_score" -> (q24_lm_score _),
@@ -756,6 +809,7 @@ object TextOps {
     "q24_classify" -> q24ClassifySql,
     "q24_fingerprint" -> q24FingerprintSql,
     "q24_vocab" -> q24VocabSql,
+    "q24_zipf" -> q24ZipfSql,
     "q24_oov" -> q24OovSql,
     "q24_tfidf" -> q24TfidfSql,
     "q24_lm_score" -> q24LmScoreSql,

@@ -169,6 +169,39 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => a == 6L || b == 6L })
   }
 
+  // ---------------------------------------------------------- q24_zipf
+  test("q24_zipf: bands partition the vocabulary (term and occurrence " +
+      "mass both add up) and band 0 is exactly the top-frequency tie " +
+      "class") {
+    val got = TextOps.queries("q24_zipf")(spark, sfDir).collect()
+    val tf = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(got.map(_.getLong(1)).sum == tf.length) // Σ n_terms = |vocab|
+    assert(got.map(_.getLong(2)).sum == tf.sum) // Σ n·cf = token count
+    val bands = got.map(_.getInt(0)).toSeq
+    assert(bands == bands.sorted && bands.head == 0)
+    val top = tf.max
+    val b0 = got.find(_.getInt(0) == 0).get
+    assert(b0.getLong(3) == top) // band 0 holds the max frequency
+    assert(b0.getLong(1) == tf.count(_ == top)) // = the whole tie class
+    got.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
+  }
+
+  // ----------------------------------------------------------- cdc15
+  test("cdc15_lag: one row per (table, kind) incl. monitored-only " +
+      "tables, event counts partition the replay's DML, and every lag " +
+      "is positive (the head is a commit line)") {
+    val got = CdcOps.queries("cdc15_lag")(spark, sfDir).collect()
+    val orders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(got.length == 9) // 3 tables x 3 kinds
+    assert(got.map(_.getString(0)).toSet ==
+      Set("orders", "audit_log", "pg_temp_refresh"))
+    assert(got.map(_.getLong(2)).sum == orders) // one DML per order
+    got.foreach(r => assert(r.getLong(4) >= 1L)) // head = 4*kmax+3 > any dml
+  }
+
   // -------------------------------------------------------------- s12
   test("s12 attribution twin: the streaming fold's channel totals equal " +
       "the batch q29c window on the real corpus") {
