@@ -831,13 +831,18 @@ object DedupOps {
     * runs that straddle the window and the prefix boundary. */
   private[graft] def snmPairs(recs: DataFrame, window: Int,
       maxDist: Int): DataFrame = {
+    // the block key must be a MATERIALIZED column, not an inline
+    // expression: partitionBy(substring(...)) mints a fresh `_w0`
+    // projection per withColumn, defeating CollapseWindow — measured
+    // SIX Exchange+Sort pairs for the six leads; one shared attribute
+    // collapses them into ONE WindowExec (pinned in PlanShapeSpec)
+    val blocked = recs.withColumn("_blk", substring(col("name"), 1, 4))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(substring(col("name"), 1, 4))
-      .orderBy("name", "key")
+      .partitionBy("_blk").orderBy("name", "key")
     // window expressions must sit at projection top level (they can't
     // nest under explode's array); all 2w lead columns still share ONE
     // WindowExec — same partitioning and ordering
-    val withLeads = (1 to window).foldLeft(recs) { (df, i) =>
+    val withLeads = (1 to window).foldLeft(blocked) { (df, i) =>
       df.withColumn(s"_bk$i", lead(col("key"), i).over(w))
         .withColumn(s"_bn$i", lead(col("name"), i).over(w))
     }

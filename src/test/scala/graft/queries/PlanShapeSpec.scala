@@ -549,4 +549,53 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 4,
       "tx pairing and dup detection must combine map-side")
   }
+
+  test("q34e ACF: all seven lag columns share ONE WindowExec over the " +
+      "daily aggregate (same partitioning + ordering fuse)") {
+    val plan = planOf(FunnelOps.queries("q34e_acf")(spark, sfDir))
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      "seven lags with one sort — a second WindowExec means the fuse broke")
+  }
+
+  test("q22_snm: the 2w lead columns share ONE WindowExec and the " +
+      "quadratic levenshtein never becomes a join") {
+    val plan = planOf(DedupOps.queries("q22_dedup_snm")(spark, sfDir))
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      "w leads over one prefix-blocked sort")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("Join"),
+      "SNM compares neighbors via leads, never a self-join")
+  }
+
+  test("q24_zipf: after the tf aggregate everything is histogram-scale " +
+      "— no window over the token stream, carry side broadcasts") {
+    val plan = planOf(TextOps.queries("q24_zipf")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the PrefixSum carry-in must broadcast back onto the histogram")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q42c related items: pair generation stays row-local (no " +
+      "self-join of the items table) and the top-5 cut is the bounded " +
+      "TopKPerKey rewrite, not a full-partition sort filter") {
+    val q = IndexOps.queries("q42c_related")(spark, sfDir)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "items must never self-join to form pairs")
+    assert(plan.contains("TopKPerKey") || plan.contains("Window"),
+      "per-item ranking must appear as TopKPerKey (or a keyed window)")
+  }
+
+  test("cdc15 lag report: one decode feeds both the head probe and the " +
+      "per-table aggregate (snapshot cut — no second parse) and the " +
+      "head joins back as a broadcast") {
+    val plan = planOf(CdcOps.queries("cdc15_lag")(spark, sfDir))
+    assert(!plan.contains("from_json"),
+      "the decode must be snapshotted before the fan-out (a from_json " +
+        "in the executed plan means a branch re-parses the stream)")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the one-row head must broadcast onto the aggregate")
+  }
 }
