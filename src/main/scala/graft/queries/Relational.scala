@@ -1838,6 +1838,64 @@ object Relational {
       |FROM g, t
       |ORDER BY digit""".stripMargin
 
+  /** The candidate (child → parent) key pairs q36d profiles — shared by
+    * the Spark plan and the oracle text so both enumerate identically.
+    * Both directions of the orders/lineitem relation are deliberately
+    * present: l_orderkey→o_orderkey is a real FK (inclusion 10⁶ ppm);
+    * the reverse is partial in this corpus (most orders have no
+    * lineitem rows), which is exactly the asymmetry an FK discoverer
+    * must resolve. */
+  private val q36dPairs: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"))
+
+  /** FOREIGN-KEY / INCLUSION-DEPENDENCY discovery (q36d) — the schema-
+    * profiling pass a catalog runs on landed CDC tables: for each
+    * candidate (child column → parent column) pair, how many distinct
+    * child keys exist, how many are contained in the parent, the
+    * inclusion coefficient in ppm, and the is_fk verdict (total
+    * inclusion). Each pair is one distinct-collapse per side + a left
+    * join that collapses straight into a one-row aggregate — key-scale
+    * work, all |pairs| branches in ONE unioned job (the q36 audit
+    * discipline: no driver count() round trips). */
+  def q36d_inclusion(s: SparkSession, dir: String): DataFrame = {
+    val branches = q36dPairs.map { case (ct, cc, pt, pc) =>
+      val c = t(s, dir, ct).select(col(cc).cast("long").as("k")).distinct()
+      val p = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        .withColumn("hit", lit(1))
+      c.join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_keys"),
+          count(col("hit")).as("n_matched"))
+        .select(lit(s"$ct.$cc").as("child"), lit(s"$pt.$pc").as("parent"),
+          col("n_child_keys"), col("n_matched"))
+    }
+    branches.reduce(_.unionAll(_))
+      .withColumn("inclusion_ppm",
+        expr("n_matched * 1000000 div n_child_keys"))
+      .withColumn("is_fk", col("n_matched") === col("n_child_keys"))
+      .orderBy("child", "parent")
+  }
+
+  val q36dSql: String =
+    q36dPairs.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent,
+         |  count(*) AS n_child_keys,
+         |  CAST(count(p.k) AS BIGINT) AS n_matched
+         |FROM (SELECT DISTINCT $cc AS k FROM $ct) c
+         |LEFT JOIN (SELECT DISTINCT $pc AS k FROM $pt) p ON c.k = p.k"""
+        .stripMargin
+    }.mkString(
+      "SELECT child, parent, n_child_keys, n_matched,\n" +
+        "  (n_matched * 1000000) // n_child_keys AS inclusion_ppm,\n" +
+        "  n_matched = n_child_keys AS is_fk\nFROM (\n",
+      "\nUNION ALL\n",
+      "\n) ORDER BY child, parent")
+
   // ---------------------------------------------------------------- Q37
   /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
     * a tree resolved to its (root, depth) in O(log depth) rounds. The
@@ -2021,6 +2079,7 @@ object Relational {
     "q36b_column_stats" -> (q36b_column_stats _),
     "q36c_anonymity" -> (q36c_anonymity _),
     "q19h_benford" -> (q19h_benford _),
+    "q36d_inclusion" -> (q36d_inclusion _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -2079,6 +2138,7 @@ object Relational {
     "q36b_column_stats" -> q36bSql,
     "q36c_anonymity" -> q36cSql,
     "q19h_benford" -> q19hSql,
+    "q36d_inclusion" -> q36dSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

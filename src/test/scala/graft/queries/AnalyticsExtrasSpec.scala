@@ -189,6 +189,25 @@ class AnalyticsExtrasSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
   }
 
+  // ------------------------------------------------------------ q36d
+  test("q36d inclusion: every branch reports its child key count from " +
+      "the actual table, is_fk <=> total inclusion, ppm is floor — and " +
+      "the known-true FKs come back total") {
+    val got = Relational.queries("q36d_inclusion")(spark, sfDir).collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      val (nc, nm) = (r.getLong(2), r.getLong(3))
+      assert(nm <= nc)
+      assert(r.getLong(4) == nm * 1000000L / nc)
+      assert(r.getBoolean(5) == (nm == nc))
+    }
+    // the four canonical star-schema FKs must be total at any SF
+    val fks = Set("lineitem.l_orderkey", "lineitem.l_partkey",
+      "lineitem.l_suppkey", "orders.o_custkey")
+    got.filter(r => fks(r.getString(0)))
+      .foreach(r => assert(r.getBoolean(5), r.getString(0)))
+  }
+
   // ----------------------------------------------------------- cdc15
   test("cdc15_lag: one row per (table, kind) incl. monitored-only " +
       "tables, event counts partition the replay's DML, and every lag " +
