@@ -752,6 +752,90 @@ object FunnelOps {
        |    // ((1000000 * tot_events) // tot_days) AS idx_milli
        |FROM t ORDER BY event_type, dow""".stripMargin
 
+  // -------------------------------------------------------------- Q35c
+  /** SEASONALLY-ADJUSTED anomaly score — q35's trailing z-score run on
+    * the DESEASONALIZED series: each day's count is first divided by
+    * its weekday's q34d seasonal index (so "every Saturday is quiet"
+    * stops tripping the detector and a quiet TUESDAY does), then
+    * z-scored against the strictly-preceding 7 adjusted days. The
+    * composition is the point: gap fill → seasonal profile → adjust →
+    * trailing moments, one declarative plan. The index join is a
+    * broadcast of the 7·|types|-row aggregate; the z-scores reuse q35's
+    * deterministic-moments recipe (identical double formulas both
+    * engines); adjustment is integer floor division with a
+    * greatest(idx, 1) guard for weekdays the series never hit. */
+  def q35c_seasonal_anomaly(s: SparkSession, dir: String): DataFrame = {
+    // forked by the profile agg and the adjust join — snapshot so the
+    // scaffold isn't built twice
+    val filled = gapFilled(s, dir)
+      .withColumn("dow", expr("day % 7"))
+      .localCheckpoint()
+    val wT = Window.partitionBy("event_type")
+    val idx = filled.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      .withColumn("tot_days", sum(col("n_days")).over(wT))
+      .withColumn("tot_events", sum(col("n_events")).over(wT))
+      .withColumn("idx_milli",
+        expr("(1000 * (1000000 * n_events div n_days))" +
+          " div (1000000 * tot_events div tot_days)"))
+      .select("event_type", "dow", "idx_milli")
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    filled.join(broadcast(idx), Seq("event_type", "dow"))
+      .withColumn("adj", expr("n * 1000 div greatest(idx_milli, 1L)"))
+      .withColumn("m", count(col("adj")).over(w).cast(DoubleType))
+      .withColumn("sx", sum(col("adj")).over(w).cast(DoubleType))
+      .withColumn("sxx",
+        sum(col("adj") * col("adj")).over(w).cast(DoubleType))
+      .filter(col("m") >= 2)
+      .withColumn("mean", col("sx") / col("m"))
+      .withColumn("variance",
+        (col("m") * col("sxx") - col("sx") * col("sx")) /
+          (col("m") * (col("m") - lit(1.0))))
+      .filter(col("variance") > 0)
+      .withColumn("z",
+        (col("adj").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_type", "day", "n", "adj", "mean", "z")
+      .orderBy("event_type", "day")
+  }
+
+  val q35cSql: String =
+    s"""$gapFillCtes,
+       |fd AS (SELECT event_type, day, n, day % 7 AS dow FROM f),
+       |w AS (SELECT event_type, dow, count(*) AS n_days,
+       |        CAST(SUM(n) AS BIGINT) AS n_events
+       |      FROM fd GROUP BY 1, 2),
+       |t AS (SELECT *,
+       |        CAST(SUM(n_days) OVER (PARTITION BY event_type) AS BIGINT)
+       |          AS tot_days,
+       |        CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+       |          AS tot_events
+       |      FROM w),
+       |ix AS (SELECT event_type, dow,
+       |         (1000 * ((1000000 * n_events) // n_days))
+       |           // ((1000000 * tot_events) // tot_days) AS idx_milli
+       |       FROM t),
+       |a AS (SELECT fd.event_type, fd.day, fd.n,
+       |        CAST(fd.n * 1000 // GREATEST(ix.idx_milli, 1) AS BIGINT)
+       |          AS adj
+       |      FROM fd JOIN ix ON ix.event_type = fd.event_type
+       |        AND ix.dow = fd.dow),
+       |m AS (SELECT event_type, day, n, adj,
+       |        CAST(COUNT(adj) OVER wd AS DOUBLE) AS m,
+       |        CAST(SUM(adj) OVER wd AS DOUBLE) AS sx,
+       |        CAST(SUM(adj * adj) OVER wd AS DOUBLE) AS sxx
+       |      FROM a WINDOW wd AS (PARTITION BY event_type ORDER BY day
+       |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |zz AS (SELECT event_type, day, n, adj, sx / m AS mean,
+       |         (CAST(adj AS DOUBLE) - sx / m) /
+       |           sqrt((m * sxx - sx * sx) / (m * (m - 1.0))) AS z
+       |       FROM m
+       |       WHERE m >= 2 AND (m * sxx - sx * sx) / (m * (m - 1.0)) > 0)
+       |SELECT event_type, day, n, adj, mean, z
+       |FROM zz WHERE abs(z) > 2.0
+       |ORDER BY event_type, day""".stripMargin
+
   // -------------------------------------------------------------- Q34f
   /** HOLT double-exponential smoothing (α = β = 1/4) over the gap-filled
     * daily series — the level+trend forecaster one rung above q34c's
@@ -959,6 +1043,7 @@ object FunnelOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34e_acf" -> (q34e_acf _),
     "q34f_holt" -> (q34f_holt _),
+    "q35c_seasonal_anomaly" -> (q35c_seasonal_anomaly _),
     "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
@@ -977,6 +1062,7 @@ object FunnelOps {
   def oracles: Map[String, String] = Map(
     "q34e_acf" -> q34eSql,
     "q34f_holt" -> q34fSql,
+    "q35c_seasonal_anomaly" -> q35cSql,
     "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,

@@ -105,6 +105,96 @@ object GraphOps {
       |       FROM s2 LEFT JOIN c3 ON c3.node = s2.node)
       |SELECT node, s FROM s3 ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------------- Q41b
+  /** LABEL-PROPAGATION community detection (Raghavan et al. 2007), 3
+    * SYNCHRONOUS deterministic rounds over the undirected referral
+    * graph: every node starts as its own label and each round adopts
+    * the most frequent label among its neighbors (ties → smallest
+    * label; isolated nodes keep their own). Deterministic synchronous
+    * LPA trades the textbook's random asynchronous order for
+    * reproducibility — the same trade the rest of the engine makes —
+    * so the oracle can replay the identical three rounds as unrolled
+    * CTE stages.
+    *
+    * Scale: per round ONE shuffle keyed on edge source (pick up
+    * labels), one (node, label)-keyed partial-agg vote count, and the
+    * argmax per node over its ≤ deg(v) distinct neighbor labels —
+    * min(struct(−votes, label)) inside the SAME aggregate, no ranking
+    * window — then a left join back onto nodes (isolated-node
+    * fallback). Node-scale sides: honest shuffle joins, no broadcast
+    * (the q41 argument); per-round localCheckpoint keeps lineage flat
+    * (the q37/q22 loop discipline). */
+  private[graft] def labelProp(nodes: DataFrame, undEdges: DataFrame,
+      iters: Int): DataFrame = {
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = undEdges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes
+        .groupBy("node")
+        .agg(min(struct((col("c") * -1).as("negc"), col("lbl")))
+          .as("top"))
+        .select(col("node"), col("top.lbl").as("new_lbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  def q41b_lpa(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(s, dir, "customer")
+    val nCust = customer.count()
+    val nodes = customer.select(col("c_custkey").as("node"))
+      .localCheckpoint()
+    // undirected simple graph: self-loops dropped (a node voting for
+    // itself defeats propagation), canonical dedup, then both
+    // directions so each endpoint sees the other
+    val canon = edgesOf(Tables.load(s, dir, "orders"), nCust)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // reused every round
+    labelProp(nodes, und, 3).orderBy("node")
+  }
+
+  /** Three unrolled rounds; the vote argmax is the row_number pick
+    * (votes DESC, label ASC) — the same (−votes, label) minimum the
+    * Spark aggregate takes. */
+  val q41bSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""v$cur AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+         |      FROM e JOIN l$prev l ON l.node = e.src
+         |      GROUP BY 1, 2),
+         |b$cur AS (SELECT node, lbl FROM (
+         |        SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |          ORDER BY c DESC, lbl) AS rk FROM v$cur)
+         |      WHERE rk = 1),
+         |l$cur AS (SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl
+         |      FROM l$prev p LEFT JOIN b$cur b ON b.node = p.node)"""
+        .stripMargin
+    s"""WITH n AS (SELECT count(*) AS nc FROM customer),
+       |e0 AS (SELECT DISTINCT o_custkey AS src,
+       |         (o_orderkey * 2654435761) % 4294967296
+       |           % (SELECT nc FROM n) + 1 AS dst
+       |       FROM orders),
+       |ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM e0 WHERE src != dst),
+       |e AS (SELECT a AS src, b AS dst FROM ec
+       |      UNION ALL SELECT b, a FROM ec),
+       |l0 AS (SELECT c_custkey AS node, c_custkey AS lbl FROM customer),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------- Q44
   /** TRIANGLE COUNTING by degree orientation — per-node triangle
     * participation over the q41 referral graph (self-loops dropped,
@@ -190,9 +280,11 @@ object GraphOps {
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_pagerank" -> (q41_pagerank _),
+    "q41b_lpa" -> (q41b_lpa _),
     "q44_triangles" -> (q44_triangles _))
 
   def oracles: Map[String, String] = Map(
     "q41_pagerank" -> q41Sql,
+    "q41b_lpa" -> q41bSql,
     "q44_triangles" -> q44Sql)
 }

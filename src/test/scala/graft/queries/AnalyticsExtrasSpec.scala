@@ -189,6 +189,52 @@ class AnalyticsExtrasSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
   }
 
+  // ------------------------------------------------------------ q41b
+  test("labelProp: on a star the hub and leaves swap labels each " +
+      "synchronous round (hub takes the smallest leaf label on the " +
+      "3-way tie); isolated nodes never move") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+    def labelsAfter(iters: Int) =
+      GraphOps.labelProp(nodes, und, iters).orderBy("node")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // round 1: hub sees {2,3,4} once each -> tie -> 2; leaves see {1}
+    assert(labelsAfter(1) ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L)))
+    // round 2: hub sees {1,1,1} -> 1; leaves see {2}
+    assert(labelsAfter(2) ==
+      Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 5L)))
+  }
+
+  test("labelProp: triangle tie-break is (votes DESC, label ASC) — " +
+      "node 1 adopts 2, the others adopt 1") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+    val got = GraphOps.labelProp(nodes, und, 1).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ------------------------------------------------------------ q35c
+  test("q35c: every reported day clears |z| > 2, and the adjusted " +
+      "series recomputes from the q34d seasonal index (n*1000 div " +
+      "max(idx, 1))") {
+    val idx = FunnelOps.queries("q34d_seasonal")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val got = FunnelOps.queries("q35c_seasonal_anomaly")(spark, sfDir)
+      .collect()
+    got.foreach { r =>
+      val (tpe, day, n, adj) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(r.getDouble(5)) > 2.0)
+      assert(adj == n * 1000L / math.max(idx((tpe, day % 7)), 1L))
+    }
+  }
+
   // ------------------------------------------------------------ q36d
   test("q36d inclusion: every branch reports its child key count from " +
       "the actual table, is_fk <=> total inclusion, ppm is floor — and " +
