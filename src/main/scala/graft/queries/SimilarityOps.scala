@@ -247,6 +247,129 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  // -------------------------------------------------------------- MMR
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) — the re-ranking step between ANN retrieval
+    * and a RAG context window: from each query's top-8 cosine
+    * candidates, pick 3 greedily by score = 2·rel − max-sim-to-already-
+    * picked (λ = 2/3 in thirds), so near-duplicate neighbors stop
+    * crowding out coverage. Greedy selection is inherently sequential,
+    * but k is a CONSTANT — the three steps unroll into three
+    * candidate-scale stages (≤ 8 rows per query each), every dot
+    * product through the same codegen kernel and fold order as
+    * q23_knn_exact, every stage a q_id-keyed window over the tiny
+    * candidate table. The corpus is touched exactly once (the
+    * candidate scan); everything after is retrieval-scale. Ties break
+    * on cand_id so both engines pick identically. */
+  def q23_mmr(s: SparkSession, dir: String): DataFrame =
+    mmrOf(normalized(s, dir))
+
+  /** Core over a (vec_id, v, nrm) frame — exposed so specs can plant a
+    * duplicate-candidate geometry (the case where MMR's re-rank
+    * actually diverges from plain top-k). */
+  private[graft] def mmrOf(e: DataFrame): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm")))
+    val wRel = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("c_nrm"))
+      .join(q, col("cand_id") =!= col("q_id"))
+      .withColumn("rel",
+        dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= 8)
+      .select("q_id", "cand_id", "cv", "c_nrm", "rel")
+      .localCheckpoint() // three stages fan out of the tiny table
+    def pairCos(av: Column, an: Column, bv: Column, bn: Column): Column =
+      dotExpr(av, bv) / (an * bn)
+    val s1 = cand
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
+      .select(col("q_id"), col("cand_id").as("s1_id"),
+        col("cv").as("s1v"), col("c_nrm").as("s1_nrm"),
+        col("rel").as("s1_rel"))
+    val rest = cand.join(broadcast(s1), "q_id")
+      .filter(col("cand_id") =!= col("s1_id"))
+      .withColumn("div1",
+        pairCos(col("cv"), col("c_nrm"), col("s1v"), col("s1_nrm")))
+    val w2 = Window.partitionBy("q_id")
+      .orderBy((lit(2.0) * col("rel") - col("div1")).desc, col("cand_id"))
+    val s2 = rest.withColumn("rk2", row_number().over(w2))
+      .filter(col("rk2") === 1)
+      .select(col("q_id"), col("cand_id").as("s2_id"),
+        col("cv").as("s2v"), col("c_nrm").as("s2_nrm"),
+        col("rel").as("s2_rel"), col("div1").as("s2_div"))
+    val rest2 = rest.join(broadcast(s2.select("q_id", "s2_id", "s2v",
+        "s2_nrm")), "q_id")
+      .filter(col("cand_id") =!= col("s2_id"))
+      .withColumn("div2", greatest(col("div1"),
+        pairCos(col("cv"), col("c_nrm"), col("s2v"), col("s2_nrm"))))
+    val w3 = Window.partitionBy("q_id")
+      .orderBy((lit(2.0) * col("rel") - col("div2")).desc, col("cand_id"))
+    val s3 = rest2.withColumn("rk3", row_number().over(w3))
+      .filter(col("rk3") === 1)
+      .select(col("q_id"), col("cand_id").as("s3_id"),
+        col("rel").as("s3_rel"), col("div2").as("s3_div"))
+    s1.select(col("q_id"), lit(1).as("pick"), col("s1_id").as("cand_id"),
+        col("s1_rel").as("rel"), lit(0.0).as("div_max"))
+      .unionAll(s2.select(col("q_id"), lit(2).as("pick"),
+        col("s2_id").as("cand_id"), col("s2_rel").as("rel"),
+        col("s2_div").as("div_max")))
+      .unionAll(s3.select(col("q_id"), lit(3).as("pick"),
+        col("s3_id").as("cand_id"), col("s3_rel").as("rel"),
+        col("s3_div").as("div_max")))
+      .withColumn("score", lit(2.0) * col("rel") - col("div_max"))
+      .orderBy("q_id", "pick")
+  }
+
+  val q23MmrSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b))
+      |      AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.v AS cv,
+      |    c.nrm AS c_nrm,
+      |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]),
+      |      (x,y) -> x+y) / (q.nrm * c.nrm) AS rel
+      |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+      |cand AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY q_id ORDER BY rel DESC, cand_id) AS rk
+      |    FROM scored) WHERE rk <= 8),
+      |s1 AS (SELECT q_id, cand_id AS s1_id, cv AS s1v, c_nrm AS s1_nrm,
+      |    rel AS s1_rel FROM cand WHERE rk = 1),
+      |rest AS (SELECT c.*,
+      |    list_reduce(list_transform(list_zip(c.cv, s1.s1v),
+      |      p -> p[1]*p[2]), (x,y) -> x+y) / (c.c_nrm * s1.s1_nrm) AS div1
+      |  FROM cand c JOIN s1 ON s1.q_id = c.q_id
+      |  WHERE c.cand_id != s1.s1_id),
+      |s2 AS (SELECT q_id, cand_id AS s2_id, cv AS s2v, c_nrm AS s2_nrm,
+      |    rel AS s2_rel, div1 AS s2_div FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY 2.0 * rel - div1 DESC, cand_id) AS rk2 FROM rest)
+      |  WHERE rk2 = 1),
+      |rest2 AS (SELECT r.*, GREATEST(r.div1,
+      |    list_reduce(list_transform(list_zip(r.cv, s2.s2v),
+      |      p -> p[1]*p[2]), (x,y) -> x+y) / (r.c_nrm * s2.s2_nrm))
+      |      AS div2
+      |  FROM rest r JOIN s2 ON s2.q_id = r.q_id
+      |  WHERE r.cand_id != s2.s2_id),
+      |s3 AS (SELECT q_id, cand_id AS s3_id, rel AS s3_rel, div2 AS s3_div
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY 2.0 * rel - div2 DESC, cand_id) AS rk3 FROM rest2)
+      |  WHERE rk3 = 1),
+      |u AS (
+      |  SELECT q_id, 1 AS pick, s1_id AS cand_id, s1_rel AS rel,
+      |    0.0 AS div_max FROM s1
+      |  UNION ALL SELECT q_id, 2, s2_id, s2_rel, s2_div FROM s2
+      |  UNION ALL SELECT q_id, 3, s3_id, s3_rel, s3_div FROM s3)
+      |SELECT q_id, pick, cand_id, rel, div_max,
+      |  2.0 * rel - div_max AS score
+      |FROM u ORDER BY q_id, pick""".stripMargin
+
   // ---------------------------------------------------------- centroid
   /** Per-label centroid accumulators: element-wise vector sums per label
     * — the k-means/IVF training step. posexplode → groupBy(label, idx)
@@ -854,6 +977,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_semdedup" -> (q23_semdedup _),
     "q23_knn_exact" -> (q23_knn_exact _),
+    "q23_mmr" -> (q23_mmr _),
     "q23_hardneg" -> (q23_hardneg _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
     "q23_ivf_layout" -> (q23_ivf_layout _),
@@ -868,6 +992,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q23_semdedup" -> q23SemdedupSql,
     "q23_knn_exact" -> q23ExactSql,
+    "q23_mmr" -> q23MmrSql,
     "q23_hardneg" -> q23HardnegSql,
     "q23_knn_ivf" -> q23IvfSql,
     "q23_ivf_layout" -> q23IvfSql, // layout ≡ logical op: shared oracle

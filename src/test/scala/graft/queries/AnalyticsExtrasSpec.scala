@@ -189,6 +189,55 @@ class AnalyticsExtrasSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
   }
 
+  // --------------------------------------------------------- q23_mmr
+  test("mmrOf: diversification re-ranks — a near-duplicate of pick 1 " +
+      "loses pick 2 to a less-relevant but diverse candidate, and all " +
+      "three picks match a brute-force greedy recompute") {
+    import graft.queries.SimilarityOps.{normExpr, toDoubleVec}
+    // query 0 = x-axis; candidates: 10 at cos 0.90 to q; 11 at cos
+    // 0.89 but nearly PARALLEL to 10 (cos(11,10) ~ 0.9997); 12 at cos
+    // 0.85 on the other side (cos(12,10) ~ 0.535). Plain top-k ranks
+    // 10, 11, 12; MMR(2/3) scores pick 2 as 2*rel - cos-to-pick1:
+    // 11 -> 0.780, 12 -> 1.165 — the diverse candidate wins.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.43589f, 0f)),
+      (11L, Seq(0.89f, 0.45596f, 0f)),
+      (12L, Seq(0.85f, -0.52678f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = emb.select(col("vec_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", normExpr(col("v")))
+    val got = SimilarityOps.mmrOf(e)
+      .filter(col("q_id") === 0L)
+      .orderBy("pick").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) == Seq(10L, 12L, 11L)) // NOT rel order 10,11,12
+    // brute-force the same greedy rule as ground truth
+    val vecs = Map(
+      10L -> Seq(0.9, 0.43589, 0.0),
+      11L -> Seq(0.89, 0.45596, 0.0),
+      12L -> Seq(0.85, -0.52678, 0.0))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val qv = Seq(1.0, 0.0, 0.0)
+    var selected = Seq.empty[Long]
+    var remaining = vecs.keySet
+    for (_ <- 1 to 3) {
+      val next = remaining.toSeq.map { id =>
+        val rel = cos(qv, vecs(id))
+        val div = if (selected.isEmpty) 0.0
+          else selected.map(sl => cos(vecs(id), vecs(sl))).max
+        (id, 2.0 * rel - div)
+      }.maxBy { case (id, sc) => (sc, -id) }._1
+      selected :+= next
+      remaining -= next
+    }
+    assert(got.map(_._2) == selected)
+  }
+
   // ------------------------------------------------------------ q41b
   test("labelProp: on a star the hub and leaves swap labels each " +
       "synchronous round (hub takes the smallest leaf label on the " +
