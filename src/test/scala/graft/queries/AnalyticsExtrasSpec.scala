@@ -3,11 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** Semantics pins for the round-4 additions: q34e lag-k autocorrelation,
-  * q29e conversion-latency histogram, q42c related-items Jaccard top-k,
-  * q26_weighted weighted sampling, and the q36c k-anonymity audit — each
-  * on planted inputs (or recomputed invariants) the shared-fixture
-  * oracle can't isolate. */
+/** Semantics pins for the round-4 batch additions — ACF (q34e),
+  * conversion latency (q29e), related items (q42c), weighted sampling
+  * (q26_weighted), Holt smoothing (q34f), Benford (q19h), sorted-
+  * neighborhood linkage (q22_snm), MMR (q23_mmr), label propagation
+  * (q41b), seasonal anomaly (q35c), Zipf bands (q24_zipf), FK discovery
+  * (q36d), k-anonymity (q36c), freshness lag (cdc15), and the s12
+  * attribution twin — each on planted inputs (or recomputed invariants)
+  * the shared-fixture oracle can't isolate. */
 class AnalyticsExtrasSpec extends SparkSpec {
   import spark.implicits._
 
