@@ -1838,6 +1838,104 @@ object Relational {
       |FROM g, t
       |ORDER BY digit""".stripMargin
 
+  /** POISSON-BOOTSTRAP confidence interval (q19i) — the streaming-
+    * friendly bootstrap (Chamandy et al., Google 2012): instead of
+    * resampling n rows with replacement (impossible distributed), each
+    * row enters replica b with an independent Poisson(1) multiplicity —
+    * here DERANDOMIZED: the multiplicity comes from a Knuth mix of
+    * (row key, b) against fixed Poisson-CDF thresholds (/1000:
+    * 368/736/920/981/996), so both engines draw the identical 32
+    * pseudo-samples and the driver hash can certify the CI. Per flag:
+    * the plain mean plus the p10/p90 of the 32 replica means (integer
+    * ranks 4 and 29 of the sorted replicas, ties broken by replica id).
+    *
+    * Scale: the ×32 replica expansion is ROW-LOCAL (transform +
+    * explode) and collapses map-side — the shuffle carries 32·|flags|
+    * partial rows, never 32× the corpus; the replica summary is
+    * aggregate-scale for the rank picks. Replica means are exact
+    * decimal sums divided once in double (the q19c discipline). */
+  def q19i_bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val reps = 32
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        dec(col("l_quantity")).as("q"),
+        (col("l_orderkey") * 7 + col("l_linenumber")).as("rk"))
+    // w(row, b): deterministic Poisson(1) multiplicity in 0..5.
+    // Long-safety: (rk·64+b)·2654435761 must stay under 2^63 (Spark
+    // wraps, DuckDB would promote to HUGEINT — silent divergence), so
+    // rk·64 < 3.4e9, i.e. orderkeys below ~7.7e6 — the q43b-style
+    // magnitude bound; rehash rk through bucketOf first at bigger keys
+    val expanded = li
+      .select(col("flag"), col("q"), explode(expr(
+        s"""transform(sequence(1, $reps), b -> named_struct(
+           |  'b', b,
+           |  'w', CASE
+           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
+           |      < 368 THEN 0L
+           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
+           |      < 736 THEN 1L
+           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
+           |      < 920 THEN 2L
+           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
+           |      < 981 THEN 3L
+           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
+           |      < 996 THEN 4L
+           |    ELSE 5L END))""".stripMargin)).as("r"))
+      .select(col("flag"), col("q"), col("r.b").as("b"), col("r.w").as("w"))
+    val replicas = expanded
+      .groupBy("flag", "b")
+      .agg((sum(col("q") * col("w")).cast(DoubleType) /
+        sum(col("w")).cast(DoubleType)).as("rep_mean"))
+    val wRk = Window.partitionBy("flag").orderBy(col("rep_mean"), col("b"))
+    val ci = replicas
+      .withColumn("rnk", row_number().over(wRk))
+      .groupBy("flag")
+      .agg(min(when(col("rnk") === 4, col("rep_mean"))).as("ci_lo"),
+        min(when(col("rnk") === 29, col("rep_mean"))).as("ci_hi"),
+        count(lit(1)).as("n_replicas"))
+    val base = li.groupBy("flag")
+      .agg((sum(col("q")).cast(DoubleType) / count(lit(1))).as("est_mean"))
+    base.join(ci, "flag")
+      .select("flag", "est_mean", "ci_lo", "ci_hi", "n_replicas")
+      .orderBy("flag")
+  }
+
+  val q19iSql: String =
+    s"""WITH li AS (SELECT l_returnflag AS flag,
+       |    CAST(l_quantity AS $D18) AS q,
+       |    l_orderkey * 7 + l_linenumber AS rk
+       |  FROM lineitem),
+       |x AS (SELECT flag, q, i.b,
+       |    CASE
+       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
+       |        < 368 THEN 0
+       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
+       |        < 736 THEN 1
+       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
+       |        < 920 THEN 2
+       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
+       |        < 981 THEN 3
+       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
+       |        < 996 THEN 4
+       |      ELSE 5 END AS w
+       |  FROM li, (SELECT unnest(range(1, 33)) AS b) i),
+       |reps AS (SELECT flag, b,
+       |    CAST(SUM(q * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rep_mean
+       |  FROM x GROUP BY 1, 2),
+       |rr AS (SELECT flag, rep_mean, ROW_NUMBER() OVER (PARTITION BY flag
+       |    ORDER BY rep_mean, b) AS rnk FROM reps),
+       |ci AS (SELECT flag,
+       |    MIN(CASE WHEN rnk = 4 THEN rep_mean END) AS ci_lo,
+       |    MIN(CASE WHEN rnk = 29 THEN rep_mean END) AS ci_hi,
+       |    count(*) AS n_replicas
+       |  FROM rr GROUP BY flag),
+       |base AS (SELECT flag,
+       |    CAST(SUM(q) AS DOUBLE) / count(*) AS est_mean
+       |  FROM li GROUP BY flag)
+       |SELECT base.flag, est_mean, ci_lo, ci_hi, n_replicas
+       |FROM base JOIN ci ON ci.flag = base.flag
+       |ORDER BY base.flag""".stripMargin
+
   /** The candidate (child → parent) key pairs q36d profiles — shared by
     * the Spark plan and the oracle text so both enumerate identically.
     * Both directions of the orders/lineitem relation are deliberately
@@ -2080,6 +2178,7 @@ object Relational {
     "q36c_anonymity" -> (q36c_anonymity _),
     "q19h_benford" -> (q19h_benford _),
     "q36d_inclusion" -> (q36d_inclusion _),
+    "q19i_bootstrap" -> (q19i_bootstrap _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -2139,6 +2238,7 @@ object Relational {
     "q36c_anonymity" -> q36cSql,
     "q19h_benford" -> q19hSql,
     "q36d_inclusion" -> q36dSql,
+    "q19i_bootstrap" -> q19iSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

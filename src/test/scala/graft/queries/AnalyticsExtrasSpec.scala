@@ -192,6 +192,23 @@ class AnalyticsExtrasSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(4) <= r.getLong(3)))
   }
 
+  // ------------------------------------------------------------ q19i
+  test("q19i bootstrap: 32 replicas per flag, a proper interval " +
+      "(lo < hi) that brackets the point estimate at this sample size") {
+    val got = Relational.queries("q19i_bootstrap")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (est, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r.getLong(4) == 32L)
+      assert(lo < hi)
+      // not a theorem for arbitrary data, but at thousands of rows per
+      // flag a p10-p90 replica interval missing the mean would mean the
+      // derandomized multiplicities are biased — the regression this
+      // test exists to catch
+      assert(lo <= est && est <= hi)
+    }
+  }
+
   // --------------------------------------------------------- q23_mmr
   test("mmrOf: diversification re-ranks — a near-duplicate of pick 1 " +
       "loses pick 2 to a less-relevant but diverse candidate, and all " +
