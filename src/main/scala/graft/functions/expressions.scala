@@ -64,6 +64,77 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 2-D HILBERT curve index of (x, y) on a 2^bits × 2^bits grid — the
+  * space-filling layout key whose range-partitioned sorted write gives
+  * better min/max pruning locality than the q39 Morton interleave
+  * (Hilbert never makes the long diagonal jumps Z-order takes between
+  * quadrants: consecutive indexes are always grid-neighbors, proven
+  * exhaustively in LayoutKeysSpec). The classic xy2d bit descent
+  * (Wikipedia "Hilbert curve", the n−1-flip variant so every
+  * intermediate coordinate stays in [0, 2^bits) — which is what lets
+  * the DuckDB oracle replay the descent with pure non-negative
+  * arithmetic); inputs are masked to the low `bits` bits. A Column-
+  * level unrolling would nest each level's x into the next's ~6 times
+  * (≈6^bits tree nodes — the janino blowup q23_knn_lsh documents), so
+  * the loop lives in ONE codegen'd kernel instead. */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val n = 1L << bits
+    var x = a.asInstanceOf[Long] & (n - 1)
+    var y = b.asInstanceOf[Long] & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = 1L << bits
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a & ${n - 1}L;
+         |long $y = $b & ${n - 1}L;
+         |long $d = 0L;
+         |for (long $s = ${n >> 1}L; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = ${n - 1}L - $x; $y = ${n - 1}L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rolling polynomial hash acc ← (acc·31 + codepoint) mod 1e9+7 over a
   * string — the document-fingerprint kernel (TextOps.q24_fingerprint),
   * previously an O(len²) `transform(sequence(...), substring)` fold. */
@@ -852,6 +923,12 @@ object native {
 
   def rollingHash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+
+  /** 2-D Hilbert index on a 2^bits grid (see [[HilbertIndex]]). */
+  def hilbert(x: Column, y: Column, bits: Int): Column =
+    GraftColumnBridge.column(HilbertIndex(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y),
+      bits))
 
   /** Hashed-feature linear classifier score (see [[HashedLinearScore]]):
     * row-local model inference, one pass over the text. */

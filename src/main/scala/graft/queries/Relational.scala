@@ -2119,6 +2119,51 @@ object Relational {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  /** HILBERT layout key (q39b) — q39's clustering key upgraded to the
+    * space-filling curve without Z-order's quadrant jumps: consecutive
+    * Hilbert indexes are ALWAYS grid-neighbors (exhaustively pinned in
+    * LayoutKeysSpec), so a range-partitioned sorted write packs each
+    * file with a genuinely contiguous 2-D tile and per-file min/max
+    * prune tighter on both dimensions. The 10-level xy2d descent runs
+    * in one codegen kernel (graft.functions.HilbertIndex — a Column
+    * unrolling would nest ~6^10 expression nodes); the oracle replays
+    * the same descent as a DuckDB list_reduce over a bit-packed
+    * (x | y<<10 | d<<20) accumulator. */
+  def q39b_hilbert(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      .withColumn("h", graft.functions.native.hilbert(
+        col("l_partkey"), col("l_suppkey"), 10))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val q39bSql: String = {
+    // packed state: x | y<<10 | d<<20; branches by (ry, rx):
+    //   ry=0,rx=1: flip both about n-1 then swap, d += 3s²
+    //   ry=0,rx=0: swap only
+    //   ry=1:      coords unchanged, d += s²·(1+rx)
+    val x = "(acc & 1023)"
+    val y = "((acc >> 10) & 1023)"
+    val d = "(acc >> 20)"
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  list_reduce(
+       |    list_prepend((l_partkey & 1023) | ((l_suppkey & 1023) << 10),
+       |      [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]),
+       |    (acc, s) -> CASE
+       |      WHEN ($y & s) = 0 AND ($x & s) > 0 THEN
+       |        (1023 - $y) | ((1023 - $x) << 10) | (($d + 3*s*s) << 20)
+       |      WHEN ($y & s) = 0 THEN
+       |        $y | ($x << 10) | ($d << 20)
+       |      ELSE
+       |        $x | ($y << 10) |
+       |          (($d + s*s*(CASE WHEN ($x & s) > 0 THEN 2 ELSE 1 END))
+       |            << 20)
+       |      END) >> 20 AS h
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+      .stripMargin
+  }
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan" -> (q01_scan _),
@@ -2179,6 +2224,7 @@ object Relational {
     "q19h_benford" -> (q19h_benford _),
     "q36d_inclusion" -> (q36d_inclusion _),
     "q19i_bootstrap" -> (q19i_bootstrap _),
+    "q39b_hilbert" -> (q39b_hilbert _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
 
@@ -2239,6 +2285,7 @@ object Relational {
     "q19h_benford" -> q19hSql,
     "q36d_inclusion" -> q36dSql,
     "q19i_bootstrap" -> q19iSql,
+    "q39b_hilbert" -> q39bSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract's bookkeeping: the correctness gate only
+  * sees queries that appear in BOTH maps, so a key drift (a query added
+  * without its oracle, an oracle orphaned by a rename) silently weakens
+  * the scoreboard. This spec makes that drift a named failure. */
+class InventorySpec extends AnyFunSuite {
+
+  /** Every rows-only query, each with the reason the oracle engine
+    * cannot replay it. Additions here need the same justification
+    * discipline (an engine-internal kernel, not mere inconvenience). */
+  private val rowsOnlyByDesign = Map(
+    "q04b_approx_distinct" -> "HyperLogLog internals are engine-specific",
+    "q04c_hll_sketches" -> "Datasketches HLL binary sketches",
+    "q24_compress" -> "DuckDB has no zlib/Deflater",
+    "q24_quantiles_approx" -> "percentile_approx sketch is engine-internal")
+
+  test("every query entry has an oracle, except the four documented " +
+      "rows-only kernels") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnlyByDesign.keySet,
+      s"oracle-less queries drifted: $missing")
+  }
+
+  test("no orphaned oracles: every oracle key resolves to a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rows-only queries are still declared (the exemption is from the " +
+      "hash gate, not from existing)") {
+    val gone = rowsOnlyByDesign.keySet -- SparkEntry.queries.keySet
+    assert(gone.isEmpty, s"exempted queries vanished: $gone")
+  }
+
+  test("query names are well-formed driver keys (lowercase, stable)") {
+    SparkEntry.queries.keySet.foreach { k =>
+      assert(k.matches("[a-z0-9_]+"), s"bad key: $k")
+    }
+  }
+}
