@@ -49,6 +49,25 @@ class LayoutKeysSpec extends SparkSpec {
     assert(jumps > 0, "z-order unexpectedly jump-free at 16x16")
   }
 
+  test("hilbert interpreted eval == codegen path (the NativeKernelsSpec " +
+      "contract) on a deterministic point set") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val pts = (0 until 200).map { i =>
+      val h = java.lang.Math.floorMod(i * 2654435761L, 4294967296L)
+      (h % 1024L, (h >> 10) % 1024L)
+    }
+    val viaDf = pts.toDF("x", "y")
+      .withColumn("d", graft.functions.native.hilbert(col("x"), col("y"),
+        10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (x, y) =>
+      val interp = HilbertIndex(Literal(x), Literal(y), 10).eval(null)
+        .asInstanceOf[Long]
+      assert(interp == viaDf((x, y)), s"($x, $y)")
+    }
+  }
+
   test("hilbert masks inputs to the grid (keys beyond 2^bits wrap to " +
       "their low bits, never error)") {
     val got = Seq((1024L + 3L, 2048L + 5L), (3L, 5L))
