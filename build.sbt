@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout, not through sbt's logger: the
+// logger prefixes every line with "[info] ", which breaks any per-line
+// JSON parse of the bench/verify output downstream (the round driver's
+// BENCH parsed field was null four rounds running because of it).
+outputStrategy := Some(StdoutOutput) // unscoped: covers runMain's forkOptions too
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

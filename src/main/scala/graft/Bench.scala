@@ -136,13 +136,43 @@ object Bench {
     val audited = raw.map { case (name, ts) =>
       (name, ts ++ reauditMins.get(name).toSeq)
     }
-    val loadAfter = loadavg()
     // contention tripwire: a >10x min/max spread on a non-trivial query
-    // means some runs were starved — the min is still reported, but the
-    // run is flagged so a contaminated bench can't read as a regression.
-    val suspect = audited.collect {
-      case (name, ts) if ts.nonEmpty && ts.max > 1.0 &&
-          ts.max / ts.min > 10.0 =>
+    // means some runs were starved. Instead of merely FLAGGING (r04
+    // shipped with one warning), re-queue every tripped query for an
+    // isolated re-measure after the sweep: wait for the box to settle,
+    // take two fresh samples, and REPLACE the sample set with
+    // {fresh..., previous min}. If the fresh samples confirm the min
+    // (cluster near it), the stale spiked samples stop inflating the
+    // spread and the warning clears; if the box is still dirty the
+    // spread survives and the flag stands — the official file can only
+    // ship clean when the measurements actually were.
+    def spreadSuspect(ts: Seq[Double]): Boolean =
+      ts.nonEmpty && ts.max > 1.0 && ts.max / ts.min > 10.0
+    def settle(): Unit = {
+      System.gc()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (loadavg() > cpus.toDouble && System.nanoTime() < deadline)
+        Thread.sleep(2000)
+    }
+    val requeued = audited.map { case (name, ts) =>
+      if (!spreadSuspect(ts)) (name, ts)
+      else {
+        settle()
+        val fn = selected(name)
+        val fresh = (0 until 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+          finally dropPinnedRdds()
+        }
+        if (fresh.isEmpty) (name, ts) else (name, fresh :+ ts.min)
+      }
+    }
+    val loadAfter = loadavg()
+    val suspect = requeued.collect {
+      case (name, ts) if spreadSuspect(ts) =>
         System.err.println(f"[bench] WARN $name spread ${ts.max / ts.min}%.1fx " +
           f"(min ${ts.min}%.2fs max ${ts.max}%.2fs) — CPU contention?")
         name
@@ -152,11 +182,9 @@ object Bench {
     // and corrupt the JSON the driver parses.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = audited.map { case (name, ts) =>
+    val results = requeued.map { case (name, ts) =>
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     // cap the embedded names: on a fully contended box most of the ~100
     // queries can trip the tripwire, and an unbounded list would push
@@ -165,16 +193,36 @@ object Bench {
       (if (suspect.size > 8) Seq("\"+" + (suspect.size - 8) + " more\"")
        else Nil)).mkString("[", ",", "]")
     // The round driver stores the LAST 2000 chars of output
-    // (BENCH_r0x.json "tail"), so a single ~4KB metric line loses its
-    // FRONT and has parsed as null every round. Split the report:
-    //   1. a detail line with every per-query time — deliberately NOT
-    //      keyed "metric", so a truncated front can't shadow the real
-    //      metric line for any {"metric"...}-seeking parser;
+    // (BENCH_r0x.json "tail") and parses lines as JSON — two things
+    // defeated that for four rounds: a single ~4KB per-query line whose
+    // FRONT truncates out of the tail, and sbt's "[info] " logger
+    // prefix on every line (fixed build-side: run/outputStrategy =
+    // StdoutOutput, so these lines now reach stdout raw). Report shape:
+    //   1. per-query detail in sorted ≤20-entry chunks — every line is
+    //      valid standalone JSON, none keyed "metric", so a truncated
+    //      capture still parses whatever lines survive;
     //   2. the compact {"metric":"total"...} line LAST — ~220 chars
-    //      (warnings capped above), guaranteed inside any tail window,
-    //      so the official total finally registers.
-    println(s"""{"detail":{"sf":"$sfDir","queries":$qs}}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson}""")
+    //      (warnings capped above), guaranteed inside any tail window;
+    //   3. the whole report as one file (bench_full.json) for readers
+    //      with file access — the untruncatable record.
+    val sorted = results.sortBy(_._1)
+    val chunks = sorted.grouped(20).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
+    }
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson}"""
+    val allQs = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (metricLine.dropRight(1) + s""","queries":$allQs}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
+    println(metricLine)
     spark.stop()
   }
 }

@@ -54,11 +54,18 @@ object Main {
     EngineConfig(backends)
   }
 
-  /** `-q <name> <sfDir> [limit]` — run one named query from the
-    * engine's inventory against a parquet table directory and print
-    * the head of the result: the ad-hoc face of the library (the
-    * daemon covers streaming). `-q list` prints the inventory. */
-  private def runQuery(args: Array[String]): Unit = {
+  /** `-q <name> <sfDir> [limit] [--audit]` — run one named query from
+    * the engine's inventory against a parquet table directory and print
+    * the head of the result plus its wall time: the ad-hoc face of the
+    * library (the daemon covers streaming). `-q list` prints the
+    * inventory. `--audit` additionally runs [[graft.plans.PlanAudit]]
+    * over the physical plan and prints each scale-risk finding
+    * (cartesians, nested-loop joins, unpartitioned windows) next to
+    * the timing — the same lint the repo's own PlanShapeSpec enforces,
+    * surfaced for ad-hoc users before they schedule the query. */
+  private def runQuery(rawArgs: Array[String]): Unit = {
+    val doAudit = rawArgs.contains("--audit")
+    val args = rawArgs.filterNot(_ == "--audit")
     val builder = SparkSession.builder().appName("graft-query")
     if (!sys.props.contains("spark.master") &&
         !sys.env.contains("SPARK_MASTER"))
@@ -76,13 +83,27 @@ object Main {
         val limit = rest.headOption.map(_.toInt).getOrElse(20)
         val spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        fn(spark, sfDir).show(limit, truncate = false)
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.show(limit, truncate = false)
+        println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (doAudit) auditReport(df).foreach(println)
         spark.stop()
       case _ =>
         System.err.println(
-          "usage: graft.cli.Main -q <name|list> <sfDir> [limit]")
+          "usage: graft.cli.Main -q <name|list> <sfDir> [limit] [--audit]")
         sys.exit(1)
     }
+  }
+
+  /** The `--audit` report lines for a query's physical plan — one line
+    * per [[graft.plans.PlanAudit]] finding, or a single "clean" line.
+    * Split from [[runQuery]] so specs exercise the report without the
+    * CLI's session lifecycle. */
+  private[cli] def auditReport(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val findings = graft.plans.PlanAudit.audit(df)
+    if (findings.isEmpty) Seq("[graft] plan audit: clean")
+    else findings.map(f => s"[graft] plan audit: [${f.kind}] ${f.detail}")
   }
 
   def main(args: Array[String]): Unit = {

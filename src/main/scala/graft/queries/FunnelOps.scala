@@ -228,8 +228,8 @@ object FunnelOps {
   /** The nullable-scaffold CTE chain (ends in `g`: gap days NULL),
     * shared by all three oracles — ONE definition, like the Spark
     * side's shared scaffolded(). */
-  private val scaffoldCtes: String =
-    s"""WITH e AS ${Tables.eventsNormSql},
+  private val scaffoldCteBody: String =
+    s"""e AS ${Tables.eventsNormSql},
        |d AS (SELECT event_type, ts_us // 86400000000 AS day, COUNT(*) AS n
        |      FROM e GROUP BY 1, 2),
        |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
@@ -240,10 +240,18 @@ object FunnelOps {
        |      FROM sc LEFT JOIN d ON d.event_type = sc.event_type
        |        AND d.day = sc.day)""".stripMargin
 
-  /** The zero-filled chain the q34 and q35 oracles consume. */
-  private val gapFillCtes: String =
-    s"""$scaffoldCtes,
+  private val scaffoldCtes: String = "WITH " + scaffoldCteBody
+
+  /** The zero-filled chain the q34 and q35 oracles consume — body
+    * (sans WITH) exposed separately so recursive consumers compose
+    * "WITH RECURSIVE " + body explicitly instead of string surgery on
+    * the assembled text (a replaceFirst against a reformatted prefix
+    * would silently no-op and ship an invalid oracle). */
+  private val gapFillCteBody: String =
+    s"""$scaffoldCteBody,
        |f AS (SELECT event_type, day, COALESCE(n, 0) AS n FROM g)""".stripMargin
+
+  private val gapFillCtes: String = "WITH " + gapFillCteBody
 
   val q34Sql: String =
     s"""$gapFillCtes
@@ -341,7 +349,7 @@ object FunnelOps {
       .orderBy("event_type", "day")
 
   val q34cSql: String =
-    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    s"""WITH RECURSIVE $gapFillCteBody,
        |rr AS (SELECT event_type, day, n,
        |         row_number() OVER (PARTITION BY event_type ORDER BY day)
        |           AS rn
@@ -450,7 +458,7 @@ object FunnelOps {
     cusum(gapFilled(s, dir))
 
   val q35bSql: String =
-    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    s"""WITH RECURSIVE $gapFillCteBody,
        |mu AS (SELECT event_type, SUM(n) * 1000000 // COUNT(*) AS mu
        |       FROM f GROUP BY 1),
        |rr AS (SELECT f.event_type, day, n, mu,
@@ -889,7 +897,7 @@ object FunnelOps {
   val q34fSql: String = {
     val lNew = "CAST(floor((rr.n * 8 + 3 * (rec.l + rec.b)) / 4.0)" +
       " AS BIGINT)"
-    s"""${gapFillCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    s"""WITH RECURSIVE $gapFillCteBody,
        |rr AS (SELECT event_type, day, n,
        |         row_number() OVER (PARTITION BY event_type ORDER BY day)
        |           AS rn

@@ -150,10 +150,15 @@ object IndexOps {
     * graft.plans.TopKPerKey rewrite turns it into a bounded heap, so a
     * stopword bigram with df ≈ |docs| never materializes its full
     * posting list in one task. df itself comes from a SEPARATE
-    * vocabulary-scale aggregate joined back broadcast onto the ≤8·|vocab|
+    * vocabulary-scale aggregate joined back onto the ≤8·|vocab|
     * surviving rows — deliberately NOT a count() sharing the ranking
     * window, which would force full-partition materialization and
-    * defeat the heap. */
+    * defeat the heap. The df join is a SHUFFLE join on `term`,
+    * never a broadcast: df is vocabulary-scale (billions of bigrams
+    * at 100 TB — a driver OOM as a broadcast side), and the left side
+    * just exited `Window.partitionBy("term")`, so it is already
+    * hash-partitioned on the join key and the sort-merge join reuses
+    * that exchange. PlanShapeSpec pins the no-broadcast shape. */
   /** Core over (doc_id, text) rows — exposed so specs can plant
     * documents; `k` caps the posting list per term. */
   private[graft] def invertedIndex(docs: DataFrame, k: Int): DataFrame = {
@@ -169,7 +174,7 @@ object IndexOps {
     val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
     tf.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .join(broadcast(df), "term")
+      .join(df.hint("shuffle_merge"), "term")
       .select(col("term"), col("df"), col("rk"), col("doc_id"), col("tf"))
       .orderBy("term", "rk")
   }
@@ -206,10 +211,30 @@ object IndexOps {
     * stays row-local from the sorted basket set (the q42 discipline);
     * counts collapse through one partial-agg groupBy. The oracle skips
     * the pruning — it is a pure optimization, the result set is
-    * provably identical (monotonicity of support). */
+    * provably identical (monotonicity of support).
+    *
+    * Broadcast guard: Apriori conventionally broadcasts the frequent
+    * set, and the support threshold keeps it small on any plausible
+    * corpus — but "plausible" is not a plan property. The pair set is
+    * localCheckpointed (three consumers — without it each broadcast
+    * would recompute the basket aggregation) and counted once; only
+    * when it is provably broadcast-sized (≤ [[maxBroadcastPairs]]
+    * rows ≈ tens of MB) do the semi-joins take the broadcast hint.
+    * A degenerate min-support that blows past the bound degrades to
+    * unhinted semi-joins — shuffle on the pair keys, still Apriori-
+    * lossless, never a driver OOM. */
+  /** Frequent-pair rows above which [[frequentTriples]] stops hinting
+    * broadcast: 2M (a, b) long-pairs ≈ 32 MB raw — comfortably inside
+    * executor broadcast budgets; beyond it the prune joins shuffle. */
+  private[graft] val maxBroadcastPairs: Long = 2L * 1000 * 1000
+
   private[graft] def frequentTriples(items: DataFrame,
       minSupport: Long): DataFrame = {
-    val pairs = pairCounts(items, minSupport).select("a", "b")
+    val pairsCk = pairCounts(items, minSupport).select("a", "b")
+      .localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (pairsCk.count() <= maxBroadcastPairs) broadcast else identity
+    val pairs = pairsCk
     val triples = items
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
@@ -221,10 +246,10 @@ object IndexOps {
         .as("tr"))
       .select(col("tr.a").as("a"), col("tr.b").as("b"), col("tr.c").as("c"))
     val pruned = triples
-      .join(broadcast(pairs), Seq("a", "b"), "left_semi")
-      .join(broadcast(pairs.select(col("a"), col("b").as("c"))),
+      .join(hint(pairs), Seq("a", "b"), "left_semi")
+      .join(hint(pairs.select(col("a"), col("b").as("c"))),
         Seq("a", "c"), "left_semi")
-      .join(broadcast(pairs.select(col("a").as("b"), col("b").as("c"))),
+      .join(hint(pairs.select(col("a").as("b"), col("b").as("c"))),
         Seq("b", "c"), "left_semi")
     pruned.groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)

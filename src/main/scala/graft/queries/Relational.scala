@@ -1854,33 +1854,42 @@ object Relational {
     * partial rows, never 32× the corpus; the replica summary is
     * aggregate-scale for the rank picks. Replica means are exact
     * decimal sums divided once in double (the q19c discipline). */
+  /** w(row, b): deterministic Poisson(1) multiplicity in 0..5, as SQL
+    * text shared by the Spark plan and the DuckDB oracle (only the
+    * integer-division spelling differs: `div` vs `//`).
+    *
+    * Long-safety for ANY 64-bit rk — the round-4 version multiplied
+    * (rk·64+b)·2654435761 directly, which wraps in Spark but promotes
+    * to HUGEINT in DuckDB once orderkeys pass ~7.7e6 (sf ≳ 1): silent
+    * cross-engine divergence. Now rk first folds to a 31-bit mix m
+    * (low word · 69069 + high word · 40499 + b · 97, mod 2^31); every
+    * intermediate is provably < 2^63 in both engines:
+    * (rk%2^32)·69069 < 2.97e14, (rk/2^32)·40499 < 8.7e13,
+    * m·2654435761 < 2^31·2.66e9 = 5.7e18 < 2^63. */
+  private[graft] def poissonCase(divOp: String, bRef: String): String = {
+    val m = s"(((rk % 4294967296) * 69069 + (rk $divOp 4294967296) * 40499" +
+      s" + $bRef * 97) % 2147483648)"
+    val h = s"$m * 2654435761 % 4294967296 % 1000"
+    s"""CAST(CASE
+       |  WHEN $h < 368 THEN 0
+       |  WHEN $h < 736 THEN 1
+       |  WHEN $h < 920 THEN 2
+       |  WHEN $h < 981 THEN 3
+       |  WHEN $h < 996 THEN 4
+       |  ELSE 5 END AS BIGINT)""".stripMargin
+  }
+
   def q19i_bootstrap(s: SparkSession, dir: String): DataFrame = {
     val reps = 32
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         dec(col("l_quantity")).as("q"),
         (col("l_orderkey") * 7 + col("l_linenumber")).as("rk"))
-    // w(row, b): deterministic Poisson(1) multiplicity in 0..5.
-    // Long-safety: (rk·64+b)·2654435761 must stay under 2^63 (Spark
-    // wraps, DuckDB would promote to HUGEINT — silent divergence), so
-    // rk·64 < 3.4e9, i.e. orderkeys below ~7.7e6 — the q43b-style
-    // magnitude bound; rehash rk through bucketOf first at bigger keys
     val expanded = li
       .select(col("flag"), col("q"), explode(expr(
         s"""transform(sequence(1, $reps), b -> named_struct(
            |  'b', b,
-           |  'w', CASE
-           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
-           |      < 368 THEN 0L
-           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
-           |      < 736 THEN 1L
-           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
-           |      < 920 THEN 2L
-           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
-           |      < 981 THEN 3L
-           |    WHEN pmod((rk * 64 + b) * 2654435761, 4294967296) % 1000
-           |      < 996 THEN 4L
-           |    ELSE 5L END))""".stripMargin)).as("r"))
+           |  'w', ${poissonCase("div", "b")}))""".stripMargin)).as("r"))
       .select(col("flag"), col("q"), col("r.b").as("b"), col("r.w").as("w"))
     val replicas = expanded
       .groupBy("flag", "b")
@@ -1906,18 +1915,7 @@ object Relational {
        |    l_orderkey * 7 + l_linenumber AS rk
        |  FROM lineitem),
        |x AS (SELECT flag, q, i.b,
-       |    CASE
-       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
-       |        < 368 THEN 0
-       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
-       |        < 736 THEN 1
-       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
-       |        < 920 THEN 2
-       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
-       |        < 981 THEN 3
-       |      WHEN ((rk * 64 + i.b) * 2654435761) % 4294967296 % 1000
-       |        < 996 THEN 4
-       |      ELSE 5 END AS w
+       |    ${poissonCase("//", "i.b")} AS w
        |  FROM li, (SELECT unnest(range(1, 33)) AS b) i),
        |reps AS (SELECT flag, b,
        |    CAST(SUM(q * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rep_mean

@@ -99,13 +99,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q43_index posting-list cut plans as TopKPerKey and the df side " +
-      "broadcasts — a stopword bigram never sorts its full posting " +
-      "list in one task") {
+      "NEVER broadcasts — the bigram vocabulary is corpus-scale (a " +
+      "driver OOM as a broadcast side at 100 TB); the join shuffles " +
+      "on term, which the ranking window already partitioned by") {
     val plan = planOf(IndexOps.queries("q43_index")(spark, sfDir))
     assert(plan.contains("TopKPerKey"),
       s"rank<=k must trigger the rewrite, plan:\n${plan.take(800)}")
-    assert(plan.contains("BroadcastHashJoin"),
-      "vocabulary-scale df aggregate must broadcast onto the kept rows")
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastExchange"),
+      "vocabulary-scale df aggregate must shuffle-join, never broadcast: " +
+        s"plan:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"df join should be the hinted sort-merge join, plan:\n${plan.take(800)}")
   }
 
   test("q42_cooccur pair expansion is row-local: no self-join of the " +
