@@ -542,6 +542,84 @@ object FunnelOps {
        |FROM p GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q38b
+  /** INTERVAL-UNION coverage (q38b) — per event type, the total time
+    * covered by the UNION of the 30-minute activity intervals
+    * [ts, ts+30min): q38's sweep line answers "how many overlap at
+    * the peak", this answers "how much of the clock is covered at
+    * all" (uptime from heartbeats, listened-time from play events —
+    * double-counting overlaps is the classic naive bug).
+    *
+    * Classic merged-islands shape, one sort per type partition: the
+    * running max of interval ends over STRICTLY preceding rows marks
+    * an island start wherever the current start clears it (half-open
+    * semantics: touching intervals chain into one island), a running
+    * sum of starts numbers the islands, and one partial-agg groupBy
+    * collapses each island to max(end)−min(start). Equal-start rows
+    * are symmetric (same end), so tie order inside the sort cannot
+    * change island assignment — deterministic at any partitioning.
+    * Both window passes share partitionBy+orderBy → ONE WindowExec;
+    * no self-join, no explode, nothing quadratic. */
+  def q38b_interval_union(s: SparkSession, dir: String): DataFrame =
+    intervalUnion(
+      Tables.events(s, dir).select("event_type", "ts_us", "event_id"),
+      winUs = 1800000000L) // 30 min
+      .orderBy("event_type")
+
+  /** Core over (event_type, ts_us, event_id) rows — exposed so specs
+    * can plant touching/nested/disjoint interval patterns. */
+  private[queries] def intervalUnion(events: DataFrame,
+      winUs: Long): DataFrame = {
+    val ord = Window.partitionBy("event_type")
+      .orderBy("ts_us", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("fin", col("ts_us") + lit(winUs))
+      .withColumn("prev_max", max(col("fin")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max").isNull ||
+          col("ts_us") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("event_type", "island")
+      .agg((max(col("fin")) - min(col("ts_us"))).as("len"),
+        count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n")).as("n_intervals"),
+        sum(col("len")).as("covered_us"))
+  }
+
+  val q38bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |iv AS (SELECT event_type, event_id, ts_us,
+       |         ts_us + 1800000000 AS fin
+       |       FROM e),
+       |m AS (SELECT event_type, event_id, ts_us, fin,
+       |        MAX(fin) OVER (PARTITION BY event_type
+       |          ORDER BY ts_us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS prev_max
+       |      FROM iv),
+       |s AS (SELECT event_type, event_id, ts_us, fin,
+       |        CASE WHEN prev_max IS NULL OR ts_us > prev_max
+       |          THEN 1 ELSE 0 END AS new_island
+       |      FROM m),
+       |isl AS (SELECT event_type, ts_us, fin,
+       |          SUM(new_island) OVER (PARTITION BY event_type
+       |            ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS island
+       |        FROM s),
+       |g AS (SELECT event_type, island,
+       |        MAX(fin) - MIN(ts_us) AS len, COUNT(*) AS n
+       |      FROM isl GROUP BY 1, 2)
+       |SELECT event_type, COUNT(*) AS n_islands,
+       |  CAST(SUM(n) AS BIGINT) AS n_intervals,
+       |  CAST(SUM(len) AS BIGINT) AS covered_us
+       |FROM g GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- Q40
   /** Batch SESSIONIZATION: the 30-minute gap rule — a gap of more than
     * 30 min of inactivity per user closes the session — assigns every
@@ -1065,6 +1143,7 @@ object FunnelOps {
     "q35_anomaly" -> (q35_anomaly _),
     "q35b_cusum" -> (q35b_cusum _),
     "q38_overlap" -> (q38_overlap _),
+    "q38b_interval_union" -> (q38b_interval_union _),
     "q40_sessionize" -> (q40_sessionize _))
 
   def oracles: Map[String, String] = Map(
@@ -1084,5 +1163,6 @@ object FunnelOps {
     "q35_anomaly" -> q35Sql,
     "q35b_cusum" -> q35bSql,
     "q38_overlap" -> q38Sql,
+    "q38b_interval_union" -> q38bSql,
     "q40_sessionize" -> q40Sql)
 }

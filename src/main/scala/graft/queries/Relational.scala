@@ -707,6 +707,66 @@ object Relational {
        |WHERE p.event_type = 'purchase'
        |ORDER BY p.event_id""".stripMargin
 
+  /** NEAREST as-of join (q12d) — for each purchase, the click closest
+    * in time in EITHER direction (ties go backward — the prior click,
+    * matching the "latest knowledge at decision time" default). Both
+    * carries ride ONE window sort: the backward last() and forward
+    * first() share partitionBy+orderBy, so Spark fuses them into a
+    * single WindowExec over one user-partition sort — the direction
+    * pick is then a row-local CASE, never a second shuffle or a range
+    * join. Direction conventions are exactly q12/q12b's: "prior"
+    * includes an equal-ts smaller-id click, "next" an equal-ts
+    * larger-id one (both Δ = 0 → backward wins the tie). */
+  def q12d_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_pair", when(col("event_type") === "click",
+        struct(col("ts_us").as("cts"), col("event_id").as("cid"))))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wF = ord.rowsBetween(1, Window.unboundedFollowing)
+    val db = col("ts_us") - col("pb.cts")
+    val df = col("pf.cts") - col("ts_us")
+    val takeBack = col("pb").isNotNull &&
+      (col("pf").isNull || db <= df)
+    e.withColumn("pb", last(col("click_pair"), ignoreNulls = true).over(wB))
+      .withColumn("pf", first(col("click_pair"), ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        when(takeBack, col("pb.cid")).otherwise(col("pf.cid"))
+          .as("nearest_click_id"),
+        when(takeBack, db).otherwise(df).as("dist_us"))
+      .orderBy("event_id")
+  }
+
+  val q12dSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |j AS (SELECT p.event_id, p.user_id, p.ts_us,
+       |    b.cid AS bcid, b.cts AS bcts, f.cid AS fcid, f.cts AS fcts
+       |  FROM e p
+       |  LEFT JOIN LATERAL (
+       |    SELECT c.event_id AS cid, c.ts_us AS cts FROM e c
+       |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |      AND (c.ts_us < p.ts_us
+       |           OR (c.ts_us = p.ts_us AND c.event_id < p.event_id))
+       |    ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) b ON TRUE
+       |  LEFT JOIN LATERAL (
+       |    SELECT c.event_id AS cid, c.ts_us AS cts FROM e c
+       |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+       |      AND (c.ts_us > p.ts_us
+       |           OR (c.ts_us = p.ts_us AND c.event_id > p.event_id))
+       |    ORDER BY c.ts_us ASC, c.event_id ASC LIMIT 1) f ON TRUE
+       |  WHERE p.event_type = 'purchase')
+       |SELECT event_id, user_id,
+       |  CASE WHEN bcid IS NOT NULL AND (fcid IS NULL
+       |      OR ts_us - bcts <= fcts - ts_us) THEN bcid ELSE fcid END
+       |    AS nearest_click_id,
+       |  CASE WHEN bcid IS NOT NULL AND (fcid IS NULL
+       |      OR ts_us - bcts <= fcts - ts_us) THEN ts_us - bcts
+       |    ELSE fcts - ts_us END AS dist_us
+       |FROM j ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- Q13
   /** Ranking window: top-3 orders per customer by totalprice. Ties broken
     * by orderkey so both engines rank identically. */
@@ -1866,18 +1926,23 @@ object Relational {
     * intermediate is provably < 2^63 in both engines:
     * (rk%2^32)·69069 < 2.97e14, (rk/2^32)·40499 < 8.7e13,
     * m·2654435761 < 2^31·2.66e9 = 5.7e18 < 2^63. */
-  private[graft] def poissonCase(divOp: String, bRef: String): String = {
+  private[graft] def poissonMix(divOp: String, bRef: String): String = {
     val m = s"(((rk % 4294967296) * 69069 + (rk $divOp 4294967296) * 40499" +
       s" + $bRef * 97) % 2147483648)"
-    val h = s"$m * 2654435761 % 4294967296 % 1000"
-    s"""CAST(CASE
-       |  WHEN $h < 368 THEN 0
-       |  WHEN $h < 736 THEN 1
-       |  WHEN $h < 920 THEN 2
-       |  WHEN $h < 981 THEN 3
-       |  WHEN $h < 996 THEN 4
-       |  ELSE 5 END AS BIGINT)""".stripMargin
+    s"$m * 2654435761 % 4294967296 % 1000"
   }
+
+  /** Poisson(1)-CDF thresholds over a uniform h ∈ [0, 1000) — h is a
+    * NAMED column computed once per replica row ([[poissonMix]]), so
+    * neither engine re-evaluates the mix per CASE branch. */
+  private[graft] val poissonCaseOnH: String =
+    """CAST(CASE
+      |  WHEN h < 368 THEN 0
+      |  WHEN h < 736 THEN 1
+      |  WHEN h < 920 THEN 2
+      |  WHEN h < 981 THEN 3
+      |  WHEN h < 996 THEN 4
+      |  ELSE 5 END AS BIGINT)""".stripMargin
 
   def q19i_bootstrap(s: SparkSession, dir: String): DataFrame = {
     val reps = 32
@@ -1885,12 +1950,22 @@ object Relational {
       .select(col("l_returnflag").as("flag"),
         dec(col("l_quantity")).as("q"),
         (col("l_orderkey") * 7 + col("l_linenumber")).as("rk"))
+    // explode FIRST, derive w as a top-level column: inside a
+    // transform() lambda the multiplicity CASE runs on Catalyst's
+    // interpreted path (higher-order functions don't codegen) — with
+    // the overflow-safe mix that measured 27s at sf0.1; as a plain
+    // projection after the explode it whole-stage-codegens and the
+    // map-side partial aggregate still collapses in the same stage.
+    // repartition(rk) before the ×32 expansion: the fixture's single
+    // row group would otherwise run the whole expand+mix+partial-agg
+    // pipeline in ONE scan task (Tables.scala caveat) — the exchange
+    // moves 600k narrow rows to spread 19M derived rows across cores.
     val expanded = li
-      .select(col("flag"), col("q"), explode(expr(
-        s"""transform(sequence(1, $reps), b -> named_struct(
-           |  'b', b,
-           |  'w', ${poissonCase("div", "b")}))""".stripMargin)).as("r"))
-      .select(col("flag"), col("q"), col("r.b").as("b"), col("r.w").as("w"))
+      .repartition(col("rk"))
+      .select(col("flag"), col("q"), col("rk"),
+        explode(expr(s"sequence(1, $reps)")).as("b"))
+      .withColumn("h", expr(poissonMix("div", "b")))
+      .withColumn("w", expr(poissonCaseOnH))
     val replicas = expanded
       .groupBy("flag", "b")
       .agg((sum(col("q") * col("w")).cast(DoubleType) /
@@ -1914,9 +1989,10 @@ object Relational {
        |    CAST(l_quantity AS $D18) AS q,
        |    l_orderkey * 7 + l_linenumber AS rk
        |  FROM lineitem),
-       |x AS (SELECT flag, q, i.b,
-       |    ${poissonCase("//", "i.b")} AS w
+       |xh AS (SELECT flag, q, i.b,
+       |    ${poissonMix("//", "i.b")} AS h
        |  FROM li, (SELECT unnest(range(1, 33)) AS b) i),
+       |x AS (SELECT flag, q, b, $poissonCaseOnH AS w FROM xh),
        |reps AS (SELECT flag, b,
        |    CAST(SUM(q * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rep_mean
        |  FROM x GROUP BY 1, 2),
@@ -1991,6 +2067,63 @@ object Relational {
         "  n_matched = n_child_keys AS is_fk\nFROM (\n",
       "\nUNION ALL\n",
       "\n) ORDER BY child, parent")
+
+  // --------------------------------------------------------------- Q36e
+  /** DISTRIBUTION-DRIFT detection (q36e) — per language, the total-
+    * variation distance between two document cohorts' length
+    * distributions (here: even vs odd doc_id standing in for
+    * yesterday-vs-today), in ppm. TVD = ½·Σ_bins |shareA − shareB| is
+    * THE portable drift statistic: pure integer arithmetic on counts
+    * (PSI/KL need logs — engine-divergent in the last ulp and
+    * undefined on empty bins), bounded [0, 10⁶], and directly
+    * actionable (the fraction of mass that moved). This is the gate a
+    * training pipeline runs before mixing a new crawl snapshot into
+    * the corpus.
+    *
+    * Scale: ONE corpus-scale partial-agg groupBy on (lang, bin) with
+    * both cohort counts as conditional sums — the cohort split never
+    * doubles the shuffle; everything after (per-lang totals window,
+    * share deltas, final fold) is histogram-scale. GREATEST(tot, 1)
+    * keeps a one-sided cohort defined (TVD = 10⁶) instead of erroring
+    * / nulling on division. */
+  def q36e_drift(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .select(col("lang"), expr("n_chars div 100").as("bin"),
+        (col("doc_id") % 2 === 0).as("is_a"))
+      .groupBy("lang", "bin")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+    val wl = Window.partitionBy("lang")
+    h.withColumn("ta", sum(col("a")).over(wl))
+      .withColumn("tb", sum(col("b")).over(wl))
+      .withColumn("da", expr("a * 1000000 div greatest(ta, 1L)"))
+      .withColumn("db", expr("b * 1000000 div greatest(tb, 1L)"))
+      .groupBy("lang")
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        expr("sum(abs(da - db)) div 2").as("tvd_ppm"))
+      .orderBy("lang")
+  }
+
+  val q36eSql: String =
+    """WITH h AS (SELECT lang, n_chars // 100 AS bin,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS b
+      |  FROM documents GROUP BY 1, 2),
+      |w AS (SELECT lang, bin, a, b,
+      |    SUM(a) OVER (PARTITION BY lang) AS ta,
+      |    SUM(b) OVER (PARTITION BY lang) AS tb
+      |  FROM h),
+      |d AS (SELECT lang, ta, tb,
+      |    a * 1000000 // GREATEST(ta, 1) AS da,
+      |    b * 1000000 // GREATEST(tb, 1) AS db
+      |  FROM w)
+      |SELECT lang, CAST(MAX(ta) AS BIGINT) AS n_a,
+      |  CAST(MAX(tb) AS BIGINT) AS n_b,
+      |  COUNT(*) AS n_bins,
+      |  CAST(SUM(ABS(da - db)) // 2 AS BIGINT) AS tvd_ppm
+      |FROM d GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- Q37
   /** RECURSIVE HIERARCHY resolution by POINTER DOUBLING — every node of
@@ -2188,6 +2321,7 @@ object Relational {
     "q12_asof" -> (q12_asof _),
     "q12b_asof_fwd" -> (q12b_asof_fwd _),
     "q12c_asof_tolerance" -> (q12c_asof_tolerance _),
+    "q12d_asof_nearest" -> (q12d_asof_nearest _),
     "q13_window_rank" -> (q13_window_rank _),
     "q14_window_analytic" -> (q14_window_analytic _),
     "q14b_distribution" -> (q14b_distribution _),
@@ -2221,6 +2355,7 @@ object Relational {
     "q36c_anonymity" -> (q36c_anonymity _),
     "q19h_benford" -> (q19h_benford _),
     "q36d_inclusion" -> (q36d_inclusion _),
+    "q36e_drift" -> (q36e_drift _),
     "q19i_bootstrap" -> (q19i_bootstrap _),
     "q39b_hilbert" -> (q39b_hilbert _),
     "q37_hierarchy" -> (q37_hierarchy _),
@@ -2249,6 +2384,7 @@ object Relational {
     "q12_asof" -> q12Sql,
     "q12b_asof_fwd" -> q12bSql,
     "q12c_asof_tolerance" -> q12cSql,
+    "q12d_asof_nearest" -> q12dSql,
     "q13_window_rank" -> q13Sql,
     "q14_window_analytic" -> q14Sql,
     "q14b_distribution" -> q14bSql,
@@ -2282,6 +2418,7 @@ object Relational {
     "q36c_anonymity" -> q36cSql,
     "q19h_benford" -> q19hSql,
     "q36d_inclusion" -> q36dSql,
+    "q36e_drift" -> q36eSql,
     "q19i_bootstrap" -> q19iSql,
     "q39b_hilbert" -> q39bSql,
     "q37_hierarchy" -> q37Sql,

@@ -974,7 +974,87 @@ object SimilarityOps {
       |SELECT dropped, cid, keeper, cos FROM r WHERE rn = 1
       |ORDER BY dropped""".stripMargin
 
+  // ------------------------------------------------------------ recall
+  /** ANN RECALL@k EVALUATION (q23_recall) — the certification harness
+    * every approximate index needs before it replaces the exact path:
+    * for each query vector, how many of the exact top-3 cosine
+    * neighbors does the label-partitioned IVF probe (q23_knn_ivf's
+    * one-cell search) actually return? Emits per-query hits and
+    * recall in ppm plus the macro-average over the query set — the
+    * number a pipeline gates on ("ship the IVF layout only if
+    * recall@3 ≥ 0.95").
+    *
+    * Scale stance: recall evaluation runs the EXACT baseline, so it is
+    * definitionally a sampled-query harness — the query set broadcasts
+    * (constant-size, here vec_id < 10), candidates stay partitioned,
+    * and each side keeps per-query top-k through the ranking window.
+    * The hit join is (q_id, cand_id) equi — k·|queries| rows. The
+    * macro-average is a one-row broadcast crossJoin (the grand-total
+    * idiom), never an unpartitioned window. */
+  def q23_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("q_nrm")))
+    val cand = e.select(col("vec_id").as("cand_id"), col("label"),
+      col("v").as("cv"), col("nrm").as("c_nrm"))
+    val scored = cand.join(q, col("cand_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exact = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("q_id", "cand_id")
+    val ivf = scored.filter(col("label") === col("q_label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("q_id", "cand_id")
+    val perQ = exact
+      .join(ivf.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div 3"))
+    val mean = perQ.agg(expr(
+      "sum(n_hits) * 1000000 div (count(1) * 3)").as("mean_recall_ppm"))
+    perQ.crossJoin(broadcast(mean))
+      .select("q_id", "n_hits", "recall_ppm", "mean_recall_ppm")
+      .orderBy("q_id")
+  }
+
+  val q23RecallSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+      |    c.vec_id AS cand_id, c.label,
+      |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]),
+      |      (x,y) -> x+y) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |ex AS (SELECT q_id, cand_id FROM (
+      |    SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, cand_id) AS rk FROM scored)
+      |  WHERE rk <= 3),
+      |iv AS (SELECT q_id, cand_id FROM (
+      |    SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, cand_id) AS rk
+      |    FROM scored WHERE label = q_label)
+      |  WHERE rk <= 3),
+      |perq AS (SELECT ex.q_id, COUNT(iv.cand_id) AS n_hits
+      |  FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id
+      |    AND iv.cand_id = ex.cand_id
+      |  GROUP BY ex.q_id),
+      |m AS (SELECT CAST(SUM(n_hits) * 1000000 // (COUNT(*) * 3)
+      |    AS BIGINT) AS mean_recall_ppm FROM perq)
+      |SELECT q_id, n_hits,
+      |  CAST(n_hits * 1000000 // 3 AS BIGINT) AS recall_ppm,
+      |  mean_recall_ppm
+      |FROM perq, m
+      |ORDER BY q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_recall" -> (q23_recall _),
     "q23_semdedup" -> (q23_semdedup _),
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_mmr" -> (q23_mmr _),
@@ -990,6 +1070,7 @@ object SimilarityOps {
     "q23_ivfpq" -> (q23_ivfpq _))
 
   def oracles: Map[String, String] = Map(
+    "q23_recall" -> q23RecallSql,
     "q23_semdedup" -> q23SemdedupSql,
     "q23_knn_exact" -> q23ExactSql,
     "q23_mmr" -> q23MmrSql,

@@ -54,6 +54,39 @@ class GraphSweepSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", 1L, 0L)))
   }
 
+  test("intervalUnion: disjoint, chained, and nested islands each " +
+      "cover exactly their merged span") {
+    // win=10: a: [0,10)+[5,15) merge (len 15), [30,40) alone (len 10)
+    //         b: [0,10) with [2,12) nested-overlap → one island len 12
+    val ev = Seq(("a", 0L, 1L), ("a", 5L, 2L), ("a", 30L, 3L),
+        ("b", 0L, 4L), ("b", 2L, 5L))
+      .toDF("event_type", "ts_us", "event_id")
+    val r = FunnelOps.intervalUnion(ev, winUs = 10L)
+      .select("event_type", "n_islands", "n_intervals", "covered_us")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(("a", 2L, 3L, 25L), ("b", 1L, 2L, 12L)))
+  }
+
+  test("intervalUnion: touching intervals chain into ONE island " +
+      "(half-open [s, s+w) semantics)") {
+    val ev = Seq(("a", 0L, 1L), ("a", 10L, 2L), ("a", 20L, 3L))
+      .toDF("event_type", "ts_us", "event_id")
+    val r = FunnelOps.intervalUnion(ev, winUs = 10L)
+      .select("n_islands", "covered_us").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 30L)))
+  }
+
+  test("intervalUnion: tied start times at an island boundary assign " +
+      "both rows to the NEW island") {
+    // [0,5) then two intervals both starting at 20: the island break is
+    // at the first tied row; both tied rows must land in island 2
+    val ev = Seq(("a", 0L, 1L), ("a", 20L, 2L), ("a", 20L, 3L))
+      .toDF("event_type", "ts_us", "event_id")
+    val r = FunnelOps.intervalUnion(ev, winUs = 5L)
+      .select("n_islands", "covered_us").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((2L, 10L)))
+  }
+
   test("sweepLinePeak: identical timestamps stack deterministically") {
     val ev = Seq(("a", 7L), ("a", 7L), ("a", 7L)).toDF("event_type", "ts_us")
     val r = FunnelOps.sweepLinePeak(ev, winUs = 10L)
