@@ -603,4 +603,48 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"),
       "the one-row head must broadcast onto the aggregate")
   }
+
+  test("q12d nearest as-of: backward and forward carries fuse into ONE " +
+      "WindowExec over one user sort — no range join, no second " +
+      "shuffle for the direction pick") {
+    val plan = planOf(Relational.queries("q12d_asof_nearest")(spark, sfDir))
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"both frames share partitionBy+orderBy, plan:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "the nearest pick is row-local CASE")
+  }
+
+  test("q38b interval union: the two chained window passes (prev-max, " +
+      "then the island numbering that READS it) share one sort — ONE " +
+      "hash exchange for the whole island chain, never a self-join") {
+    val plan = planOf(FunnelOps.queries("q38b_interval_union")(spark, sfDir))
+    // numbering depends on prev-max's output, so Spark necessarily
+    // plans two WindowExecs — the scale property is that the second
+    // consumes the first in place (same partitioning+ordering, no
+    // re-exchange, no re-sort beyond the one window sort)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected 1 hash exchange (the window shuffle), got $hashEx:\n${plan.take(800)}")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "merged islands are windows + aggregates, never an interval join")
+  }
+
+  test("q36e drift: ONE corpus-scale partial aggregate — the cohort " +
+      "split is conditional sums inside it, not a second scan or join") {
+    val plan = planOf(Relational.queries("q36e_drift")(spark, sfDir))
+    assert(!plan.contains("Join"),
+      "cohorts must split via CASE inside the aggregate, not a join")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"expected map-side combine, plan:\n${plan.take(800)}")
+  }
+
+  test("q23_recall: the sampled query set broadcasts onto partitioned " +
+      "candidates and the macro-average is a one-row broadcast, never " +
+      "an unpartitioned window") {
+    val plan = planOf(SimilarityOps.queries("q23_recall")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"),
+      "query set + mean row must broadcast")
+    // (the repo-wide unpartitioned-WindowExec sweep covers the
+    // no-global-window-for-the-mean half for every query, this one
+    // included)
+  }
 }
