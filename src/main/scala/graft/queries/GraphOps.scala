@@ -277,14 +277,68 @@ object GraphOps {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
       |FROM corners GROUP BY node ORDER BY node""".stripMargin
 
+  // --------------------------------------------------------------- Q41c
+  /** CONNECTED COMPONENTS as a first-class graph entry (q41c) — the
+    * co-purchase graph (parts linked when ≥3 orders contain both,
+    * q42's pair supports) resolved to components: every node with its
+    * component root (= min part id) and the component size. The q22
+    * dedup clustering is exactly this operator applied to near-dup
+    * pairs; surfacing it on a PRODUCT graph makes the primitive
+    * driver-visible on its own ("which items form a purchase
+    * ecosystem") instead of only inside dedup.
+    *
+    * Spark side: the shared large-star/small-star loop
+    * ([[DedupOps.connectedComponents]] — Kiveris et al., O(log² n)
+    * rounds, per-round localCheckpoint, checksum convergence); edge
+    * generation is q42's row-local basket expansion. The oracle walks
+    * the same (tiny, support-floored) graph with a recursive
+    * reachability CTE + min-label collapse — exponential paths dedup
+    * through UNION, bounded by |comp|² pairs. Component size rides a
+    * root-partitioned window over node-scale rows (component-bounded
+    * partitions, never the corpus). */
+  def q41c_components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = IndexOps.pairCounts(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 3).select("a", "b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .select(col("doc_id").as("node"), col("keep_id").as("root"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("root")
+    cc.withColumn("csize", count(lit(1)).over(wr))
+      .select("node", "root", "csize")
+      .orderBy("node")
+  }
+
+  val q41cSql: String =
+    """WITH RECURSIVE i AS (SELECT DISTINCT l_orderkey, l_partkey
+      |                     FROM lineitem),
+      |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 3),
+      |eds AS (SELECT a AS u, b AS v FROM p
+      |        UNION ALL SELECT b, a FROM p),
+      |nodes AS (SELECT DISTINCT u AS node FROM eds),
+      |reach AS (
+      |  SELECT node, node AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.v, r.lbl FROM reach r JOIN eds e ON e.u = r.node),
+      |comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+      |SELECT node, root,
+      |  CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS csize
+      |FROM comp
+      |ORDER BY node""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_pagerank" -> (q41_pagerank _),
     "q41b_lpa" -> (q41b_lpa _),
+    "q41c_components" -> (q41c_components _),
     "q44_triangles" -> (q44_triangles _))
 
   def oracles: Map[String, String] = Map(
     "q41_pagerank" -> q41Sql,
     "q41b_lpa" -> q41bSql,
+    "q41c_components" -> q41cSql,
     "q44_triangles" -> q44Sql)
 }

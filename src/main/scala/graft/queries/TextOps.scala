@@ -778,7 +778,77 @@ object TextOps {
       |ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------------
+  // ------------------------------------------------------- collocations
+  /** COLLOCATION MINING (q24_collocations) — the top-20 bigrams by
+    * integer LIFT (n_xy·N / (n_x·n_y), in ppm): the multiword-
+    * expression detector ("new york", "machine learning") a tokenizer
+    * or vocab builder runs before merging frequent word pairs. Lift is
+    * the exponential of PMI, so it ranks identically — and unlike PMI
+    * it needs no log, keeping every bit engine-portable (the q36e
+    * no-logs discipline).
+    *
+    * Shape: bigrams generate row-locally (the q43 slice+transform
+    * idiom); bigram and unigram counts collapse through token-scale
+    * partial-agg groupBys; the two unigram joins key on the word —
+    * vocabulary-scale sides, shuffle-joined (the q42c rule: no
+    * broadcast of a side that grows with the corpus); the corpus
+    * bigram total is the one-row broadcast crossJoin idiom; the
+    * global top-20 is orderBy+limit → TakeOrderedAndProject (k rows
+    * per partition cross the final exchange, never the vocabulary).
+    *
+    * Magnitude guard: lift_e6 = (n_xy·10⁶ div n_x)·N div n_y keeps
+    * the first factor ≤ 10⁶, so the product stays under 2⁶³ while
+    * N < 9.2e12 bigrams (≈ 40 TB of raw text) — the require()
+    * documents the rescale point instead of wrapping silently. */
+  def q24_collocations(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.load(s, dir, "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("tk"))
+      .select(explode(expr(
+        """transform(slice(tk, 1, size(tk) - 1),
+          |  (x, i) -> struct(x AS x, element_at(tk, i + 2) AS y))"""
+          .stripMargin)).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val nxy = bi.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val uni = Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nTotal = bi.agg(count(lit(1)).as("n_big"))
+    val bigN = nTotal.head().getLong(0)
+    require(bigN < 9200000000000L,
+      "q24_collocations: bigram mass overflows the ppm lift grid — " +
+        "rescale the constants for this corpus size")
+    nxy.filter(col("n_xy") >= 5)
+      .join(uni.select(col("w").as("x"), col("n").as("n_x")), "x")
+      .join(uni.select(col("w").as("y"), col("n").as("n_y")), "y")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("lift_e6",
+        expr("(n_xy * 1000000 div n_x) * n_big div n_y"))
+      .select("x", "y", "n_xy", "n_x", "n_y", "lift_e6")
+      .orderBy(desc("lift_e6"), col("x"), col("y"))
+      .limit(20)
+  }
+
+  val q24CollocationsSql: String =
+    """WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |b AS (SELECT tk[i.i] AS x, tk[i.i + 1] AS y
+      |      FROM d, LATERAL (SELECT unnest(range(1, len(tk))) AS i) i),
+      |nxy AS (SELECT x, y, count(*) AS n_xy FROM b GROUP BY 1, 2),
+      |uni AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents),
+      |u AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+      |t AS (SELECT count(*) AS n_big FROM b)
+      |SELECT nxy.x, nxy.y, n_xy, ux.n AS n_x, uy.n AS n_y,
+      |  CAST((n_xy * 1000000 // ux.n) * t.n_big // uy.n AS BIGINT)
+      |    AS lift_e6
+      |FROM nxy JOIN u ux ON ux.w = nxy.x
+      |  JOIN u uy ON uy.w = nxy.y, t
+      |WHERE n_xy >= 5
+      |ORDER BY lift_e6 DESC, nxy.x, nxy.y
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_collocations" -> (q24_collocations _),
     "q24_text_stats" -> (q24_text_stats _),
     "q24_langid" -> (q24_langid _),
     "q24_quality" -> (q24_quality _),
@@ -802,6 +872,7 @@ object TextOps {
     "q24_compress" -> (q24_compress _))
 
   def oracles: Map[String, String] = Map(
+    "q24_collocations" -> q24CollocationsSql,
     "q24_text_stats" -> q24StatsSql,
     "q24_langid" -> q24LangidSql,
     "q24_quality" -> q24QualitySql,
