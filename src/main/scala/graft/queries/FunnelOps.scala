@@ -922,6 +922,93 @@ object FunnelOps {
        |FROM zz WHERE abs(z) > 2.0
        |ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------- Q35d
+  /** MAD ROBUST OUTLIERS (q35d) — per event type: the exact median of
+    * `value`, the exact median absolute deviation, and how many events
+    * sit beyond 3 MADs — the 50%-breakdown robust detector that keeps
+    * working when q35's mean/stddev z-score is itself dragged by the
+    * outliers it should flag. Values live as micro-unit BIGINTs; medians
+    * carry the ×2 doubled-trick (odd n → 2·middle, even n → the middle
+    * pair's sum) so NO division ever happens — dev2 = 2·|v−med| and
+    * mad4 = 4·MAD are exact integers, and |v−med| > 3·MAD clears
+    * denominators to `2·dev2 > 3·mad4`.
+    *
+    * Scale: the naive per-type sort-and-rank median would hash the whole
+    * corpus into |event_type| window partitions — the classic
+    * low-cardinality-window skew. Instead both medians are computed on
+    * the VALUE HISTOGRAM: collapse to (type, value, count) first — a
+    * partial-agg groupBy, corpus-size-independent output — then rank the
+    * collapsed rows with a cumulative-count window and select the values
+    * whose cumsum crosses ⌈n/2⌉ / ⌊n/2⌋+1. The only windows run over
+    * histogram-bounded partitions; everything corpus-scale is map-side
+    * partial aggregation. */
+  def q35d_mad(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).select(col("event_type").as("et"),
+      expr("CAST(round(value * 1000000) AS BIGINT)").as("vus"))
+    val we = Window.partitionBy("et")
+    val c = v.groupBy("et", "vus").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(we.orderBy("vus")))
+      .withColumn("n", sum("cnt").over(we))
+    val m = c.groupBy("et").agg(max("n").as("n"),
+      (min(when(col("cum") >= expr("(n + 1) div 2"), col("vus"))) +
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("vus"))))
+        .as("med2"))
+    val d = v.join(m, "et")
+      .select(col("et"), abs(lit(2) * col("vus") - col("med2")).as("dev2"),
+        col("med2"), col("n"))
+    val c2 = d.groupBy("et", "dev2")
+      .agg(count(lit(1)).as("cnt"), max("med2").as("med2"), max("n").as("n"))
+      .withColumn("cum", sum("cnt").over(we.orderBy("dev2")))
+    val m2 = c2.groupBy("et").agg(
+      (min(when(col("cum") >= expr("(n + 1) div 2"), col("dev2"))) +
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("dev2"))))
+        .as("mad4"))
+    d.join(m2, "et")
+      .groupBy("et")
+      .agg(max("n").as("n"), max("med2").as("med2"), max("mad4").as("mad4"),
+        sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("et")
+  }
+
+  val q35dSql: String =
+    """WITH v AS (
+      |  SELECT event_type AS et, CAST(round(value * 1000000) AS BIGINT)
+      |    AS vus
+      |  FROM events),
+      |c AS (
+      |  SELECT et, vus,
+      |    SUM(cnt) OVER (PARTITION BY et ORDER BY vus) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY et) AS n
+      |  FROM (SELECT et, vus, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM v GROUP BY 1, 2)),
+      |m AS (
+      |  SELECT et, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN vus END)
+      |       + MIN(CASE WHEN cum >= (n + 2) // 2 THEN vus END) AS BIGINT)
+      |      AS med2
+      |  FROM c GROUP BY et),
+      |d AS (
+      |  SELECT v.et, abs(2 * v.vus - m.med2) AS dev2, m.med2, m.n
+      |  FROM v JOIN m ON v.et = m.et),
+      |c2 AS (
+      |  SELECT et, dev2, med2, n,
+      |    SUM(cnt) OVER (PARTITION BY et ORDER BY dev2) AS cum
+      |  FROM (SELECT et, dev2, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |          MAX(med2) AS med2, MAX(n) AS n
+      |        FROM d GROUP BY et, dev2)),
+      |m2 AS (
+      |  SELECT et,
+      |    CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END)
+      |       + MIN(CASE WHEN cum >= (n + 2) // 2 THEN dev2 END) AS BIGINT)
+      |      AS mad4
+      |  FROM c2 GROUP BY et)
+      |SELECT d.et, MAX(d.n) AS n, MAX(d.med2) AS med2, MAX(m2.mad4) AS mad4,
+      |  CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m2.mad4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN m2 ON d.et = m2.et
+      |GROUP BY d.et ORDER BY d.et""".stripMargin
+
   // -------------------------------------------------------------- Q34f
   /** HOLT double-exponential smoothing (α = β = 1/4) over the gap-filled
     * daily series — the level+trend forecaster one rung above q34c's
@@ -1130,6 +1217,7 @@ object FunnelOps {
     "q34e_acf" -> (q34e_acf _),
     "q34f_holt" -> (q34f_holt _),
     "q35c_seasonal_anomaly" -> (q35c_seasonal_anomaly _),
+    "q35d_mad" -> (q35d_mad _),
     "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
@@ -1150,6 +1238,7 @@ object FunnelOps {
     "q34e_acf" -> q34eSql,
     "q34f_holt" -> q34fSql,
     "q35c_seasonal_anomaly" -> q35cSql,
+    "q35d_mad" -> q35dSql,
     "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,

@@ -329,16 +329,107 @@ object GraphOps {
       |FROM comp
       |ORDER BY node""".stripMargin
 
+  // --------------------------------------------------------------- Q41d
+  /** K-CORE DECOMPOSITION (q41d) — the maximal subgraph where every node
+    * keeps degree ≥ 2, extracted from the support-2 co-purchase graph by
+    * ITERATIVE PEELING (Matula–Beck): each round recomputes degrees over
+    * the surviving subgraph and drops every node that fell under k;
+    * peeling is monotone, so the fixpoint is the 2-core regardless of
+    * drop order. Output: each core node with its within-core degree.
+    *
+    * Spark side: per round two shuffle equi-joins restrict the edge list
+    * to surviving endpoints and one partial-agg groupBy recomputes
+    * degrees — no broadcast of node-scale sides, per-round
+    * localCheckpoint (the q37/q22/q41 loop discipline), early exit when
+    * a round drops nobody (equal count ⇒ equal set, since peeling only
+    * removes). Bounded at [[KcoreRounds]] rounds with a LOUD failure —
+    * never a silently-unconverged result — because the oracle replays
+    * exactly that many unrolled rounds (a recursive CTE cannot express
+    * non-monotone deletion); sf0.001/0.01/0.1 converge in 0/3/5 rounds.
+    *
+    * Scale: each round is O(m) shuffled rows; round count is the graph's
+    * degeneracy-peel depth, in practice ≪ 8 for support-thresholded
+    * co-occurrence graphs. The convergence count() per round is one job
+    * over the (always-shrinking) node frame. */
+  val KcoreRounds = 8
+
+  def q41d_kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = IndexOps.pairCounts(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 2).select("a", "b")
+    val eds = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+      .localCheckpoint()
+    def peel(alive: DataFrame): DataFrame = eds
+      .join(alive.withColumnRenamed("node", "u"), "u")
+      .join(alive.withColumnRenamed("node", "v"), "v")
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("u").as("node"))
+    var alive = eds.select(col("u").as("node")).distinct().localCheckpoint()
+    var nAlive = alive.count()
+    var round = 0
+    var converged = false
+    while (round < KcoreRounds && !converged) {
+      val next = peel(alive).localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive = next; nAlive = nNext; round += 1
+    }
+    require(converged || peel(alive).count() == nAlive,
+      s"q41d_kcore: peeling not converged within $KcoreRounds rounds — " +
+        "raise KcoreRounds (and regenerate the unrolled oracle)")
+    eds.join(alive.withColumnRenamed("node", "u"), "u")
+      .join(alive.withColumnRenamed("node", "v"), "v")
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+      .orderBy("node")
+  }
+
+  /** The oracle unrolls exactly [[KcoreRounds]] peel rounds — identical
+    * to the Spark fixpoint whenever the require above held. Every CTE is
+    * MATERIALIZED: DuckDB otherwise inlines a CTE at each reference, and
+    * `eds` is referenced 2×(rounds+1) times — re-deriving the basket
+    * self-join 18 times spills temp storage at sf0.1. */
+  val q41dSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.u AS node FROM eds e
+         |  JOIN a${r - 1} x ON x.node = e.u
+         |  JOIN a${r - 1} y ON y.node = e.v
+         |  GROUP BY e.u HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS MATERIALIZED (
+       |      SELECT a.l_partkey AS a, b.l_partkey AS b
+       |      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |eds AS MATERIALIZED (
+       |        SELECT a AS u, b AS v FROM p
+       |        UNION ALL SELECT b, a FROM p),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM eds),
+       |$rounds
+       |SELECT e.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM eds e
+       |JOIN a$KcoreRounds x ON x.node = e.u
+       |JOIN a$KcoreRounds y ON y.node = e.v
+       |GROUP BY e.u ORDER BY node""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_pagerank" -> (q41_pagerank _),
     "q41b_lpa" -> (q41b_lpa _),
     "q41c_components" -> (q41c_components _),
+    "q41d_kcore" -> (q41d_kcore _),
     "q44_triangles" -> (q44_triangles _))
 
   def oracles: Map[String, String] = Map(
     "q41_pagerank" -> q41Sql,
     "q41b_lpa" -> q41bSql,
     "q41c_components" -> q41cSql,
+    "q41d_kcore" -> q41dSql,
     "q44_triangles" -> q44Sql)
 }

@@ -1160,6 +1160,61 @@ object Relational {
       |  last_day(o_orderdate) AS eom
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q18b
+  /** Weekday-only CASE chain shared verbatim by both engines: counts the
+    * business days among the `nd % 7` trailing days after the full weeks,
+    * walking forward from the order's day-of-week (0=Mon..6=Sun). */
+  private val bizdayExtra: String = (1 to 6).map(i =>
+    s"CASE WHEN nd % 7 >= $i AND ((dw + $i) % 7) <= 4 THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** BUSINESS-DAY calendar arithmetic (q18b) — per order priority, the
+    * shipping lag between order and ship date counted in WEEKDAYS: total,
+    * max, milli-day average, and the count of lags beyond 60 business
+    * days. The day-of-week is derived portably as epoch-days-since-a-
+    * known-Monday mod 7 (1995-01-02), never from the engines' divergent
+    * dayofweek() conventions; the partial-week remainder is a shared
+    * six-term CASE chain ([[bizdayExtra]]) — every bit integer.
+    *
+    * Scale: orders⋈lineitem is the honest big-big shuffle join on the
+    * order key (q06 shape); everything after is one partial-agg groupBy
+    * on a 5-value key, so the second shuffle carries |prio|×partitions
+    * rows. The CASE chain is branch-free integer codegen per row. */
+  def q18b_businessdays(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast(LongType).as("nd"),
+        (((datediff(col("o_orderdate"), lit("1995-01-02").cast(DateType))
+          % 7) + 7) % 7).cast(LongType).as("dw"))
+    j.withColumn("bd", expr(s"(nd div 7) * 5 + $bizdayExtra"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum("bd").as("sum_bd"),
+        max("bd").as("max_bd"),
+        sum(when(col("bd") > 60, 1L).otherwise(0L)).as("n_late"))
+      .withColumn("avg_bd_e3", expr("sum_bd * 1000 div n"))
+      .select("prio", "n", "sum_bd", "max_bd", "avg_bd_e3", "n_late")
+      .orderBy("prio")
+  }
+
+  val q18bSql: String =
+    s"""WITH j AS (
+       |  SELECT o_orderpriority AS prio,
+       |    date_diff('day', o_orderdate, l_shipdate) AS nd,
+       |    ((date_diff('day', DATE '1995-01-02', o_orderdate) % 7) + 7) % 7
+       |      AS dw
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE l_shipdate >= o_orderdate),
+       |b AS (SELECT prio, (nd // 7) * 5 + $bizdayExtra AS bd FROM j)
+       |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(bd) AS BIGINT) AS sum_bd,
+       |  CAST(MAX(bd) AS BIGINT) AS max_bd,
+       |  CAST(SUM(bd) * 1000 // COUNT(*) AS BIGINT) AS avg_bd_e3,
+       |  CAST(SUM(CASE WHEN bd > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |FROM b GROUP BY prio ORDER BY prio""".stripMargin
+
   // ---------------------------------------------------------------- Q19
   /** Scalar math on exact decimals: charge rounding, abs/ceil/floor/sqrt/
     * mod. Only IEEE-deterministic double ops (sqrt) touch doubles. */
@@ -2010,6 +2065,72 @@ object Relational {
        |FROM base JOIN ci ON ci.flag = base.flag
        |ORDER BY base.flag""".stripMargin
 
+  // --------------------------------------------------------------- Q19j
+  /** THEIL–SEN robust slope (q19j) — per part, the median of the
+    * pairwise slopes Δprice/Δquantity over its line items: the
+    * breakdown-50% robust alternative to the q19d OLS fit (Sen 1968).
+    * Prices enter as exact cents (round(×100)→BIGINT); each slope is ONE
+    * IEEE division of a bigint delta pair, so identical bits in both
+    * engines; the per-part median rides the rank trick (row_number over
+    * slope, pick ⌈n/2⌉ and ⌊n/2⌋+1, emit their SUM — a zero-or-one-term
+    * double add per rank, exact under any aggregation order).
+    *
+    * Scale: the pair expansion is an equi-self-join on l_partkey, so
+    * pair volume is Σ_g n_g² bounded by the per-part line count (≤49 in
+    * this corpus, O(part-popularity²) generally — candidate-bounded,
+    * never corpus²; the q22_snm window bound argument). The ranking
+    * window partitions by the same key the join shuffled on, so the sort
+    * reuses the exchange. Use q19d when n_g is unbounded. */
+  def q19j_theilsen(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select(
+      col("l_partkey").as("pk"), col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+      col("l_quantity").cast(LongType).as("q"))
+    def side(sfx: String) = l.toDF(
+      "pk", s"ok_$sfx", s"ln_$sfx", s"pc_$sfx", s"q_$sfx")
+    val pairs = side("a").join(side("b"), "pk")
+      .filter(col("ok_a") < col("ok_b") ||
+        (col("ok_a") === col("ok_b") && col("ln_a") < col("ln_b")))
+      .filter(col("q_a") =!= col("q_b"))
+      .select(col("pk"), ((col("pc_b") - col("pc_a")) /
+        (col("q_b") - col("q_a")).cast(DoubleType)).as("slope"))
+    val wp = Window.partitionBy("pk")
+    pairs
+      .withColumn("rn", row_number().over(wp.orderBy("slope")).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy("pk")
+      .agg(max("n").as("n_pairs"),
+        (sum(when(col("rn") === expr("(n + 1) div 2"), col("slope"))
+            .otherwise(0.0)) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col("slope"))
+            .otherwise(0.0))).as("med2_slope"))
+      .orderBy("pk")
+  }
+
+  val q19jSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS pk, (b.pc - a.pc) / CAST(b.q - a.q AS DOUBLE)
+      |    AS slope
+      |  FROM l a JOIN l b ON a.pk = b.pk
+      |    AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+      |  WHERE a.q <> b.q),
+      |r AS (
+      |  SELECT pk, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY pk) AS n
+      |  FROM p)
+      |SELECT pk, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |  SUM(CASE WHEN rn = (n + 1) // 2 THEN slope ELSE 0 END)
+      |    + SUM(CASE WHEN rn = (n + 2) // 2 THEN slope ELSE 0 END)
+      |    AS med2_slope
+      |FROM r GROUP BY pk ORDER BY pk""".stripMargin
+
   /** The candidate (child → parent) key pairs q36d profiles — shared by
     * the Spark plan and the oracle text so both enumerate identically.
     * Both directions of the orders/lineitem relation are deliberately
@@ -2335,6 +2456,7 @@ object Relational {
     "q17_string" -> (q17_string _),
     "q17b_fuzzy" -> (q17b_fuzzy _),
     "q18_date" -> (q18_date _),
+    "q18b_businessdays" -> (q18b_businessdays _),
     "q19_math" -> (q19_math _),
     "q19b_histogram" -> (q19b_histogram _),
     "q19c_stats" -> (q19c_stats _),
@@ -2357,6 +2479,7 @@ object Relational {
     "q36d_inclusion" -> (q36d_inclusion _),
     "q36e_drift" -> (q36e_drift _),
     "q19i_bootstrap" -> (q19i_bootstrap _),
+    "q19j_theilsen" -> (q19j_theilsen _),
     "q39b_hilbert" -> (q39b_hilbert _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
@@ -2398,6 +2521,7 @@ object Relational {
     "q17_string" -> q17Sql,
     "q17b_fuzzy" -> q17bSql,
     "q18_date" -> q18Sql,
+    "q18b_businessdays" -> q18bSql,
     "q19_math" -> q19Sql,
     "q19b_histogram" -> q19bSql,
     "q19c_stats" -> q19cSql,
@@ -2420,6 +2544,7 @@ object Relational {
     "q36d_inclusion" -> q36dSql,
     "q36e_drift" -> q36eSql,
     "q19i_bootstrap" -> q19iSql,
+    "q19j_theilsen" -> q19jSql,
     "q39b_hilbert" -> q39bSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)
