@@ -1009,6 +1009,118 @@ object FunnelOps {
       |FROM d JOIN m2 ON d.et = m2.et
       |GROUP BY d.et ORDER BY d.et""".stripMargin
 
+  // -------------------------------------------------------------- Q34g
+  /** TIME-WEIGHTED AVERAGE (q34g) — per user, the TWAP of `value`: each
+    * event's value holds until the user's next event, so the mean is
+    * weighted by holding duration, immune to burst-sampling bias (the
+    * irregular-series mean a plain avg() gets wrong). Weights are
+    * integer milliseconds from lead(ts) over a (ts, event_id)-ordered
+    * per-user window; values are milli-units; each weight×value product
+    * fits int64 (≤2.6e9 ms span × 4.9e5 ≈ 1.3e15) and the SUM rides
+    * DECIMAL(38,0) so unbounded per-user history can never wrap — the
+    * final double is one exact-operand IEEE division (q19 discipline).
+    * A user's last event gets zero weight; single-event users yield NULL
+    * via the 0-denominator CASE, never NaN.
+    *
+    * Scale: one window and one groupBy, both keyed on user_id — the
+    * window sort and the aggregate shuffle share the user-key exchange,
+    * and user-bounded partitions never see corpus-scale skew. */
+  def q34g_twap(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vms"))
+      .withColumn("w_ms",
+        expr("(lead(ts_us, 1) over (partition by user_id " +
+          "order by ts_us, event_id) - ts_us) div 1000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_ms").cast(d38)).as("sum_w_ms"),
+        sum((col("w_ms") * col("vms")).cast(d38)).as("sum_wv"))
+      .select(col("user_id"), col("n_events"),
+        col("sum_w_ms").cast(LongType).as("sum_w_ms"),
+        when(col("sum_w_ms") > 0,
+          col("sum_wv").cast(DoubleType) /
+            col("sum_w_ms").cast(DoubleType)).as("twap_milli"))
+      .orderBy("user_id")
+    }
+
+  val q34gSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |v AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CAST(round(value * 1000) AS BIGINT) AS vms
+       |  FROM e),
+       |d AS (
+       |  SELECT user_id, vms,
+       |    (lead(ts_us, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) - ts_us) // 1000 AS w_ms
+       |  FROM v),
+       |g AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    SUM(CAST(w_ms AS DECIMAL(38,0))) AS sum_w_ms,
+       |    SUM(CAST(w_ms * vms AS DECIMAL(38,0))) AS sum_wv
+       |  FROM d GROUP BY user_id)
+       |SELECT user_id, n_events, CAST(sum_w_ms AS BIGINT) AS sum_w_ms,
+       |  CASE WHEN sum_w_ms > 0
+       |    THEN CAST(sum_wv AS DOUBLE) / CAST(sum_w_ms AS DOUBLE) END
+       |    AS twap_milli
+       |FROM g ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------- Q34h
+  /** OHLC BAR RESAMPLE (q34h) — the candlestick downsample: per
+    * (event_type, UTC day), the first/highest/lowest/last `value` and
+    * the tick count. First/last are rank-selected over the total
+    * (ts, event_id) order — the min(CASE WHEN rn=1) trick, exact under
+    * ties — high/low/count are plain partial aggregates. Values in
+    * milli-units, day = ts_us div 86_400_000_000: all integer.
+    *
+    * Scale: the two ranking windows partition on the SAME (type, day)
+    * key as the final groupBy, so one hash exchange feeds sort, rank,
+    * and aggregate; bars are day-bounded partitions (intraday volume,
+    * never the corpus). The map-side-combine groupBy then carries
+    * |bars|×partitions rows. */
+  def q34h_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .select(col("event_type").as("et"),
+        expr("ts_us div 86400000000").as("day"),
+        col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("vms"))
+    val wb = Window.partitionBy("et", "day")
+    v.withColumn("rn",
+        row_number().over(wb.orderBy("ts_us", "event_id")).cast(LongType))
+      .withColumn("rnd",
+        row_number().over(wb.orderBy(col("ts_us").desc, col("event_id").desc))
+          .cast(LongType))
+      .groupBy("et", "day")
+      .agg(min(when(col("rn") === 1, col("vms"))).as("open_milli"),
+        max("vms").as("high_milli"), min("vms").as("low_milli"),
+        min(when(col("rnd") === 1, col("vms"))).as("close_milli"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("et", "day")
+  }
+
+  val q34hSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |v AS (
+       |  SELECT event_type AS et, ts_us // 86400000000 AS day,
+       |    ts_us, event_id, CAST(round(value * 1000) AS BIGINT) AS vms
+       |  FROM e),
+       |r AS (
+       |  SELECT et, day, vms,
+       |    ROW_NUMBER() OVER (PARTITION BY et, day
+       |      ORDER BY ts_us, event_id) AS rn,
+       |    ROW_NUMBER() OVER (PARTITION BY et, day
+       |      ORDER BY ts_us DESC, event_id DESC) AS rnd
+       |  FROM v)
+       |SELECT et, day,
+       |  CAST(MIN(CASE WHEN rn = 1 THEN vms END) AS BIGINT) AS open_milli,
+       |  CAST(MAX(vms) AS BIGINT) AS high_milli,
+       |  CAST(MIN(vms) AS BIGINT) AS low_milli,
+       |  CAST(MIN(CASE WHEN rnd = 1 THEN vms END) AS BIGINT) AS close_milli,
+       |  CAST(COUNT(*) AS BIGINT) AS n_ticks
+       |FROM r GROUP BY et, day ORDER BY et, day""".stripMargin
+
   // -------------------------------------------------------------- Q34f
   /** HOLT double-exponential smoothing (α = β = 1/4) over the gap-filled
     * daily series — the level+trend forecaster one rung above q34c's
@@ -1216,6 +1328,8 @@ object FunnelOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34e_acf" -> (q34e_acf _),
     "q34f_holt" -> (q34f_holt _),
+    "q34g_twap" -> (q34g_twap _),
+    "q34h_ohlc" -> (q34h_ohlc _),
     "q35c_seasonal_anomaly" -> (q35c_seasonal_anomaly _),
     "q35d_mad" -> (q35d_mad _),
     "q29e_convert_time" -> (q29e_convert_time _),
@@ -1237,6 +1351,8 @@ object FunnelOps {
   def oracles: Map[String, String] = Map(
     "q34e_acf" -> q34eSql,
     "q34f_holt" -> q34fSql,
+    "q34g_twap" -> q34gSql,
+    "q34h_ohlc" -> q34hSql,
     "q35c_seasonal_anomaly" -> q35cSql,
     "q35d_mad" -> q35dSql,
     "q29e_convert_time" -> q29eSql,
