@@ -647,4 +647,77 @@ class PlanShapeSpec extends SparkSpec {
     // no-global-window-for-the-mean half for every query, this one
     // included)
   }
+
+  /** No Exchange may sit between the aggregate that consumes a window's
+    * output and the window itself — they must share one hash exchange on
+    * the same key. `aggKeyPrefix` anchors the FINAL aggregate (plans
+    * print top-down: final agg, partial agg, then Window below). */
+  private def assertAggRidesWindow(plan: String, aggKeyPrefix: String,
+      what: String): Unit = {
+    val aggIdx = plan.indexOf(s"HashAggregate(keys=[$aggKeyPrefix")
+    val winIdx = plan.indexOf("Window ", aggIdx)
+    assert(aggIdx >= 0 && winIdx > aggIdx,
+      s"$what: expected an aggregate above a window in the printed plan")
+    val between = plan.substring(aggIdx, winIdx)
+    assert(!between.contains("Exchange"),
+      s"$what: the aggregate must reuse the window's exchange, " +
+        s"found an Exchange between them:\n$between")
+  }
+
+  test("q19j Theil-Sen: the median aggregate rides the pair window's pk " +
+      "exchange (join → window → agg, one hash partitioning)") {
+    val plan = planOf(Relational.queries("q19j_theilsen")(spark, sfDir))
+    assertAggRidesWindow(plan, "pk", "q19j")
+  }
+
+  test("q34g TWAP: lead-window and the per-user aggregate share ONE " +
+      "user_id exchange") {
+    val plan = planOf(FunnelOps.queries("q34g_twap")(spark, sfDir))
+    assertAggRidesWindow(plan, "user_id", "q34g")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"q34g must hash-shuffle exactly once, got $hashEx")
+  }
+
+  test("q34h OHLC: both ranking windows and the bar aggregate ride ONE " +
+      "(type, day) exchange") {
+    val plan = planOf(FunnelOps.queries("q34h_ohlc")(spark, sfDir))
+    assertAggRidesWindow(plan, "et", "q34h")
+    assert("Window ".r.findAllIn(plan).size == 2,
+      "expected exactly the asc and desc ranking windows")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"q34h must hash-shuffle exactly once, got $hashEx")
+  }
+
+  test("q35d MAD: every median window sorts the collapsed value " +
+      "histogram, never corpus-scale rows") {
+    val plan = planOf(FunnelOps.queries("q35d_mad")(spark, sfDir))
+    // each Window's child chain must hit a histogram HashAggregate
+    // (keys=[et, vus|dev2]) before any FileScan
+    val winIdxs = "Window \\[sum".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(winIdxs.size >= 2, "expected the cum + total windows ×2 medians")
+    for (w <- winIdxs) {
+      val scan = plan.indexOf("FileScan", w)
+      val hist = "HashAggregate\\(keys=\\[et#\\d+, (vus|dev2)"
+        .r.findFirstMatchIn(plan.substring(w, scan))
+      assert(hist.isDefined,
+        "a median window is sorting raw rows instead of the histogram")
+    }
+  }
+
+  test("q18b business days: the CASE chain is one codegen projection " +
+      "feeding a partial+final aggregate — no window, no extra pass") {
+    val plan = planOf(Relational.queries("q18b_businessdays")(spark, sfDir))
+    assert(!plan.contains("Window "), "q18b needs no window")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "bd totals must combine map-side before the prio shuffle")
+  }
+
+  test("q24_collocations: global top-20 is TakeOrderedAndProject over " +
+      "partially-aggregated pair counts") {
+    val plan = planOf(TextOps.queries("q24_collocations")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be per-partition heaps, not a vocabulary-scale sort")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "bigram and unigram counts must both combine map-side")
+  }
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Independent-reimplementation checks for the round-5 operators: each
+  * query's answer at sf0.001 is recomputed with plain Scala collections
+  * from the same parquet rows — an oracle independent of BOTH Spark and
+  * DuckDB, so a dialect quirk shared by the two engines can't hide a
+  * semantic bug. Inputs here are fixture-sized (≤6k rows), so the brute
+  * force is exact and fast. */
+class RoundFiveOpsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+
+  private def rows(name: String): Seq[Row] =
+    graft.SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+
+  // ------------------------------------------------------------- q18b
+  test("q18b business days equal a java.time weekday walk") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE)").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.sql.Date](1).toLocalDate)
+    val ord = graft.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE)",
+        "o_orderpriority").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[java.sql.Date](1).toLocalDate, r.getString(2)))
+      .toMap
+    def bizDays(d1: LocalDate, d2: LocalDate): Long =
+      // weekdays in (d1, d2]: walk is fine at fixture scale
+      Iterator.iterate(d1.plusDays(1))(_.plusDays(1))
+        .take(ChronoUnit.DAYS.between(d1, d2).toInt)
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    val expected = li.flatMap { case (ok, ship) =>
+      ord.get(ok).collect { case (od, prio) if !ship.isBefore(od) =>
+        (prio, bizDays(od, ship))
+      }
+    }.groupBy(_._1).map { case (prio, xs) =>
+      val bds = xs.map(_._2)
+      (prio, (bds.size.toLong, bds.sum, bds.max,
+        bds.sum * 1000 / bds.size, bds.count(_ > 60).toLong))
+    }
+    val got = rows("q18b_businessdays").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q19j
+  test("q19j Theil-Sen slope equals the brute-force pair median and " +
+      "shrugs off what drags the mean slope") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        math.round(r.getDouble(3) * 100), r.getDouble(4).toLong))
+    val expected = li.groupBy(_._1).flatMap { case (pk, xs) =>
+      val sorted = xs.sortBy(t => (t._2, t._3))
+      val slopes = (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        a = sorted(i); b = sorted(j)
+        // lineitem has no unique key: rows sharing (orderkey, linenumber)
+        // are indistinguishable, and the operator's strict (ok, ln) order
+        // deliberately pairs each such clique zero times
+        if (a._2, a._3) != (b._2, b._3)
+        if a._5 != b._5
+      } yield (b._4 - a._4).toDouble / (b._5 - a._5).toDouble).sorted
+      if (slopes.isEmpty) None
+      else {
+        val n = slopes.size
+        val med2 = slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)
+        Some(pk -> ((n.toLong, med2)))
+      }
+    }
+    val got = rows("q19j_theilsen")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q35d
+  test("q35d MAD medians and outlier counts equal a sorted brute force") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val expected = ev.groupBy(_._1).map { case (et, xs) =>
+      val vs = xs.map(_._2).toSeq
+      val m2 = med2(vs)
+      val devs = vs.map(v => math.abs(2 * v - m2))
+      val mad4 = med2(devs)
+      (et, (vs.size.toLong, m2, mad4,
+        devs.count(d => 2 * d > 3 * mad4).toLong))
+    }
+    val got = rows("q35d_mad").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q41d
+  test("q41d k-core equals a sequential Matula-Beck peel of the same " +
+      "pair graph") {
+    val pairs = IndexOps.pairCounts(
+      graft.Tables.load(spark, sfDir, "lineitem")
+        .selectExpr("l_orderkey AS basket", "l_partkey AS item"),
+      minSupport = 2).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- pairs) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(n => adj(n).count(alive) < 2)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    val expected = alive.map(n => n -> adj(n).count(alive).toLong).toMap
+    val got = rows("q41d_kcore")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q34g
+  test("q34g TWAP equals the hold-until-next-event integral") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts_us",
+        "CAST(round(value * 1000) AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, xs) =>
+      val s = xs.sortBy(t => (t._3, t._2))
+      val ws = s.zip(s.tail).map { case (a, b) => ((b._3 - a._3) / 1000, a._4) }
+      val sumW = ws.map(_._1).sum
+      val sumWV = ws.map { case (w, v) => BigInt(w) * v }.sum
+      val twap = if (sumW > 0)
+        Some(sumWV.toDouble / sumW.toDouble) else None
+      (u, (s.size.toLong, sumW, twap))
+    }
+    val got = rows("q34g_twap").map { r =>
+      val twap = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), twap))
+    }.toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q34h
+  test("q34h OHLC bars equal first/max/min/last over the tick order") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "ts_us div 86400000000", "ts_us",
+        "event_id", "CAST(round(value * 1000) AS BIGINT)")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = ev.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      val s = xs.sortBy(t => (t._3, t._4))
+      (k, (s.head._5, s.map(_._5).max, s.map(_._5).min, s.last._5,
+        s.size.toLong))
+    }
+    val got = rows("q34h_ohlc").map(r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+  }
+
+  // --------------------------------------------------- q24_collocations
+  test("q24_collocations lift ranking equals the brute-force ppm grid") {
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val bigrams = toks.flatMap(t => t.zip(t.tail))
+    val nXY = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val nBig = bigrams.size.toLong
+    val lifts = nXY.collect { case ((x, y), nxy) if nxy >= 5 =>
+      val l = (nxy.toLong * 1000000L / uni(x)) * nBig / uni(y)
+      (x, y, nxy.toLong, uni(x).toLong, uni(y).toLong, l)
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = rows("q24_collocations").map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)))
+    assert(got == lifts)
+  }
+}
