@@ -45,4 +45,23 @@ class PlanAuditSpec extends SparkSpec {
     PlanAudit.assertClean(cross, // deliberate tiny grid — caller policy
       allow = Set(PlanAudit.CartesianJoin, PlanAudit.NestedLoopJoin))
   }
+
+  test("PlanSignature counts the shape (exchange/agg/window), renders " +
+      "canonically, and diff names exactly what moved") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1 to 100).map(i => (i % 5, i.toLong)).toDF("k", "v")
+    val agg = d.groupBy("k").count()
+    val sig = PlanSignature.of(agg)
+    assert(sig.getOrElse("exchange_hash", 0) == 1 &&
+      sig.getOrElse("hash_agg", 0) == 2, // partial + final
+      s"unexpected aggregate signature: $sig")
+    val win = d.withColumn("r",
+      row_number().over(Window.partitionBy("k").orderBy("v")))
+    assert(PlanSignature.of(win).getOrElse("window", 0) == 1)
+    assert(PlanSignature.render(Map("b" -> 2, "a" -> 1)) == "a=1 b=2")
+    assert(PlanSignature.diff(Map("window" -> 1), Map("window" -> 2,
+      "exchange_hash" -> 1)) ==
+      Seq("exchange_hash: recorded 0, now 1", "window: recorded 1, now 2"))
+    assert(PlanSignature.diff(sig, sig).isEmpty)
+  }
 }

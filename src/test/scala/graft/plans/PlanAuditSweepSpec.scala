@@ -43,18 +43,41 @@ class PlanAuditSweepSpec extends SparkSpec {
     "q32_grid_cross" -> nlj)
 
   test("every query plan is PlanAudit-clean modulo the justified " +
-      "allowlist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      "allowlist, and matches its recorded PlanSignature baseline") {
+    val baseline: Map[String, String] = {
+      val url = getClass.getResource("/plan_signatures.tsv")
+      assert(url != null, "missing plan_signatures.tsv — regenerate " +
+        "with: sbt \"Test/runMain graft.plans.PlanSnapshotGen\"")
+      scala.io.Source.fromURL(url).getLines()
+        .map(_.split("\t", 2)).collect { case Array(n, s) => n -> s }.toMap
+    }
+    val (offenders, drifts) = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val findings =
-          try PlanAudit.audit(fn(spark, sfDir))
-          catch { case e: Throwable =>
-            Seq(PlanAudit.Finding("plan-error", e.getMessage.take(100))) }
-        findings
+        val (findings, sig) =
+          try {
+            val df = fn(spark, sfDir)
+            (PlanAudit.audit(df), PlanSignature.render(PlanSignature.of(df)))
+          } catch { case e: Throwable =>
+            (Seq(PlanAudit.Finding("plan-error", e.getMessage.take(100))),
+              s"ERROR ${e.getMessage.take(60)}")
+          }
+        val bad = findings
           .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.kind))
           .map(f => s"$name: [${f.kind}] ${f.detail.take(80)}")
-    }
-    assert(offenders.isEmpty,
-      s"unjustified scale risks:\n${offenders.mkString("\n")}")
+        val drift = baseline.get(name) match {
+          case None => Seq(s"$name: no recorded signature (new query?)")
+          case Some(rec) if rec != sig =>
+            Seq(s"$name: recorded [$rec] now [$sig]")
+          case _ => Nil
+        }
+        (bad, drift)
+    }.unzip
+    assert(offenders.flatten.isEmpty,
+      s"unjustified scale risks:\n${offenders.flatten.mkString("\n")}")
+    assert(drifts.flatten.isEmpty,
+      "plan signatures drifted from the recorded baseline — if the new " +
+        "shape is intended, regenerate with sbt \"Test/runMain " +
+        "graft.plans.PlanSnapshotGen\" and review the file diff:\n" +
+        drifts.flatten.mkString("\n"))
   }
 }
