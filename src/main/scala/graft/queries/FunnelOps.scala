@@ -789,6 +789,101 @@ object FunnelOps {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- Q29f
+  /** MARKOV TRANSITION MATRIX (q29f) — global (src → dst) counts over
+    * each user's consecutive event pairs plus the per-source transition
+    * probability in ppm: the first-order behavioral model under q29d's
+    * raw paths (where do users go NEXT from each state). One
+    * lead() window per user (the q29/q40 one-sort-per-user discipline),
+    * then a |types|²-key partial-agg groupBy; the ppm normalization is
+    * a window over the 25-row aggregate, not the corpus. */
+  def q29f_markov(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(wOrd))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 div (sum(n) over (partition by src))"))
+      .orderBy("src", "dst")
+  }
+
+  val q29fSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |s AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS dst
+       |  FROM e),
+       |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+       |SELECT src, dst, n,
+       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+       |    AS p_ppm
+       |FROM c ORDER BY src, dst""".stripMargin
+
+  // -------------------------------------------------------------- Q29g
+  /** SEQUENTIAL CO-OCCURRENCE (q29g) — within each 30-minute session,
+    * which event type PRECEDES which: (a, b) counted once per session
+    * when some a occurs before some b (first(a) < last(b), a ≠ b) — the
+    * order-aware sibling of q42's basket co-occurrence, the "what leads
+    * to what" input a funnel designer mines before hard-coding stages.
+    *
+    * Scale: sessionization is the q40 window; the per-session
+    * (type, first, last) profile is a partial-agg groupBy; pair
+    * expansion is ROW-LOCAL (collect the ≤|types| profile per session,
+    * one transform×filter lambda — the q42 idiom, never a self-join of
+    * the event table); the final count is a |types|²-key aggregate. */
+  def q29g_seq(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy("user_id", "sid", "event_type")
+      .agg(min("ts_us").as("f"), max("ts_us").as("l"))
+      .groupBy("user_id", "sid")
+      .agg(collect_list(struct(col("event_type").as("t"), col("f"),
+        col("l"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, x ->
+          |  filter(transform(ps, y -> struct(x.t AS a, y.t AS b,
+          |                                   x.f AS f, y.l AS l)),
+          |    p -> p.a != p.b AND p.f < p.l)))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("a", "b")
+  }
+
+  val q29gSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |g AS (
+       |  SELECT user_id, event_id, ts_us, event_type,
+       |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |        ORDER BY ts_us, event_id) > 1800000000
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |s AS (
+       |  SELECT user_id, event_type, ts_us,
+       |    SUM(new_s) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM g),
+       |m AS (SELECT user_id, sid, event_type AS t,
+       |        min(ts_us) AS f, max(ts_us) AS l
+       |      FROM s GROUP BY 1, 2, 3),
+       |p AS (SELECT a.user_id, a.sid, a.t AS a, b.t AS b
+       |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.sid = b.sid
+       |        AND a.t <> b.t AND a.f < b.l)
+       |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- Q34d
   /** DAY-OF-WEEK SEASONAL PROFILE — per (event_type, weekday): observed
     * days, total events, average daily volume, and the seasonal index
@@ -1332,6 +1427,8 @@ object FunnelOps {
     "q34h_ohlc" -> (q34h_ohlc _),
     "q35c_seasonal_anomaly" -> (q35c_seasonal_anomaly _),
     "q35d_mad" -> (q35d_mad _),
+    "q29f_markov" -> (q29f_markov _),
+    "q29g_seq" -> (q29g_seq _),
     "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
@@ -1355,6 +1452,8 @@ object FunnelOps {
     "q34h_ohlc" -> q34hSql,
     "q35c_seasonal_anomaly" -> q35cSql,
     "q35d_mad" -> q35dSql,
+    "q29f_markov" -> q29fSql,
+    "q29g_seq" -> q29gSql,
     "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,

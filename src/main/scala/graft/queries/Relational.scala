@@ -1008,6 +1008,62 @@ object Relational {
        |FROM b GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q14g
+  /** PARETO CONCENTRATION (q14g) — per nation: how many of its
+    * customers cover 80% of revenue (the "vital few"), plus the top
+    * customer's revenue share in ppm. A customer is vital while the
+    * revenue accumulated BEFORE it (rank by revenue desc, custkey
+    * tie-break) is under 80% of the nation total — integer cents
+    * throughout, the 80% test cleared of division as
+    * `5·cum_before < 4·total`.
+    *
+    * Scale: the corpus-scale work is the customer⋈orders revenue
+    * aggregate (honest big-big shuffle + partial agg); the ranking
+    * window then sorts ONE ROW PER CUSTOMER per nation — ranking
+    * customers is the operator's semantics, and the window input is
+    * already |customers|, not |orders|. The final rollup is a
+    * |nations|-key partial agg. */
+  def q14g_pareto(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("c_custkey").as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val wn = Window.partitionBy("nk")
+    r.withColumn("cum_before", sum("cents")
+        .over(wn.orderBy(col("cents").desc, col("ck"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("total", sum("cents").over(wn))
+      .withColumn("top1", max("cents").over(wn))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_cust"), max("total").as("total_cents"),
+        sum(when(coalesce(col("cum_before"), lit(0L)) * 5 <
+          col("total") * 4, 1L).otherwise(0L)).as("n_vital80"),
+        expr("max(top1) * 1000000 div max(total)").as("top1_ppm"))
+      .orderBy("nk")
+  }
+
+  val q14gSql: String =
+    """WITH r AS (
+      |  SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+      |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT nk, ck, cents,
+      |    SUM(cents) OVER (PARTITION BY nk ORDER BY cents DESC, ck
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+      |    SUM(cents) OVER (PARTITION BY nk) AS total,
+      |    MAX(cents) OVER (PARTITION BY nk) AS top1
+      |  FROM r)
+      |SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(MAX(total) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN COALESCE(cum_before, 0) * 5 < total * 4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_vital80,
+      |  CAST(MAX(top1) * 1000000 // MAX(total) AS BIGINT) AS top1_ppm
+      |FROM w GROUP BY nk ORDER BY nk""".stripMargin
+
   // ---------------------------------------------------------------- Q15
   /** Global top-100 — TakeOrderedAndProject: each partition keeps its local
     * top-100 and only 100×partitions rows reach the driver-side merge, so
@@ -2450,6 +2506,7 @@ object Relational {
     "q14d_navigation" -> (q14d_navigation _),
     "q14e_cum_distinct" -> (q14e_cum_distinct _),
     "q14f_streaks" -> (q14f_streaks _),
+    "q14g_pareto" -> (q14g_pareto _),
     "q15_topk" -> (q15_topk _),
     "q16_setops" -> (q16_setops _),
     "q16b_setops_all" -> (q16b_setops_all _),
@@ -2515,6 +2572,7 @@ object Relational {
     "q14d_navigation" -> q14dSql,
     "q14e_cum_distinct" -> q14eSql,
     "q14f_streaks" -> q14fSql,
+    "q14g_pareto" -> q14gSql,
     "q15_topk" -> q15Sql,
     "q16_setops" -> q16Sql,
     "q16b_setops_all" -> q16bSql,
