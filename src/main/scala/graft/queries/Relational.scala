@@ -2245,6 +2245,102 @@ object Relational {
       "\nUNION ALL\n",
       "\n) ORDER BY child, parent")
 
+  // --------------------------------------------------------------- Q36f
+  /** The declared A→B functional-dependency candidates q36f profiles —
+    * one text shared by both engines. A mix of a real key dependency,
+    * near-dependencies, and clear violations. */
+  private[graft] val q36fCands: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_nationkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_regionkey", "n_name"),
+    ("orders", "o_custkey", "o_orderpriority"))
+
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY (q36f) — for each candidate A→B:
+    * how many A-groups exist, how many see more than one B, and the
+    * g₃ error measure (Kivinen–Mannila): the MINIMUM rows to delete for
+    * the FD to hold = n − Σ_A max_B count(A,B), absolute and in ppm.
+    * The schema-inference profiling a warehouse runs before trusting a
+    * column as a dimension key; all integer.
+    *
+    * Scale: per candidate, an (A, B) partial-agg collapse, then an
+    * A-keyed rollup, then a one-row summary — every shuffle carries
+    * aggregate rows, the row count only at the first (map-combined)
+    * level. Candidates are a fixed declared list; branches union. */
+  def q36f_fd(s: SparkSession, dir: String): DataFrame = {
+    val branches = q36fCands.map { case (tb, a, b) =>
+      t(s, dir, tb)
+        .groupBy(col(a).as("ga"), col(b).as("gb"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("ga")
+        .agg(count(lit(1)).as("nd"), sum("c").as("cnt"), max("c").as("mx"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          (sum("cnt") - sum("mx")).as("g3_rows"),
+          expr("(sum(cnt) - sum(mx)) * 1000000 div sum(cnt)").as("g3_ppm"))
+        .select(lit(s"$tb.$a->$tb.$b").as("fd"), col("n_groups"),
+          col("n_violating"), col("g3_rows"), col("g3_ppm"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy("fd")
+  }
+
+  val q36fSql: String = q36fCands.map { case (tb, a, b) =>
+    s"""SELECT '$tb.$a->$tb.$b' AS fd,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating,
+       |  CAST(SUM(cnt) - SUM(mx) AS BIGINT) AS g3_rows,
+       |  CAST((SUM(cnt) - SUM(mx)) * 1000000 // SUM(cnt) AS BIGINT)
+       |    AS g3_ppm
+       |FROM (
+       |  SELECT $a AS ga, COUNT(*) AS nd, SUM(c) AS cnt, MAX(c) AS mx
+       |  FROM (SELECT $a, $b, COUNT(*) AS c FROM $tb GROUP BY 1, 2) i
+       |  GROUP BY 1) g""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+
+  // --------------------------------------------------------------- Q36g
+  /** The declared categorical columns q36g profiles. */
+  private[graft] val q36gCols: Seq[(String, String)] = Seq(
+    ("customer", "c_mktsegment"), ("lineitem", "l_linestatus"),
+    ("lineitem", "l_returnflag"), ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"))
+
+  /** CATEGORICAL-CONCENTRATION PROFILE (q36g) — per declared column:
+    * row count, distinct count, and GINI IMPURITY 1 − Σ p² in ppm —
+    * the no-logs dispersion statistic (entropy needs ln, engine-
+    * divergent in the last ulp; Gini is one derived double computed
+    * from exact integers with the same formula text in both engines,
+    * the q19c discipline). Σcnt² rides DECIMAL(38,0) so a 10¹²-row
+    * column cannot wrap; the final ratio is IEEE-deterministic.
+    *
+    * Scale: per column one value-histogram partial agg (map-side
+    * combine collapses the corpus to |domain| rows) and a one-row
+    * fold; columns are a fixed declared list. */
+  def q36g_gini(s: SparkSession, dir: String): DataFrame = {
+    val branches = q36gCols.map { case (tb, c) =>
+      t(s, dir, tb)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+          expr("CAST(floor((1.0 - " +
+            "CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE) / " +
+            "(CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))) " +
+            "* 1000000) AS BIGINT)").as("gini_ppm"))
+        .select(lit(s"$tb.$c").as("colname"), col("n"), col("n_distinct"),
+          col("gini_ppm"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy("colname")
+  }
+
+  val q36gSql: String = q36gCols.map { case (tb, c) =>
+    s"""SELECT '$tb.$c' AS colname, CAST(SUM(cnt) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |  CAST(floor((1.0 -
+       |    CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
+       |    * 1000000) AS BIGINT) AS gini_ppm
+       |FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM $tb GROUP BY 1) i""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY colname")
+
   // --------------------------------------------------------------- Q36e
   /** DISTRIBUTION-DRIFT detection (q36e) — per language, the total-
     * variation distance between two document cohorts' length
@@ -2535,6 +2631,8 @@ object Relational {
     "q19h_benford" -> (q19h_benford _),
     "q36d_inclusion" -> (q36d_inclusion _),
     "q36e_drift" -> (q36e_drift _),
+    "q36f_fd" -> (q36f_fd _),
+    "q36g_gini" -> (q36g_gini _),
     "q19i_bootstrap" -> (q19i_bootstrap _),
     "q19j_theilsen" -> (q19j_theilsen _),
     "q39b_hilbert" -> (q39b_hilbert _),
@@ -2601,6 +2699,8 @@ object Relational {
     "q19h_benford" -> q19hSql,
     "q36d_inclusion" -> q36dSql,
     "q36e_drift" -> q36eSql,
+    "q36f_fd" -> q36fSql,
+    "q36g_gini" -> q36gSql,
     "q19i_bootstrap" -> q19iSql,
     "q19j_theilsen" -> q19jSql,
     "q39b_hilbert" -> q39bSql,
