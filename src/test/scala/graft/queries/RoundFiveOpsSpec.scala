@@ -170,6 +170,113 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------------------------------------------------------- q14g
+  test("q14g Pareto vital-few counts equal a sorted cumulative walk") {
+    val rev = graft.Tables.load(spark, sfDir, "customer")
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "CAST(c_custkey AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rev.groupBy(_._1).map { case (nk, xs) =>
+      val perCust = xs.groupBy(_._2).map { case (ck, ys) =>
+        (ck, ys.map(_._3).sum) }.toSeq
+        .sortBy { case (ck, cents) => (-cents, ck) }
+      val total = perCust.map(_._2).sum
+      val cums = perCust.scanLeft(0L)(_ + _._2).init // cum BEFORE each
+      val vital = cums.count(c => c * 5 < total * 4).toLong
+      (nk, (perCust.size.toLong, total, vital,
+        perCust.head._2 * 1000000 / total))
+    }
+    // nk is INT in the parquet schema (the oracle compares it as such)
+    val got = rows("q14g_pareto").map(r => r.getInt(0).toLong ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q29f
+  test("q29f Markov transitions equal the consecutive-pair count over " +
+      "each user's (ts, event_id) order") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.toSeq.sortBy(t => (t._2, t._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val srcTot = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = counts.map { case ((a, b), n) =>
+      (a, b) -> ((n, n * 1000000 / srcTot(a))) }
+    val got = rows("q29f_markov").map(r => (r.getString(0), r.getString(1))
+      -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q29g
+  test("q29g sequential co-occurrence equals a per-session first/last " +
+      "scan with 30-minute gap splits") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairCount = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (xs <- ev.groupBy(_._1).values) {
+      val s = xs.toSeq.sortBy(t => (t._2, t._3))
+      // split into sessions on >30min gaps
+      val sessions = s.tail.foldLeft(Vector(Vector(s.head))) { (acc, e) =>
+        if (e._2 - acc.last.last._2 > 1800000000L) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      for (sess <- sessions) {
+        val byType = sess.groupBy(_._4)
+          .map { case (t, es) => (t, es.map(_._2).min, es.map(_._2).max) }
+        for ((a, fa, _) <- byType; (b, _, lb) <- byType
+             if a != b && fa < lb)
+          pairCount((a, b)) = pairCount.getOrElse((a, b), 0L) + 1
+      }
+    }
+    val got = rows("q29g_seq").map(r => (r.getString(0), r.getString(1))
+      -> r.getLong(2)).toMap
+    assert(got == pairCount.toMap)
+  }
+
+  // ------------------------------------------------------------- q36f
+  test("q36f g3 equals the rows-minus-majority count per candidate") {
+    val expected = Relational.q36fCands.map { case (tb, a, b) =>
+      val xs = graft.Tables.load(spark, sfDir, tb)
+        .selectExpr(s"CAST($a AS STRING)", s"CAST($b AS STRING)").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val byA = xs.groupBy(_._1)
+      val n = xs.length.toLong
+      val keep = byA.values.map(g =>
+        g.groupBy(_._2).values.map(_.size).max.toLong).sum
+      (s"$tb.$a->$tb.$b", (byA.size.toLong,
+        byA.values.count(g => g.map(_._2).distinct.size > 1).toLong,
+        n - keep, (n - keep) * 1000000 / n))
+    }.toMap
+    val got = rows("q36f_fd").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q36g
+  test("q36g Gini equals the histogram formula") {
+    val expected = Relational.q36gCols.map { case (tb, c) =>
+      val vs = graft.Tables.load(spark, sfDir, tb)
+        .selectExpr(s"CAST($c AS STRING)").collect().map(_.getString(0))
+      val h = vs.groupBy(identity).map(_._2.size.toLong)
+      val n = vs.length.toDouble
+      val gini = math.floor(
+        (1.0 - h.map(c => BigDecimal(c) * c).sum.toDouble / (n * n))
+          * 1000000).toLong
+      (s"$tb.$c", (vs.length.toLong, h.size.toLong, gini))
+    }.toMap
+    val got = rows("q36g_gini").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   // --------------------------------------------------- q24_collocations
   test("q24_collocations lift ranking equals the brute-force ppm grid") {
     val texts = graft.Tables.load(spark, sfDir, "documents")
