@@ -187,6 +187,51 @@ object FunnelOps {
        |GROUP BY 1, 2
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // -------------------------------------------------------------- Q30b
+  /** COHORT LTV TRIANGLE (q30b) — q30's retention counts upgraded to
+    * MONEY: per (cohort day, day offset), active users, that day's
+    * revenue in exact cents, and the cohort's CUMULATIVE revenue
+    * through the offset — the lifetime-value curve growth teams read
+    * off the diagonal. Revenue stays integer cents end-to-end; the
+    * running sum is a window over the |cohorts|×|offsets| triangle
+    * aggregate (30×30 here), never over events. Same integer-div
+    * day bucketing as q30 (a double quotient one ULP from a day
+    * boundary could truncate differently than the oracle's). */
+  def q30b_ltv(s: SparkSession, dir: String): DataFrame = {
+    val usDay = 86400000000L
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("cohort_day", expr(s"min(ts_us) over " +
+        s"(partition by user_id) div $usDay"))
+      .withColumn("day_offset",
+        expr(s"ts_us div $usDay") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum("cents").as("rev_cents"))
+    tri.withColumn("cum_cents",
+        sum("rev_cents").over(Window.partitionBy("cohort_day")
+          .orderBy("day_offset")))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q30bSql: String =
+    s"""WITH e AS ${Tables.eventsNormSql},
+       |f AS (SELECT user_id, ts_us,
+       |        CAST(round(value * 100) AS BIGINT) AS cents,
+       |        MIN(ts_us) OVER (PARTITION BY user_id)
+       |          // 86400000000 AS cohort_day
+       |      FROM e),
+       |t AS (SELECT cohort_day,
+       |        ts_us // 86400000000 - cohort_day AS day_offset,
+       |        COUNT(DISTINCT user_id) AS n_users,
+       |        CAST(SUM(cents) AS BIGINT) AS rev_cents
+       |      FROM f GROUP BY 1, 2)
+       |SELECT cohort_day, day_offset, n_users, rev_cents,
+       |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+       |    ORDER BY day_offset) AS BIGINT) AS cum_cents
+       |FROM t ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---------------------------------------------------------------- Q34
   /** Time-series GAP FILL: daily event counts per type with missing days
     * zero-filled over each type's own active range — the date-scaffold
@@ -1429,6 +1474,7 @@ object FunnelOps {
     "q35d_mad" -> (q35d_mad _),
     "q29f_markov" -> (q29f_markov _),
     "q29g_seq" -> (q29g_seq _),
+    "q30b_ltv" -> (q30b_ltv _),
     "q29e_convert_time" -> (q29e_convert_time _),
     "q29_funnel" -> (q29_funnel _),
     "q29d_paths" -> (q29d_paths _),
@@ -1454,6 +1500,7 @@ object FunnelOps {
     "q35d_mad" -> q35dSql,
     "q29f_markov" -> q29fSql,
     "q29g_seq" -> q29gSql,
+    "q30b_ltv" -> q30bSql,
     "q29e_convert_time" -> q29eSql,
     "q29_funnel" -> q29Sql,
     "q29d_paths" -> q29dSql,

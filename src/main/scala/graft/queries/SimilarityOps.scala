@@ -79,6 +79,45 @@ object SimilarityOps {
       |SELECT q_id, CAST(rk AS INT) AS rk, cand_id, cos
       |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ------------------------------------------------------------- range
+  /** RADIUS SEARCH (q23_range) — every candidate within cosine ≥ 0.3 of
+    * each query vector, the fixed-threshold sibling of q23_knn_exact's
+    * top-k (dedup wants "everything closer than τ", not "the 5
+    * closest"): same broadcast-query / partitioned-candidate shape and
+    * the same codegen dot kernel, but the selection is a map-side
+    * PREDICATE — no ranking window at all, so nothing is sorted and the
+    * only shuffle is the output ORDER BY. The IVF/LSH variants
+    * (q23_knn_ivf/_lsh) bolt onto this unchanged when τ admits bucket
+    * pruning. */
+  def q23_range(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("q_nrm")))
+    e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("c_nrm"))
+      .join(q, col("cand_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+      .filter(col("cos") >= 0.3)
+      .select("q_id", "cand_id", "cos")
+      .orderBy("q_id", "cand_id")
+  }
+
+  val q23RangeSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]),
+      |      (x,y) -> x+y) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+      |SELECT q_id, cand_id, cos FROM scored
+      |WHERE cos >= 0.3 ORDER BY q_id, cand_id""".stripMargin
+
   // ----------------------------------------------------------- hardneg
   /** HARD-NEGATIVE MINING: for each query, the top-5 most-similar
     * candidates with a DIFFERENT label — the contrastive-training
@@ -1057,6 +1096,7 @@ object SimilarityOps {
     "q23_recall" -> (q23_recall _),
     "q23_semdedup" -> (q23_semdedup _),
     "q23_knn_exact" -> (q23_knn_exact _),
+    "q23_range" -> (q23_range _),
     "q23_mmr" -> (q23_mmr _),
     "q23_hardneg" -> (q23_hardneg _),
     "q23_knn_ivf" -> (q23_knn_ivf _),
@@ -1073,6 +1113,7 @@ object SimilarityOps {
     "q23_recall" -> q23RecallSql,
     "q23_semdedup" -> q23SemdedupSql,
     "q23_knn_exact" -> q23ExactSql,
+    "q23_range" -> q23RangeSql,
     "q23_mmr" -> q23MmrSql,
     "q23_hardneg" -> q23HardnegSql,
     "q23_knn_ivf" -> q23IvfSql,

@@ -36,6 +36,7 @@ class PlanAuditSweepSpec extends SparkSpec {
     // the broadcast side is fixed-size by construction, the stream
     // side passes once — linear, not quadratic in the corpus
     "q23_knn_exact" -> nlj,
+    "q23_range" -> nlj,
     "q23_hardneg" -> nlj,
     "q23_pq" -> nlj,
     "q17b_fuzzy" -> nlj,
