@@ -2127,40 +2127,47 @@ object Relational {
     * breakdown-50% robust alternative to the q19d OLS fit (Sen 1968).
     * Prices enter as exact cents (round(×100)→BIGINT); each slope is ONE
     * IEEE division of a bigint delta pair, so identical bits in both
-    * engines; the per-part median rides the rank trick (row_number over
-    * slope, pick ⌈n/2⌉ and ⌊n/2⌋+1, emit their SUM — a zero-or-one-term
-    * double add per rank, exact under any aggregation order).
+    * engines; the per-part median is element_at(⌈n/2⌉) + element_at
+    * (⌊n/2⌋+1) of the row-local sorted slope array.
     *
-    * Scale: the pair expansion is an equi-self-join on l_partkey, so
-    * pair volume is Σ_g n_g² bounded by the per-part line count (≤49 in
-    * this corpus, O(part-popularity²) generally — candidate-bounded,
-    * never corpus²; the q22_snm window bound argument). The ranking
-    * window partitions by the same key the join shuffled on, so the sort
-    * reuses the exchange. Use q19d when n_g is unbounded. */
+    * Scale: pair volume is Σ_g n_g², bounded by the per-part line count
+    * (≤49 in this corpus, O(part-popularity²) generally —
+    * candidate-bounded, never corpus²). The expansion happens INSIDE
+    * each part's row (collect → lambda), so the only corpus-scale
+    * movement is the 4-column groupBy(pk) shuffle — no pair ever
+    * crosses an exchange or enters a sort. Use q19d when n_g is
+    * unbounded. */
   def q19j_theilsen(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem").select(
-      col("l_partkey").as("pk"), col("l_orderkey").as("ok"),
-      col("l_linenumber").as("ln"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
-      col("l_quantity").cast(LongType).as("q"))
-    def side(sfx: String) = l.toDF(
-      "pk", s"ok_$sfx", s"ln_$sfx", s"pc_$sfx", s"q_$sfx")
-    val pairs = side("a").join(side("b"), "pk")
-      .filter(col("ok_a") < col("ok_b") ||
-        (col("ok_a") === col("ok_b") && col("ln_a") < col("ln_b")))
-      .filter(col("q_a") =!= col("q_b"))
-      .select(col("pk"), ((col("pc_b") - col("pc_a")) /
-        (col("q_b") - col("q_a")).cast(DoubleType)).as("slope"))
-    val wp = Window.partitionBy("pk")
-    pairs
-      .withColumn("rn", row_number().over(wp.orderBy("slope")).cast(LongType))
-      .withColumn("n", count(lit(1)).over(wp))
+    // Row-local pair expansion (the q42 idiom): ONE groupBy(pk) shuffle
+    // of 4-column rows, then slopes + sort + median inside each
+    // ≤(lines-per-part)²-element array — the join+ranking-window
+    // formulation moved Σn_g² pair ROWS through an exchange and a
+    // per-part sort (8.9s at sf0.1); this shape never materializes a
+    // pair outside its row (4.6s). The sorted collect keeps x as the
+    // (ok, ln)-smaller endpoint, and the lambda drops same-(ok, ln)
+    // clique pairs exactly like the join's strict predicate did.
+    val slopes = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"),
+        struct(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          col("l_quantity").cast(LongType).as("q")).as("r"))
       .groupBy("pk")
-      .agg(max("n").as("n_pairs"),
-        (sum(when(col("rn") === expr("(n + 1) div 2"), col("slope"))
-            .otherwise(0.0)) +
-          sum(when(col("rn") === expr("(n + 2) div 2"), col("slope"))
-            .otherwise(0.0))).as("med2_slope"))
+      .agg(sort_array(collect_list(col("r"))).as("xs"))
+      .withColumn("sl", expr(
+        """array_sort(flatten(transform(xs, (x, i) ->
+          |  transform(
+          |    filter(slice(xs, i + 2, size(xs)),
+          |      y -> y.q != x.q AND NOT (y.ok = x.ok AND y.ln = x.ln)),
+          |    y -> CAST(y.pc - x.pc AS DOUBLE) /
+          |         CAST(y.q - x.q AS DOUBLE)))))""".stripMargin))
+      .withColumn("n_pairs", size(col("sl")).cast(LongType))
+      .filter(col("n_pairs") > 0)
+    slopes
+      .select(col("pk"), col("n_pairs"),
+        (element_at(col("sl"), expr("CAST((n_pairs + 1) div 2 AS INT)")) +
+          element_at(col("sl"), expr("CAST((n_pairs + 2) div 2 AS INT)")))
+          .as("med2_slope"))
       .orderBy("pk")
   }
 

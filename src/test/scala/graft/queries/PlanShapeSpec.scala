@@ -664,10 +664,13 @@ class PlanShapeSpec extends SparkSpec {
         s"found an Exchange between them:\n$between")
   }
 
-  test("q19j Theil-Sen: the median aggregate rides the pair window's pk " +
-      "exchange (join → window → agg, one hash partitioning)") {
+  test("q19j Theil-Sen: pairs never leave their row — one groupBy(pk) " +
+      "exchange, no join, no window, no pair-scale sort") {
     val plan = planOf(Relational.queries("q19j_theilsen")(spark, sfDir))
-    assertAggRidesWindow(plan, "pk", "q19j")
+    assert(!plan.contains("Join"), "pair expansion must be row-local")
+    assert(!plan.contains("Window "), "median must not rank pair rows")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"one pk shuffle expected, got $hashEx")
   }
 
   test("q34g TWAP: lead-window and the per-user aggregate share ONE " +
