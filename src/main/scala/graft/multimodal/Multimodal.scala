@@ -373,8 +373,68 @@ object Multimodal {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** One frame's integer energy (what a real DSP layer would emit). */
+  case class FrameEnergy(media_id: Long, frame_idx: Int, energy: Long)
+
+  /** q25f — AUDIO FRAME ENERGY through the same codec seam: the payload
+    * read as 8-bit PCM, non-overlapping 64-sample frames, per-frame
+    * energy Σ(s−128)² — the silence/level detector an audio pipeline
+    * runs before transcription or segmentation (drop dead air, find
+    * peaks). Per media: frame count, quiet frames (energy < 120 000),
+    * peak and total energy — all integer, so the oracle restates every
+    * bit with substring/ascii math. The per-sample loop lives in
+    * mapPartitions behind the codec seam (a real DSP lib initializes
+    * once per partition, exactly like the decode stub); the rollup is a
+    * partial-agg groupBy on media_id. */
+  def q25f_audio_energy(s: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[FrameEnergy]
+    val frames = mediaFromDocuments(s, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.media.grouped(64).zipWithIndex.map { case (fb, idx) =>
+          var e = 0L
+          var i = 0
+          while (i < fb.length) {
+            val d = (fb(i) & 0xff) - 128
+            e += d.toLong * d
+            i += 1
+          }
+          FrameEnergy(r.media_id, idx, e)
+        }
+      }
+    }
+    frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("energy") < 120000L, 1L).otherwise(0L)).as("n_quiet"),
+        max("energy").as("peak_energy"),
+        sum("energy").as("sum_energy"))
+      .orderBy("media_id")
+  }
+
+  val q25fSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |f AS (SELECT doc_id, text,
+      |    unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 1)) AS idx
+      |  FROM d),
+      |fr AS (SELECT doc_id, idx, substring(text, idx*64 + 1, 64) AS fb
+      |       FROM f),
+      |en AS (SELECT doc_id, idx,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(fb)+1),
+      |        i -> CAST((ascii(substring(fb, i, 1)) - 128)
+      |             * (ascii(substring(fb, i, 1)) - 128) AS BIGINT))),
+      |    (a, b) -> a + b) AS BIGINT) AS energy
+      |  FROM fr)
+      |SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN energy < 120000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quiet,
+      |  CAST(MAX(energy) AS BIGINT) AS peak_energy,
+      |  CAST(SUM(energy) AS BIGINT) AS sum_energy
+      |FROM en GROUP BY 1 ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal" -> (q25_multimodal _),
+    "q25f_audio_energy" -> (q25f_audio_energy _),
     "q25b_frame_sample" -> (q25b_frame_sample _),
     "q25c_patchify" -> (q25c_patchify _),
     "q25d_pairs" -> (q25d_pairs _),
@@ -382,6 +442,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal" -> q25Sql,
+    "q25f_audio_energy" -> q25fSql,
     "q25b_frame_sample" -> q25bSql,
     "q25c_patchify" -> q25cSql,
     "q25d_pairs" -> q25dSql,
