@@ -362,17 +362,79 @@ object IndexOps {
       |ORDER BY term, rk""".stripMargin
 
   // ----------------------------------------------------------------
+  // --------------------------------------------------------------- Q43c
+  /** The declared phrase probes (shared by both engines). */
+  private[graft] val q43cPhrases: Seq[(String, String)] =
+    Seq(("key", "agg"), ("row", "scan"), ("spark", "table"))
+
+  /** PHRASE SEARCH over a POSITIONAL index (q43c) — exact two-word
+    * phrase matching by position adjacency: postings (term, doc, pos)
+    * from one row-local posexplode, probe terms selected MAP-SIDE by a
+    * broadcast join against the (tiny, declared) phrase list, then the
+    * adjacency test is an EQUI join on (doc_id, pos+1) — never a text
+    * scan with LIKE, never a non-equi position window. Per phrase:
+    * matching docs, total occurrences, max per doc. This is the probe
+    * path a positional inverted index exists for; for one-off fixed
+    * phrases a row-local token scan (the q24_collocations idiom) wins —
+    * build the index when the corpus is probed many times.
+    *
+    * Scale: both join sides are postings FILTERED to probe terms before
+    * the exchange (selectivity |probe terms| / |vocab|), the adjacency
+    * join is hash-partitioned on doc_id, and the rollups are
+    * |phrases|-key partial aggs. */
+  def q43c_phrase(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+    import s.implicits._
+    val probe = q43cPhrases.toDF("w1", "w2")
+    val a = post.join(broadcast(probe), col("term") === col("w1"))
+      .select(col("w1"), col("w2"), col("doc_id"), col("pos"))
+    val b = post.select(col("term").as("t2"), col("doc_id").as("d2"),
+      col("pos").as("p2"))
+    a.join(b, col("d2") === col("doc_id") && col("p2") === col("pos") + 1
+        && col("t2") === col("w2"))
+      .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("k"))
+      .groupBy(concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+      .agg(count(lit(1)).as("n_docs"), sum("k").as("n_occ"),
+        max("k").as("max_in_doc"))
+      .orderBy("phrase")
+  }
+
+  val q43cSql: String = {
+    val vals = q43cPhrases.map { case (a, b) => s"('$a','$b')" }
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |             AS tk
+       |           FROM documents),
+       |post AS (SELECT doc_id, CAST(i.i AS INT) - 1 AS pos, tk[i.i] AS term
+       |         FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+       |           i),
+       |ph(w1, w2) AS (VALUES $vals),
+       |m AS (SELECT ph.w1, ph.w2, a.doc_id
+       |      FROM post a JOIN ph ON a.term = ph.w1
+       |      JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |        AND b.term = ph.w2),
+       |per AS (SELECT w1, w2, doc_id, count(*) AS k FROM m GROUP BY 1, 2, 3)
+       |SELECT w1 || ' ' || w2 AS phrase, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(k) AS BIGINT) AS n_occ, CAST(MAX(k) AS BIGINT)
+       |    AS max_in_doc
+       |FROM per GROUP BY 1 ORDER BY phrase""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cooccur" -> (q42_cooccur _),
     "q42c_related" -> (q42c_related _),
     "q42b_triples" -> (q42b_triples _),
     "q43_index" -> (q43_index _),
-    "q43b_bm25" -> (q43b_bm25 _))
+    "q43b_bm25" -> (q43b_bm25 _),
+    "q43c_phrase" -> (q43c_phrase _))
 
   def oracles: Map[String, String] = Map(
     "q42_cooccur" -> q42Sql,
     "q42c_related" -> q42cSql,
     "q42b_triples" -> q42bSql,
     "q43_index" -> q43Sql,
-    "q43b_bm25" -> q43bSql)
+    "q43b_bm25" -> q43bSql,
+    "q43c_phrase" -> q43cSql)
 }
