@@ -257,6 +257,64 @@ object GraphOps {
     triangles(edges)
   }
 
+  // --------------------------------------------------------------- Q44b
+  /** LOCAL CLUSTERING COEFFICIENT (q44b) — per node with degree ≥ 2:
+    * 2·triangles / (deg·(deg−1)) in ppm, the "how clique-like is this
+    * node's neighborhood" metric (Watts–Strogatz) that turns q44's raw
+    * triangle counts into a bounded, comparable score. Nodes in no
+    * triangle score 0 via the left join, not by dropping out. Integer
+    * throughout: the numerator 2·tri·10⁶ is exact and the division
+    * floors identically in both engines (all operands non-negative).
+    *
+    * Scale: reuses the degree-oriented triangle core (O(m^1.5) wedges,
+    * no broadcast of edge-scale sides); degrees are one partial-agg
+    * groupBy over the edge endpoints; the combine join is node-keyed. */
+  def q44b_clustering(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(s, dir, "customer")
+    val nCust = customer.count()
+    val edges = edgesOf(Tables.load(s, dir, "orders"), nCust)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // read by the degree agg and the triangle core
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangles(edges), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coeff_ppm",
+        expr("2 * n_tri * 1000000 div (deg * (deg - 1))"))
+      .select("node", "deg", "n_tri", "coeff_ppm")
+      .orderBy("node")
+  }
+
+  val q44bSql: String =
+    """WITH n AS (SELECT count(*) AS nc FROM customer),
+      |raw AS (SELECT DISTINCT o_custkey AS src,
+      |          (o_orderkey * 2654435761) % 4294967296
+      |            % (SELECT nc FROM n) + 1 AS dst
+      |        FROM orders),
+      |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |      FROM raw WHERE src != dst),
+      |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |      GROUP BY 1),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (SELECT x AS node FROM t
+      |            UNION ALL SELECT y FROM t
+      |            UNION ALL SELECT z FROM t),
+      |tri AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+      |SELECT d.node, deg, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(2 * COALESCE(n_tri, 0) * 1000000 // (deg * (deg - 1))
+      |    AS BIGINT) AS coeff_ppm
+      |FROM d LEFT JOIN tri ON tri.node = d.node
+      |WHERE deg >= 2 ORDER BY d.node""".stripMargin
+
   /** Oracle: the same triangle set enumerated by id-order (a < b < c) —
     * one row per triangle, attributed to all three corners. */
   val q44Sql: String =
@@ -424,12 +482,14 @@ object GraphOps {
     "q41b_lpa" -> (q41b_lpa _),
     "q41c_components" -> (q41c_components _),
     "q41d_kcore" -> (q41d_kcore _),
-    "q44_triangles" -> (q44_triangles _))
+    "q44_triangles" -> (q44_triangles _),
+    "q44b_clustering" -> (q44b_clustering _))
 
   def oracles: Map[String, String] = Map(
     "q41_pagerank" -> q41Sql,
     "q41b_lpa" -> q41bSql,
     "q41c_components" -> q41cSql,
     "q41d_kcore" -> q41dSql,
-    "q44_triangles" -> q44Sql)
+    "q44_triangles" -> q44Sql,
+    "q44b_clustering" -> q44bSql)
 }
