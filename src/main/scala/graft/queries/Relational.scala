@@ -2127,49 +2127,36 @@ object Relational {
     * breakdown-50% robust alternative to the q19d OLS fit (Sen 1968).
     * Prices enter as exact cents (round(×100)→BIGINT); each slope is ONE
     * IEEE division of a bigint delta pair, so identical bits in both
-    * engines; the per-part median is element_at(⌈n/2⌉) + element_at
-    * (⌊n/2⌋+1) of the row-local sorted slope array.
+    * engines; the per-part median is sl[⌈n/2⌉−1] + sl[⌊n/2⌋] of the
+    * sorted slope array, computed inside the native kernel.
     *
     * Scale: pair volume is Σ_g n_g², bounded by the per-part line count
     * (≤49 in this corpus, O(part-popularity²) generally —
     * candidate-bounded, never corpus²). The expansion happens INSIDE
-    * each part's row (collect → lambda), so the only corpus-scale
-    * movement is the 4-column groupBy(pk) shuffle — no pair ever
-    * crosses an exchange or enters a sort. Use q19d when n_g is
-    * unbounded. */
-  def q19j_theilsen(s: SparkSession, dir: String): DataFrame = {
-    // Row-local pair expansion (the q42 idiom): ONE groupBy(pk) shuffle
-    // of 4-column rows, then slopes + sort + median inside each
-    // ≤(lines-per-part)²-element array — the join+ranking-window
-    // formulation moved Σn_g² pair ROWS through an exchange and a
-    // per-part sort (8.9s at sf0.1); this shape never materializes a
-    // pair outside its row (4.6s). The sorted collect keeps x as the
-    // (ok, ln)-smaller endpoint, and the lambda drops same-(ok, ln)
-    // clique pairs exactly like the join's strict predicate did.
-    val slopes = t(s, dir, "lineitem")
+    * each part's row via [[graft.functions.TheilSenMed2]] — one
+    * compiled O(n_g²) loop per group; slopes are orientation-
+    * independent so the unordered collect_list needs no sort. The only
+    * corpus-scale movement is the 4-column groupBy(pk) shuffle: no pair
+    * ever crosses an exchange or enters a per-part sort. (Measured at
+    * sf0.1: join+ranking-window 8.9s → interpreted lambda chain 4.6s →
+    * native kernel 1.2s, against a 1.0s collect floor.) Use q19d when
+    * n_g is unbounded. */
+  def q19j_theilsen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"),
         struct(col("l_orderkey").as("ok"),
           col("l_linenumber").as("ln"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
           col("l_quantity").cast(LongType).as("q")).as("r"))
       .groupBy("pk")
-      .agg(sort_array(collect_list(col("r"))).as("xs"))
-      .withColumn("sl", expr(
-        """array_sort(flatten(transform(xs, (x, i) ->
-          |  transform(
-          |    filter(slice(xs, i + 2, size(xs)),
-          |      y -> y.q != x.q AND NOT (y.ok = x.ok AND y.ln = x.ln)),
-          |    y -> CAST(y.pc - x.pc AS DOUBLE) /
-          |         CAST(y.q - x.q AS DOUBLE)))))""".stripMargin))
-      .withColumn("n_pairs", size(col("sl")).cast(LongType))
-      .filter(col("n_pairs") > 0)
-    slopes
-      .select(col("pk"), col("n_pairs"),
-        (element_at(col("sl"), expr("CAST((n_pairs + 1) div 2 AS INT)")) +
-          element_at(col("sl"), expr("CAST((n_pairs + 2) div 2 AS INT)")))
-          .as("med2_slope"))
+      .agg(collect_list(col("r")).as("xs"))
+      .select(col("pk"),
+        graft.functions.native.theilSenMed2(col("xs")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("pk"), col("m.n_pairs").as("n_pairs"),
+        col("m.med2").as("med2_slope"))
       .orderBy("pk")
-  }
+
 
   val q19jSql: String =
     """WITH l AS (

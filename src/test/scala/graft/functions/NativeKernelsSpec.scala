@@ -225,6 +225,42 @@ class NativeKernelsSpec extends SparkSpec {
     assert(kernel.except(reference).isEmpty && reference.except(kernel).isEmpty)
   }
 
+  test("TheilSenMed2 == brute-force pair median; orientation-free " +
+      "(shuffled input), same-key pairs dropped, no-pair groups NULL") {
+    val rows = Seq( // (ok, ln, pc, q)
+      (1L, 1, 100L, 1L), (2L, 1, 300L, 2L), (3L, 1, 900L, 4L),
+      (3L, 2, 900L, 4L), // distinct key, same point — pairs with others
+      (4L, 1, 500L, 2L), (4L, 1, 777L, 9L)) // duplicate key clique
+    def med2Of(xs: Seq[(Long, Int, Long, Long)]): Option[(Long, Double)] = {
+      val sl = (for {
+        i <- xs.indices; j <- (i + 1) until xs.size
+        a = xs(i); b = xs(j)
+        if a._4 != b._4 && (a._1, a._2) != (b._1, b._2)
+      } yield (b._3 - a._3).toDouble / (b._4 - a._4).toDouble).sorted
+      if (sl.isEmpty) None
+      else Some((sl.size.toLong,
+        sl((sl.size + 1) / 2 - 1) + sl((sl.size + 2) / 2 - 1)))
+    }
+    for (perm <- Seq(rows, rows.reverse, rows.sortBy(_._3))) {
+      val df = Seq(perm).toDF("xs")
+        .select(expr("transform(xs, t -> " +
+          "struct(t._1 AS ok, t._2 AS ln, t._3 AS pc, t._4 AS q))")
+          .as("xs"))
+        .select(native.theilSenMed2(col("xs")).as("m"))
+      val r = df.head()
+      val got = if (r.isNullAt(0)) None else {
+        val m = r.getStruct(0); Some((m.getLong(0), m.getDouble(1)))
+      }
+      assert(got == med2Of(perm), s"perm=$perm")
+    }
+    // a group that is ONLY a same-key clique with equal q: NULL result
+    val lone = Seq(Seq((7L, 1, 10L, 5L), (7L, 1, 99L, 5L))).toDF("xs")
+      .select(expr("transform(xs, t -> " +
+        "struct(t._1 AS ok, t._2 AS ln, t._3 AS pc, t._4 AS q))").as("xs"))
+      .select(native.theilSenMed2(col("xs")).as("m"))
+    assert(lone.head().isNullAt(0))
+  }
+
   test("SQL registration exposes graft_dot and graft_rolling_hash") {
     val ext = new GraftExtensions
     // the shared test session wasn't built with the extension — register
