@@ -277,6 +277,32 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------------------------------------------------------- q44b
+  test("q44b clustering coefficient equals adjacency-set counting") {
+    val nCust = graft.Tables.load(spark, sfDir, "customer").count()
+    val edges = graft.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_custkey AS src",
+        s"(o_orderkey * 2654435761) % 4294967296 % $nCust + 1 AS dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) += b; adj(b) += a }
+    val expected = adj.collect { case (n, nb) if nb.size >= 2 =>
+      val deg = nb.size.toLong
+      val pairs = nb.toSeq.sorted
+      val tri = (for {
+        i <- pairs.indices; j <- (i + 1) until pairs.size
+        if adj(pairs(i)).contains(pairs(j))
+      } yield 1).size.toLong
+      n -> ((deg, tri, 2 * tri * 1000000 / (deg * (deg - 1))))
+    }.toMap
+    val got = rows("q44b_clustering").map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   // --------------------------------------------------- q24_collocations
   test("q24_collocations lift ranking equals the brute-force ppm grid") {
     val texts = graft.Tables.load(spark, sfDir, "documents")
