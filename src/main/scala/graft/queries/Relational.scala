@@ -1581,6 +1581,83 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- Q19k
+  /** The declared cohort pairs q19k compares. */
+  private[graft] val q19kPairs: Seq[(String, String)] =
+    Seq(("click", "error"), ("purchase", "view"), ("signup", "view"))
+
+  /** MANN–WHITNEY U rank-sum test (q19k) — the nonparametric A/B
+    * comparison of `value` between declared event-type cohorts: U₁/U₂
+    * (doubled, so midrank ties stay integer) from pooled ranks. The
+    * rank sum never ranks rows: collapse to the pooled VALUE HISTOGRAM
+    * (per-cohort conditional counts), take the strictly-below mass via
+    * the keyless two-level PrefixSum (the q19g path — no unpartitioned
+    * window even over the histogram), and fold R₁·2 = Σ cₐ·(2·below +
+    * cnt + 1) in one aggregate; U·2 = R·2 − n(n+1). Every bit integer;
+    * the U₁+U₂ = 2·n₁·n₂ identity is the built-in self-check (pinned
+    * in spec). A cohort-size guard keeps the int64 grid honest —
+    * beyond ~2·10⁹ rows per cohort the doubled rank sum would need the
+    * DECIMAL path, and the require says so instead of wrapping.
+    *
+    * Scale: per pair one corpus-scale conditional-sum partial agg
+    * (the q36e cohort-split discipline — the split never doubles the
+    * shuffle); everything after is histogram-scale. */
+  def q19k_mannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sizes = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q19kPairs.foreach { case (a, b) =>
+      require(sizes.getOrElse(a, 0L) < 2000000000L &&
+        sizes.getOrElse(b, 0L) < 2000000000L,
+        s"q19k: cohort ($a, $b) exceeds the int64 doubled-rank grid — " +
+          "switch the fold to DECIMAL(38,0)")
+    }
+    val branches = q19kPairs.map { case (a, b) =>
+      val hist = ev.filter(col("event_type").isin(a, b))
+        .groupBy(expr("CAST(round(value * 1000000) AS BIGINT)").as("vus"))
+        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"),
+          count(lit(1)).as("cnt"))
+      PrefixSum.exclusiveRunningSum(hist, "cnt", "cumb",
+          seqCol = "vus", bucketSize = 1L << 40)
+        .agg(sum("ca").as("n1"), sum("cb").as("n2"),
+          (sum(expr("ca * (2 * cumb + cnt + 1)")) -
+            sum(col("ca")) * (sum(col("ca")) + 1)).as("u1_2x"),
+          (sum(expr("cb * (2 * cumb + cnt + 1)")) -
+            sum(col("cb")) * (sum(col("cb")) + 1)).as("u2_2x"))
+        .select(lit(s"$a vs $b").as("pair"), col("n1"), col("n2"),
+          col("u1_2x"), col("u2_2x"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy("pair")
+  }
+
+  val q19kSql: String = {
+    val branches = q19kPairs.map { case (a, b) =>
+      s"""SELECT '$a vs $b' AS pair, CAST(SUM(ca) AS BIGINT) AS n1,
+         |  CAST(SUM(cb) AS BIGINT) AS n2,
+         |  CAST(SUM(ca * (2 * cumb + cnt + 1))
+         |    - SUM(ca) * (SUM(ca) + 1) AS BIGINT) AS u1_2x,
+         |  CAST(SUM(cb * (2 * cumb + cnt + 1))
+         |    - SUM(cb) * (SUM(cb) + 1) AS BIGINT) AS u2_2x
+         |FROM (
+         |  SELECT ca, cb, cnt,
+         |    COALESCE(SUM(cnt) OVER (ORDER BY vus
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM (
+         |    SELECT CAST(round(value * 1000000) AS BIGINT) AS vus,
+         |      CAST(SUM(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS ca,
+         |      CAST(SUM(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS cb,
+         |      CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM e WHERE event_type IN ('$a', '$b')
+         |    GROUP BY 1) h) c""".stripMargin
+    }
+    s"WITH e AS ${Tables.eventsNormSql}\nSELECT * FROM (\n" +
+      branches.mkString("\nUNION ALL\n") + "\n) ORDER BY pair"
+  }
+
   val q19gSql: String =
     """WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
       |cm AS (SELECT n_chars,
@@ -2629,6 +2706,7 @@ object Relational {
     "q36g_gini" -> (q36g_gini _),
     "q19i_bootstrap" -> (q19i_bootstrap _),
     "q19j_theilsen" -> (q19j_theilsen _),
+    "q19k_mannwhitney" -> (q19k_mannwhitney _),
     "q39b_hilbert" -> (q39b_hilbert _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
@@ -2697,6 +2775,7 @@ object Relational {
     "q36g_gini" -> q36gSql,
     "q19i_bootstrap" -> q19iSql,
     "q19j_theilsen" -> q19jSql,
+    "q19k_mannwhitney" -> q19kSql,
     "q39b_hilbert" -> q39bSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)

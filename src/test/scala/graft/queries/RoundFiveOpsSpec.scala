@@ -277,6 +277,34 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------------------------------------------------------- q19k
+  test("q19k Mann-Whitney U equals midrank brute force and satisfies " +
+      "U1 + U2 = 2*n1*n2") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def u2x(a: String, b: String): (Long, Long, Long, Long) = {
+      val pool = ev.filter(t => t._1 == a || t._1 == b)
+      val sorted = pool.map(_._2).sorted
+      // doubled midrank of value v = 2*(#below) + (#equal) + 1
+      val below = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> (2L * xs.map(_._2).min + xs.size) }
+      val r1x2 = pool.filter(_._1 == a).map(t => below(t._2) + 1).sum
+      val r2x2 = pool.filter(_._1 == b).map(t => below(t._2) + 1).sum
+      val (n1, n2) = (pool.count(_._1 == a).toLong,
+        pool.count(_._1 == b).toLong)
+      (n1, n2, r1x2 - n1 * (n1 + 1), r2x2 - n2 * (n2 + 1))
+    }
+    val expected = Relational.q19kPairs
+      .map { case (a, b) => s"$a vs $b" -> u2x(a, b) }.toMap
+    val got = rows("q19k_mannwhitney").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    got.values.foreach { case (n1, n2, u1, u2) =>
+      assert(u1 + u2 == 2 * n1 * n2, "rank-sum identity broken")
+    }
+  }
+
   // ------------------------------------------------------------- q44b
   test("q44b clustering coefficient equals adjacency-set counting") {
     val nCust = graft.Tables.load(spark, sfDir, "customer").count()
