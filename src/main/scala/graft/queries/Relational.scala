@@ -1658,6 +1658,73 @@ object Relational {
       branches.mkString("\nUNION ALL\n") + "\n) ORDER BY pair"
   }
 
+  // --------------------------------------------------------------- Q19l
+  /** KOLMOGOROV–SMIRNOV two-sample statistic (q19l) — the companion to
+    * q19k on the same declared cohort pairs: D = max |F₁ − F₂| over the
+    * pooled value grid, in ppm. Completes the distribution-comparison
+    * kit (q36e TVD for categorical bins, q19k ranks, KS for the
+    * continuous CDF gap). The CDF gap is exact integer cross-
+    * multiplication |cum₁·n₂ − cum₂·n₁| (no division per row); the
+    * cumulative masses ride the same keyless two-level PrefixSum over
+    * the value histogram — twice, one per cohort — and the totals are
+    * the one-row broadcast crossJoin idiom. The final ppm is ONE
+    * derived double with identical formula text in both engines (q36g
+    * discipline), so no magnitude guard is needed.
+    *
+    * Scale: one corpus-scale conditional-sum partial agg per pair;
+    * histogram-scale after. */
+  def q19l_ks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val branches = q19kPairs.map { case (a, b) =>
+      val hist = ev.filter(col("event_type").isin(a, b))
+        .groupBy(expr("CAST(round(value * 1000000) AS BIGINT)").as("vus"))
+        .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+      val withBelow = PrefixSum.exclusiveRunningSum(
+        PrefixSum.exclusiveRunningSum(hist, "ca", "belowa",
+          seqCol = "vus", bucketSize = 1L << 40),
+        "cb", "belowb", seqCol = "vus", bucketSize = 1L << 40)
+      val totals = hist.agg(sum("ca").as("n1"), sum("cb").as("n2"))
+      withBelow.crossJoin(broadcast(totals))
+        .select(
+          expr("abs((belowa + ca) * n2 - (belowb + cb) * n1)").as("gap"),
+          col("n1"), col("n2"))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          expr("CAST(floor(CAST(max(gap) AS DOUBLE) * 1000000 / " +
+            "(CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))) " +
+            "AS BIGINT)").as("d_ppm"))
+        .select(lit(s"$a vs $b").as("pair"), col("n1"), col("n2"),
+          col("d_ppm"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy("pair")
+  }
+
+  val q19lSql: String = {
+    val branches = q19kPairs.map { case (a, b) =>
+      s"""SELECT '$a vs $b' AS pair, CAST(MAX(n1) AS BIGINT) AS n1,
+         |  CAST(MAX(n2) AS BIGINT) AS n2,
+         |  CAST(floor(CAST(MAX(gap) AS DOUBLE) * 1000000 /
+         |    (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)))
+         |    AS BIGINT) AS d_ppm
+         |FROM (
+         |  SELECT abs(cuma * n2 - cumb * n1) AS gap, n1, n2
+         |  FROM (
+         |    SELECT SUM(ca) OVER (ORDER BY vus) AS cuma,
+         |      SUM(cb) OVER (ORDER BY vus) AS cumb,
+         |      SUM(ca) OVER () AS n1, SUM(cb) OVER () AS n2
+         |    FROM (
+         |      SELECT CAST(round(value * 1000000) AS BIGINT) AS vus,
+         |        CAST(SUM(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS cb
+         |      FROM e WHERE event_type IN ('$a', '$b')
+         |      GROUP BY 1) h) c) g""".stripMargin
+    }
+    s"WITH e AS ${Tables.eventsNormSql}\nSELECT * FROM (\n" +
+      branches.mkString("\nUNION ALL\n") + "\n) ORDER BY pair"
+  }
+
   val q19gSql: String =
     """WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
       |cm AS (SELECT n_chars,
@@ -2707,6 +2774,7 @@ object Relational {
     "q19i_bootstrap" -> (q19i_bootstrap _),
     "q19j_theilsen" -> (q19j_theilsen _),
     "q19k_mannwhitney" -> (q19k_mannwhitney _),
+    "q19l_ks" -> (q19l_ks _),
     "q39b_hilbert" -> (q39b_hilbert _),
     "q37_hierarchy" -> (q37_hierarchy _),
     "q39_zorder" -> (q39_zorder _))
@@ -2776,6 +2844,7 @@ object Relational {
     "q19i_bootstrap" -> q19iSql,
     "q19j_theilsen" -> q19jSql,
     "q19k_mannwhitney" -> q19kSql,
+    "q19l_ks" -> q19lSql,
     "q39b_hilbert" -> q39bSql,
     "q37_hierarchy" -> q37Sql,
     "q39_zorder" -> q39Sql)

@@ -30,6 +30,7 @@ class PlanAuditSweepSpec extends SparkSpec {
     "cdc15_lag" -> nlj,        // stream-head row onto per-table lags
     "s04_watermark" -> nlj,    // max-event-time row (batch watermark cut)
     "q24_collocations" -> nlj, // corpus bigram-total row onto pair lifts
+    "q19l_ks" -> nlj,          // cohort-total row onto the CDF-gap grid
     "q23_recall" -> nlj,       // sampled query set (non-equi) + mean row
     // constant-size broadcast probe set with a NON-EQUI predicate
     // (cand_id != q_id / label inequality / edit-distance band):
