@@ -1676,10 +1676,15 @@ object Relational {
   def q19l_ks(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val branches = q19kPairs.map { case (a, b) =>
+      // materialize: the two PrefixSum calls each fork their input into
+      // a main + summary branch and the totals read it again — without
+      // the checkpoint the corpus scan + aggregate would run ~6× per
+      // pair (PrefixSum's documented expensive-upstream caveat)
       val hist = ev.filter(col("event_type").isin(a, b))
         .groupBy(expr("CAST(round(value * 1000000) AS BIGINT)").as("vus"))
         .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("ca"),
           sum(when(col("event_type") === b, 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint()
       val withBelow = PrefixSum.exclusiveRunningSum(
         PrefixSum.exclusiveRunningSum(hist, "ca", "belowa",
           seqCol = "vus", bucketSize = 1L << 40),
