@@ -305,6 +305,45 @@ class RoundFiveOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- q19l
+  test("q19l KS statistic equals the step-function max gap") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = Relational.q19kPairs.map { case (a, b) =>
+      val va = ev.filter(_._1 == a).map(_._2)
+      val vb = ev.filter(_._1 == b).map(_._2)
+      val (n1, n2) = (va.length.toLong, vb.length.toLong)
+      val grid = (va ++ vb).distinct
+      val gap = grid.map(v =>
+        math.abs(va.count(_ <= v) * n2 - vb.count(_ <= v) * n1)).max
+      val d = math.floor(gap.toDouble * 1000000 /
+        (n1.toDouble * n2.toDouble)).toLong
+      s"$a vs $b" -> ((n1, n2, d))
+    }.toMap
+    val got = rows("q19l_ks").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------------- q43c
+  test("q43c phrase counts equal a token-adjacency scan") {
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val expected = IndexOps.q43cPhrases.flatMap { case (w1, w2) =>
+      val perDoc = texts.map { case (id, tk) =>
+        id -> tk.zip(tk.tail).count(p => p._1 == w1 && p._2 == w2)
+      }.filter(_._2 > 0)
+      if (perDoc.isEmpty) None
+      else Some(s"$w1 $w2" -> ((perDoc.size.toLong,
+        perDoc.map(_._2).sum.toLong, perDoc.map(_._2).max.toLong)))
+    }.toMap
+    val got = rows("q43c_phrase").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------------- q44b
   test("q44b clustering coefficient equals adjacency-set counting") {
     val nCust = graft.Tables.load(spark, sfDir, "customer").count()
