@@ -1075,35 +1075,54 @@ object FunnelOps {
     *
     * Scale: the naive per-type sort-and-rank median would hash the whole
     * corpus into |event_type| window partitions — the classic
-    * low-cardinality-window skew. Instead both medians are computed on
-    * the VALUE HISTOGRAM: collapse to (type, value, count) first — a
-    * partial-agg groupBy, corpus-size-independent output — then rank the
-    * collapsed rows with a cumulative-count window and select the values
-    * whose cumsum crosses ⌈n/2⌉ / ⌊n/2⌋+1. The only windows run over
-    * histogram-bounded partitions; everything corpus-scale is map-side
-    * partial aggregation. */
+    * low-cardinality-window skew. Collapsing to the (type, value, count)
+    * HISTOGRAM first (a partial-agg groupBy) does NOT close it alone:
+    * `value` is a continuous double, so distinct micro-units ≈ row count
+    * and a `partition by et order by value` cumulative over the
+    * "histogram" still funnels ~n/|types| rows through ONE task. Both
+    * cumulative ranks therefore ride the KEYED two-level
+    * [[PrefixSum.exclusiveRunningSum]] (keys = et): in-bucket windows are
+    * partitioned by (et, value-bucket) — bounded by the auto-sized
+    * bucket, not by type cardinality — and the cross-bucket carry runs
+    * over per-(et, bucket) SUMMARY rows. The per-type totals are a
+    * partial-agg groupBy broadcast back (never a whole-partition
+    * window); everything corpus-scale is map-side partial aggregation.
+    * The histograms are localCheckpoint'd first — PrefixSum forks its
+    * input into main + summary branches (the documented
+    * expensive-upstream caveat), and the second pass re-reads the first.
+    */
   def q35d_mad(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.events(s, dir).select(col("event_type").as("et"),
       expr("CAST(round(value * 1000000) AS BIGINT)").as("vus"))
-    val we = Window.partitionBy("et")
-    val c = v.groupBy("et", "vus").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(we.orderBy("vus")))
-      .withColumn("n", sum("cnt").over(we))
+    val hist = v.groupBy("et", "vus").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = hist.groupBy("et").agg(sum("cnt").as("n"))
+    val c = PrefixSum.exclusiveRunningSum(hist, "cnt", "below",
+        seqCol = "vus", keys = Seq("et"))
+      .withColumn("cum", col("below") + col("cnt"))
+      .join(broadcast(tot), "et")
     val m = c.groupBy("et").agg(max("n").as("n"),
       (min(when(col("cum") >= expr("(n + 1) div 2"), col("vus"))) +
         min(when(col("cum") >= expr("(n + 2) div 2"), col("vus"))))
         .as("med2"))
+      // 5-row frame, but its subtree is the whole first median pass —
+      // snapshot it so the deviation scan below (forked into the dev2
+      // histogram and the final outlier count) doesn't replay it
+      .localCheckpoint()
     val d = v.join(m, "et")
       .select(col("et"), abs(lit(2) * col("vus") - col("med2")).as("dev2"),
         col("med2"), col("n"))
-    val c2 = d.groupBy("et", "dev2")
+    val hist2 = d.groupBy("et", "dev2")
       .agg(count(lit(1)).as("cnt"), max("med2").as("med2"), max("n").as("n"))
-      .withColumn("cum", sum("cnt").over(we.orderBy("dev2")))
+      .localCheckpoint()
+    val c2 = PrefixSum.exclusiveRunningSum(hist2, "cnt", "below2",
+        seqCol = "dev2", keys = Seq("et"))
+      .withColumn("cum", col("below2") + col("cnt"))
     val m2 = c2.groupBy("et").agg(
       (min(when(col("cum") >= expr("(n + 1) div 2"), col("dev2"))) +
         min(when(col("cum") >= expr("(n + 2) div 2"), col("dev2"))))
         .as("mad4"))
-    d.join(m2, "et")
+    d.join(broadcast(m2), "et")
       .groupBy("et")
       .agg(max("n").as("n"), max("med2").as("med2"), max("mad4").as("mad4"),
         sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)

@@ -351,9 +351,12 @@ object GraphOps {
     * generation is q42's row-local basket expansion. The oracle walks
     * the same (tiny, support-floored) graph with a recursive
     * reachability CTE + min-label collapse — exponential paths dedup
-    * through UNION, bounded by |comp|² pairs. Component size rides a
-    * root-partitioned window over node-scale rows (component-bounded
-    * partitions, never the corpus). */
+    * through UNION, bounded by |comp|² pairs. Component size is a
+    * map-side-combined `groupBy(root).count()` joined back on root —
+    * NOT a root-partitioned window: real co-occurrence graphs carry a
+    * giant component, and a window would funnel nearly the whole node
+    * frame through that one root's task, while the partial agg ships
+    * one row per (task, root) into a component-count-scale shuffle. */
   def q41c_components(s: SparkSession, dir: String): DataFrame = {
     val pairs = IndexOps.pairCounts(
       Tables.load(s, dir, "lineitem")
@@ -361,8 +364,8 @@ object GraphOps {
       minSupport = 3).select("a", "b")
     val cc = DedupOps.connectedComponents(pairs)
       .select(col("doc_id").as("node"), col("keep_id").as("root"))
-    val wr = org.apache.spark.sql.expressions.Window.partitionBy("root")
-    cc.withColumn("csize", count(lit(1)).over(wr))
+    val sizes = cc.groupBy("root").agg(count(lit(1)).as("csize"))
+    cc.join(sizes, "root")
       .select("node", "root", "csize")
       .orderBy("node")
   }

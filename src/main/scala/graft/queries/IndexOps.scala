@@ -378,10 +378,14 @@ object IndexOps {
     * phrases a row-local token scan (the q24_collocations idiom) wins —
     * build the index when the corpus is probed many times.
     *
-    * Scale: both join sides are postings FILTERED to probe terms before
-    * the exchange (selectivity |probe terms| / |vocab|), the adjacency
-    * join is hash-partitioned on doc_id, and the rollups are
-    * |phrases|-key partial aggs. */
+    * Scale: BOTH join sides are postings FILTERED to probe terms before
+    * the exchange (selectivity |probe terms| / |vocab|) — the first-word
+    * side by the broadcast probe join, the adjacency side by a literal
+    * `isin` over the declared second words (a map-side predicate; the
+    * per-phrase t2 = w2 pairing can only apply inside the join, so
+    * without the isin the FULL token stream would shuffle on doc_id).
+    * The adjacency join is hash-partitioned on doc_id, and the rollups
+    * are |phrases|-key partial aggs. */
   def q43c_phrase(s: SparkSession, dir: String): DataFrame = {
     val post = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
@@ -390,8 +394,10 @@ object IndexOps {
     val probe = q43cPhrases.toDF("w1", "w2")
     val a = post.join(broadcast(probe), col("term") === col("w1"))
       .select(col("w1"), col("w2"), col("doc_id"), col("pos"))
-    val b = post.select(col("term").as("t2"), col("doc_id").as("d2"),
-      col("pos").as("p2"))
+    val b = post
+      .filter(col("term").isin(q43cPhrases.map(_._2).distinct: _*))
+      .select(col("term").as("t2"), col("doc_id").as("d2"),
+        col("pos").as("p2"))
     a.join(b, col("d2") === col("doc_id") && col("p2") === col("pos") + 1
         && col("t2") === col("w2"))
       .groupBy("w1", "w2", "doc_id").agg(count(lit(1)).as("k"))

@@ -1018,23 +1018,36 @@ object Relational {
     * `5·cum_before < 4·total`.
     *
     * Scale: the corpus-scale work is the customer⋈orders revenue
-    * aggregate (honest big-big shuffle + partial agg); the ranking
-    * window then sorts ONE ROW PER CUSTOMER per nation — ranking
-    * customers is the operator's semantics, and the window input is
-    * already |customers|, not |orders|. The final rollup is a
-    * |nations|-key partial agg. */
+    * aggregate (honest big-big shuffle + partial agg); the input to the
+    * ranking is ONE ROW PER CUSTOMER. A `partition by nation` cumulative
+    * would still cap parallelism at |nations| tasks FOREVER (~n_cust/25
+    * rows each at any scale), so the revenue prefix rides the KEYED
+    * two-level [[PrefixSum.exclusiveRunningSum]] over the NEGATED cents
+    * axis (keys = nk): in-bucket windows partition by (nation, revenue
+    * bucket), the cross-bucket carry runs over per-bucket summaries.
+    * The exclusive sum's RANGE semantics hand tied-revenue customers
+    * the same prefix, so the (cents desc, ck) ROWS contract is finished
+    * by a tiny intra-tie window partitioned by (nk, cents) — bounded by
+    * the tie-group size, not the nation. Totals/top1 are a |nations|-key
+    * partial agg broadcast back; the revenue frame is localCheckpoint'd
+    * once (PrefixSum's fork caveat). */
   def q14g_pareto(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"), col("c_custkey").as("ck"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .as("cents"))
-    val wn = Window.partitionBy("nk")
-    r.withColumn("cum_before", sum("cents")
-        .over(wn.orderBy(col("cents").desc, col("ck"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("total", sum("cents").over(wn))
-      .withColumn("top1", max("cents").over(wn))
+      .withColumn("nseq", -col("cents"))
+      .localCheckpoint()
+    val tot = r.groupBy("nk").agg(sum("cents").as("total"),
+      max("cents").as("top1"))
+    val wTie = Window.partitionBy("nk", "cents").orderBy("ck")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    PrefixSum.exclusiveRunningSum(r, "cents", "below",
+        seqCol = "nseq", keys = Seq("nk"))
+      .withColumn("cum_before",
+        col("below") + coalesce(sum("cents").over(wTie), lit(0L)))
+      .join(broadcast(tot), "nk")
       .groupBy("nk")
       .agg(count(lit(1)).as("n_cust"), max("total").as("total_cents"),
         sum(when(coalesce(col("cum_before"), lit(0L)) * 5 <
@@ -1595,9 +1608,11 @@ object Relational {
     * window even over the histogram), and fold R₁·2 = Σ cₐ·(2·below +
     * cnt + 1) in one aggregate; U·2 = R·2 − n(n+1). Every bit integer;
     * the U₁+U₂ = 2·n₁·n₂ identity is the built-in self-check (pinned
-    * in spec). A cohort-size guard keeps the int64 grid honest —
-    * beyond ~2·10⁹ rows per cohort the doubled rank sum would need the
-    * DECIMAL path, and the require says so instead of wrapping.
+    * in spec). A cohort-size guard keeps the int64 grid honest — it
+    * bounds the doubled rank sum itself, 2·max(n₁,n₂)·(n₁+n₂) < 2⁶³
+    * (not a flat per-cohort cap, which near 2·10⁹ rows each would
+    * still wrap), and the require names the DECIMAL path instead of
+    * wrapping.
     *
     * Scale: per pair one corpus-scale conditional-sum partial agg
     * (the q36e cohort-split discipline — the split never doubles the
@@ -1607,10 +1622,15 @@ object Relational {
     val sizes = ev.groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     q19kPairs.foreach { case (a, b) =>
-      require(sizes.getOrElse(a, 0L) < 2000000000L &&
-        sizes.getOrElse(b, 0L) < 2000000000L,
-        s"q19k: cohort ($a, $b) exceeds the int64 doubled-rank grid — " +
-          "switch the fold to DECIMAL(38,0)")
+      val n1 = sizes.getOrElse(a, 0L).toDouble
+      val n2 = sizes.getOrElse(b, 0L).toDouble
+      // the doubled rank sum peaks at ~2·max(n1,n2)·(n1+n2) (+n terms);
+      // guard that product directly — a flat per-cohort cap either
+      // wastes headroom on lopsided pairs or, at 2·10⁹ each, lets
+      // n1·2·(n1+n2) ≈ 1.6·10¹⁹ > 2⁶³ wrap silently just under it
+      require(2.0 * math.max(n1, n2) * (n1 + n2) < 9.0e18,
+        s"q19k: cohort pair ($a, $b) exceeds the int64 doubled-rank " +
+          "grid — switch the fold to DECIMAL(38,0)")
     }
     val branches = q19kPairs.map { case (a, b) =>
       val hist = ev.filter(col("event_type").isin(a, b))
@@ -2452,8 +2472,13 @@ object Relational {
     * the no-logs dispersion statistic (entropy needs ln, engine-
     * divergent in the last ulp; Gini is one derived double computed
     * from exact integers with the same formula text in both engines,
-    * the q19c discipline). Σcnt² rides DECIMAL(38,0) so a 10¹²-row
-    * column cannot wrap; the final ratio is IEEE-deterministic.
+    * the q19c discipline). Each cnt is cast to DECIMAL(19,0) BEFORE
+    * the multiply — a BIGINT·BIGINT product would silently wrap past
+    * ~3·10⁹ rows per category before any outer cast could save it
+    * (and DuckDB would raise instead: the exact silent cross-engine
+    * divergence this family bans) — so Σcnt² rides DECIMAL(38,0) and
+    * a 10¹²-row column cannot wrap; the final ratio is
+    * IEEE-deterministic.
     *
     * Scale: per column one value-histogram partial agg (map-side
     * combine collapses the corpus to |domain| rows) and a one-row
@@ -2464,7 +2489,8 @@ object Relational {
         .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
           expr("CAST(floor((1.0 - " +
-            "CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE) / " +
+            "CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * " +
+            "CAST(cnt AS DECIMAL(19,0))) AS DOUBLE) / " +
             "(CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))) " +
             "* 1000000) AS BIGINT)").as("gini_ppm"))
         .select(lit(s"$tb.$c").as("colname"), col("n"), col("n_distinct"),
@@ -2477,7 +2503,8 @@ object Relational {
     s"""SELECT '$tb.$c' AS colname, CAST(SUM(cnt) AS BIGINT) AS n,
        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
        |  CAST(floor((1.0 -
-       |    CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS DOUBLE)
+       |    CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+       |      AS DOUBLE)
        |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)))
        |    * 1000000) AS BIGINT) AS gini_ppm
        |FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS cnt

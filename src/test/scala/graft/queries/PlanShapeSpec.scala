@@ -691,20 +691,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 1, s"q34h must hash-shuffle exactly once, got $hashEx")
   }
 
-  test("q35d MAD: every median window sorts the collapsed value " +
-      "histogram, never corpus-scale rows") {
-    val plan = planOf(FunnelOps.queries("q35d_mad")(spark, sfDir))
-    // each Window's child chain must hit a histogram HashAggregate
-    // (keys=[et, vus|dev2]) before any FileScan
-    val winIdxs = "Window \\[sum".r.findAllMatchIn(plan).map(_.start).toSeq
-    assert(winIdxs.size >= 2, "expected the cum + total windows ×2 medians")
-    for (w <- winIdxs) {
-      val scan = plan.indexOf("FileScan", w)
-      val hist = "HashAggregate\\(keys=\\[et#\\d+, (vus|dev2)"
-        .r.findFirstMatchIn(plan.substring(w, scan))
-      assert(hist.isDefined,
-        "a median window is sorting raw rows instead of the histogram")
+  test("q35d MAD: no cumulative window partitions by event type alone " +
+      "over the (continuous-valued, ≈row-scale) micro-unit histogram — " +
+      "every WindowExec is either bucketed (partition keys include the " +
+      "PrefixSum bucket id) or runs over per-bucket SUMMARY rows") {
+    val df = FunnelOps.queries("q35d_mad")(spark, sfDir)
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    val wins = windows(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected the PrefixSum in-bucket windows")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val overSummaries = w.child.output.exists(_.name == "_bsum")
+      assert(keys.contains("_b") || overSummaries,
+        s"a window partitions by ${keys.mkString(",")} over non-summary " +
+          "rows — the per-type cumulative skew shape is back")
     }
+  }
+
+  test("q43c phrase probe prunes BOTH postings sides before the " +
+      "adjacency exchange: the w1 side via the broadcast probe join, " +
+      "the w2 side via a literal IN over the declared second words — " +
+      "the full token stream never shuffles on doc_id") {
+    val plan = planOf(IndexOps.queries("q43c_phrase")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe list must broadcast onto the w1 postings:\n${plan.take(800)}")
+    val secondWords = IndexOps.q43cPhrases.map(_._2).distinct.mkString(",")
+    assert(s"IN \\($secondWords\\)".r.findFirstIn(plan).isDefined,
+      "the adjacency side must be pruned map-side by the second-word " +
+        s"IN list before the exchange:\n${plan.take(1200)}")
   }
 
   test("q18b business days: the CASE chain is one codegen projection " +

@@ -138,15 +138,19 @@ class RoundFiveOpsSpec extends SparkSpec {
     val expected = ev.groupBy(_._1).map { case (u, xs) =>
       val s = xs.sortBy(t => (t._3, t._2))
       val ws = s.zip(s.tail).map { case (a, b) => ((b._3 - a._3) / 1000, a._4) }
-      val sumW = ws.map(_._1).sum
+      // a single-event user has NO holding intervals: the query's sum
+      // over zero weight rows is NULL (not 0), and twap is NULL too —
+      // mirror that contract instead of defaulting to 0
+      val sumW = if (ws.isEmpty) None else Some(ws.map(_._1).sum)
       val sumWV = ws.map { case (w, v) => BigInt(w) * v }.sum
-      val twap = if (sumW > 0)
-        Some(sumWV.toDouble / sumW.toDouble) else None
+      val twap = if (sumW.exists(_ > 0))
+        Some(sumWV.toDouble / sumW.get.toDouble) else None
       (u, (s.size.toLong, sumW, twap))
     }
     val got = rows("q34g_twap").map { r =>
+      val sumW = if (r.isNullAt(2)) None else Some(r.getLong(2))
       val twap = if (r.isNullAt(3)) None else Some(r.getDouble(3))
-      r.getLong(0) -> ((r.getLong(1), r.getLong(2), twap))
+      r.getLong(0) -> ((r.getLong(1), sumW, twap))
     }.toMap
     assert(got == expected)
   }
