@@ -25,6 +25,7 @@ object PlanAudit {
   val CartesianJoin = "cartesian-join"
   val UnpartitionedWindow = "unpartitioned-window"
   val NestedLoopJoin = "nested-loop-join"
+  val SkewedWindow = "skewed-window"
 
   /** Walk the executed plan (through AQE wrappers) and collect risks:
     *   - `cartesian-join`: CartesianProductExec — O(|L|·|R|) rows;
@@ -46,6 +47,41 @@ object PlanAudit {
         buf += Finding(NestedLoopJoin,
           s"BroadcastNestedLoopJoinExec(${j.joinType})")
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _ =>
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  /** Advisory skew lint: WindowExec whose partition keys ALL come from
+    * a DECLARED low-cardinality column set (`lowCard`, matched by
+    * attribute name). Such a window has at most |domain-product| tasks
+    * at ANY data size — the q35d/q41c class: hash-green at test scale,
+    * ~n/|domain| rows through one task at 100×. The partitioned-window
+    * lint in [[audit]] cannot see it (the partition spec is non-empty),
+    * which is exactly how the class ships.
+    *
+    * Name-based by design: cardinality is a property of the DATA, so
+    * the caller annotates which column names are bounded domains (event
+    * types, languages, nation keys, component roots after a CC pass).
+    * A window is exempt when its input is a per-bucket SUMMARY frame
+    * (output carries the `_b` bucket id — the two-level PrefixSum /
+    * PrefixCarry cross-bucket carry, whose partition count is
+    * #buckets·|keys|, data-scaled by construction). False negatives are
+    * possible (a renamed alias), false positives go on the caller's
+    * allowlist with the reason the input is genuinely bounded. */
+  def auditSkewedWindows(df: DataFrame, lowCard: Set[String])
+      : Seq[Finding] = {
+    val lc = lowCard.map(_.toLowerCase)
+    val buf = scala.collection.mutable.Buffer[Finding]()
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.nonEmpty =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+        val summaryInput = w.child.output.exists(_.name == "_b")
+        if (keys.nonEmpty && keys.forall(k => lc(k.toLowerCase)) &&
+            !summaryInput)
+          buf += Finding(SkewedWindow, keys.mkString(","))
       case _ =>
     }
     walk(df.queryExecution.executedPlan)

@@ -548,7 +548,20 @@ object FunnelOps {
 
   /** Sweep-line core over any (event_type, ts_us) frame — split out so
     * specs can run it on planted interval patterns (half-open boundary
-    * semantics, tie handling). */
+    * semantics, tie handling).
+    *
+    * Scale: a `partition by event_type order by t` running sum over the
+    * raw ±1 boundary stream is ~2n/|types| rows through one task (the
+    * q35d skew class — this was the skewed-window lint's second catch).
+    * Collapse to the per-(type, t) BOUNDARY HISTOGRAM first: with ends
+    * ordered before starts at a tied instant (half-open semantics), the
+    * running count inside an instant dips then rises, so its maximum is
+    * the INCLUSIVE prefix (excl + net) and only instants with ≥1 start
+    * can host the peak — ends strictly descend from an earlier, higher
+    * value. The inclusive prefix rides the keyed two-level
+    * [[PrefixSum.exclusiveRunningSum]]; peak and earliest peak instant
+    * come from one max(struct(active, -t)) partial agg — no
+    * whole-partition window anywhere. */
   private[queries] def sweepLinePeak(events: DataFrame,
       winUs: Long): DataFrame = {
     val pts = events
@@ -557,15 +570,18 @@ object FunnelOps {
         struct((col("ts_us") + lit(winUs)).as("t"),
           lit(-1L).as("delta")))).as("p"))
       .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"))
-    val wRun = Window.partitionBy("event_type").orderBy("t", "delta")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy("event_type")
-    pts
-      .withColumn("active", sum(col("delta")).over(wRun))
-      .withColumn("peak", max(col("active")).over(wAll))
+    val hist = pts.groupBy("event_type", "t")
+      .agg(sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"),
+        sum(col("delta")).as("net"))
+      .localCheckpoint()
+    PrefixSum.exclusiveRunningSum(hist, "net", "excl",
+        seqCol = "t", keys = Seq("event_type"))
+      .withColumn("active", col("excl") + col("net"))
+      .filter(col("starts") > 0)
       .groupBy("event_type")
-      .agg(max(col("peak")).as("peak"),
-        min(when(col("active") === col("peak"), col("t"))).as("peak_t"))
+      .agg(max(struct(col("active"), (-col("t")).as("negt"))).as("mx"))
+      .select(col("event_type"), col("mx.active").as("peak"),
+        (-col("mx.negt")).as("peak_t"))
   }
 
   val q38Sql: String =
@@ -595,16 +611,22 @@ object FunnelOps {
     * all" (uptime from heartbeats, listened-time from play events —
     * double-counting overlaps is the classic naive bug).
     *
-    * Classic merged-islands shape, one sort per type partition: the
-    * running max of interval ends over STRICTLY preceding rows marks
-    * an island start wherever the current start clears it (half-open
-    * semantics: touching intervals chain into one island), a running
-    * sum of starts numbers the islands, and one partial-agg groupBy
-    * collapses each island to max(end)−min(start). Equal-start rows
-    * are symmetric (same end), so tie order inside the sort cannot
-    * change island assignment — deterministic at any partitioning.
-    * Both window passes share partitionBy+orderBy → ONE WindowExec;
-    * no self-join, no explode, nothing quadratic. */
+    * Merged-islands via NEIGHBOR GAPS, not a per-type running max: all
+    * intervals share one width, so the running max of ends over a
+    * type's sorted rows is just the previous DISTINCT start + width —
+    * an island breaks exactly where the gap between consecutive
+    * distinct starts exceeds the width (half-open semantics: a gap
+    * EQUAL to the width chains), and each start covers
+    * min(gap_to_next, width) fresh time (the last start covers width).
+    * The textbook `partition by type order by ts` window form funnels
+    * ~n/|types| rows through one task (the q35d skew class — the
+    * skewed-window lint's third catch); instead the start histogram's
+    * next-neighbor comes from the two-level [[PrefixLead.nextSeq]]
+    * (in-bucket lead + next-bucket-min carry over summaries), and
+    * islands/coverage/interval counts fold in ONE partial agg.
+    * Duplicate starts are symmetric (same end), so collapsing to
+    * distinct (type, ts) with counts loses nothing — deterministic at
+    * any partitioning. */
   def q38b_interval_union(s: SparkSession, dir: String): DataFrame =
     intervalUnion(
       Tables.events(s, dir).select("event_type", "ts_us", "event_id"),
@@ -615,24 +637,21 @@ object FunnelOps {
     * can plant touching/nested/disjoint interval patterns. */
   private[queries] def intervalUnion(events: DataFrame,
       winUs: Long): DataFrame = {
-    val ord = Window.partitionBy("event_type")
-      .orderBy("ts_us", "event_id")
-    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = ord.rowsBetween(Window.unboundedPreceding, 0)
-    events
-      .withColumn("fin", col("ts_us") + lit(winUs))
-      .withColumn("prev_max", max(col("fin")).over(wPrev))
-      .withColumn("new_island",
-        when(col("prev_max").isNull ||
-          col("ts_us") > col("prev_max"), 1L).otherwise(0L))
-      .withColumn("island", sum(col("new_island")).over(wRun))
-      .groupBy("event_type", "island")
-      .agg((max(col("fin")) - min(col("ts_us"))).as("len"),
-        count(lit(1)).as("n"))
+    val starts = events.groupBy("event_type", "ts_us")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // PrefixLead forks into main + summary branches
+    PrefixLead.nextSeq(starts, "next_ts",
+        seqCol = "ts_us", keys = Seq("event_type"))
+      .withColumn("fresh_us",
+        when(col("next_ts").isNull, lit(winUs))
+          .otherwise(least(col("next_ts") - col("ts_us"), lit(winUs))))
+      .withColumn("brk",
+        when(col("next_ts").isNotNull &&
+          col("next_ts") - col("ts_us") > winUs, 1L).otherwise(0L))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_islands"),
-        sum(col("n")).as("n_intervals"),
-        sum(col("len")).as("covered_us"))
+      .agg((sum(col("brk")) + lit(1L)).as("n_islands"),
+        sum(col("cnt")).as("n_intervals"),
+        sum(col("fresh_us")).as("covered_us"))
   }
 
   val q38bSql: String =

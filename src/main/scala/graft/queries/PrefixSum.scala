@@ -85,3 +85,72 @@ object PrefixSum {
       .drop("_b", "_local", "_carry_in")
   }
 }
+
+/** Scale-safe NEXT-NEIGHBOR lookup in `seqCol` order — the third
+  * sibling of the two-level bucketed prefix family (PrefixCarry =
+  * last-non-null, PrefixSum = running sum, PrefixLead = next seq):
+  * each row gets the smallest seq value STRICTLY GREATER than its own
+  * within its `keys` group, null for the group maximum.
+  *
+  * A naive `lead(seq) over (partition by key order by seq)` funnels
+  * every row of a hot key through ONE task — for a low-cardinality key
+  * (the q38b interval-union case: 5 event types over corpus-scale
+  * distinct timestamps) that is ~n/|keys| rows per task at any scale.
+  * Bucketed, the lead is local to each (key, seq-bucket) window except
+  * for each bucket's LAST row, whose successor is the next non-empty
+  * bucket's minimum — resolved on the per-bucket SUMMARY frame
+  * (#buckets rows per key, the same bounded level-2 argument as the
+  * carry) and broadcast back.
+  *
+  * Contract: input rows must be UNIQUE per (keys, seqCol) — collapse
+  * to a histogram first (the natural shape for gap/island work; a
+  * duplicate would make "next" ambiguous between a peer and the true
+  * successor). Null seqs are position-less (null out, never a
+  * successor), mirroring the BucketedScan null-seq contract. */
+object PrefixLead {
+
+  /** Appends `outCol` = the group's next strictly-greater seq value
+    * (null at the group max). Input columns are preserved. */
+  def nextSeq(df: DataFrame, outCol: String,
+      seqCol: String = "seq", keys: Seq[String] = Nil,
+      bucketSize: Long = 0): DataFrame = {
+    val sizedBucket =
+      if (bucketSize > 0) bucketSize else BucketedScan.autoBucketSize(df, seqCol)
+    val withB = df.withColumn("_b", expr(s"`$seqCol` div $sizedBucket"))
+    val keyCols = keys.map(col)
+    val grpCols = keyCols :+ col("_b")
+    // level 2: each non-empty bucket's minimum seq, then the NEXT
+    // bucket's minimum via a lead over the summary frame (keyed window
+    // over ≤ #buckets rows per key; keyless → one summary partition of
+    // #buckets rows — bounded by rows/64Ki at the auto size)
+    val summaries = withB
+      .filter(col("_b").isNotNull)
+      .groupBy(grpCols: _*)
+      .agg(min(col(seqCol)).as("_bmin"))
+    val nextB =
+      if (keyCols.isEmpty) {
+        // "next bucket's min" = the nearest STRICTLY-LATER bucket's
+        // value = an exclusive last-non-null carry over NEGATED bucket
+        // ids (ascending -b ⟺ descending b, carry = closest larger b)
+        // — rides the shared super-bucketed fold, never one big task
+        val neg = summaries.select((-col("_b")).as("_nb"), col("_bmin"))
+        BucketedScan.keylessCarry(neg, null)(
+          (acc, v) => if (v != null) v else acc)
+          .select((-col("_nb")).as("_b"), col("_carry_in").as("_nextb"))
+      } else {
+        val wS = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
+        summaries.withColumn("_nextb", lead(col("_bmin"), 1).over(wS))
+          .select(grpCols :+ col("_nextb"): _*)
+      }
+    // level 1: in-bucket lead, bounded by the bucket row count; the
+    // bucket's last row falls through to the next bucket's minimum
+    val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
+    withB
+      .withColumn("_lead", lead(col(seqCol), 1).over(wIn))
+      .join(broadcast(nextB), keys :+ "_b", "left")
+      .withColumn(outCol,
+        when(col(seqCol).isNull, lit(null))
+          .otherwise(coalesce(col("_lead"), col("_nextb"))))
+      .drop("_b", "_lead", "_nextb")
+  }
+}

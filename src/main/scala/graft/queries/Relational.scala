@@ -898,21 +898,51 @@ object Relational {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Distribution window functions — ntile / percent_rank / cume_dist per
-    * order-priority partition. All three derive from the same sort, so
-    * Spark evaluates them in ONE window operator (one shuffle on the
-    * partition key, one sort). The doubles are rank-arithmetic on
-    * identical integer operands in both engines ((rank-1)/(n-1), peers/n)
-    * so they hash-compare exactly; the orderkey tiebreak makes every rank
-    * deterministic. */
+    * order-priority partition. The naive form is ONE window partitioned
+    * by the 5-value priority — corpus-scale rows through 5 tasks forever
+    * (the q35d skew class, and the first query the skewed-window lint
+    * caught). The sort key (price, orderkey) is UNIQUE, so all three
+    * functions derive from just (row_number, partition count): rank =
+    * #strictly-cheaper rows + position among same-price peers. The
+    * cheaper-row count rides the keyed two-level
+    * [[PrefixSum.exclusiveRunningSum]] over the (prio, cents) histogram
+    * joined back onto the rows; the peer position is a window bounded by
+    * the price-tie group, never the priority; n broadcasts back from a
+    * 5-row agg. ntile/percent_rank/cume_dist are then integer
+    * arithmetic on (rk, n) — identical operands to both engines' native
+    * window functions ((rank-1)/(n-1), rank/n, and the standard uneven-
+    * bucket ntile split), so they hash-compare exactly; the oracle keeps
+    * the native forms as the cross-check. */
   def q14b_distribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
-      .select("o_orderpriority", "o_orderkey", "o_totalprice", "quartile",
-        "pct_rank", "cume")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        col("o_totalprice"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint()
+    val hist = o.groupBy("prio", "cents").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = hist.groupBy("prio").agg(sum("cnt").as("n"))
+    val below = PrefixSum.exclusiveRunningSum(hist, "cnt", "below",
+        seqCol = "cents", keys = Seq("prio"))
+      .select("prio", "cents", "below")
+    val wTie = Window.partitionBy("prio", "cents").orderBy("o_orderkey")
+    o.join(below, Seq("prio", "cents"))
+      .join(broadcast(tot), "prio")
+      .withColumn("rk",
+        col("below") + row_number().over(wTie).cast("long"))
+      // uneven-bucket ntile: the first (n mod 4) buckets hold ⌈n/4⌉
+      // rows — the SQL-standard split both engines implement
+      .withColumn("quartile", expr(
+        "CAST(CASE WHEN rk <= (n div 4 + 1) * (n % 4) " +
+          "THEN (rk + n div 4) div (n div 4 + 1) " +
+          "ELSE n % 4 + (rk - (n div 4 + 1) * (n % 4) + n div 4 - 1) " +
+          "div (n div 4) END AS INT)"))
+      .withColumn("pct_rank", expr(
+        "CASE WHEN n = 1 THEN 0.0 " +
+          "ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"))
+      .withColumn("cume", expr("CAST(rk AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select(col("prio").as("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("quartile"), col("pct_rank"), col("cume"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
 

@@ -82,4 +82,68 @@ class PlanAuditSweepSpec extends SparkSpec {
         "graft.plans.PlanSnapshotGen\" and review the file diff:\n" +
         drifts.flatten.mkString("\n"))
   }
+
+  /** Column names whose domain is BOUNDED in this schema — event types
+    * (5), languages (5), nation keys (25), weekday, order priority /
+    * status / flag enums, and the component root of a CC pass (real
+    * co-occurrence graphs carry a giant component). A window partitioned
+    * ONLY by these has a fixed task count at any data size. */
+  private val lowCardCols = Set(
+    "et", "event_type", "lang", "root", "nk", "c_nationkey", "dow",
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus")
+
+  /** query → reason its low-card-keyed window input is genuinely
+    * bounded (histogram/day-series scale, NOT corpus scale), reviewed
+    * by hand. The fixed q35d/q41c/q14g/q14b/q38/q38b must NEVER
+    * reappear here. */
+  private val skewAllow: Map[String, String] = Map(
+    "q19e_chi2" ->
+      ("windows run over the |status|x|priority| contingency aggregate " +
+        "(15 rows) — domain-product scale"),
+    "q24_quantiles" ->
+      ("cumulative over the integer n_chars histogram — bounded by the " +
+        "length domain (~1e4 distinct), not the corpus; scaladoc names " +
+        "the two-level fallback if that ever changes"),
+    "q34b_interpolate" ->
+      ("gap-filled day series: |days|x|types| rows, grows with calendar " +
+        "time, not data volume"),
+    "q34d_seasonal" -> "same day-series input as q34b",
+    "q34e_acf" -> "same day-series input as q34b",
+    "q35_anomaly" -> "trailing z over the gap-filled day series (q34b)",
+    "q35c_seasonal_anomaly" ->
+      "day series + the 7x|types|-row weekday index aggregate",
+    "q36e_drift" ->
+      ("per-lang totals over the (lang, length-bin) histogram — bin " +
+        "domain = max length / 100"))
+
+  test("no query runs a window partitioned only by declared " +
+      "low-cardinality columns over non-summary rows — the q35d/q41c " +
+      "skew class fails by name (bounded inputs are allowlisted with " +
+      "a written reason; the two fixed queries are negative controls)") {
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val findings =
+          try PlanAudit.auditSkewedWindows(fn(spark, sfDir), lowCardCols)
+          catch { case e: Throwable =>
+            Seq(PlanAudit.Finding("plan-error", e.getMessage.take(100))) }
+        findings.collect {
+          case f if !skewAllow.contains(name) =>
+            s"$name: [${f.kind}] partition keys (${f.detail})"
+        }
+    }
+    assert(hits.isEmpty,
+      "low-cardinality-keyed windows outside the justified allowlist:\n" +
+        hits.mkString("\n"))
+    // negative controls: the queries this lint exists for (q35d/q41c
+    // from the round-5 audit) and the three it then CAUGHT on its
+    // first sweep (q14b/q38/q38b) stay fixed
+    for (fixed <- Seq("q35d_mad", "q41c_components", "q14g_pareto",
+        "q14b_distribution", "q38_overlap", "q38b_interval_union")) {
+      val f = PlanAudit.auditSkewedWindows(
+        SparkEntry.queries(fixed)(spark, sfDir), lowCardCols)
+      assert(f.isEmpty, s"$fixed regressed to a skewed window: $f")
+      assert(!skewAllow.contains(fixed),
+        s"$fixed must stay fixed, not allowlisted")
+    }
+  }
 }

@@ -178,12 +178,28 @@ class PlanShapeSpec extends SparkSpec {
       "a single-agg pivot needs no Expand duplication of input rows")
   }
 
-  test("q14b evaluates ntile/percent_rank/cume_dist in one Window " +
-      "operator over one sort") {
-    val plan = planOf(Relational.queries("q14b_distribution")(spark, sfDir))
-    // 1 window exchange + the output ORDER BY's range exchange
-    assert("Window".r.findAllIn(plan).size == 1,
-      "the three distribution functions share a sort: one Window node")
+  test("q14b derives ntile/percent_rank/cume_dist from the histogram " +
+      "rank — no window partitioned by the 5-value priority alone " +
+      "(corpus rows through 5 tasks forever); ties ride a (prio, cents)" +
+      "-bounded window and n broadcasts back") {
+    val df = Relational.queries("q14b_distribution")(spark, sfDir)
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    val wins = windows(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(keys != Set("prio") || w.child.output.exists(_.name == "_bsum"),
+        s"a window partitions by ${keys.mkString(",")} over non-summary " +
+          "rows — the priority-partition sort is back")
+    }
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      "the 5-row per-priority count must broadcast back onto the rows")
   }
 
   test("q17b fuzzy join broadcasts the distinct name vocabulary") {
@@ -613,19 +629,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), "the nearest pick is row-local CASE")
   }
 
-  test("q38b interval union: the two chained window passes (prev-max, " +
-      "then the island numbering that READS it) share one sort — ONE " +
-      "hash exchange for the whole island chain, never a self-join") {
-    val plan = planOf(FunnelOps.queries("q38b_interval_union")(spark, sfDir))
-    // numbering depends on prev-max's output, so Spark necessarily
-    // plans two WindowExecs — the scale property is that the second
-    // consumes the first in place (same partitioning+ordering, no
-    // re-exchange, no re-sort beyond the one window sort)
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx == 1,
-      s"expected 1 hash exchange (the window shuffle), got $hashEx:\n${plan.take(800)}")
-    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
-      "merged islands are windows + aggregates, never an interval join")
+  test("q38b interval union: islands come from two-level neighbor " +
+      "gaps — every window is bucketed or summary-scale (never a " +
+      "per-type pass over the start histogram), the summary side " +
+      "broadcasts back, and nothing ever self-joins intervals") {
+    val df = FunnelOps.queries("q38b_interval_union")(spark, sfDir)
+    val plan = planOf(df)
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    val wins = windows(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected the PrefixLead windows")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(keys.contains("_b") ||
+        w.child.output.exists(_.name == "_bmin"),
+        s"a window partitions by ${keys.mkString(",")} over non-summary " +
+          "rows — the per-type island chain is back")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      "the next-bucket-min summary must broadcast back onto the buckets")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      "merged islands are histogram work, never an interval self-join")
   }
 
   test("q36e drift: ONE corpus-scale partial aggregate — the cohort " +

@@ -98,6 +98,43 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(cum == Map(10L -> 0L, 11L -> 100L, 12L -> 200L, 13L -> 300L))
   }
 
+  // ------------------------------------------------- PrefixLead.nextSeq
+  test("PrefixLead.nextSeq matches a sorted-neighbor walk — keyed and " +
+      "keyless, across bucket boundaries, empty buckets, and null seqs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(66)
+    // sparse distinct seqs (empty buckets at bucketSize=64 guaranteed),
+    // 2 keys, plus one null-seq row per key
+    val base = (0 until 2).flatMap { k =>
+      rnd.shuffle((0 until 3000).toList).take(900)
+        .map(i => (k.toLong, Option(i.toLong * 7)))
+    } ++ Seq((0L, None), (1L, None))
+    val df = base.toDF("k", "seq")
+    val got = PrefixLead.nextSeq(df, "nxt",
+        seqCol = "seq", keys = Seq("k"), bucketSize = 64)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val byKey = base.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.flatMap(_._2).sorted
+    }
+    got.foreach { case (k, seq, nxt) =>
+      val want = seq.flatMap(s => byKey(k).find(_ > s))
+      assert(nxt == want, s"key $k seq $seq: got $nxt want $want")
+    }
+    // keyless path (the negated-bucket keylessCarry branch)
+    val one = base.filter(_._1 == 0L).toDF("k", "seq").drop("k")
+    val gotG = PrefixLead.nextSeq(one, "nxt", seqCol = "seq",
+        bucketSize = 64)
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    gotG.foreach { case (seq, nxt) =>
+      val want = seq.flatMap(s => byKey(0L).find(_ > s))
+      assert(nxt == want, s"keyless seq $seq: got $nxt want $want")
+    }
+  }
+
   // ------------------------------------------------------------- q36g
   test("q36g gini: Σcnt² survives per-category counts past the int64 " +
       "wrap point (~3e9 rows) because each factor is DECIMAL before " +
