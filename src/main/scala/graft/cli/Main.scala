@@ -54,18 +54,30 @@ object Main {
     EngineConfig(backends)
   }
 
-  /** `-q <name> <sfDir> [limit] [--audit]` — run one named query from
-    * the engine's inventory against a parquet table directory and print
-    * the head of the result plus its wall time: the ad-hoc face of the
-    * library (the daemon covers streaming). `-q list` prints the
-    * inventory. `--audit` additionally runs [[graft.plans.PlanAudit]]
-    * over the physical plan and prints each scale-risk finding
-    * (cartesians, nested-loop joins, unpartitioned windows) next to
-    * the timing — the same lint the repo's own PlanShapeSpec enforces,
-    * surfaced for ad-hoc users before they schedule the query. */
+  /** `-q <name> <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]` —
+    * run one named query from the engine's inventory against a parquet
+    * table directory and print the head of the result plus its wall
+    * time: the ad-hoc face of the library (the daemon covers
+    * streaming). `-q list` prints the inventory. `--audit` additionally
+    * runs [[graft.plans.PlanAudit]] over the physical plan and prints
+    * each scale-risk finding (cartesians, nested-loop joins,
+    * unpartitioned windows) next to the timing — the same lint the
+    * repo's own PlanShapeSpec enforces, surfaced for ad-hoc users
+    * before they schedule the query. `--audit-lowcard` names the
+    * caller's bounded-domain columns (cardinality is a DATA property
+    * the lint can't infer) and adds the skewed-window check: any
+    * window partitioned only by those columns over non-summary rows. */
   private def runQuery(rawArgs: Array[String]): Unit = {
     val doAudit = rawArgs.contains("--audit")
-    val args = rawArgs.filterNot(_ == "--audit")
+    val lcIdx = rawArgs.indexOf("--audit-lowcard")
+    val lowCard: Set[String] =
+      if (lcIdx >= 0 && lcIdx + 1 < rawArgs.length)
+        rawArgs(lcIdx + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val args = rawArgs.zipWithIndex.collect {
+      case (a, i) if a != "--audit" &&
+        (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
+    }
     val builder = SparkSession.builder().appName("graft-query")
     if (!sys.props.contains("spark.master") &&
         !sys.env.contains("SPARK_MASTER"))
@@ -87,11 +99,13 @@ object Main {
         val df = fn(spark, sfDir)
         df.show(limit, truncate = false)
         println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        if (doAudit) auditReport(df).foreach(println)
+        if (doAudit || lowCard.nonEmpty)
+          auditReport(df, lowCard).foreach(println)
         spark.stop()
       case _ =>
         System.err.println(
-          "usage: graft.cli.Main -q <name|list> <sfDir> [limit] [--audit]")
+          "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
+            "[--audit] [--audit-lowcard col1,col2,...]")
         sys.exit(1)
     }
   }
@@ -100,8 +114,12 @@ object Main {
     * per [[graft.plans.PlanAudit]] finding, or a single "clean" line.
     * Split from [[runQuery]] so specs exercise the report without the
     * CLI's session lifecycle. */
-  private[cli] def auditReport(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    val findings = graft.plans.PlanAudit.audit(df)
+  private[cli] def auditReport(df: org.apache.spark.sql.DataFrame,
+      lowCard: Set[String] = Set.empty): Seq[String] = {
+    val findings = graft.plans.PlanAudit.audit(df) ++
+      (if (lowCard.nonEmpty)
+        graft.plans.PlanAudit.auditSkewedWindows(df, lowCard)
+       else Nil)
     if (findings.isEmpty) Seq("[graft] plan audit: clean")
     else findings.map(f => s"[graft] plan audit: [${f.kind}] ${f.detail}")
   }

@@ -46,6 +46,31 @@ class PlanAuditSpec extends SparkSpec {
       allow = Set(PlanAudit.CartesianJoin, PlanAudit.NestedLoopJoin))
   }
 
+  test("skewed-window fires on a declared-low-card partition over raw " +
+      "rows; stays silent when a high-card key joins the spec, when the " +
+      "column isn't declared, and on the two-level PrefixSum shape") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1 to 500).map(i => (i % 5, i.toLong)).toDF("k", "v")
+    def skew(df: org.apache.spark.sql.DataFrame): Set[String] =
+      PlanAudit.auditSkewedWindows(df, Set("k")).map(_.detail).toSet
+    val bad = d.withColumn("c",
+      sum("v").over(Window.partitionBy("k").orderBy("v")))
+    assert(skew(bad) == Set("k"))
+    // a non-declared column alone → silent (caller owns the annotation)
+    assert(PlanAudit.auditSkewedWindows(bad, Set("lang")).isEmpty)
+    // a high-cardinality co-key lifts the bound → silent
+    val mixed = d.withColumn("c",
+      sum("v").over(Window.partitionBy("k", "v").orderBy("v")))
+    assert(skew(mixed).isEmpty)
+    // the keyed two-level PrefixSum: in-bucket windows carry _b in the
+    // partition keys, the carry window runs over _bsum summaries —
+    // the lint's own prescribed rewrite must come back clean
+    val fixed = graft.queries.PrefixSum.exclusiveRunningSum(
+      d, "v", "c", seqCol = "v", keys = Seq("k"), bucketSize = 64)
+    assert(skew(fixed).isEmpty, PlanAudit.auditSkewedWindows(
+      fixed, Set("k")).toString)
+  }
+
   test("PlanSignature counts the shape (exchange/agg/window), renders " +
       "canonically, and diff names exactly what moved") {
     import org.apache.spark.sql.expressions.Window
