@@ -90,7 +90,9 @@ class PlanAuditSweepSpec extends SparkSpec {
     * ONLY by these has a fixed task count at any data size. */
   private val lowCardCols = Set(
     "et", "event_type", "lang", "root", "nk", "c_nationkey", "dow",
-    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus")
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    // repo-local aliases of the same bounded domains
+    "flag", "prio", "prev_type", "next_type")
 
   /** query → reason its low-card-keyed window input is genuinely
     * bounded (histogram/day-series scale, NOT corpus scale), reviewed
@@ -114,7 +116,15 @@ class PlanAuditSweepSpec extends SparkSpec {
       "day series + the 7x|types|-row weekday index aggregate",
     "q36e_drift" ->
       ("per-lang totals over the (lang, length-bin) histogram — bin " +
-        "domain = max length / 100"))
+        "domain = max length / 100"),
+    "q19f_winsorize" ->
+      ("rank scan over the per-flag INTEGER quantity histogram — " +
+        "l_quantity domain is 1..50, |flags|x50 rows total"),
+    "q19i_bootstrap" ->
+      "replica-mean ranking over 32 bootstrap replicas per flag",
+    "q29b_transitions" ->
+      ("per-prev normalizer over the |types|^2 transition aggregate " +
+        "(<=|types| rows per partition), never over events"))
 
   test("no query runs a window partitioned only by declared " +
       "low-cardinality columns over non-summary rows — the q35d/q41c " +
