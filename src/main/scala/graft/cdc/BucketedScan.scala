@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Machinery shared by the two-level bucketed prefix scans —
   * PrefixCarry (last-non-null) and graft.queries.PrefixSum (running
@@ -21,6 +21,23 @@ private[graft] object BucketedScan {
 
   /** Rows per level-1 task the auto-sizer targets. */
   val targetRowsPerBucket: Long = 1L << 16
+
+  /** The prefix family's seq columns must be integer-spaced: the
+    * strictly-smaller/greater RANGE frames (`rangeBetween(…, -1)` /
+    * the negated mirror) and `seq div bucket` assignment are exact
+    * only on integral values — a DOUBLE seq would silently exclude
+    * rows within 1.0 below the current value, violating the documented
+    * contract. Rejected up front so the failure is loud, not a wrong
+    * answer. */
+  def requireIntegralSeq(df: DataFrame, seqCol: String, who: String): Unit =
+    df.schema(seqCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$who requires an integral seq column, got `$seqCol`: " +
+          s"${t.simpleString} — the strictly-below range frames and " +
+          "`seq div bucket` bucketing are exact only on integer-spaced " +
+          "values; discretize first (micros as BIGINT, cents, ...)")
+    }
 
   /** Bucket-summary rows a single sorted-fold task may scan. The carry
     * always runs as two levels over SUPER-buckets of this many bucket

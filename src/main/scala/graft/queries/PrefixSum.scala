@@ -20,10 +20,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Sizing mirrors PrefixCarry: the default (bucketSize = 0) self-sizes
   * from a narrow count/min/max agg (BucketedScan.autoBucketSize) so
   * level-1 tasks hold ~64 Ki rows and the summary stays ~rows/64 Ki,
-  * whatever the seq range; pass an explicit size to pin it. The keyless
-  * cross-bucket fold recurses over SUPER-buckets itself
-  * (BucketedScan.keylessCarry), so no carry task ever scans more than
-  * 2^20 summary rows at any seq range.
+  * whatever the seq range; pass an explicit size to pin it. BOTH
+  * cross-bucket folds recurse over SUPER-buckets — keyless through
+  * BucketedScan.keylessCarry, keyed through windows over
+  * `_b div superSize` groups — so no carry task ever scans more than
+  * `superSize` (default 2^20) summary rows at any seq range or key
+  * skew: a key's summaries split across #buckets/superSize bounded
+  * within-super windows, and the across-super fold per key is one row
+  * per super-bucket (≤ superSize rows for any corpus below superSize²
+  * buckets ≈ 10^17 rows at the 64Ki bucket target — the keylessCarry
+  * bound, now uniform across both branches).
+  *
+  * `seqCol` must be integral (byte/short/int/long): the
+  * strictly-smaller RANGE frame (`rangeBetween(…, -1)`) and the
+  * `seq div bucket` assignment are exact only on integer-spaced
+  * values — a double seq would silently exclude rows within 1.0 below
+  * the current value. Discretize first (micros as BIGINT, cents, …).
   */
 object PrefixSum {
 
@@ -31,10 +43,13 @@ object PrefixSum {
     * SMALLER `seqCol` in the same `keys` group; rows sharing a seq value
     * share the same sum (none of each other's), and the smallest seq of
     * a group gets 0. Null values count as 0. Input columns are
-    * preserved. */
+    * preserved. `superSize` bounds the rows any cross-bucket carry task
+    * scans (exposed for specs; the default is the documented 2^20). */
   def exclusiveRunningSum(df: DataFrame, valueCol: String, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
-      bucketSize: Long = 0): DataFrame = {
+      bucketSize: Long = 0,
+      superSize: Long = BucketedScan.maxCarryRows): DataFrame = {
+    BucketedScan.requireIntegralSeq(df, seqCol, "PrefixSum.exclusiveRunningSum")
     // Like PrefixCarry, this forks `df` into a main + summary branch;
     // the summary stays a narrow partial-agg scan. Callers with an
     // expensive upstream should materialize it first (see PrefixCarry).
@@ -47,10 +62,12 @@ object PrefixSum {
       .select(grpCols :+ col(valueCol).as("_v"): _*)
       .groupBy(grpCols: _*)
       .agg(sum(col("_v")).as("_bsum"))
-    // Cross-bucket carry: keyed → window partitioned by the keys
-    // (≤ #buckets summary rows per key); keyless → the shared
-    // single-task sorted fold (BucketedScan.keylessCarry, which also
-    // owns the null-seq contract both scans share).
+    // Cross-bucket carry: keyless → the shared recursive sorted fold
+    // (BucketedScan.keylessCarry, which also owns the null-seq contract
+    // both scans share); keyed → the same two-level shape in window
+    // form: an exclusive in-super running sum over (keys, _sb) plus an
+    // exclusive across-super fold of per-super totals per key — both
+    // windows bounded at superSize rows per task, never #buckets.
     val carryIn =
       if (keyCols.isEmpty) {
         summaries.schema("_bsum").dataType match {
@@ -65,10 +82,27 @@ object PrefixSum {
               "fold case or pre-cast the value column to long/double)")
         }
       } else {
-        val wSum = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
+        // FLOOR division (keylessCarry's trick): truncation would merge
+        // negative bucket ids in (−superSize, superSize) with super 0
+        val nn = summaries.filter(col("_b").isNotNull).withColumn("_sb",
+          expr(s"(`_b` - pmod(`_b`, $superSize)) div $superSize"))
+        val superCols = keyCols :+ col("_sb")
+        val wLocal = Window.partitionBy(superCols: _*).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        summaries.filter(col("_b").isNotNull)
-          .withColumn("_carry_in", sum(col("_bsum")).over(wSum))
+        val wSuper = Window.partitionBy(keyCols: _*).orderBy(col("_sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // the per-super totals frame keeps the `_bsum` summary marker —
+        // the skew lint's structural exemption keys on it
+        val superCarry = nn
+          .groupBy(superCols: _*).agg(sum(col("_bsum")).as("_bsum"))
+          .withColumn("_sc", sum(col("_bsum")).over(wSuper))
+          .select(superCols :+ col("_sc"): _*)
+        nn.withColumn("_lc", sum(col("_bsum")).over(wLocal))
+          .join(broadcast(superCarry), keys :+ "_sb")
+          .withColumn("_carry_in",
+            when(col("_lc").isNull && col("_sc").isNull, lit(null))
+              .otherwise(coalesce(col("_lc"), lit(0L)) +
+                coalesce(col("_sc"), lit(0L))))
           .select(grpCols :+ col("_carry_in"): _*)
       }
     // RANGE frame, not ROWS: with duplicate seq values a ROWS frame
@@ -96,33 +130,40 @@ object PrefixSum {
   * every row of a hot key through ONE task — for a low-cardinality key
   * (the q38b interval-union case: 5 event types over corpus-scale
   * distinct timestamps) that is ~n/|keys| rows per task at any scale.
-  * Bucketed, the lead is local to each (key, seq-bucket) window except
-  * for each bucket's LAST row, whose successor is the next non-empty
-  * bucket's minimum — resolved on the per-bucket SUMMARY frame
-  * (#buckets rows per key, the same bounded level-2 argument as the
-  * carry) and broadcast back.
+  * Bucketed, the successor is local to each (key, seq-bucket) window
+  * except for each bucket's LAST rows, whose successor is the next
+  * non-empty bucket's minimum — resolved on the per-bucket SUMMARY
+  * frame, itself two-level over SUPER-buckets (keyless through
+  * BucketedScan.keylessCarry; keyed through an in-super lead plus an
+  * across-super lead of per-super minima, every task ≤ superSize
+  * rows — the same recursion as PrefixSum's keyed carry).
   *
-  * Contract: input rows must be UNIQUE per (keys, seqCol) — collapse
-  * to a histogram first (the natural shape for gap/island work; a
-  * duplicate would make "next" ambiguous between a peer and the true
-  * successor). Null seqs are position-less (null out, never a
-  * successor), mirroring the BucketedScan null-seq contract. */
+  * Duplicate (keys, seqCol) rows are SAFE: level 1 computes the
+  * successor as `-max(-seq)` over a strictly-below RANGE frame, so a
+  * peer's EQUAL seq is never returned (a plain lead() would silently
+  * hand it over). Collapsing to a distinct histogram first is still
+  * the natural shape for gap/island work — it shrinks the frame — but
+  * it is no longer a correctness precondition. `seqCol` must be
+  * integral (the range frame and bucketing are exact only on
+  * integer-spaced values). Null seqs are position-less (null out,
+  * never a successor), mirroring the BucketedScan null-seq contract. */
 object PrefixLead {
 
   /** Appends `outCol` = the group's next strictly-greater seq value
     * (null at the group max). Input columns are preserved. */
   def nextSeq(df: DataFrame, outCol: String,
       seqCol: String = "seq", keys: Seq[String] = Nil,
-      bucketSize: Long = 0): DataFrame = {
+      bucketSize: Long = 0,
+      superSize: Long = BucketedScan.maxCarryRows): DataFrame = {
+    BucketedScan.requireIntegralSeq(df, seqCol, "PrefixLead.nextSeq")
     val sizedBucket =
       if (bucketSize > 0) bucketSize else BucketedScan.autoBucketSize(df, seqCol)
     val withB = df.withColumn("_b", expr(s"`$seqCol` div $sizedBucket"))
     val keyCols = keys.map(col)
     val grpCols = keyCols :+ col("_b")
     // level 2: each non-empty bucket's minimum seq, then the NEXT
-    // bucket's minimum via a lead over the summary frame (keyed window
-    // over ≤ #buckets rows per key; keyless → one summary partition of
-    // #buckets rows — bounded by rows/64Ki at the auto size)
+    // bucket's minimum — never resolved in one per-key task: both
+    // branches recurse over super-buckets of `superSize` bucket ids
     val summaries = withB
       .filter(col("_b").isNotNull)
       .groupBy(grpCols: _*)
@@ -138,15 +179,36 @@ object PrefixLead {
           (acc, v) => if (v != null) v else acc)
           .select((-col("_nb")).as("_b"), col("_carry_in").as("_nextb"))
       } else {
-        val wS = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
-        summaries.withColumn("_nextb", lead(col("_bmin"), 1).over(wS))
+        val nn = summaries.withColumn("_sb",
+          expr(s"(`_b` - pmod(`_b`, $superSize)) div $superSize"))
+        val superCols = keyCols :+ col("_sb")
+        val wS = Window.partitionBy(superCols: _*).orderBy(col("_b"))
+        val wSuper = Window.partitionBy(keyCols: _*).orderBy(col("_sb"))
+        // bucketing is monotone in seq, so min(_bmin) per super IS the
+        // smallest bucket's min — the value the PREVIOUS super's last
+        // bucket needs as its successor (frame keeps the `_bmin`
+        // summary marker for the skew lint's structural exemption)
+        val nextFirst = nn
+          .groupBy(superCols: _*).agg(min(col("_bmin")).as("_bmin"))
+          .withColumn("_nf", lead(col("_bmin"), 1).over(wSuper))
+          .select(superCols :+ col("_nf"): _*)
+        nn.withColumn("_il", lead(col("_bmin"), 1).over(wS))
+          .join(broadcast(nextFirst), keys :+ "_sb")
+          .withColumn("_nextb", coalesce(col("_il"), col("_nf")))
           .select(grpCols :+ col("_nextb"): _*)
       }
-    // level 1: in-bucket lead, bounded by the bucket row count; the
-    // bucket's last row falls through to the next bucket's minimum
-    val wIn = Window.partitionBy(grpCols: _*).orderBy(col(seqCol))
+    // level 1: in-bucket strictly-greater successor, bounded by the
+    // bucket row count. NOT lead(): with duplicate seqs lead() returns
+    // a peer's equal value. The smallest seq strictly above the current
+    // row = -(largest -seq strictly below) — a growing range frame over
+    // negated seq, streamed O(n) by the unbounded-preceding frame
+    // processor (the mirrored frame, rangeBetween(1, unboundedFollowing),
+    // would re-aggregate per row — O(n²) per bucket). The bucket's last
+    // rows fall through to the next bucket's minimum.
+    val wIn = Window.partitionBy(grpCols: _*).orderBy(-col(seqCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
     withB
-      .withColumn("_lead", lead(col(seqCol), 1).over(wIn))
+      .withColumn("_lead", -max(-col(seqCol)).over(wIn))
       .join(broadcast(nextB), keys :+ "_b", "left")
       .withColumn(outCol,
         when(col(seqCol).isNull, lit(null))

@@ -914,11 +914,16 @@ object Relational {
     * bucket ntile split), so they hash-compare exactly; the oracle keeps
     * the native forms as the cross-check. */
   def q14b_distribution(s: SparkSession, dir: String): DataFrame = {
+    // the row side is NOT checkpointed: pinning the full orders
+    // projection would hold a corpus-size snapshot in executor-local
+    // storage (and truncate lineage — a lost executor fails the job
+    // instead of recomputing); the fork it avoids is just a second
+    // cheap column-pruned file scan. Only the tiny histogram — which
+    // PrefixSum forks into main + summary branches — is pinned.
     val o = t(s, dir, "orders")
       .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
         col("o_totalprice"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      .localCheckpoint()
     val hist = o.groupBy("prio", "cents").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val tot = hist.groupBy("prio").agg(sum("cnt").as("n"))
