@@ -133,9 +133,49 @@ object Bench {
         Thread.sleep(2000)
     }
     settleTo(math.min(4.0, cpus.toDouble), 90)
-    val reauditMins: Map[String, Double] = raw
-      .filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
-      .flatMap { case (name, _) =>
+    // the re-audit net is REGRESSION-AWARE, not just the slowest 10:
+    // the r6 record carried q35c at 1.673s (isolated truth: 0.644s)
+    // because mid-pack queries sat below the slowest-10 cutoff and
+    // their noise-window numbers shipped. Any query whose in-sweep min
+    // exceeds the PREVIOUS official record (bench_full.json's queries
+    // map, written by the last run from this directory) by >1.5x joins
+    // the re-audit — a real regression survives the re-measure, a
+    // noise window folds away.
+    val priorMins: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import org.json4s._
+          val ast = org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          // only comparable at the SAME scale factor: a record from a
+          // local sf0.001 iteration must not mark every sf0.1 query
+          // "regressed" (or mask a real one)
+          val sameSf = (ast \ "sf") match {
+            case JString(s) => s == sfDir
+            case _ => false
+          }
+          if (!sameSf) Map.empty
+          else (ast \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
+    val slowest10 = raw.filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
+      .map(_._1)
+    val regressed = raw.collect {
+      case (name, ts) if ts.nonEmpty && ts.min > 0.3 &&
+        priorMins.get(name).exists(prev => ts.min > prev * 1.5) => name
+    }
+    val reauditMins: Map[String, Double] =
+      (slowest10 ++ regressed).distinct
+      .flatMap { name =>
         val fn = selected(name)
         val ts = (0 until 2).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -171,11 +211,11 @@ object Bench {
     // ship clean when the measurements actually were.
     def spreadSuspect(ts: Seq[Double]): Boolean =
       ts.nonEmpty && ts.max > 1.0 && ts.max / ts.min > 10.0
-    def settle(): Unit = settleTo(math.min(4.0, cpus.toDouble), 60)
-    val requeued = audited.map { case (name, ts) =>
+    def requeuePass(in: Seq[(String, Seq[Double])], settleCap: Long)
+        : Seq[(String, Seq[Double])] = in.map { case (name, ts) =>
       if (!spreadSuspect(ts)) (name, ts)
       else {
-        settle()
+        settleTo(math.min(4.0, cpus.toDouble), settleCap)
         val fn = selected(name)
         val fresh = (0 until 2).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -188,6 +228,16 @@ object Bench {
         if (fresh.isEmpty) (name, ts) else (name, fresh :+ ts.min)
       }
     }
+    val requeued1 = requeuePass(audited, 60)
+    // one FINAL isolated retry, minutes after the sweep, for anything
+    // still spread (the cdc13 host-stall canary class): the r6 record
+    // shipped n_contended=1 because a single requeue landed inside the
+    // same multi-minute noise window. A longer settle + the retry
+    // happening strictly last makes n_contended=0 the steady state; a
+    // genuinely contended box still fails both passes and keeps the flag.
+    val requeued =
+      if (!requeued1.exists(t => spreadSuspect(t._2))) requeued1
+      else requeuePass(requeued1, 150)
     val loadAfter = loadavg()
     val suspect = requeued.collect {
       case (name, ts) if spreadSuspect(ts) =>

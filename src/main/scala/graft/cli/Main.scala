@@ -54,28 +54,54 @@ object Main {
     EngineConfig(backends)
   }
 
-  /** `-q <name> <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]` —
-    * run one named query from the engine's inventory against a parquet
-    * table directory and print the head of the result plus its wall
-    * time: the ad-hoc face of the library (the daemon covers
-    * streaming). `-q list` prints the inventory. `--audit` additionally
-    * runs [[graft.plans.PlanAudit]] over the physical plan and prints
-    * each scale-risk finding (cartesians, nested-loop joins,
-    * unpartitioned windows) next to the timing — the same lint the
-    * repo's own PlanShapeSpec enforces, surfaced for ad-hoc users
-    * before they schedule the query. `--audit-lowcard` names the
-    * caller's bounded-domain columns (cardinality is a DATA property
-    * the lint can't infer) and adds the skewed-window check: any
-    * window partitioned only by those columns over non-summary rows. */
+  /** `--audit-lowcard` value extraction, strict: the flag REQUIRES a
+    * comma-separated column list as the next token. Positional
+    * leniency bit r6 users twice — a trailing flag silently dropped
+    * the audit, and a following flag was consumed as the column list. */
+  private[cli] def parseLowCard(rawArgs: Array[String])
+      : Either[String, Set[String]] = {
+    val lcIdx = rawArgs.indexOf("--audit-lowcard")
+    if (lcIdx < 0) Right(Set.empty)
+    else if (lcIdx + 1 >= rawArgs.length)
+      Left("--audit-lowcard requires a comma-separated column list " +
+        "(e.g. --audit-lowcard event_type,lang) — none given")
+    else if (rawArgs(lcIdx + 1).startsWith("--"))
+      Left("--audit-lowcard requires a comma-separated column list, " +
+        s"got the flag '${rawArgs(lcIdx + 1)}'")
+    else
+      Right(rawArgs(lcIdx + 1).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSet)
+  }
+
+  /** `-q <name> <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]
+    * [--explain]` — run one named query from the engine's inventory
+    * against a parquet table directory and print the head of the
+    * result plus its wall time: the ad-hoc face of the library (the
+    * daemon covers streaming). `-q list` prints the inventory.
+    * `--audit` additionally runs [[graft.plans.PlanAudit]] over the
+    * physical plan and prints each scale-risk finding (cartesians,
+    * nested-loop joins, unpartitioned windows) next to the timing —
+    * the same lint the repo's own PlanShapeSpec enforces, surfaced for
+    * ad-hoc users before they schedule the query. `--audit-lowcard`
+    * names the caller's bounded-domain columns (cardinality is a DATA
+    * property the lint can't infer) and adds the skewed-window check:
+    * any window partitioned only by those columns over non-summary
+    * rows. `--explain` prints the plan's cost card WITHOUT executing
+    * it — the [[graft.plans.PlanSignature]] operator counts, the
+    * exchange totals, and the audit findings: the repo's own
+    * plan-discipline tooling as a user-facing preflight. */
   private def runQuery(rawArgs: Array[String]): Unit = {
     val doAudit = rawArgs.contains("--audit")
+    val doExplain = rawArgs.contains("--explain")
+    val lowCard: Set[String] = parseLowCard(rawArgs) match {
+      case Right(cols) => cols
+      case Left(err) =>
+        System.err.println(err)
+        sys.exit(1)
+    }
     val lcIdx = rawArgs.indexOf("--audit-lowcard")
-    val lowCard: Set[String] =
-      if (lcIdx >= 0 && lcIdx + 1 < rawArgs.length)
-        rawArgs(lcIdx + 1).split(",").map(_.trim).filter(_.nonEmpty).toSet
-      else Set.empty
     val args = rawArgs.zipWithIndex.collect {
-      case (a, i) if a != "--audit" &&
+      case (a, i) if a != "--audit" && a != "--explain" &&
         (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
     }
     val builder = SparkSession.builder().appName("graft-query")
@@ -95,19 +121,40 @@ object Main {
         val limit = rest.headOption.map(_.toInt).getOrElse(20)
         val spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        df.show(limit, truncate = false)
-        println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        if (doAudit || lowCard.nonEmpty)
-          auditReport(df, lowCard).foreach(println)
+        if (doExplain) {
+          explainReport(fn(spark, sfDir), name, lowCard).foreach(println)
+        } else {
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.show(limit, truncate = false)
+          println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          if (doAudit || lowCard.nonEmpty)
+            auditReport(df, lowCard).foreach(println)
+        }
         spark.stop()
       case _ =>
         System.err.println(
           "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
-            "[--audit] [--audit-lowcard col1,col2,...]")
+            "[--audit] [--audit-lowcard col1,col2,...] [--explain]")
         sys.exit(1)
     }
+  }
+
+  /** The `--explain` cost card: plan signature (operator counts),
+    * exchange totals, and the audit findings — derived from the plan
+    * only, nothing executed. Split from [[runQuery]] so specs exercise
+    * it without the CLI's session lifecycle. */
+  private[cli] def explainReport(df: org.apache.spark.sql.DataFrame,
+      name: String, lowCard: Set[String] = Set.empty): Seq[String] = {
+    val sig = graft.plans.PlanSignature.of(df)
+    val shuffles = Seq("exchange_hash", "exchange_range",
+      "exchange_single", "exchange_other").map(sig.getOrElse(_, 0)).sum
+    val broadcasts = sig.getOrElse("broadcast_exchange", 0)
+    Seq(
+      s"[graft] explain $name",
+      s"[graft] signature: ${graft.plans.PlanSignature.render(sig)}",
+      s"[graft] exchanges: $shuffles shuffle, $broadcasts broadcast") ++
+      auditReport(df, lowCard)
   }
 
   /** The `--audit` report lines for a query's physical plan — one line

@@ -1,10 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
 
 /** PLAN LINT — the scale-killer checklist as a library API: walk a
   * query's physical plan and report the patterns that decide 100 TB
@@ -64,12 +66,16 @@ object PlanAudit {
     * Name-based by design: cardinality is a property of the DATA, so
     * the caller annotates which column names are bounded domains (event
     * types, languages, nation keys, component roots after a CC pass).
-    * A window is exempt when its input is a per-bucket SUMMARY frame
-    * (output carries the `_b` bucket id — the two-level PrefixSum /
-    * PrefixCarry cross-bucket carry, whose partition count is
-    * #buckets·|keys|, data-scaled by construction). False negatives are
-    * possible (a renamed alias), false positives go on the caller's
-    * allowlist with the reason the input is genuinely bounded. */
+    * A window is exempt when it IS the two-level prefix family's own
+    * machinery, recognized by its structural markers: the `_b` / `_sb`
+    * bucket ids among the PARTITION keys (level 1 / in-super carry) or
+    * the `_bsum` / `_bmin` per-bucket aggregates in the child output
+    * (the across-super summary fold — ≤ superSize rows per key by the
+    * BucketedScan recursion bound). A `_b`-named column merely passing
+    * through a user frame's output no longer exempts it. False
+    * negatives are possible (a renamed alias), false positives go on
+    * the caller's allowlist with the reason the input is genuinely
+    * bounded. */
   def auditSkewedWindows(df: DataFrame, lowCard: Set[String])
       : Seq[Finding] = {
     val lc = lowCard.map(_.toLowerCase)
@@ -78,15 +84,96 @@ object PlanAudit {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case w: WindowExec if w.partitionSpec.nonEmpty =>
         val keys = w.partitionSpec.flatMap(_.references.map(_.name))
-        val summaryInput = w.child.output.exists(_.name == "_b")
+        val bucketKeyed = keys.exists(k => k == "_b" || k == "_sb")
+        val summaryFold =
+          w.child.output.exists(a => a.name == "_bsum" || a.name == "_bmin")
         if (keys.nonEmpty && keys.forall(k => lc(k.toLowerCase)) &&
-            !summaryInput)
+            !bucketKeyed && !summaryFold)
           buf += Finding(SkewedWindow, keys.mkString(","))
       case _ =>
     }
     walk(df.queryExecution.executedPlan)
     buf.toSeq
   }
+
+  /** Measured shape of one Window node's input: its partition-key
+    * column names, the input row count, and the distinct key-tuple
+    * count — on whatever data `df` reads. `exempt` marks the
+    * two-level prefix family's own carry windows (see
+    * [[auditSkewedWindows]]' structural markers), whose key count is
+    * #buckets-scaled by construction. */
+  case class WindowCardinality(keys: Seq[String], inputRows: Long,
+      distinctKeys: Long, exempt: Boolean) {
+    /** distinct keys per 100 input rows; 100 when the input is empty. */
+    def ratioPct: Double =
+      if (inputRows == 0) 100.0 else 100.0 * distinctKeys / inputRows
+  }
+
+  /** DATA-DRIVEN skew audit: for every partitioned Window in the
+    * optimized logical plan, EXECUTE its input subplan (one
+    * count + count-distinct agg each) and measure how many distinct
+    * partition-key tuples feed it. A window whose key cardinality is a
+    * sliver of its input rows has that sliver's reciprocal as its
+    * maximum parallelism at any scale — the q35d/q41c class, caught
+    * here by MEASUREMENT instead of a maintained column-name list, so
+    * a renamed alias cannot slip past (the false-negative class the
+    * name-based lint documents).
+    *
+    * Run it on a small representative fixture: it pays one Spark job
+    * per distinct window input (`memo` dedupes identical subplans
+    * across calls — pass a shared map when sweeping many queries that
+    * reuse frames). Windows keyed on a genuinely bounded-domain input
+    * (a histogram, a day series) also measure low — the caller
+    * allowlists those WITH a row-count cap so the claim stays
+    * verified (see PlanAuditSweepSpec). */
+  def windowCardinalities(df: DataFrame,
+      memo: scala.collection.mutable.Map[(logical.LogicalPlan, Seq[String]),
+        (Long, Long)] = scala.collection.mutable.Map.empty)
+      : Seq[WindowCardinality] = {
+    val spark = df.sparkSession
+    val buf = scala.collection.mutable.Buffer[WindowCardinality]()
+    df.queryExecution.optimizedPlan.foreach {
+      case w: logical.Window if w.partitionSpec.nonEmpty =>
+        val keyNames = w.partitionSpec.flatMap(_.references.map(_.name))
+        val exempt =
+          keyNames.exists(k => k == "_b" || k == "_sb") ||
+            w.child.output.exists(a => a.name == "_bsum" || a.name == "_bmin")
+        val memoKey = (w.child.canonicalized,
+          w.partitionSpec.map(_.canonicalized.toString))
+        val (n, k) = memo.getOrElseUpdate(memoKey, {
+          val keyCols = w.partitionSpec.map(GraftColumnBridge.column)
+          val r = GraftColumnBridge.ofRows(spark, w.child)
+            .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        })
+        buf += WindowCardinality(keyNames, n, k, exempt)
+      case _ =>
+    }
+    buf.toSeq
+  }
+
+  /** [[windowCardinalities]] folded to findings: every non-exempt
+    * window with at least `minRows` input rows whose distinct-key
+    * count is BOTH below `maxPct`% of them AND at most `maxKeys` in
+    * absolute terms. The two conditions separate the two shapes a low
+    * ratio can mean: bounded KEYS (a 5-value enum — fixed parallelism
+    * forever, the skew class) versus bounded ROWS-PER-KEY (a
+    * per-document window over its ~100 tokens — low ratio, but the
+    * key count scales with the corpus and so does the parallelism;
+    * `maxKeys` clears it). */
+  def auditSkewedWindowsByData(df: DataFrame, minRows: Long = 500,
+      maxPct: Double = 1.0, maxKeys: Long = 1000,
+      memo: scala.collection.mutable.Map[(logical.LogicalPlan, Seq[String]),
+        (Long, Long)] = scala.collection.mutable.Map.empty)
+      : Seq[Finding] =
+    windowCardinalities(df, memo).collect {
+      case c if !c.exempt && c.inputRows >= minRows &&
+          c.distinctKeys <= maxKeys && c.ratioPct < maxPct =>
+        Finding(SkewedWindow, f"keys=${c.keys.mkString(",")} " +
+          f"rows=${c.inputRows} distinct=${c.distinctKeys} " +
+          f"(${c.ratioPct}%.2f%%)")
+    }
 
   /** Strict gate: throw (with every finding listed) unless each
     * finding's kind is allowlisted. `allow` names the risks the caller

@@ -23,4 +23,29 @@ class AuditReportSpec extends SparkSpec {
         l.contains("nested-loop-join")),
       s"expected a cross-join finding, got: $lines")
   }
+
+  test("--explain prints the cost card (signature, exchange totals, " +
+      "audit verdict) without executing the query") {
+    val df = graft.SparkEntry.queries("q06_join_inner")(spark, sfDir)
+    val lines = Main.explainReport(df, "q06_join_inner")
+    assert(lines.head == "[graft] explain q06_join_inner")
+    val sigLine = lines.find(_.startsWith("[graft] signature: ")).get
+    assert(sigLine.contains("="), s"no operator counts in: $sigLine")
+    val exLine = lines.find(_.startsWith("[graft] exchanges: ")).get
+    assert(exLine.matches(".*\\d+ shuffle, \\d+ broadcast"),
+      s"malformed exchange totals: $exLine")
+    assert(lines.exists(_.startsWith("[graft] plan audit: ")))
+  }
+
+  test("--audit-lowcard parsing is strict: a valid list parses, a " +
+      "missing value errors, a following flag is NOT consumed as the " +
+      "column list (the r6 positional-parsing trap)") {
+    assert(Main.parseLowCard(Array("q", "dir", "--audit-lowcard",
+      "et, lang,")) == Right(Set("et", "lang")))
+    assert(Main.parseLowCard(Array("q", "dir")) == Right(Set.empty))
+    assert(Main.parseLowCard(Array("q", "dir", "--audit-lowcard"))
+      .isLeft)
+    assert(Main.parseLowCard(Array("q", "dir", "--audit-lowcard",
+      "--audit")).isLeft)
+  }
 }

@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkSpec {
       d, "v", "c", seqCol = "v", keys = Seq("k"), bucketSize = 64)
     assert(skew(fixed).isEmpty, PlanAudit.auditSkewedWindows(
       fixed, Set("k")).toString)
+    // the exemption is STRUCTURAL: a user column merely NAMED _b
+    // passing through the window input no longer bypasses the lint
+    // (the pre-round-7 exemption keyed on `_b` anywhere in the output)
+    val sneaky = d.withColumn("_b", col("v") % 3).withColumn("c",
+      sum("v").over(Window.partitionBy("k").orderBy("v")))
+    assert(skew(sneaky) == Set("k"), "a passthrough _b column exempted")
   }
 
   test("PlanSignature counts the shape (exchange/agg/window), renders " +

@@ -83,76 +83,116 @@ class PlanAuditSweepSpec extends SparkSpec {
         drifts.flatten.mkString("\n"))
   }
 
-  /** Column names whose domain is BOUNDED in this schema — event types
-    * (5), languages (5), nation keys (25), weekday, order priority /
-    * status / flag enums, and the component root of a CC pass (real
-    * co-occurrence graphs carry a giant component). A window partitioned
-    * ONLY by these has a fixed task count at any data size. */
-  private val lowCardCols = Set(
-    "et", "event_type", "lang", "root", "nk", "c_nationkey", "dow",
-    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
-    // repo-local aliases of the same bounded domains
-    "flag", "prio", "prev_type", "next_type")
-
-  /** query → reason its low-card-keyed window input is genuinely
-    * bounded (histogram/day-series scale, NOT corpus scale), reviewed
-    * by hand. The fixed q35d/q41c/q14g/q14b/q38/q38b must NEVER
-    * reappear here. */
-  private val skewAllow: Map[String, String] = Map(
-    "q19e_chi2" ->
-      ("windows run over the |status|x|priority| contingency aggregate " +
-        "(15 rows) — domain-product scale"),
+  /** query → (reason, fixture input-row cap) for windows whose MEASURED
+    * key cardinality is low because the window's input itself is
+    * bounded (a histogram, a day series, a domain-product aggregate) —
+    * NOT the corpus. Each entry's cap encodes that claim as a number:
+    * the sweep asserts every low-cardinality window of the query reads
+    * at most `cap` rows on the sf0.001 fixture, so an allowlisted
+    * input that silently becomes corpus-scale fails by NAME instead of
+    * riding a stale justification (the round-6 verdict's item 4). Caps
+    * are the documented DOMAIN bound, with headroom, not a snapshot of
+    * today's fixture count. The fixed q35d/q41c/q14g/q14b/q38/q38b
+    * must NEVER appear here. */
+  private val cardAllow: Map[String, (String, Long)] = Map(
     "q24_quantiles" ->
-      ("cumulative over the integer n_chars histogram — bounded by the " +
-        "length domain (~1e4 distinct), not the corpus; scaladoc names " +
-        "the two-level fallback if that ever changes"),
+      (("cumulative over the integer n_chars histogram — bounded by " +
+        "the length domain (~1e4 distinct), not the corpus"), 30000L),
     "q34b_interpolate" ->
-      ("gap-filled day series: |days|x|types| rows, grows with calendar " +
-        "time, not data volume"),
-    "q34d_seasonal" -> "same day-series input as q34b",
-    "q34e_acf" -> "same day-series input as q34b",
-    "q35_anomaly" -> "trailing z over the gap-filled day series (q34b)",
+      (("gap-filled day series: |days|x|types| rows, grows with " +
+        "calendar time, not data volume"), 20000L),
+    "q34d_seasonal" -> (("same day-series input as q34b"), 20000L),
+    "q34e_acf" -> (("same day-series input as q34b"), 20000L),
+    "q35_anomaly" ->
+      (("trailing z over the gap-filled day series (q34b)"), 20000L),
     "q35c_seasonal_anomaly" ->
-      "day series + the 7x|types|-row weekday index aggregate",
+      (("day series + the 7x|types|-row weekday index aggregate"),
+        20000L),
     "q36e_drift" ->
-      ("per-lang totals over the (lang, length-bin) histogram — bin " +
-        "domain = max length / 100"),
+      (("per-lang totals over the (lang, length-bin) histogram — bin " +
+        "domain = max length / 100"), 30000L),
     "q19f_winsorize" ->
-      ("rank scan over the per-flag INTEGER quantity histogram — " +
-        "l_quantity domain is 1..50, |flags|x50 rows total"),
+      (("rank scan over the per-flag INTEGER quantity histogram — " +
+        "l_quantity domain is 1..50, |flags|x50 rows total"), 1000L),
     "q19i_bootstrap" ->
-      "replica-mean ranking over 32 bootstrap replicas per flag",
+      (("replica-mean ranking over 32 bootstrap replicas per flag"),
+        1000L),
     "q29b_transitions" ->
-      ("per-prev normalizer over the |types|^2 transition aggregate " +
-        "(<=|types| rows per partition), never over events"))
+      (("per-prev normalizer over the |types|^2 transition aggregate " +
+        "(<=|types| rows per partition), never over events"), 1000L))
 
-  test("no query runs a window partitioned only by declared " +
-      "low-cardinality columns over non-summary rows — the q35d/q41c " +
-      "skew class fails by name (bounded inputs are allowlisted with " +
-      "a written reason; the two fixed queries are negative controls)") {
-    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+  test("no query runs a window whose MEASURED partition-key count is " +
+      "bounded while its input is not — every Window node's input " +
+      "subplan is executed on the fixture and its distinct key tuples " +
+      "counted, so the q35d/q41c skew class fails on DATA, with no " +
+      "column-name list to maintain or evade (bounded inputs are " +
+      "allowlisted with a reason AND a row cap; the six fixed queries " +
+      "are negative controls)") {
+    val memo = scala.collection.mutable.Map
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[String]), (Long, Long)]
+    // flag: ≥500 input rows feeding ≤64 distinct key tuples that are
+    // <1% of the input. The absolute cap separates bounded KEYS (enum
+    // domains — fixed parallelism at any scale) from bounded
+    // rows-per-key (per-doc windows over tokens — key count scales
+    // with the corpus); the ratio floor keeps genuinely-keyed small
+    // fixtures (15 users over 1k events = 1.5%) out of the net.
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val findings =
-          try PlanAudit.auditSkewedWindows(fn(spark, sfDir), lowCardCols)
+        val cards =
+          try PlanAudit.windowCardinalities(fn(spark, sfDir), memo)
           catch { case e: Throwable =>
-            Seq(PlanAudit.Finding("plan-error", e.getMessage.take(100))) }
-        findings.collect {
-          case f if !skewAllow.contains(name) =>
-            s"$name: [${f.kind}] partition keys (${f.detail})"
+            Seq(PlanAudit.WindowCardinality(
+              Seq(s"plan-error: ${e.getMessage.take(80)}"), Long.MaxValue,
+              0, exempt = false)) }
+        cards.collect {
+          case c if !c.exempt && c.inputRows >= 500 &&
+              c.distinctKeys <= 64 && c.ratioPct < 1.0 => (name, c)
         }
     }
-    assert(hits.isEmpty,
-      "low-cardinality-keyed windows outside the justified allowlist:\n" +
-        hits.mkString("\n"))
+    val offenders = flagged.filterNot { case (name, c) =>
+      cardAllow.get(name).exists { case (_, cap) => c.inputRows <= cap }
+    }.map { case (name, c) =>
+      f"$name: keys=${c.keys.mkString(",")} rows=${c.inputRows} " +
+        f"distinct=${c.distinctKeys} (${c.ratioPct}%.2f%%)" +
+        cardAllow.get(name).map { case (_, cap) =>
+          s" — allowlisted but OVER its ${cap}-row cap" }.getOrElse("")
+    }
+    assert(offenders.isEmpty,
+      "bounded-key windows over unbounded inputs (or allowlisted " +
+        "inputs past their row cap):\n" + offenders.mkString("\n"))
+    // allowlist verification (round-6 verdict item 4): each entry's
+    // claim — "this query's bounded-key windows read a bounded input"
+    // — is ASSERTED as a counted bound, measured even below the
+    // detector's 500-row floor: every non-exempt window feeding ≤64
+    // distinct key tuples must read ≤ cap rows, and at least one such
+    // window must EXIST (an entry whose window was rewritten away is
+    // stale and must be removed, not silently carried)
+    val capBreaches = cardAllow.toSeq.sortBy(_._1).flatMap {
+      case (name, (reason, cap)) =>
+        val bounded = PlanAudit
+          .windowCardinalities(SparkEntry.queries(name)(spark, sfDir), memo)
+          .filter(c => !c.exempt && c.distinctKeys <= 64)
+        if (bounded.isEmpty)
+          Seq(s"$name: stale cardAllow entry — no bounded-key window " +
+            s"left to justify ('$reason')")
+        else bounded.filter(_.inputRows > cap).map(c =>
+          s"$name: bounded-key window (${c.keys.mkString(",")}) reads " +
+            s"${c.inputRows} rows — past the $cap-row cap its " +
+            s"justification ('${reason.take(50)}...') promises")
+    }
+    assert(capBreaches.isEmpty,
+      "cardAllow claims no longer hold:\n" + capBreaches.mkString("\n"))
     // negative controls: the queries this lint exists for (q35d/q41c
-    // from the round-5 audit) and the three it then CAUGHT on its
-    // first sweep (q14b/q38/q38b) stay fixed
+    // from the round-5 audit) and the three the name-based sweep then
+    // caught (q14b/q38/q38b) stay fixed — zero flagged windows each
+    val tripped = flagged.map(_._1).toSet
     for (fixed <- Seq("q35d_mad", "q41c_components", "q14g_pareto",
         "q14b_distribution", "q38_overlap", "q38b_interval_union")) {
-      val f = PlanAudit.auditSkewedWindows(
-        SparkEntry.queries(fixed)(spark, sfDir), lowCardCols)
-      assert(f.isEmpty, s"$fixed regressed to a skewed window: $f")
-      assert(!skewAllow.contains(fixed),
+      assert(!tripped.contains(fixed),
+        s"$fixed regressed to a bounded-key window: " +
+          flagged.filter(_._1 == fixed).map(_._2).toString)
+      assert(!cardAllow.contains(fixed),
         s"$fixed must stay fixed, not allowlisted")
     }
   }
