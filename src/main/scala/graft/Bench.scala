@@ -141,31 +141,13 @@ object Bench {
     // map, written by the last run from this directory) by >1.5x joins
     // the re-audit — a real regression survives the re-measure, a
     // noise window folds away.
+    // same-sf guard + parse in BenchRecord (unit-tested there)
     val priorMins: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get("bench_full.json")
         if (!java.nio.file.Files.exists(p)) Map.empty
-        else {
-          import org.json4s._
-          val ast = org.json4s.jackson.JsonMethods.parse(
-            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          // only comparable at the SAME scale factor: a record from a
-          // local sf0.001 iteration must not mark every sf0.1 query
-          // "regressed" (or mask a real one)
-          val sameSf = (ast \ "sf") match {
-            case JString(s) => s == sfDir
-            case _ => false
-          }
-          if (!sameSf) Map.empty
-          else (ast \ "queries") match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-              case (k, JDecimal(v)) => k -> v.toDouble
-            }.toMap
-            case _ => Map.empty
-          }
-        }
+        else BenchRecord.priorQueries(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
       } catch { case _: Throwable => Map.empty }
     val slowest10 = raw.filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
       .map(_._1)
@@ -285,11 +267,22 @@ object Bench {
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
     val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson}"""
-    val allQs = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // the FILE record merges this run into the prior same-sf record
+    // (a subset run updates only what it measured; see BenchRecord) —
+    // its value/n_queries describe the MERGED map so the file stays
+    // self-consistent; stdout's metric line above stays this-run-only
+    // because that is what the round driver records.
+    // carry only CURRENT-inventory queries forward: a renamed/retired
+    // query must not keep a ghost entry in the record forever
+    val merged = BenchRecord.mergedQueries(
+      priorMins.filter(kv => SparkEntry.queries.contains(kv._1)), sorted)
+    val nCarried = merged.size - sorted.size
+    val mergedTotal = merged.collect { case (_, v) if v >= 0 => v }.sum
+    val allQs = merged.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      (metricLine.dropRight(1) + s""","queries":$allQs}""" + "\n")
+      (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"queries":$allQs}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e")

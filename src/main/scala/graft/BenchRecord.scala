@@ -1,0 +1,54 @@
+package graft
+
+/** The on-disk full bench record (`bench_full.json`) as a tiny pure
+  * API, split out of [[Bench]] so its two invariants are unit-testable
+  * without running a sweep:
+  *
+  *   1. READ — `priorQueries` only yields a comparison map when the
+  *      record was measured at the SAME scale factor (a local sf0.001
+  *      iteration must not mark every sf0.1 query "regressed", or mask
+  *      a real regression behind tiny numbers).
+  *   2. WRITE — `mergedQueries` folds a run's results INTO the prior
+  *      same-sf record instead of replacing it: a subset run
+  *      (`SPARK_GRAFT_ONLY=...`) updates only the queries it measured
+  *      and carries the rest forward. Before this, any smoke subset
+  *      clobbered the 211-query record, and the next full sweep's
+  *      regression-aware noise folding ran blind — exactly how the
+  *      round-7 record shipped a 3.9x-inflated cdc block (cdc2 0.92s
+  *      recorded as 3.52s) with `n_noise_folded: 0`.
+  *
+  * A query measured THIS run always wins (even when slower — a real
+  * regression must be able to raise the record); a query that failed
+  * every sample this run records its -1 sentinel over any prior value
+  * (a query that stopped running must not keep a healthy-looking
+  * number).
+  */
+object BenchRecord {
+  import org.json4s._
+
+  /** Per-query minima from a prior record, iff it was measured at
+    * `sfDir`; empty on any mismatch, absence, or parse failure. */
+  def priorQueries(json: String, sfDir: String): Map[String, Double] =
+    try {
+      val ast = org.json4s.jackson.JsonMethods.parse(json)
+      val sameSf = (ast \ "sf") match {
+        case JString(s) => s == sfDir
+        case _          => false
+      }
+      if (!sameSf) Map.empty
+      else (ast \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v))  => k -> v
+          case (k, JInt(v))     => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** The record to persist: prior same-sf entries overlaid with this
+    * run's results, sorted by query name. */
+  def mergedQueries(prior: Map[String, Double],
+      current: Seq[(String, Double)]): Seq[(String, Double)] =
+    (prior ++ current).toSeq.sortBy(_._1)
+}

@@ -89,10 +89,16 @@ object Main {
     * rows. `--explain` prints the plan's cost card WITHOUT executing
     * it — the [[graft.plans.PlanSignature]] operator counts, the
     * exchange totals, and the audit findings: the repo's own
-    * plan-discipline tooling as a user-facing preflight. */
+    * plan-discipline tooling as a user-facing preflight. `--profile`
+    * is `--explain`'s measured sibling: run the query ONCE (fully
+    * materialized, nothing collected), then print rows/bytes through
+    * every operator of the final adaptive plan
+    * ([[graft.plans.PlanProfile]]) — which shuffle dominates, what
+    * each filter cut, at this directory's scale. */
   private def runQuery(rawArgs: Array[String]): Unit = {
     val doAudit = rawArgs.contains("--audit")
     val doExplain = rawArgs.contains("--explain")
+    val doProfile = rawArgs.contains("--profile")
     val lowCard: Set[String] = parseLowCard(rawArgs) match {
       case Right(cols) => cols
       case Left(err) =>
@@ -102,6 +108,7 @@ object Main {
     val lcIdx = rawArgs.indexOf("--audit-lowcard")
     val args = rawArgs.zipWithIndex.collect {
       case (a, i) if a != "--audit" && a != "--explain" &&
+        a != "--profile" &&
         (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
     }
     val builder = SparkSession.builder().appName("graft-query")
@@ -123,6 +130,8 @@ object Main {
         spark.sparkContext.setLogLevel("WARN")
         if (doExplain) {
           explainReport(fn(spark, sfDir), name, lowCard).foreach(println)
+        } else if (doProfile) {
+          profileReport(fn(spark, sfDir), name).foreach(println)
         } else {
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
@@ -135,9 +144,23 @@ object Main {
       case _ =>
         System.err.println(
           "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
-            "[--audit] [--audit-lowcard col1,col2,...] [--explain]")
+            "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
+            "[--profile]")
         sys.exit(1)
     }
+  }
+
+  /** The `--profile` report: one timed full execution, then the
+    * measured per-operator rows/bytes off the final adaptive plan.
+    * Split from [[runQuery]] so specs exercise it without the CLI's
+    * session lifecycle. */
+  private[cli] def profileReport(df: org.apache.spark.sql.DataFrame,
+      name: String): Seq[String] = {
+    val t0 = System.nanoTime()
+    val profile = graft.plans.PlanProfile.measure(df)
+    val secs = (System.nanoTime() - t0) / 1e9
+    f"[graft] profile $name: $secs%.2f s (materialized)" +:
+      graft.plans.PlanProfile.render(profile).map("[graft]   " + _)
   }
 
   /** The `--explain` cost card: plan signature (operator counts),

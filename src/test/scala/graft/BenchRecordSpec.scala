@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench record's two invariants (see BenchRecord's scaladoc):
+  * same-sf-only comparison, and subset runs merging into — never
+  * clobbering — the prior full record. The clobber case is not
+  * hypothetical: the round-7 sweep ran with a 5-query smoke record on
+  * disk, so 206 queries had no prior, the regression-aware fold never
+  * fired, and the record shipped a 3.9x-inflated cdc block. */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private val rec =
+    """{"metric":"total","value":3.0,"unit":"sec","sf":"/data/sf0.1",
+      |"queries":{"q1":1.0,"q2":2.0}}""".stripMargin
+
+  test("priorQueries parses the per-query map at the matching sf") {
+    assert(BenchRecord.priorQueries(rec, "/data/sf0.1") ==
+      Map("q1" -> 1.0, "q2" -> 2.0))
+  }
+
+  test("priorQueries is empty at a different sf — a local sf0.001 " +
+      "record must not drive sf0.1 regression flags") {
+    assert(BenchRecord.priorQueries(rec, "/data/sf0.001").isEmpty)
+  }
+
+  test("priorQueries is empty on malformed json and on a record with " +
+      "no queries map") {
+    assert(BenchRecord.priorQueries("not json{", "/data/sf0.1").isEmpty)
+    assert(BenchRecord.priorQueries(
+      """{"sf":"/data/sf0.1","value":1}""", "/data/sf0.1").isEmpty)
+  }
+
+  test("priorQueries reads integral times too (hand-edited records)") {
+    assert(BenchRecord.priorQueries(
+      """{"sf":"/data/sf0.1","queries":{"q1":2}}""", "/data/sf0.1") ==
+      Map("q1" -> 2.0))
+  }
+
+  test("a subset run updates only what it measured and carries the " +
+      "rest of the prior record forward, sorted") {
+    val merged = BenchRecord.mergedQueries(
+      Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 3.0), Seq("q2" -> 0.5))
+    assert(merged == Seq("q1" -> 1.0, "q2" -> 0.5, "q3" -> 3.0))
+  }
+
+  test("this run's number wins even when slower — a real regression " +
+      "must be able to raise the record") {
+    val merged = BenchRecord.mergedQueries(Map("q1" -> 1.0), Seq("q1" -> 4.0))
+    assert(merged == Seq("q1" -> 4.0))
+  }
+
+  test("a query that failed every sample records its -1 sentinel over " +
+      "any prior value") {
+    val merged = BenchRecord.mergedQueries(Map("q1" -> 1.0), Seq("q1" -> -1.0))
+    assert(merged == Seq("q1" -> -1.0))
+  }
+
+  test("with no prior record the merge is just this run") {
+    assert(BenchRecord.mergedQueries(Map.empty, Seq("q1" -> 1.0)) ==
+      Seq("q1" -> 1.0))
+  }
+}

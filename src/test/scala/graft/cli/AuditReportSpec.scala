@@ -37,6 +37,24 @@ class AuditReportSpec extends SparkSpec {
     assert(lines.exists(_.startsWith("[graft] plan audit: ")))
   }
 
+  test("--profile executes once and reports MEASURED rows through the " +
+      "final adaptive plan: the scan row counts and the join's output " +
+      "are real numbers, exchanges carry bytes") {
+    val df = graft.SparkEntry.queries("q06_join_inner")(spark, sfDir)
+    val lines = Main.profileReport(df, "q06_join_inner")
+    assert(lines.head.startsWith("[graft] profile q06_join_inner: "),
+      s"no timing header: ${lines.head}")
+    val rowLines = lines.filter(_.contains(" rows="))
+    assert(rowLines.nonEmpty, s"no measured rows in:\n${lines.mkString("\n")}")
+    // the fixture join produces rows, so SOME operator measured > 0
+    val rows = rowLines.flatMap(
+      "rows=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
+    assert(rows.exists(_ > 0), s"all row counts zero: $rowLines")
+    // a scan node appears with its measured output
+    assert(rowLines.exists(l => l.toLowerCase.contains("scan")),
+      s"no scan row count in:\n${rowLines.mkString("\n")}")
+  }
+
   test("--audit-lowcard parsing is strict: a valid list parses, a " +
       "missing value errors, a following flag is NOT consumed as the " +
       "column list (the r6 positional-parsing trap)") {
