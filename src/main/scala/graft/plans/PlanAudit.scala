@@ -175,6 +175,70 @@ object PlanAudit {
           f"(${c.ratioPct}%.2f%%)")
     }
 
+  /** Measured shape of one Join node: input row counts, output row
+    * count, and the multiplier the join applied. `blowup` > 1 means
+    * the join EMITS more rows than its larger input — a many-to-many
+    * key collision (or deliberate replication). The ratio is scale-
+    * free for genuine key-collision blowups: duplicate-key fanout
+    * grows with the data, so a modest fixture multiplier becomes the
+    * dominant cost at 100 TB. */
+  case class JoinCardinality(joinType: String, condition: String,
+      leftRows: Long, rightRows: Long, outRows: Long) {
+    def blowup: Double = {
+      val base = math.max(leftRows, rightRows)
+      if (base == 0) 0.0 else outRows.toDouble / base
+    }
+  }
+
+  /** DATA-DRIVEN join audit, the windowCardinalities sibling for the
+    * OTHER silent scale-killer: a join that multiplies. For every Join
+    * in the optimized logical plan, execute its two input subplans and
+    * the join itself (one count each, `memo`-deduped across a sweep)
+    * and report the measured blowup. An accidental many-to-many —
+    * joining on a non-unique key both sides, the classic fan-out trap
+    * — passes row/hash correctness at test scale and detonates at
+    * 100x; here it shows up as outRows ≫ max(inputs) on the fixture.
+    * Semi/anti joins are skipped (output ≤ left by construction). */
+  def joinCardinalities(df: DataFrame,
+      memo: scala.collection.mutable.Map[logical.LogicalPlan, Long] =
+        scala.collection.mutable.Map.empty): Seq[JoinCardinality] = {
+    val spark = df.sparkSession
+    def rowsOf(p: logical.LogicalPlan): Long =
+      memo.getOrElseUpdate(p.canonicalized,
+        GraftColumnBridge.ofRows(spark, p).count())
+    val buf = scala.collection.mutable.Buffer[JoinCardinality]()
+    df.queryExecution.optimizedPlan.foreach {
+      case j: logical.Join => j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        case jt =>
+          buf += JoinCardinality(jt.sql,
+            j.condition.map(_.sql).getOrElse("<cross>"),
+            rowsOf(j.left), rowsOf(j.right), rowsOf(j))
+      }
+      case _ =>
+    }
+    buf.toSeq
+  }
+
+  val JoinExplosion = "join-explosion"
+
+  /** [[joinCardinalities]] folded to findings: joins whose measured
+    * output exceeds `minOut` rows AND `maxBlowup` times the larger
+    * input. Deliberate replication (interval spanning-bins, grid
+    * crosses, shingle expansion) goes on the caller's allowlist with
+    * the domain bound that caps it. */
+  def auditJoinExplosion(df: DataFrame, minOut: Long = 1000,
+      maxBlowup: Double = 4.0,
+      memo: scala.collection.mutable.Map[logical.LogicalPlan, Long] =
+        scala.collection.mutable.Map.empty): Seq[Finding] =
+    joinCardinalities(df, memo).collect {
+      case c if c.outRows >= minOut && c.blowup > maxBlowup =>
+        Finding(JoinExplosion, f"${c.joinType} out=${c.outRows} " +
+          f"left=${c.leftRows} right=${c.rightRows} " +
+          f"(${c.blowup}%.1fx) on ${c.condition.take(60)}")
+    }
+
   /** Strict gate: throw (with every finding listed) unless each
     * finding's kind is allowlisted. `allow` names the risks the caller
     * has judged intentional — e.g. `Set(PlanAudit.CartesianJoin)` for

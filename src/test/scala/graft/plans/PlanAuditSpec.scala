@@ -77,6 +77,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(skew(sneaky) == Set("k"), "a passthrough _b column exempted")
   }
 
+  test("join-explosion fires on a measured many-to-many fanout, stays " +
+      "silent on a key-unique equi join, and skips semi/anti joins") {
+    import spark.implicits._
+    // 200 rows x 200 rows all sharing ONE key value -> 40000 out: the
+    // accidental-fanout shape (hash-correct at test scale, quadratic
+    // at any scale)
+    val l = (1 to 200).map(i => (1, i)).toDF("k", "a")
+    val r = (1 to 200).map(i => (1, i)).toDF("k", "b")
+    val boom = l.join(r, "k")
+    val found = PlanAudit.auditJoinExplosion(boom)
+    assert(found.nonEmpty && found.head.kind == PlanAudit.JoinExplosion,
+      s"fanout join not flagged: $found")
+    // measured numbers in the finding
+    assert(found.head.detail.contains("out=40000"), found.head.detail)
+    // unique-key dimension join: out == left, no finding
+    val dim = (1 to 10).map(i => (i, s"d$i")).toDF("k", "d")
+    val fact = (1 to 5000).map(i => (i % 10 + 1, i)).toDF("k", "v")
+    assert(PlanAudit.auditJoinExplosion(fact.join(dim, "k")).isEmpty)
+    // semi joins can't multiply — not even measured
+    assert(PlanAudit.joinCardinalities(
+      fact.join(dim, Seq("k"), "left_semi")).isEmpty)
+  }
+
   test("PlanSignature counts the shape (exchange/agg/window), renders " +
       "canonically, and diff names exactly what moved") {
     import org.apache.spark.sql.expressions.Window

@@ -196,4 +196,78 @@ class PlanAuditSweepSpec extends SparkSpec {
         s"$fixed must stay fixed, not allowlisted")
     }
   }
+
+  /** query → (reason, blowup cap, small-side cap) for joins whose
+    * MEASURED output exceeds 4x the larger input by DESIGN. The caps
+    * turn each justification into verified numbers on the fixture:
+    *   - small-side cap: the multiplier comes from a CONSTANT-size
+    *     broadcast side (an ANN query set) — bounded forever, so the
+    *     blowup is that constant, not a data-scaled fanout;
+    *   - blowup cap: for same-frame expansions (triangle neighbor
+    *     pairs) the multiplier is a DEGREE bound, not a constant side —
+    *     capped with headroom so a silent shift to corpus-scaled
+    *     fanout fails by name.
+    * Long.MaxValue marks the cap that entry's justification does not
+    * rest on. */
+  private val joinAllow: Map[String, (String, Double, Long)] = Map(
+    "q23_knn_exact" ->
+      (("brute-force scorer: corpus x CONSTANT broadcast query set " +
+        "(|Q|=10) — blowup IS |Q|, fixed at any corpus size"), 64.0, 64L),
+    "q23_pq" -> (("same constant-query-set scorer over PQ codes"),
+      64.0, 64L),
+    "q23_recall" ->
+      (("certification joins: both the exact and approx sides score " +
+        "corpus x the constant query set"), 64.0, 64L),
+    "q23_hardneg" ->
+      (("label-inequality hard-negative mining against the constant " +
+        "probe set"), 64.0, 64L),
+    "q44_triangles" ->
+      (("per-vertex neighbor-pair expansion (u's adjacency joined to " +
+        "itself, x<y): output is Sum d(u)^2/2-scale — bounded by max " +
+        "degree, the standard triangle-count candidate set"), 16.0,
+        Long.MaxValue),
+    "q44b_clustering" ->
+      (("same wedge expansion as q44, denominator of the clustering " +
+        "coefficient"), 16.0, Long.MaxValue))
+
+  test("no query's join MULTIPLIES: measured output vs inputs for " +
+      "every join node on the fixture — an accidental many-to-many " +
+      "fanout (out >> max(inputs)) fails by name; deliberate " +
+      "multipliers are allowlisted with the bound their justification " +
+      "promises (constant broadcast side or degree-capped expansion)") {
+    val memo = scala.collection.mutable
+      .Map.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Long]
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val cards =
+          try PlanAudit.joinCardinalities(fn(spark, sfDir), memo)
+          catch { case e: Throwable =>
+            Seq(PlanAudit.JoinCardinality("plan-error",
+              e.getMessage.take(80), 0, 0, Long.MaxValue)) }
+        cards.collect {
+          case c if c.outRows >= 1000 && c.blowup > 4.0 => (name, c)
+        }
+    }
+    val offenders = flagged.filterNot { case (name, c) =>
+      joinAllow.get(name).exists { case (_, blowCap, sideCap) =>
+        c.blowup <= blowCap && math.min(c.leftRows, c.rightRows) <= sideCap
+      }
+    }.map { case (name, c) =>
+      f"$name: ${c.joinType} out=${c.outRows} L=${c.leftRows} " +
+        f"R=${c.rightRows} (${c.blowup}%.1fx) on ${c.condition.take(60)}" +
+        joinAllow.get(name).map { case (_, bc, sc) =>
+          s" — allowlisted but past its caps (blowup<=$bc, minSide<=$sc)"
+        }.getOrElse("")
+    }
+    assert(offenders.isEmpty,
+      "multiplying joins (or allowlisted joins past their caps):\n" +
+        offenders.mkString("\n"))
+    // staleness: every joinAllow entry must still have a flagged join
+    // to justify — a rewritten query sheds its entry, not carries it
+    val flaggedNames = flagged.map(_._1).toSet
+    val stale = joinAllow.keys.filterNot(flaggedNames).toSeq.sorted
+    assert(stale.isEmpty,
+      s"stale joinAllow entries (no >4x join left to justify): $stale")
+  }
 }
