@@ -80,7 +80,8 @@ object Main {
     * daemon covers streaming). `-q list` prints the inventory.
     * `--audit` additionally runs [[graft.plans.PlanAudit]] over the
     * physical plan and prints each scale-risk finding (cartesians,
-    * nested-loop joins, unpartitioned windows) next to the timing —
+    * nested-loop joins, unpartitioned windows, Scala UDFs) next to the
+    * timing —
     * the same lint the repo's own PlanShapeSpec enforces, surfaced for
     * ad-hoc users before they schedule the query. `--audit-lowcard`
     * names the caller's bounded-domain columns (cardinality is a DATA

@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
@@ -28,6 +30,7 @@ object PlanAudit {
   val UnpartitionedWindow = "unpartitioned-window"
   val NestedLoopJoin = "nested-loop-join"
   val SkewedWindow = "skewed-window"
+  val ScalaUdf = "scala-udf"
 
   /** Walk the executed plan (through AQE wrappers) and collect risks:
     *   - `cartesian-join`: CartesianProductExec — O(|L|·|R|) rows;
@@ -36,20 +39,38 @@ object PlanAudit {
     *     tiny or the predicate is genuinely non-equi;
     *   - `unpartitioned-window`: WindowExec with an empty partition
     *     spec — the whole dataset in ONE task (Spark itself warns at
-    *     runtime; this surfaces it at plan time). */
+    *     runtime; this surfaces it at plan time);
+    *   - `scala-udf`: a ScalaUDF / typed Aggregator anywhere in the
+    *     plan's expressions — an opaque black box to Catalyst (no
+    *     predicate pushdown or constant folding through it) that
+    *     breaks whole-stage codegen and pays per-row
+    *     serialization. Native `functions._` or a codegen'd custom
+    *     Expression does the same work in the generated loop; this
+    *     repo's own surface carries ZERO (pinned by the sweep). */
   def audit(df: DataFrame): Seq[Finding] = {
     val buf = scala.collection.mutable.Buffer[Finding]()
-    def walk(p: SparkPlan): Unit = p.foreach {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        buf += Finding(UnpartitionedWindow,
-          w.windowExpression.map(_.sql).mkString(", "))
-      case _: CartesianProductExec =>
-        buf += Finding(CartesianJoin, "CartesianProductExec")
-      case j: BroadcastNestedLoopJoinExec =>
-        buf += Finding(NestedLoopJoin,
-          s"BroadcastNestedLoopJoinExec(${j.joinType})")
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case _ =>
+    def walk(p: SparkPlan): Unit = p.foreach { n =>
+      n match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          buf += Finding(UnpartitionedWindow,
+            w.windowExpression.map(_.sql).mkString(", "))
+        case _: CartesianProductExec =>
+          buf += Finding(CartesianJoin, "CartesianProductExec")
+        case j: BroadcastNestedLoopJoinExec =>
+          buf += Finding(NestedLoopJoin,
+            s"BroadcastNestedLoopJoinExec(${j.joinType})")
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+      n.expressions.foreach(_.foreach {
+        case u: expressions.ScalaUDF =>
+          buf += Finding(ScalaUdf, s"ScalaUDF " +
+            s"${u.udfName.getOrElse("<anonymous>")}(${u.children.size} " +
+            s"arg) in ${n.nodeName}")
+        case _: ScalaAggregator[_, _, _] =>
+          buf += Finding(ScalaUdf, s"typed Aggregator in ${n.nodeName}")
+        case _ =>
+      })
     }
     walk(df.queryExecution.executedPlan)
     buf.toSeq

@@ -77,6 +77,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(skew(sneaky) == Set("k"), "a passthrough _b column exempted")
   }
 
+  test("scala-udf fires on a ScalaUDF in the plan (with its registered " +
+      "name) and on a typed Aggregator; native functions stay silent") {
+    import org.apache.spark.sql.functions.udf
+    // NOT a local relation: ConvertToLocalRelation would evaluate the
+    // project (UDF included) at optimization time and leave no plan
+    val df = spark.range(10).select(col("id").cast("int").as("x"))
+    val plusOne = udf((i: Int) => i + 1).withName("plus_one")
+    val udfs = PlanAudit.audit(df.select(plusOne(col("x")).as("y")))
+      .filter(_.kind == PlanAudit.ScalaUdf)
+    assert(udfs.nonEmpty && udfs.head.detail.contains("plus_one"), udfs)
+    // typed Aggregator: same black-box cost, different expression class
+    val sumAgg = new org.apache.spark.sql.expressions.Aggregator[
+        Int, Int, Int] {
+      def zero = 0
+      def reduce(b: Int, a: Int) = b + a
+      def merge(b1: Int, b2: Int) = b1 + b2
+      def finish(r: Int) = r
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Int]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Int]]
+    }
+    val aggs = PlanAudit.audit(
+        df.agg(org.apache.spark.sql.functions.udaf(sumAgg).apply(col("x"))))
+      .filter(_.kind == PlanAudit.ScalaUdf)
+    assert(aggs.nonEmpty && aggs.head.detail.contains("Aggregator"), aggs)
+    // the native equivalent of both: clean
+    assert(PlanAudit.audit(df.select((col("x") + 1).as("y")))
+      .filter(_.kind == PlanAudit.ScalaUdf).isEmpty)
+  }
+
   test("join-explosion fires on a measured many-to-many fanout, stays " +
       "silent on a key-unique equi join, and skips semi/anti joins") {
     import spark.implicits._
