@@ -74,7 +74,8 @@ object Main {
   }
 
   /** `-q <name> <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]
-    * [--explain]` — run one named query from the engine's inventory
+    * [--explain] [--profile] [--audit-measure]` — run one named query
+    * from the engine's inventory
     * against a parquet table directory and print the head of the
     * result plus its wall time: the ad-hoc face of the library (the
     * daemon covers streaming). `-q list` prints the inventory.
@@ -95,11 +96,20 @@ object Main {
     * materialized, nothing collected), then print rows/bytes through
     * every operator of the final adaptive plan
     * ([[graft.plans.PlanProfile]]) — which shuffle dominates, what
-    * each filter cut, at this directory's scale. */
+    * each filter cut, at this directory's scale. `--audit-measure` is
+    * the measured lint: execute every Window input and every Join's
+    * inputs+output on the given directory (counts only) and print the
+    * per-node cardinalities — distinct partition keys vs rows for
+    * windows (the bounded-key skew class), output-vs-input blowup for
+    * joins (the many-to-many fanout class) — plus the findings the
+    * repo's own sweep would raise at those thresholds. Point it at a
+    * small representative sample of production data: the ratios are
+    * scale-free, the counts cost one job per distinct subplan. */
   private def runQuery(rawArgs: Array[String]): Unit = {
     val doAudit = rawArgs.contains("--audit")
     val doExplain = rawArgs.contains("--explain")
     val doProfile = rawArgs.contains("--profile")
+    val doMeasure = rawArgs.contains("--audit-measure")
     val lowCard: Set[String] = parseLowCard(rawArgs) match {
       case Right(cols) => cols
       case Left(err) =>
@@ -109,7 +119,7 @@ object Main {
     val lcIdx = rawArgs.indexOf("--audit-lowcard")
     val args = rawArgs.zipWithIndex.collect {
       case (a, i) if a != "--audit" && a != "--explain" &&
-        a != "--profile" &&
+        a != "--profile" && a != "--audit-measure" &&
         (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
     }
     val builder = SparkSession.builder().appName("graft-query")
@@ -133,6 +143,8 @@ object Main {
           explainReport(fn(spark, sfDir), name, lowCard).foreach(println)
         } else if (doProfile) {
           profileReport(fn(spark, sfDir), name).foreach(println)
+        } else if (doMeasure) {
+          measuredAuditReport(fn(spark, sfDir), name).foreach(println)
         } else {
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
@@ -146,7 +158,7 @@ object Main {
         System.err.println(
           "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
             "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
-            "[--profile]")
+            "[--profile] [--audit-measure]")
         sys.exit(1)
     }
   }
@@ -162,6 +174,51 @@ object Main {
     val secs = (System.nanoTime() - t0) / 1e9
     f"[graft] profile $name: $secs%.2f s (materialized)" +:
       graft.plans.PlanProfile.render(profile).map("[graft]   " + _)
+  }
+
+  /** The `--audit-measure` report: every Window node's measured
+    * partition-key cardinality and every Join node's measured blowup on
+    * the data `df` reads, then the findings the sweep thresholds would
+    * raise. Counts only — nothing materialized beyond the subplan aggs.
+    * Split from [[runQuery]] so specs exercise it without the CLI's
+    * session lifecycle. */
+  private[cli] def measuredAuditReport(df: org.apache.spark.sql.DataFrame,
+      name: String): Seq[String] = {
+    import graft.plans.PlanAudit
+    // memos shared with the finding folds below: every subplan counted
+    // exactly once
+    val wMemo = scala.collection.mutable.Map.empty[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[String]), (Long, Long)]
+    val jMemo = scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]
+    val wins = PlanAudit.windowCardinalities(df, wMemo)
+    val joins = PlanAudit.joinCardinalities(df, jMemo)
+    val winLines =
+      if (wins.isEmpty) Seq("[graft]   (no partitioned windows)")
+      else wins.map { c =>
+        f"[graft]   keys=${c.keys.mkString(",")} rows=${c.inputRows} " +
+          f"distinct=${c.distinctKeys} (${c.ratioPct}%.2f%%)" +
+          (if (c.exempt) " [prefix-family carry, exempt]" else "")
+      }
+    val joinLines =
+      if (joins.isEmpty) Seq("[graft]   (no multiplying-capable joins)")
+      else joins.map { c =>
+        f"[graft]   ${c.joinType} L=${c.leftRows} R=${c.rightRows} " +
+          f"out=${c.outRows} (${c.blowup}%.2fx) on ${c.condition.take(60)}"
+      }
+    // the sweep's own folds at their default thresholds, off the memos
+    // already populated above
+    val findings =
+      (PlanAudit.auditSkewedWindowsByData(df, memo = wMemo) ++
+        PlanAudit.auditJoinExplosion(df, memo = jMemo))
+        .map(f => s"[graft] finding: [${f.kind}] ${f.detail}")
+    Seq(s"[graft] measured audit $name",
+      "[graft] windows (distinct partition keys vs input rows):") ++
+      winLines ++
+      Seq("[graft] joins (output vs inputs):") ++ joinLines ++
+      (if (findings.isEmpty) Seq("[graft] measured audit: clean")
+       else findings)
   }
 
   /** The `--explain` cost card: plan signature (operator counts),

@@ -55,6 +55,28 @@ class AuditReportSpec extends SparkSpec {
       s"no scan row count in:\n${rowLines.mkString("\n")}")
   }
 
+  test("--audit-measure reports measured window/join cardinalities and " +
+      "a clean verdict for a sound query; a many-to-many fanout frame " +
+      "surfaces a join-explosion finding with the measured numbers") {
+    val df = graft.SparkEntry.queries("q06_join_inner")(spark, sfDir)
+    val lines = Main.measuredAuditReport(df, "q06_join_inner")
+    assert(lines.head == "[graft] measured audit q06_join_inner")
+    // the join's measured shape appears with real counts
+    val joinLine = lines.find(_.matches(
+      ".*L=\\d+ R=\\d+ out=\\d+ \\(\\d+\\.\\d+x\\).*"))
+    assert(joinLine.nonEmpty, s"no measured join line in:\n" +
+      lines.mkString("\n"))
+    assert(lines.last == "[graft] measured audit: clean", lines.last)
+    // the fanout shape: 200x200 rows all on ONE key value
+    import spark.implicits._
+    val l = (1 to 200).map(i => (1, i)).toDF("k", "a")
+    val r = (1 to 200).map(i => (1, i)).toDF("k", "b")
+    val boomLines = Main.measuredAuditReport(l.join(r, "k"), "boom")
+    assert(boomLines.exists(x => x.contains("[join-explosion]") &&
+        x.contains("out=40000")),
+      s"fanout not flagged:\n${boomLines.mkString("\n")}")
+  }
+
   test("--audit-lowcard parsing is strict: a valid list parses, a " +
       "missing value errors, a following flag is NOT consumed as the " +
       "column list (the r6 positional-parsing trap)") {
