@@ -231,11 +231,25 @@ object Main {
     val shuffles = Seq("exchange_hash", "exchange_range",
       "exchange_single", "exchange_other").map(sig.getOrElse(_, 0)).sum
     val broadcasts = sig.getOrElse("broadcast_exchange", 0)
+    // what each scan reads and what got pushed below it — the I/O side
+    // of the cost card (column pruning + filter pushdown at a glance)
+    val scans = graft.plans.PlanAudit.scanProfiles(df).map { s =>
+      val pushed =
+        if (s.pushedFilters.isEmpty) "nothing pushed"
+        else s"pushed: ${s.pushedFilters.mkString(", ").take(100)}"
+      s"[graft]   ${s.table}: ${s.readCols.size}/${s.totalCols} cols " +
+        s"(${s.readCols.mkString(",").take(80)}), $pushed"
+    }
     Seq(
       s"[graft] explain $name",
       s"[graft] signature: ${graft.plans.PlanSignature.render(sig)}",
-      s"[graft] exchanges: $shuffles shuffle, $broadcasts broadcast") ++
-      auditReport(df, lowCard)
+      s"[graft] exchanges: $shuffles shuffle, $broadcasts broadcast",
+      s"[graft] scans (read width + pushdown):") ++
+      (if (scans.isEmpty) Seq("[graft]   (no file scans in final plan)")
+       else scans) ++
+      auditReport(df, lowCard) ++
+      graft.plans.PlanAudit.auditUnprunedScans(df)
+        .map(f => s"[graft] plan audit: [${f.kind}] ${f.detail}")
   }
 
   /** The `--audit` report lines for a query's physical plan — one line

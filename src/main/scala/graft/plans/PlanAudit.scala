@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.catalyst.plans.logical
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -258,6 +258,65 @@ object PlanAudit {
         Finding(JoinExplosion, f"${c.joinType} out=${c.outRows} " +
           f"left=${c.leftRows} right=${c.rightRows} " +
           f"(${c.blowup}%.1fx) on ${c.condition.take(60)}")
+    }
+
+  val UnprunedScan = "unpruned-scan"
+
+  /** Plan-time shape of one file scan: which columns actually reach
+    * the reader (`ReadSchema`) versus the file's full width, and what
+    * got pushed below it. The two numbers decide I/O at any scale — a
+    * scan that reads every column of a wide table for a two-column
+    * projection multiplies bytes-off-disk by the width ratio forever,
+    * and columnar formats make the fix free WHEN the plan lets
+    * Catalyst prune (an opaque UDF over the whole row, a lineage cut
+    * before the projection, or a genuine select-* defeats it). */
+  case class ScanProfile(table: String, readCols: Seq[String],
+      totalCols: Int, pushedFilters: Seq[String],
+      partitionFilters: Seq[String]) {
+    def pruned: Boolean = readCols.size < totalCols
+  }
+
+  /** Every parquet/file scan in the (final adaptive) plan, derived
+    * from the plan only — nothing executed. Scans hidden behind an
+    * eager materialization (localCheckpoint → ExistingRDD) ran in a
+    * separate query execution and do not appear; audit the frame
+    * BEFORE the cut for those. */
+  def scanProfiles(df: DataFrame): Seq[ScanProfile] = {
+    val buf = scala.collection.mutable.Buffer[ScanProfile]()
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case f: FileSourceScanExec =>
+        // metadata("PushedFilters") is the same "[IsNotNull(x), ...]"
+        // string .explain prints (the typed field is protected)
+        val pushed = f.metadata.get("PushedFilters").toSeq
+          .flatMap(s => Option(s.stripPrefix("[").stripSuffix("]"))
+            .filter(_.nonEmpty))
+        buf += ScanProfile(
+          f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("<unknown>"),
+          f.requiredSchema.fieldNames.toSeq,
+          f.relation.dataSchema.size,
+          pushed,
+          f.partitionFilters.map(_.sql))
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  /** [[scanProfiles]] folded to findings: scans of a table at least
+    * `minCols` wide that read EVERY column. Narrow tables (a 3-column
+    * dimension) are exempt — reading all of one is the query, not a
+    * pruning failure. Deliberate full-width reads (a schema audit, a
+    * select-* export) go on the caller's allowlist with the reason. */
+  def auditUnprunedScans(df: DataFrame, minCols: Int = 5): Seq[Finding] =
+    scanProfiles(df).collect {
+      case s if !s.pruned && s.totalCols >= minCols =>
+        Finding(UnprunedScan,
+          s"${s.table}: reads all ${s.totalCols} columns" +
+            (if (s.pushedFilters.isEmpty && s.partitionFilters.isEmpty)
+              ", nothing pushed down" else ""))
     }
 
   /** Strict gate: throw (with every finding listed) unless each

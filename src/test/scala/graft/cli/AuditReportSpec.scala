@@ -35,6 +35,18 @@ class AuditReportSpec extends SparkSpec {
     assert(exLine.matches(".*\\d+ shuffle, \\d+ broadcast"),
       s"malformed exchange totals: $exLine")
     assert(lines.exists(_.startsWith("[graft] plan audit: ")))
+    // the scan section: read width vs file width, plus the pushdown —
+    // q06 joins orders (6 cols) to customer (5 cols), reading a strict
+    // subset of each, so both scan lines show pruning
+    val scanLines = lines.filter(_.matches(".*: \\d+/\\d+ cols .*"))
+    assert(scanLines.size == 2, s"expected 2 scan lines in:\n" +
+      lines.mkString("\n"))
+    for (sl <- scanLines) {
+      val m = "(\\d+)/(\\d+) cols".r.findFirstMatchIn(sl).get
+      assert(m.group(1).toInt < m.group(2).toInt, s"unpruned scan: $sl")
+    }
+    // pruned scans of ≥5-wide tables: no unpruned-scan finding
+    assert(!lines.exists(_.contains("unpruned-scan")), lines)
   }
 
   test("--profile executes once and reports MEASURED rows through the " +

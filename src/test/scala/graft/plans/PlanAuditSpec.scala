@@ -129,6 +129,26 @@ class PlanAuditSpec extends SparkSpec {
       fact.join(dim, Seq("k"), "left_semi")).isEmpty)
   }
 
+  test("unpruned-scan fires on a full-width read of a wide table, " +
+      "stays silent on a pruned projection (and shows the pushdown), " +
+      "and exempts narrow dimensions") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet") // 11 columns
+    val full = PlanAudit.auditUnprunedScans(li)
+    assert(full.nonEmpty && full.head.kind == PlanAudit.UnprunedScan, full)
+    // a projection + filter: the scan reads 2 columns and the predicate
+    // is pushed — clean, and the profile carries both facts
+    val pruned = li.select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 10)
+    assert(PlanAudit.auditUnprunedScans(pruned).isEmpty)
+    val prof = PlanAudit.scanProfiles(pruned)
+    assert(prof.size == 1 && prof.head.totalCols == 11 &&
+      prof.head.readCols.toSet == Set("l_orderkey", "l_quantity"), prof)
+    assert(prof.head.pushedFilters.exists(_.contains("l_quantity")), prof)
+    // a narrow dimension read whole IS the query, not a pruning failure
+    val region = spark.read.parquet(s"$sfDir/region.parquet") // 2 columns
+    assert(PlanAudit.auditUnprunedScans(region).isEmpty)
+  }
+
   test("PlanSignature counts the shape (exchange/agg/window), renders " +
       "canonically, and diff names exactly what moved") {
     import org.apache.spark.sql.expressions.Window

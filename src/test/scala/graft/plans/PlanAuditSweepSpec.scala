@@ -197,6 +197,49 @@ class PlanAuditSweepSpec extends SparkSpec {
     }
   }
 
+  /** query → reason its full-width scan IS the query: it genuinely
+    * consumes every column of a ≥5-wide table (a whole-row audit, a
+    * full-envelope decode), so there is nothing for Catalyst to prune.
+    * Everything else must show ReadSchema < file width — the brief's
+    * "a scan that reads all columns for a 2-column projection is
+    * wrong", enforced across the whole surface. */
+  private val scanAllow: Map[String, String] = Map.empty
+
+  test("every file scan across the surface prunes columns (ReadSchema " +
+      "< file width) unless the query reads the full row by design — " +
+      "the I/O half of the scale checklist, asserted plan-wide") {
+    var scansSeen = 0
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val findings =
+          try {
+            val df = fn(spark, sfDir)
+            scansSeen += PlanAudit.scanProfiles(df).size
+            PlanAudit.auditUnprunedScans(df)
+          } catch { case e: Throwable =>
+            Seq(PlanAudit.Finding("plan-error", e.getMessage.take(80))) }
+        findings.map(name -> _)
+    }
+    // positive control: the sweep must actually SEE the surface's scans
+    // (a walk that stopped matching FileSourceScanExec would pass
+    // vacuously); the 211 plans carry hundreds
+    assert(scansSeen >= 200,
+      s"only $scansSeen file scans visible across the surface — the " +
+        "scan walk lost the plans")
+    val offenders = flagged.filterNot { case (n, _) => scanAllow.contains(n) }
+      .map { case (n, f) => s"$n: [${f.kind}] ${f.detail}" }
+    assert(offenders.isEmpty,
+      "unpruned full-width scans (fix the projection or allowlist with " +
+        "the reason the query reads every column):\n" +
+        offenders.mkString("\n"))
+    // staleness: an allowlisted query whose scan now prunes sheds its
+    // entry instead of carrying a dead justification
+    val stale = scanAllow.keys.filterNot(flagged.map(_._1).toSet)
+      .toSeq.sorted
+    assert(stale.isEmpty,
+      s"stale scanAllow entries (scan now prunes): $stale")
+  }
+
   /** query → (reason, blowup cap, small-side cap) for joins whose
     * MEASURED output exceeds 4x the larger input by DESIGN. The caps
     * turn each justification into verified numbers on the fixture:
