@@ -207,16 +207,28 @@ object Main {
         f"[graft]   ${c.joinType} L=${c.leftRows} R=${c.rightRows} " +
           f"out=${c.outRows} (${c.blowup}%.2fx) on ${c.condition.take(60)}"
       }
+    // checkpointed inputs: what the query pins in executor-local
+    // storage (width x measured rows — wide corpus-scale pins are the
+    // q14b class)
+    val cMemo = scala.collection.mutable.Map.empty[Int, Long]
+    val pins = PlanAudit.checkpointProfiles(df, cMemo)
+    val pinLines =
+      if (pins.isEmpty) Seq("[graft]   (no checkpointed inputs)")
+      else pins.map(c => s"[graft]   ${c.cols.size} cols x ${c.rows} " +
+        s"rows pinned (${c.cols.mkString(",").take(70)})")
     // the sweep's own folds at their default thresholds, off the memos
     // already populated above
     val findings =
       (PlanAudit.auditSkewedWindowsByData(df, memo = wMemo) ++
-        PlanAudit.auditJoinExplosion(df, memo = jMemo))
+        PlanAudit.auditJoinExplosion(df, memo = jMemo) ++
+        PlanAudit.auditWideCheckpoints(df, memo = cMemo))
         .map(f => s"[graft] finding: [${f.kind}] ${f.detail}")
     Seq(s"[graft] measured audit $name",
       "[graft] windows (distinct partition keys vs input rows):") ++
       winLines ++
       Seq("[graft] joins (output vs inputs):") ++ joinLines ++
+      Seq("[graft] checkpoint pins (executor-local storage):") ++
+      pinLines ++
       (if (findings.isEmpty) Seq("[graft] measured audit: clean")
        else findings)
   }

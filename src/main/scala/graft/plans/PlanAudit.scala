@@ -260,6 +260,55 @@ object PlanAudit {
           f"(${c.blowup}%.1fx) on ${c.condition.take(60)}")
     }
 
+  val WideCheckpoint = "wide-checkpoint"
+
+  /** One eagerly-materialized input (a `localCheckpoint` — the plan
+    * shows it as a LogicalRDD leaf) pinned in executor-local storage:
+    * its schema and measured row count. A pin is the right tool for
+    * exactly two shapes, and this profile carries the number that
+    * tells them apart from the failure class:
+    *   - an aggregate/histogram-scale frame a query forks (sublinear
+    *     rows at any corpus size — the PrefixSum inputs), or
+    *   - an iterative loop's per-round state (corpus-scale rows by
+    *     design, so the WIDTH must be minimal — the CC/k-core/BPE
+    *     frontier, the standard lineage cut).
+    * A WIDE, corpus-scale pin that is neither (the pre-round-7 q14b:
+    * the full orders projection) holds table-size bytes in
+    * non-reliable storage and truncates lineage — a lost executor
+    * fails the job instead of recomputing a cheap re-scan. */
+  case class CheckpointProfile(cols: Seq[String], rows: Long)
+
+  /** Every checkpointed (LogicalRDD) input under `df`, with measured
+    * row counts (`memo` dedupes shared pins across a sweep by RDD id
+    * — one cheap count job each; the RDD is already materialized). */
+  def checkpointProfiles(df: DataFrame,
+      memo: scala.collection.mutable.Map[Int, Long] =
+        scala.collection.mutable.Map.empty): Seq[CheckpointProfile] = {
+    val buf = scala.collection.mutable.Buffer[CheckpointProfile]()
+    df.queryExecution.optimizedPlan.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        buf += CheckpointProfile(l.output.map(_.name),
+          memo.getOrElseUpdate(l.rdd.id, l.rdd.count()))
+      case _ =>
+    }
+    buf.toSeq
+  }
+
+  /** [[checkpointProfiles]] folded to findings: pins holding at least
+    * `minRows` rows AND more than `maxCols` columns — corpus-scale
+    * width-times-rows in executor-local storage. Run on a fixture;
+    * iterative frontiers stay under the width bar, histogram pins
+    * under the row bar, and the wide-snapshot failure class trips. */
+  def auditWideCheckpoints(df: DataFrame, minRows: Long = 500,
+      maxCols: Int = 4,
+      memo: scala.collection.mutable.Map[Int, Long] =
+        scala.collection.mutable.Map.empty): Seq[Finding] =
+    checkpointProfiles(df, memo).collect {
+      case c if c.rows >= minRows && c.cols.size > maxCols =>
+        Finding(WideCheckpoint, s"${c.cols.size} cols x ${c.rows} rows " +
+          s"pinned (${c.cols.mkString(",").take(80)})")
+    }
+
   val UnprunedScan = "unpruned-scan"
 
   /** Plan-time shape of one file scan: which columns actually reach

@@ -78,6 +78,10 @@ class AuditReportSpec extends SparkSpec {
       ".*L=\\d+ R=\\d+ out=\\d+ \\(\\d+\\.\\d+x\\).*"))
     assert(joinLine.nonEmpty, s"no measured join line in:\n" +
       lines.mkString("\n"))
+    // the checkpoint-pin section is always present (q06 pins nothing)
+    assert(lines.contains(
+      "[graft] checkpoint pins (executor-local storage):") &&
+      lines.contains("[graft]   (no checkpointed inputs)"), lines)
     assert(lines.last == "[graft] measured audit: clean", lines.last)
     // the fanout shape: 200x200 rows all on ONE key value
     import spark.implicits._

@@ -129,6 +129,36 @@ class PlanAuditSpec extends SparkSpec {
       fact.join(dim, Seq("k"), "left_semi")).isEmpty)
   }
 
+  test("wide-checkpoint fires on a wide corpus-scale localCheckpoint " +
+      "pin, stays silent on a narrow frontier pin and on a small " +
+      "histogram pin") {
+    // the q14b failure class: a 6-column corpus-scale projection pinned
+    // whole in executor-local storage (the fork it serves is a cheap
+    // re-scan)
+    val wide = spark.read.parquet(s"$sfDir/orders.parquet")
+      .localCheckpoint()
+    val found = PlanAudit.auditWideCheckpoints(wide)
+    assert(found.nonEmpty &&
+      found.head.kind == PlanAudit.WideCheckpoint, found)
+    assert(found.head.detail.contains("6 cols"), found.head.detail)
+    // a narrow iterative-frontier pin (2 columns, corpus-scale rows):
+    // the standard lineage cut, under the width bar
+    val frontier = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").localCheckpoint()
+    assert(PlanAudit.auditWideCheckpoints(frontier).isEmpty)
+    // a small aggregate pin (wide but tiny): under the row bar
+    val hist = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"), sum("o_totalprice").as("s"),
+        max("o_orderdate").as("d"))
+      .localCheckpoint()
+    assert(PlanAudit.auditWideCheckpoints(hist).isEmpty)
+    // profiles carry the measured numbers either way
+    val prof = PlanAudit.checkpointProfiles(frontier)
+    assert(prof.size == 1 && prof.head.cols.size == 2 &&
+      prof.head.rows > 1000, prof)
+  }
+
   test("unpruned-scan fires on a full-width read of a wide table, " +
       "stays silent on a pruned projection (and shows the pushdown), " +
       "and exempts narrow dimensions") {

@@ -197,6 +197,82 @@ class PlanAuditSweepSpec extends SparkSpec {
     }
   }
 
+  /** query → (reason, width cap, fixture row cap) for localCheckpoint
+    * pins that are corpus-scale AND wider than the 4-column frontier
+    * bar by DESIGN. The caps verify the axis each justification
+    * bounds: an envelope fork or derivation cache promises a fixed
+    * WIDTH (pinning exactly the columns every fork consumes — rows
+    * scale with the corpus, that's the point), a histogram pin
+    * promises bounded ROWS. Long.MaxValue marks the axis the
+    * justification does not rest on. The pre-round-7 q14b (the full
+    * orders projection pinned for a fork one cheap re-scan would
+    * serve) must NEVER appear here. */
+  private val pinAllow: Map[String, (String, Int, Long)] = Map(
+    "cdc1_decode" ->
+      (("single-parse fork of the decoded CDC envelope: every branch " +
+        "consumes these 7 columns, and the alternative is re-parsing " +
+        "JSON per branch (CPU-dominant at any scale)"), 7, Long.MaxValue),
+    "cdc4_mongo" ->
+      (("same single-parse envelope fork for the oplog decode (8 " +
+        "envelope columns incl. ns/db/collection routing)"), 8,
+        Long.MaxValue),
+    "cdc9_scd2_merge" ->
+      (("SCD2 maintain-vs-rebuild: the maintained dimension snapshot " +
+        "and the batch change set ARE the operator's state, each " +
+        "forked by the merge branches; width = the 6 SCD2 state " +
+        "columns"), 6, Long.MaxValue),
+    "q35d_mad" ->
+      (("the (event-type, squared-deviation) micro-unit histogram " +
+        "PrefixSum forks twice — value-domain rows, not corpus rows"),
+        5, 20000L),
+    "q26_mix" ->
+      (("narrow tokenization cache: 5 derived numeric/key columns " +
+        "pinned so the PrefixSum fork does not re-tokenize the corpus " +
+        "(text itself is dropped before the pin)"), 5, Long.MaxValue))
+
+  test("no query pins a WIDE corpus-scale frame in executor-local " +
+      "storage: every localCheckpoint (LogicalRDD) input across the " +
+      "surface is measured — width x rows — and a pin holding >=500 " +
+      "fixture rows across >4 columns fails unless allowlisted with " +
+      "the cap its justification bounds (the q14b full-projection " +
+      "class, caught by measurement)") {
+    val memo = scala.collection.mutable.Map.empty[Int, Long]
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val pins =
+          try PlanAudit.checkpointProfiles(fn(spark, sfDir), memo)
+          catch { case e: Throwable =>
+            Seq(PlanAudit.CheckpointProfile(
+              Seq(s"plan-error: ${e.getMessage.take(80)}"), Long.MaxValue))
+          }
+        pins.filter(c => c.rows >= 500 && c.cols.size > 4)
+          .map(name -> _)
+    }
+    val offenders = flagged.filterNot { case (name, c) =>
+      pinAllow.get(name).exists { case (_, colCap, rowCap) =>
+        c.cols.size <= colCap && c.rows <= rowCap }
+    }.map { case (name, c) =>
+      s"$name: ${c.cols.size} cols x ${c.rows} rows pinned " +
+        s"(${c.cols.mkString(",").take(80)})" +
+        pinAllow.get(name).map { case (_, cc, rc) =>
+          s" — allowlisted but past its caps (cols<=$cc, rows<=$rc)"
+        }.getOrElse("")
+    }
+    assert(offenders.isEmpty,
+      "wide corpus-scale checkpoint pins (narrow the pin to the " +
+        "columns the fork consumes, or allowlist with the bounded " +
+        "axis):\n" + offenders.mkString("\n"))
+    // staleness: a narrowed pin sheds its entry
+    val flaggedNames = flagged.map(_._1).toSet
+    val stale = pinAllow.keys.filterNot(flaggedNames).toSeq.sorted
+    assert(stale.isEmpty,
+      s"stale pinAllow entries (pin now narrow or small): $stale")
+    // negative control: q14b's fix (pin only the histogram, re-scan
+    // the row side) is the origin of this lint and must hold
+    assert(!flaggedNames.contains("q14b_distribution"),
+      flagged.filter(_._1 == "q14b_distribution").toString)
+  }
+
   /** query → reason its full-width scan IS the query: it genuinely
     * consumes every column of a ≥5-wide table (a whole-row audit, a
     * full-envelope decode), so there is nothing for Catalyst to prune.
