@@ -271,6 +271,7 @@ object Main {
   private[cli] def auditReport(df: org.apache.spark.sql.DataFrame,
       lowCard: Set[String] = Set.empty): Seq[String] = {
     val findings = graft.plans.PlanAudit.audit(df) ++
+      graft.plans.StreamAudit.audit(df) ++ // no-op on batch frames
       (if (lowCard.nonEmpty)
         graft.plans.PlanAudit.auditSkewedWindows(df, lowCard)
        else Nil)
