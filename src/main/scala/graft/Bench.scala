@@ -259,6 +259,26 @@ object Bench {
     //      (warnings capped above), guaranteed inside any tail window;
     //   3. the whole report as one file (bench_full.json) for readers
     //      with file access — the untruncatable record.
+    // SELF-REPORTED residual regressions: queries whose FOLDED min
+    // (after every re-audit and requeue above) still exceeds the prior
+    // official record by >1.5x. Two readings, both worth surfacing in
+    // the record itself: a genuine regression the round introduced, or
+    // the second host-noise mode — a SUSTAINED (40+ min) window where
+    // only string/JSON-parse-heavy queries run 2.4-3.5x slow while
+    // scans/joins sit at record, so in-window re-measures "confirm"
+    // the slow number and no re-audit can fold it (observed round 7:
+    // cdc2_routing 0.999 -> 3.5-3.7 across three isolated runs on
+    // UNCHANGED code, back-to-record in the next window). Either way
+    // the reader of BENCH_r0x should not have to diff records to see
+    // the block that moved.
+    val regressedVsRecord = results.collect {
+      case (name, v) if v > 0.3 &&
+        priorMins.get(name).exists(prev => v > prev * 1.5) => name
+    }.sorted
+    val regJson = (regressedVsRecord.take(8).map("\"" + _ + "\"") ++
+      (if (regressedVsRecord.size > 8)
+        Seq("\"+" + (regressedVsRecord.size - 8) + " more\"")
+       else Nil)).mkString("[", ",", "]")
     val sorted = results.sortBy(_._1)
     val chunks = sorted.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -266,7 +286,7 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson}"""
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
@@ -282,7 +302,7 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"queries":$allQs}""" + "\n")
+      (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"queries":$allQs}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: $e")
