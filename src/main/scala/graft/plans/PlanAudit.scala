@@ -71,6 +71,9 @@ object PlanAudit {
           buf += Finding(ScalaUdf, s"typed Aggregator in ${n.nodeName}")
         case _ =>
       })
+      // subquery plans (scalar subqueries, DPP SubqueryBroadcast) are
+      // separate trees hanging off expressions — audit them too
+      n.subqueries.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
     buf.toSeq
@@ -336,19 +339,26 @@ object PlanAudit {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec => walk(s.plan)
       case f: FileSourceScanExec =>
-        // metadata("PushedFilters") is the same "[IsNotNull(x), ...]"
-        // string .explain prints (the typed field is protected)
-        val pushed = f.metadata.get("PushedFilters").toSeq
-          .flatMap(s => Option(s.stripPrefix("[").stripSuffix("]"))
-            .filter(_.nonEmpty))
-        buf += ScanProfile(
-          f.relation.location.rootPaths.headOption
-            .map(_.getName).getOrElse("<unknown>"),
-          f.requiredSchema.fieldNames.toSeq,
-          f.relation.dataSchema.size,
-          pushed,
-          f.partitionFilters.map(_.sql))
-      case other => other.children.foreach(walk)
+        walkScan(f)
+      case other =>
+        // descend into subquery plans too: a scalar subquery or a DPP
+        // SubqueryBroadcast carries its own scan, invisible to a
+        // children-only walk
+        (other.children ++ other.subqueries).foreach(walk)
+    }
+    def walkScan(f: FileSourceScanExec): Unit = {
+      // metadata("PushedFilters") is the same "[IsNotNull(x), ...]"
+      // string .explain prints (the typed field is protected)
+      val pushed = f.metadata.get("PushedFilters").toSeq
+        .flatMap(s => Option(s.stripPrefix("[").stripSuffix("]"))
+          .filter(_.nonEmpty))
+      buf += ScanProfile(
+        f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("<unknown>"),
+        f.requiredSchema.fieldNames.toSeq,
+        f.relation.dataSchema.size,
+        pushed,
+        f.partitionFilters.map(_.sql))
     }
     walk(df.queryExecution.executedPlan)
     buf.toSeq
