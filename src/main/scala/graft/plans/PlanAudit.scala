@@ -310,7 +310,7 @@ object PlanAudit {
       case c if c.rows >= minRows && c.cols.size > maxCols =>
         Finding(WideCheckpoint, s"${c.cols.size} cols x ${c.rows} rows " +
           s"pinned (${c.cols.mkString(",").take(80)})")
-    }
+    }.distinct // a forked pin appears once per plan occurrence
 
   val UnprunedScan = "unpruned-scan"
 
