@@ -12,6 +12,8 @@ import graft.streaming.{AttributionStream, EventStreams, FunnelStream}
 case class AuditEv(ts: Timestamp, event_type: String, user_id: Long,
     event_id: Long, value: Double)
 
+case class BinlogLine(backend: String, seq: Long, line: String)
+
 /** StreamAudit — each detector fires on a deliberately leaky streaming
   * plan and stays silent on the watermarked equivalent, then the
   * repo's own streaming builders are swept: every stateful operator
@@ -75,7 +77,14 @@ class StreamAuditSpec extends SparkSpec {
         "the user's lifetime, RocksDB-backed off-heap")),
     "s12_attribution" -> ((Set(StreamAudit.NoStateTimeout),
       "one fixed-size LastTouch row per user — the last-touch model " +
-        "needs the latest click regardless of age, RocksDB-backed")))
+        "needs the latest click regardless of age, RocksDB-backed")),
+    "cdc_tx_assembly" -> ((Set(StreamAudit.NoStateTimeout),
+      "state keyed by BACKEND (one per configured source); the per-key " +
+        "buffer holds OPEN transactions only and state.remove() fires " +
+        "at commit — size tracks in-flight txs, not stream lifetime")),
+    "cdc_binlog_carry" -> ((Set(StreamAudit.NoStateTimeout),
+      "state keyed by backend; one tablemap row per table — bounded by " +
+        "the schema count, not the stream")))
 
   test("the repo's own streaming surface is StreamAudit-clean modulo " +
       "the justified allowlist: every stateful operator carries an " +
@@ -97,7 +106,19 @@ class StreamAuditSpec extends SparkSpec {
         (() => FunnelStream.stageProgress(events).toDF()),
       "s11_leaderboard" -> (() => EventStreams.liveLeaderboard(events, 3)),
       "s12_attribution" ->
-        (() => AttributionStream.attributed(events).toDF()))
+        (() => AttributionStream.attributed(events).toDF()),
+      // the CDC streaming cores keep *GroupsWithState state too —
+      // swept with the same discipline as the S surface
+      "cdc_tx_assembly" -> (() => {
+        implicit val sqlCtx = spark.sqlContext
+        graft.streaming.TxAssembly.assemble(
+          MemoryStream[graft.cdc.CdcEvent].toDS()).toDF()
+      }),
+      "cdc_binlog_carry" -> (() => {
+        implicit val sqlCtx = spark.sqlContext
+        graft.streaming.BinlogStream.envelopes(
+          MemoryStream[BinlogLine].toDF(), Nil)
+      }))
     val offenders = builders.flatMap { case (name, mk) =>
       val found =
         try StreamAudit.audit(mk())
