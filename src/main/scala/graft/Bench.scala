@@ -154,7 +154,11 @@ object Bench {
         val p = java.nio.file.Paths.get("bench_full.json")
         if (!java.nio.file.Files.exists(p)) Map.empty
         else BenchRecord.priorQueries(
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir,
+          // basis guard: a record measured on a different thread count
+          // must neither drive regression flags nor be carried into
+          // this run's merge (priorMins feeds both)
+          Some(cpus.toInt))
       } catch { case _: Throwable => Map.empty }
     val slowest10 = raw.filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
       .map(_._1)

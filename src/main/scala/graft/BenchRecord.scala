@@ -27,15 +27,28 @@ object BenchRecord {
   import org.json4s._
 
   /** Per-query minima from a prior record, iff it was measured at
-    * `sfDir`; empty on any mismatch, absence, or parse failure. */
-  def priorQueries(json: String, sfDir: String): Map[String, Double] =
+    * `sfDir` AND on the same thread basis; empty on any mismatch,
+    * absence, or parse failure. The cpus check has the same rationale
+    * as the sf check: a 4-thread record compared against a 32-thread
+    * run (or vice versa) flags every parallelism-sensitive query as a
+    * phantom regression — the round-7 "parse-heavy noise window" was
+    * exactly a basis mismatch. A record with NO cpus field (written
+    * before round 7) matches any basis — compared leniently rather
+    * than discarding the whole history. */
+  def priorQueries(json: String, sfDir: String,
+      cpus: Option[Int] = None): Map[String, Double] =
     try {
       val ast = org.json4s.jackson.JsonMethods.parse(json)
       val sameSf = (ast \ "sf") match {
         case JString(s) => s == sfDir
         case _          => false
       }
-      if (!sameSf) Map.empty
+      val sameCpus = (ast \ "cpus", cpus) match {
+        case (JInt(rec), Some(run))    => rec.toInt == run
+        case (JDouble(rec), Some(run)) => rec.toInt == run
+        case _                         => true // either side unknown
+      }
+      if (!sameSf || !sameCpus) Map.empty
       else (ast \ "queries") match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v))  => k -> v

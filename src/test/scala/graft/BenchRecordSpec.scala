@@ -31,6 +31,24 @@ class BenchRecordSpec extends AnyFunSuite {
       """{"sf":"/data/sf0.1","value":1}""", "/data/sf0.1").isEmpty)
   }
 
+  test("priorQueries is empty on a thread-basis mismatch, matches on " +
+      "the same basis, and is lenient when either side is unknown — a " +
+      "4-thread run against a 32-thread record flags every " +
+      "parallelism-sensitive query as a phantom regression (the " +
+      "round-7 'parse-heavy noise window' was exactly this)") {
+    val rec32 =
+      """{"sf":"/data/sf0.1","cpus":32,"queries":{"q1":1.0}}"""
+    assert(BenchRecord.priorQueries(rec32, "/data/sf0.1", Some(4)).isEmpty)
+    assert(BenchRecord.priorQueries(rec32, "/data/sf0.1", Some(32)) ==
+      Map("q1" -> 1.0))
+    // pre-round-7 record (no cpus field): compared leniently
+    assert(BenchRecord.priorQueries(rec, "/data/sf0.1", Some(32)) ==
+      Map("q1" -> 1.0, "q2" -> 2.0))
+    // caller doesn't know its basis: lenient too
+    assert(BenchRecord.priorQueries(rec32, "/data/sf0.1") ==
+      Map("q1" -> 1.0))
+  }
+
   test("priorQueries reads integral times too (hand-edited records)") {
     assert(BenchRecord.priorQueries(
       """{"sf":"/data/sf0.1","queries":{"q1":2}}""", "/data/sf0.1") ==
