@@ -164,7 +164,10 @@ object Bench {
       .map(_._1)
     val regressed = raw.collect {
       case (name, ts) if ts.nonEmpty && ts.min > 0.3 &&
-        priorMins.get(name).exists(prev => ts.min > prev * 1.5) => name
+        // prev > 0: a carried -1 failure sentinel must not mark a
+        // now-healthy query as regressed (any v > -1.5 is true)
+        priorMins.get(name).exists(prev =>
+          prev > 0 && ts.min > prev * 1.5) => name
     }
     val reauditMins: Map[String, Double] =
       (slowest10 ++ regressed).distinct
@@ -250,13 +253,12 @@ object Bench {
     // cap the embedded names: on a fully contended box most of the ~100
     // queries can trip the tripwire, and an unbounded list would push
     // the metric line past the very tail window the split exists for
-    val warnJson = (suspect.take(8).map("\"" + _ + "\"") ++
-      (if (suspect.size > 8) Seq("\"+" + (suspect.size - 8) + " more\"")
-       else Nil)).mkString("[", ",", "]")
-    val noiseJson = (noiseSuspects.take(8).map("\"" + _ + "\"") ++
-      (if (noiseSuspects.size > 8)
-        Seq("\"+" + (noiseSuspects.size - 8) + " more\"")
-       else Nil)).mkString("[", ",", "]")
+    def cappedJson(names: Seq[String]): String =
+      (names.take(8).map("\"" + _ + "\"") ++
+        (if (names.size > 8) Seq("\"+" + (names.size - 8) + " more\"")
+         else Nil)).mkString("[", ",", "]")
+    val warnJson = cappedJson(suspect)
+    val noiseJson = cappedJson(noiseSuspects)
     // The round driver stores the LAST 2000 chars of output
     // (BENCH_r0x.json "tail") and parses lines as JSON — two things
     // defeated that for four rounds: a single ~4KB per-query line whose
@@ -272,24 +274,18 @@ object Bench {
     //      with file access — the untruncatable record.
     // SELF-REPORTED residual regressions: queries whose FOLDED min
     // (after every re-audit and requeue above) still exceeds the prior
-    // official record by >1.5x. Two readings, both worth surfacing in
-    // the record itself: a genuine regression the round introduced, or
-    // the second host-noise mode — a SUSTAINED (40+ min) window where
-    // only string/JSON-parse-heavy queries run 2.4-3.5x slow while
-    // scans/joins sit at record, so in-window re-measures "confirm"
-    // the slow number and no re-audit can fold it (observed round 7:
-    // cdc2_routing 0.999 -> 3.5-3.7 across three isolated runs on
-    // UNCHANGED code, back-to-record in the next window). Either way
-    // the reader of BENCH_r0x should not have to diff records to see
-    // the block that moved.
+    // official record by >1.5x. Either a genuine regression the round
+    // introduced, or an environment shift the re-audit cannot fold
+    // (round 7's was a thread-basis mismatch — local[4] vs the
+    // record's local[32] — which is why priorQueries now guards on
+    // cpus); either way the reader of BENCH_r0x should not have to
+    // diff records to see the block that moved.
     val regressedVsRecord = results.collect {
       case (name, v) if v > 0.3 &&
-        priorMins.get(name).exists(prev => v > prev * 1.5) => name
+        priorMins.get(name).exists(prev =>
+          prev > 0 && v > prev * 1.5) => name
     }.sorted
-    val regJson = (regressedVsRecord.take(8).map("\"" + _ + "\"") ++
-      (if (regressedVsRecord.size > 8)
-        Seq("\"+" + (regressedVsRecord.size - 8) + " more\"")
-       else Nil)).mkString("[", ",", "]")
+    val regJson = cappedJson(regressedVsRecord)
     val sorted = results.sortBy(_._1)
     val chunks = sorted.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -311,12 +307,27 @@ object Bench {
     val mergedTotal = merged.collect { case (_, v) if v >= 0 => v }.sum
     val allQs = merged.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"queries":$allQs}""" + "\n")
-        .getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: $e")
+    // CLOBBER GUARD: when a prior record exists but yields no carryable
+    // entries (different sf, different thread basis, parse failure), a
+    // SUBSET run must not replace the full record with its handful of
+    // queries — that is exactly the blind-record failure BenchRecord's
+    // scaladoc documents. Only a FULL run may establish a record on a
+    // new basis; a mismatched subset run keeps the file untouched.
+    val fullRun = only.isEmpty
+    val priorFileExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get("bench_full.json"))
+    if (fullRun || priorMins.nonEmpty || !priorFileExists) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"queries":$allQs}""" + "\n")
+          .getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_full.json write failed: $e")
+      }
+    } else {
+      System.err.println("[bench] bench_full.json NOT updated: prior " +
+        "record is for a different sf/cpus basis and this was a subset " +
+        "run — run the full sweep to establish a record on this basis")
     }
     println(metricLine)
     spark.stop()

@@ -152,8 +152,8 @@ object PlanAudit {
     * verified (see PlanAuditSweepSpec). */
   def windowCardinalities(df: DataFrame,
       memo: scala.collection.mutable.Map[(logical.LogicalPlan, Seq[String]),
-        (Long, Long)] = scala.collection.mutable.Map.empty)
-      : Seq[WindowCardinality] = {
+        (Long, Long)] = scala.collection.mutable.Map.empty,
+      measureExempt: Boolean = true): Seq[WindowCardinality] = {
     val spark = df.sparkSession
     val buf = scala.collection.mutable.Buffer[WindowCardinality]()
     df.queryExecution.optimizedPlan.foreach {
@@ -162,16 +162,24 @@ object PlanAudit {
         val exempt =
           keyNames.exists(k => k == "_b" || k == "_sb") ||
             w.child.output.exists(a => a.name == "_bsum" || a.name == "_bmin")
-        val memoKey = (w.child.canonicalized,
-          w.partitionSpec.map(_.canonicalized.toString))
-        val (n, k) = memo.getOrElseUpdate(memoKey, {
-          val keyCols = w.partitionSpec.map(GraftColumnBridge.column)
-          val r = GraftColumnBridge.ofRows(spark, w.child)
-            .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
-            .head()
-          (r.getLong(0), r.getLong(1))
-        })
-        buf += WindowCardinality(keyNames, n, k, exempt)
+        // exempt prefix-family carry windows are dropped by every
+        // finding fold — callers that only fold (the sweeps) skip the
+        // count job entirely with measureExempt = false; display
+        // callers (the CLI report) keep the measured numbers
+        if (exempt && !measureExempt)
+          buf += WindowCardinality(keyNames, -1, -1, exempt = true)
+        else {
+          val memoKey = (w.child.canonicalized,
+            w.partitionSpec.map(_.canonicalized.toString))
+          val (n, k) = memo.getOrElseUpdate(memoKey, {
+            val keyCols = w.partitionSpec.map(GraftColumnBridge.column)
+            val r = GraftColumnBridge.ofRows(spark, w.child)
+              .agg(count(lit(1)), count_distinct(struct(keyCols: _*)))
+              .head()
+            (r.getLong(0), r.getLong(1))
+          })
+          buf += WindowCardinality(keyNames, n, k, exempt)
+        }
       case _ =>
     }
     buf.toSeq
@@ -191,7 +199,7 @@ object PlanAudit {
       memo: scala.collection.mutable.Map[(logical.LogicalPlan, Seq[String]),
         (Long, Long)] = scala.collection.mutable.Map.empty)
       : Seq[Finding] =
-    windowCardinalities(df, memo).collect {
+    windowCardinalities(df, memo, measureExempt = false).collect {
       case c if !c.exempt && c.inputRows >= minRows &&
           c.distinctKeys <= maxKeys && c.ratioPct < maxPct =>
         Finding(SkewedWindow, f"keys=${c.keys.mkString(",")} " +
@@ -340,6 +348,9 @@ object PlanAudit {
       case s: QueryStageExec => walk(s.plan)
       case f: FileSourceScanExec =>
         walkScan(f)
+        // a DPP / runtime-filter subquery hangs off the scan's OWN
+        // partitionFilters — the dimension scan inside it is a scan too
+        f.subqueries.foreach(walk)
       case other =>
         // descend into subquery plans too: a scalar subquery or a DPP
         // SubqueryBroadcast carries its own scan, invisible to a

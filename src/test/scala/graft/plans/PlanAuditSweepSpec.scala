@@ -140,7 +140,8 @@ class PlanAuditSweepSpec extends SparkSpec {
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val cards =
-          try PlanAudit.windowCardinalities(fn(spark, sfDir), memo)
+          try PlanAudit.windowCardinalities(fn(spark, sfDir), memo,
+            measureExempt = false)
           catch { case e: Throwable =>
             Seq(PlanAudit.WindowCardinality(
               Seq(s"plan-error: ${e.getMessage.take(80)}"), Long.MaxValue,
@@ -171,7 +172,8 @@ class PlanAuditSweepSpec extends SparkSpec {
     val capBreaches = cardAllow.toSeq.sortBy(_._1).flatMap {
       case (name, (reason, cap)) =>
         val bounded = PlanAudit
-          .windowCardinalities(SparkEntry.queries(name)(spark, sfDir), memo)
+          .windowCardinalities(SparkEntry.queries(name)(spark, sfDir), memo,
+            measureExempt = false)
           .filter(c => !c.exempt && c.distinctKeys <= 64)
         if (bounded.isEmpty)
           Seq(s"$name: stale cardAllow entry — no bounded-key window " +
@@ -242,8 +244,11 @@ class PlanAuditSweepSpec extends SparkSpec {
         val pins =
           try PlanAudit.checkpointProfiles(fn(spark, sfDir), memo)
           catch { case e: Throwable =>
+            // sentinel must TRIP the flag filter below (>4 cols,
+            // >=500 rows), or a plan-time error silently vanishes
             Seq(PlanAudit.CheckpointProfile(
-              Seq(s"plan-error: ${e.getMessage.take(80)}"), Long.MaxValue))
+              s"plan-error: ${e.getMessage.take(80)}" +:
+                Seq.fill(4)("plan-error"), Long.MaxValue))
           }
         pins.filter(c => c.rows >= 500 && c.cols.size > 4)
           .map(name -> _)
@@ -362,8 +367,10 @@ class PlanAuditSweepSpec extends SparkSpec {
         val cards =
           try PlanAudit.joinCardinalities(fn(spark, sfDir), memo)
           catch { case e: Throwable =>
+            // leftRows=1 so blowup = MaxValue and the flag filter
+            // below trips — a plan-time error must surface, not vanish
             Seq(PlanAudit.JoinCardinality("plan-error",
-              e.getMessage.take(80), 0, 0, Long.MaxValue)) }
+              e.getMessage.take(80), 1, 0, Long.MaxValue)) }
         cards.collect {
           case c if c.outRows >= 1000 && c.blowup > 4.0 => (name, c)
         }
