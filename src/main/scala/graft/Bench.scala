@@ -169,31 +169,25 @@ object Bench {
         priorMins.get(name).exists(prev =>
           prev > 0 && ts.min > prev * 1.5) => name
     }
+    def isolatedSamples(name: String, n: Int = 2): Seq[Double] = {
+      val fn = selected(name)
+      (0 until n).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+        finally dropPinnedRdds()
+      }
+    }
     val reauditMins: Map[String, Double] =
       (slowest10 ++ regressed).distinct
       .flatMap { name =>
-        val fn = selected(name)
-        val ts = (0 until 2).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
-          finally dropPinnedRdds()
-        }
+        val ts = isolatedSamples(name)
         if (ts.isEmpty) None else Some(name -> ts.min)
       }.toMap
     val audited = raw.map { case (name, ts) =>
       (name, ts ++ reauditMins.get(name).toSeq)
-    }
-    // the official record's noise ledger: queries whose ENTIRE in-sweep
-    // sampling window the later isolated re-measure beat by >1.5x —
-    // their recorded min IS the re-measure (folded above); the flag
-    // says the sweep-time number was a noise window, so round-over-
-    // round diffs should trust the min, not the sweep.
-    val noiseSuspects = raw.collect {
-      case (name, ts) if ts.nonEmpty &&
-        reauditMins.get(name).exists(re => ts.min > re * 1.5) => name
     }
     // contention tripwire: a >10x min/max spread on a non-trivial query
     // means some runs were starved. Instead of merely FLAGGING (r04
@@ -212,15 +206,7 @@ object Bench {
       if (!spreadSuspect(ts)) (name, ts)
       else {
         settleTo(math.min(4.0, cpus.toDouble), settleCap)
-        val fn = selected(name)
-        val fresh = (0 until 2).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
-          finally dropPinnedRdds()
-        }
+        val fresh = isolatedSamples(name)
         if (fresh.isEmpty) (name, ts) else (name, fresh :+ ts.min)
       }
     }
@@ -231,10 +217,58 @@ object Bench {
     // same multi-minute noise window. A longer settle + the retry
     // happening strictly last makes n_contended=0 the steady state; a
     // genuinely contended box still fails both passes and keeps the flag.
-    val requeued =
+    val requeued0 =
       if (!requeued1.exists(t => spreadSuspect(t._2))) requeued1
       else requeuePass(requeued1, 150)
+    // STRICTLY-LAST confirmation retry for regressions: the immediate
+    // re-audit above runs right after the sweep, so when the sweep's
+    // tail sat inside one of this box's multi-minute noise windows the
+    // re-measure landed in the SAME window and "confirmed" the wrong
+    // number (round 7: q33_lateral shipped 3.833s with an isolated
+    // truth of 0.399s, and the record merge then RAISED the clean
+    // record 144.3s → 167.75s on untouched code). Every query whose
+    // folded min still exceeds the prior record by >1.5x gets the same
+    // treatment the contention requeue already has — a long settle
+    // (150s cap, minutes after the sweep) and fresh isolated samples,
+    // taken after everything else so a sweep-time window has passed.
+    // Queries the retry folds back to the record were noise; queries
+    // still slow are CONFIRMED regressions and only they may raise the
+    // record min (BenchRecord.mergedQueries' confirmedSlower).
+    def regressedIn(rs: Seq[(String, Seq[Double])]): Seq[String] =
+      rs.collect {
+        case (name, ts) if ts.nonEmpty && ts.min > 0.3 &&
+          priorMins.get(name).exists(prev =>
+            prev > 0 && ts.min > prev * 1.5) => name
+      }
+    val stillRegressed = regressedIn(requeued0)
+    val requeued =
+      if (stillRegressed.isEmpty) requeued0
+      else {
+        settleTo(math.min(4.0, cpus.toDouble), 150)
+        val lateMins = stillRegressed.sorted.flatMap { name =>
+          val ts = isolatedSamples(name)
+          if (ts.isEmpty) None else Some(name -> ts.min)
+        }.toMap
+        requeued0.map { case (name, ts) =>
+          (name, ts ++ lateMins.get(name).toSeq)
+        }
+      }
+    // confirmed = still >1.5x over the record AFTER the strictly-last
+    // isolated retry (or never flagged because no prior existed)
+    val confirmedSlower = regressedIn(requeued).toSet
     val loadAfter = loadavg()
+    // the official record's noise ledger: queries whose ENTIRE in-sweep
+    // sampling window a later isolated re-measure (immediate re-audit,
+    // contention requeue, or the strictly-last confirmation retry) beat
+    // by >1.5x — their recorded min IS the re-measure (folded above);
+    // the flag says the sweep-time number was a noise window, so
+    // round-over-round diffs should trust the min, not the sweep.
+    val sweepMins = raw.collect {
+      case (name, ts) if ts.nonEmpty => name -> ts.min }.toMap
+    val noiseSuspects = requeued.collect {
+      case (name, ts) if ts.nonEmpty &&
+        sweepMins.get(name).exists(sw => sw > ts.min * 1.5) => name
+    }
     val suspect = requeued.collect {
       case (name, ts) if spreadSuspect(ts) =>
         System.err.println(f"[bench] WARN $name spread ${ts.max / ts.min}%.1fx " +
@@ -272,20 +306,28 @@ object Bench {
     //      (warnings capped above), guaranteed inside any tail window;
     //   3. the whole report as one file (bench_full.json) for readers
     //      with file access — the untruncatable record.
-    // SELF-REPORTED residual regressions: queries whose FOLDED min
-    // (after every re-audit and requeue above) still exceeds the prior
-    // official record by >1.5x. Either a genuine regression the round
-    // introduced, or an environment shift the re-audit cannot fold
-    // (round 7's was a thread-basis mismatch — local[4] vs the
-    // record's local[32] — which is why priorQueries now guards on
-    // cpus); either way the reader of BENCH_r0x should not have to
-    // diff records to see the block that moved.
-    val regressedVsRecord = results.collect {
-      case (name, v) if v > 0.3 &&
-        priorMins.get(name).exists(prev =>
-          prev > 0 && v > prev * 1.5) => name
-    }.sorted
+    // SELF-REPORTED residual regressions: queries whose folded min
+    // still exceeds the prior official record by >1.5x AFTER the
+    // strictly-last settled isolated retry — i.e. CONFIRMED, either a
+    // genuine regression the round introduced or an environment shift
+    // no re-measure can fold (round 7's was a thread-basis mismatch —
+    // local[4] vs the record's local[32] — which is why priorQueries
+    // guards on cpus). Only these may raise the record merge's minima.
+    val regressedVsRecord = confirmedSlower.toSeq.sorted
     val regJson = cappedJson(regressedVsRecord)
+    // recorded-vs-swept ratios for the flagged queries, inline: a
+    // reader of BENCH_r0x alone can size the noise (or the regression)
+    // without diffing bench_full.json from git. final = the folded min
+    // that ships; sweep = the raw in-sweep min it replaced or confirmed.
+    val ratioJson = {
+      val flagged = (noiseSuspects ++ regressedVsRecord).distinct.sorted
+      flagged.take(8).map { name =>
+        val fin = results.toMap.getOrElse(name, -1.0)
+        val sw = sweepMins.getOrElse(name, fin)
+        val prev = priorMins.getOrElse(name, -1.0)
+        s""""$name":{"sweep":${f3(sw)},"final":${f3(fin)},"record":${f3(prev)}}"""
+      }.mkString("{", ",", "}")
+    }
     val sorted = results.sortBy(_._1)
     val chunks = sorted.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -293,16 +335,20 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson}"""
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
     // self-consistent; stdout's metric line above stays this-run-only
     // because that is what the round driver records.
     // carry only CURRENT-inventory queries forward: a renamed/retired
-    // query must not keep a ghost entry in the record forever
+    // query must not keep a ghost entry in the record forever. Slower
+    // values only raise a record min when CONFIRMED by the strictly-
+    // last isolated retry (see above) — a dirty sweep keeps the clean
+    // prior min and ships the noise flag instead.
     val merged = BenchRecord.mergedQueries(
-      priorMins.filter(kv => SparkEntry.queries.contains(kv._1)), sorted)
+      priorMins.filter(kv => SparkEntry.queries.contains(kv._1)), sorted,
+      confirmedSlower)
     val nCarried = merged.size - sorted.size
     val mergedTotal = merged.collect { case (_, v) if v >= 0 => v }.sum
     val allQs = merged.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -319,7 +365,7 @@ object Bench {
     if (fullRun || priorMins.nonEmpty || !priorFileExists) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"queries":$allQs}""" + "\n")
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"flagged_ratios":$ratioJson,"queries":$allQs}""" + "\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: $e")

@@ -1,7 +1,7 @@
 package graft
 
 /** The on-disk full bench record (`bench_full.json`) as a tiny pure
-  * API, split out of [[Bench]] so its two invariants are unit-testable
+  * API, split out of [[Bench]] so its invariants are unit-testable
   * without running a sweep:
   *
   *   1. READ — `priorQueries` only yields a comparison map when the
@@ -16,12 +16,18 @@ package graft
   *      regression-aware noise folding ran blind — exactly how the
   *      round-7 record shipped a 3.9x-inflated cdc block (cdc2 0.92s
   *      recorded as 3.52s) with `n_noise_folded: 0`.
+  *   3. WRITE, slower side — a SLOWER value may only replace a query's
+  *      record min when the caller CONFIRMED it (the strictly-last
+  *      isolated retry still measured slow — a genuine regression);
+  *      an unconfirmed slower value keeps the prior min. Before this,
+  *      "a query measured this run always wins" let one dirty full
+  *      sweep RAISE the clean record on untouched code (round 7:
+  *      144.3s → 167.75s — q33_lateral swept 3.833s against an
+  *      isolated truth of 0.399s).
   *
-  * A query measured THIS run always wins (even when slower — a real
-  * regression must be able to raise the record); a query that failed
-  * every sample this run records its -1 sentinel over any prior value
-  * (a query that stopped running must not keep a healthy-looking
-  * number).
+  * A query that failed every sample this run records its -1 sentinel
+  * over any prior value (a query that stopped running must not keep a
+  * healthy-looking number).
   */
 object BenchRecord {
   import org.json4s._
@@ -32,9 +38,12 @@ object BenchRecord {
     * as the sf check: a 4-thread record compared against a 32-thread
     * run (or vice versa) flags every parallelism-sensitive query as a
     * phantom regression — the round-7 "parse-heavy noise window" was
-    * exactly a basis mismatch. A record with NO cpus field (written
-    * before round 7) matches any basis — compared leniently rather
-    * than discarding the whole history. */
+    * exactly a basis mismatch. A record with NO cpus field is a
+    * MISMATCH when the caller knows its own basis (a legacy record's
+    * basis is unknowable, and comparing leniently would re-admit the
+    * exact phantom-regression class the guard exists to stop — one
+    * full run re-establishes the record on the stated basis); leniency
+    * only applies when the caller's basis is itself unknown. */
   def priorQueries(json: String, sfDir: String,
       cpus: Option[Int] = None): Map[String, Double] =
     try {
@@ -46,7 +55,8 @@ object BenchRecord {
       val sameCpus = (ast \ "cpus", cpus) match {
         case (JInt(rec), Some(run))    => rec.toInt == run
         case (JDouble(rec), Some(run)) => rec.toInt == run
-        case _                         => true // either side unknown
+        case (_, None)                 => true // caller's basis unknown
+        case _                         => false // record's basis unknown
       }
       if (!sameSf || !sameCpus) Map.empty
       else (ast \ "queries") match {
@@ -60,8 +70,21 @@ object BenchRecord {
     } catch { case _: Throwable => Map.empty }
 
   /** The record to persist: prior same-sf entries overlaid with this
-    * run's results, sorted by query name. */
+    * run's results, sorted by query name. Faster values and failure
+    * sentinels always win; a SLOWER value only replaces the prior min
+    * when its query is in `confirmedSlower` (the caller's strictly-
+    * last isolated retry reproduced the slow number — see the object
+    * scaladoc for why an unconfirmed slow sweep must not raise the
+    * record). */
   def mergedQueries(prior: Map[String, Double],
-      current: Seq[(String, Double)]): Seq[(String, Double)] =
-    (prior ++ current).toSeq.sortBy(_._1)
+      current: Seq[(String, Double)],
+      confirmedSlower: Set[String] = Set.empty): Seq[(String, Double)] = {
+    val folded = current.map { case (name, v) =>
+      name -> (prior.get(name) match {
+        case Some(p) if p > 0 && v > p && !confirmedSlower(name) => p
+        case _ => v
+      })
+    }
+    (prior ++ folded).toSeq.sortBy(_._1)
+  }
 }

@@ -359,10 +359,13 @@ object PlanAudit {
     }
     def walkScan(f: FileSourceScanExec): Unit = {
       // metadata("PushedFilters") is the same "[IsNotNull(x), ...]"
-      // string .explain prints (the typed field is protected)
+      // string .explain prints (the typed field is protected) — split
+      // into one element PER FILTER at bracket depth 0, so consumers
+      // counting or rendering per-filter aren't handed one
+      // comma-joined blob (nested commas, e.g. In(c, [1,2]) or
+      // Or(a, b), stay inside their filter)
       val pushed = f.metadata.get("PushedFilters").toSeq
-        .flatMap(s => Option(s.stripPrefix("[").stripSuffix("]"))
-          .filter(_.nonEmpty))
+        .flatMap(s => splitTopLevel(s.stripPrefix("[").stripSuffix("]")))
       buf += ScanProfile(
         f.relation.location.rootPaths.headOption
           .map(_.getName).getOrElse("<unknown>"),
@@ -373,6 +376,23 @@ object PlanAudit {
     }
     walk(df.queryExecution.executedPlan)
     buf.toSeq
+  }
+
+  /** Split a rendered filter list on commas at bracket depth 0 — the
+    * separators BETWEEN filters, never the ones inside a nested
+    * `Or(...)` / `In(c, [1,2])`. */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq.filter(_.nonEmpty)
   }
 
   /** [[scanProfiles]] folded to findings: scans of a table at least

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
@@ -23,7 +24,13 @@ import PlanAudit.Finding
   * the key domain is bounded. */
 object StreamAudit {
 
-  /** A stateful operator with no event-time watermark to evict by. */
+  /** A stateful operator with no state-eviction bound — either no
+    * event-time watermark upstream, or (for aggregates and dedups) a
+    * watermark whose event-time column never reaches the grouping /
+    * dedup keys, which Spark needs to evict by (a watermarked
+    * `groupBy(user_id).count()` in update mode keeps one state row per
+    * key for the stream's lifetime — the watermark alone evicts
+    * nothing). */
   val UnboundedState = "unbounded-state"
 
   /** `*GroupsWithState` keeping per-key state that never times out —
@@ -34,30 +41,104 @@ object StreamAudit {
   private def hasWatermark(p: LogicalPlan): Boolean =
     p.exists(_.isInstanceOf[logical.EventTimeWatermark])
 
+  /** ExprIds of attributes DERIVED from a watermarked event-time
+    * column anywhere in `p` — the watermark column itself plus every
+    * alias transitively referencing one (the analyzed form of
+    * `window(ts, ...)` / `session_window(ts, ...)` is an alias over a
+    * projection/expand referencing ts, so windowed groupings resolve
+    * through the same rule). Bottom-up so derivations compose across
+    * stacked projections. */
+  private def timeDerivedIds(p: LogicalPlan): Set[ExprId] = {
+    val ids = scala.collection.mutable.Set[ExprId]()
+    def derive(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e.references.exists(r => ids(r.exprId))
+    def walk(n: LogicalPlan): Unit = {
+      n.children.foreach(walk)
+      n match {
+        case w: logical.EventTimeWatermark => ids += w.eventTime.exprId
+        case pr: logical.Project =>
+          pr.projectList.foreach {
+            case a: Alias if derive(a.child) => ids += a.exprId
+            case _ =>
+          }
+        case ag: logical.Aggregate =>
+          ag.aggregateExpressions.foreach {
+            case a: Alias if derive(a.child) => ids += a.exprId
+            case _ =>
+          }
+        // TimeWindowing rewrites sliding window() through Expand:
+        // positional projections map onto the node's output attributes
+        case ex: logical.Expand =>
+          ex.projections.foreach(_.zip(ex.output).foreach {
+            case (e, out) if derive(e) => ids += out.exprId
+            case _ =>
+          })
+        case _ =>
+      }
+    }
+    walk(p)
+    ids.toSet
+  }
+
+  /** True iff some expression in `exprs` references an event-time-
+    * derived column of `child` — the condition under which Spark can
+    * evict aggregate/dedup state as the watermark advances. */
+  private def evictableBy(child: LogicalPlan,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean = {
+    val derived = timeDerivedIds(child)
+    exprs.exists(_.references.exists(r => derived(r.exprId)))
+  }
+
   /** Walk a STREAMING frame's analyzed plan and report every stateful
     * operator whose state has no eviction bound. Batch frames return
-    * no findings (nothing is kept between batches). The watermark
-    * check is presence-only by design: for stream-stream joins Spark
-    * itself rejects a missing time-bound join condition at start, but
-    * a missing watermark on an inner join only surfaces as unbounded
+    * no findings (nothing is kept between batches). For aggregates and
+    * dedups the check is watermark-presence AND key-reaches-the-keys:
+    * Spark only evicts their state when the watermarked event-time
+    * column (or a window over it) appears among the grouping/dedup
+    * expressions — a watermark that never reaches the keys is the
+    * silent-leak false negative this lint exists to catch.
+    * `dropDuplicatesWithinWatermark` evicts by arrival horizon instead
+    * and only needs the watermark present. For stream-stream joins the
+    * check stays presence-only by design: Spark itself rejects a
+    * missing time-bound join condition at start, but a missing
+    * watermark on an inner join only surfaces as unbounded
     * buffering. */
   def audit(df: DataFrame): Seq[Finding] = {
     if (!df.isStreaming) return Nil
     val buf = scala.collection.mutable.Buffer[Finding]()
     df.queryExecution.analyzed.foreach {
       case a: logical.Aggregate
-          if a.child.isStreaming && !hasWatermark(a.child) =>
+          if a.child.isStreaming &&
+            !(hasWatermark(a.child) &&
+              evictableBy(a.child, a.groupingExpressions)) =>
+        val why =
+          if (!hasWatermark(a.child)) "no upstream watermark"
+          else "the watermarked event-time column never reaches the " +
+            "grouping (watermark present but nothing to evict by)"
         buf += Finding(UnboundedState,
           "streaming aggregate keyed [" +
             a.groupingExpressions.map(_.sql).mkString(", ").take(60) +
-            "] with no upstream watermark — one state row per key, kept " +
-            "for the stream's lifetime")
+            s"] with $why — one state row per key, kept for the " +
+            "stream's lifetime")
       case d: logical.Deduplicate
-          if d.child.isStreaming && !hasWatermark(d.child) =>
+          if d.child.isStreaming &&
+            !(hasWatermark(d.child) && evictableBy(d.child, d.keys)) =>
+        val why =
+          if (!hasWatermark(d.child)) "no watermark"
+          else "no event-time column among the keys (state is only " +
+            "evicted when the keys carry the watermarked column; use " +
+            "dropDuplicatesWithinWatermark to evict by arrival horizon)"
         buf += Finding(UnboundedState,
           "streaming dropDuplicates[" +
             d.keys.map(_.name).mkString(", ").take(60) +
-            "] with no watermark — the seen-key set grows with the stream")
+            s"] with $why — the seen-key set grows with the stream")
+      case d: logical.DeduplicateWithinWatermark
+          if d.child.isStreaming && !hasWatermark(d.child) =>
+        buf += Finding(UnboundedState,
+          "dropDuplicatesWithinWatermark[" +
+            d.keys.map(_.name).mkString(", ").take(60) +
+            "] with no watermark — nothing bounds the seen-key set")
       case j: logical.Join
           if j.left.isStreaming && j.right.isStreaming &&
             (!hasWatermark(j.left) || !hasWatermark(j.right)) =>

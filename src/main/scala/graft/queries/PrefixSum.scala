@@ -1,10 +1,10 @@
 package graft.queries
 
 import graft.cdc.BucketedScan
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Scale-safe EXCLUSIVE running sum in `seqCol` order — the additive
   * sibling of graft.cdc.PrefixCarry (same two-level argument, sum
@@ -171,13 +171,21 @@ object PrefixLead {
     val nextB =
       if (keyCols.isEmpty) {
         // "next bucket's min" = the nearest STRICTLY-LATER bucket's
-        // value = an exclusive last-non-null carry over NEGATED bucket
-        // ids (ascending -b ⟺ descending b, carry = closest larger b)
-        // — rides the shared super-bucketed fold, never one big task
-        val neg = summaries.select((-col("_b")).as("_nb"), col("_bmin"))
+        // value = an exclusive last-non-null carry over ORDER-REVERSED
+        // bucket ids (ascending ~b ⟺ descending b, carry = closest
+        // larger b) — rides the shared super-bucketed fold, never one
+        // big task. Bitwise NOT, not arithmetic negation: ~x = -x-1 is
+        // a strictly-decreasing BIJECTION on the full signed domain
+        // (negating Long.MinValue would wrap silently under non-ANSI
+        // arithmetic and corrupt the fold order), and keylessCarry only
+        // SORTS and floor-divides the id — no ±1 value arithmetic that
+        // could wrap at the mapped extremes.
+        val neg = summaries.select(bitwise_not(col("_b")).as("_nb"),
+          col("_bmin"))
         BucketedScan.keylessCarry(neg, null)(
           (acc, v) => if (v != null) v else acc)
-          .select((-col("_nb")).as("_b"), col("_carry_in").as("_nextb"))
+          .select(bitwise_not(col("_nb")).as("_b"),
+            col("_carry_in").as("_nextb"))
       } else {
         val nn = summaries.withColumn("_sb",
           expr(s"(`_b` - pmod(`_b`, $superSize)) div $superSize"))
@@ -200,15 +208,40 @@ object PrefixLead {
     // level 1: in-bucket strictly-greater successor, bounded by the
     // bucket row count. NOT lead(): with duplicate seqs lead() returns
     // a peer's equal value. The smallest seq strictly above the current
-    // row = -(largest -seq strictly below) — a growing range frame over
-    // negated seq, streamed O(n) by the unbounded-preceding frame
+    // row = ~(largest ~seq strictly below) — a growing range frame over
+    // BIT-FLIPPED seq, streamed O(n) by the unbounded-preceding frame
     // processor (the mirrored frame, rangeBetween(1, unboundedFollowing),
     // would re-aggregate per row — O(n²) per bucket). The bucket's last
     // rows fall through to the next bucket's minimum.
-    val wIn = Window.partitionBy(grpCols: _*).orderBy(-col(seqCol))
+    //
+    // NOT `-seq`: negating Byte/Short/Long.MinValue wraps silently
+    // under non-ANSI arithmetic (and throws under ANSI), corrupting
+    // the ordering for a seq domain requireIntegralSeq explicitly
+    // admits. Two exact order-reversing encodings, by width:
+    //   - byte/short/int: ~(seq cast long) — a bijection with the
+    //     whole image strictly inside the long range, so Spark's
+    //     frame-bound arithmetic (`ord + (-1)`, evaluated in LONG)
+    //     can never overflow either;
+    //   - long: -(seq cast Decimal(20,0)) — bit-flipped LONG would
+    //     put seq = Long.MaxValue at ord = Long.MinValue, where the
+    //     frame bound itself overflows (observed as an ANSI
+    //     ARITHMETIC_OVERFLOW; a silent wrap non-ANSI). Decimal
+    //     negation, bound arithmetic (which widens precision), and
+    //     the cast back are exact over the full long domain; the
+    //     decimal sort key is the price of admitting all 2^64 values.
+    val seqType = df.schema(seqCol).dataType
+    val (ordFlip, unflip) = seqType match {
+      case LongType =>
+        val o = -col(seqCol).cast(DecimalType(20, 0))
+        (o, (m: Column) => (-m).cast(LongType))
+      case _ =>
+        val o = bitwise_not(col(seqCol).cast(LongType))
+        (o, (m: Column) => bitwise_not(m).cast(seqType))
+    }
+    val wIn = Window.partitionBy(grpCols: _*).orderBy(ordFlip)
       .rangeBetween(Window.unboundedPreceding, -1)
     withB
-      .withColumn("_lead", -max(-col(seqCol)).over(wIn))
+      .withColumn("_lead", unflip(max(ordFlip).over(wIn)))
       .join(broadcast(nextB), keys :+ "_b", "left")
       .withColumn(outCol,
         when(col(seqCol).isNull, lit(null))

@@ -56,10 +56,19 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("window_start_sec"),
         col("n"))
 
-  /** S06: streaming dedup by event_id with watermark-bounded state. */
+  /** S06: streaming dedup by event_id with watermark-bounded state.
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is
+    * among the dedup keys — keyed by event_id alone its seen-key set
+    * would grow with the stream's lifetime despite the watermark (the
+    * StreamAudit false-negative class). WithinWatermark keeps the
+    * id-only semantics and evicts each key once the watermark passes
+    * its arrival horizon — duplicates are dropped as long as they
+    * arrive within the 10-minute delay, the same bound the watermark
+    * already imposes on every other stateful operator here. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** S07: stream-stream interval join — purchases attributed to the same
     * user's clicks within the preceding 30 minutes. Both sides carry

@@ -32,21 +32,31 @@ class BenchRecordSpec extends AnyFunSuite {
   }
 
   test("priorQueries is empty on a thread-basis mismatch, matches on " +
-      "the same basis, and is lenient when either side is unknown — a " +
-      "4-thread run against a 32-thread record flags every " +
-      "parallelism-sensitive query as a phantom regression (the " +
-      "round-7 'parse-heavy noise window' was exactly this)") {
+      "the same basis — a 4-thread run against a 32-thread record " +
+      "flags every parallelism-sensitive query as a phantom " +
+      "regression (the round-7 'parse-heavy noise window' was exactly " +
+      "this)") {
     val rec32 =
       """{"sf":"/data/sf0.1","cpus":32,"queries":{"q1":1.0}}"""
     assert(BenchRecord.priorQueries(rec32, "/data/sf0.1", Some(4)).isEmpty)
     assert(BenchRecord.priorQueries(rec32, "/data/sf0.1", Some(32)) ==
       Map("q1" -> 1.0))
-    // pre-round-7 record (no cpus field): compared leniently
-    assert(BenchRecord.priorQueries(rec, "/data/sf0.1", Some(32)) ==
-      Map("q1" -> 1.0, "q2" -> 2.0))
-    // caller doesn't know its basis: lenient too
+  }
+
+  test("a record with NO cpus field is a mismatch when the caller " +
+      "knows its own basis (a legacy record's basis is unknowable — " +
+      "comparing leniently re-admits the phantom-regression class; " +
+      "one full run re-establishes the record), and lenient only when " +
+      "the caller's basis is itself unknown") {
+    val rec32 =
+      """{"sf":"/data/sf0.1","cpus":32,"queries":{"q1":1.0}}"""
+    // legacy record (no cpus) + known caller basis: mismatch
+    assert(BenchRecord.priorQueries(rec, "/data/sf0.1", Some(32)).isEmpty)
+    // caller doesn't know its basis: lenient both ways
     assert(BenchRecord.priorQueries(rec32, "/data/sf0.1") ==
       Map("q1" -> 1.0))
+    assert(BenchRecord.priorQueries(rec, "/data/sf0.1") ==
+      Map("q1" -> 1.0, "q2" -> 2.0))
   }
 
   test("priorQueries reads integral times too (hand-edited records)") {
@@ -62,10 +72,33 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(merged == Seq("q1" -> 1.0, "q2" -> 0.5, "q3" -> 3.0))
   }
 
-  test("this run's number wins even when slower — a real regression " +
-      "must be able to raise the record") {
+  test("an UNCONFIRMED slower value keeps the prior record min — one " +
+      "dirty sweep must not raise the record on untouched code (the " +
+      "round-7 failure: q33_lateral swept 3.833s vs an isolated truth " +
+      "of 0.399s, raising the clean 144.3s record to 167.75s)") {
     val merged = BenchRecord.mergedQueries(Map("q1" -> 1.0), Seq("q1" -> 4.0))
+    assert(merged == Seq("q1" -> 1.0))
+  }
+
+  test("a CONFIRMED slower value (strictly-last isolated retry still " +
+      "slow) does raise the record — a real regression must be able " +
+      "to") {
+    val merged = BenchRecord.mergedQueries(Map("q1" -> 1.0),
+      Seq("q1" -> 4.0), confirmedSlower = Set("q1"))
     assert(merged == Seq("q1" -> 4.0))
+  }
+
+  test("faster values always win, confirmed or not") {
+    assert(BenchRecord.mergedQueries(Map("q1" -> 2.0), Seq("q1" -> 1.5)) ==
+      Seq("q1" -> 1.5))
+    assert(BenchRecord.mergedQueries(Map("q1" -> 2.0), Seq("q1" -> 1.5),
+      Set("q1")) == Seq("q1" -> 1.5))
+  }
+
+  test("a prior failure sentinel never outcompetes a healthy current " +
+      "value (p > 0 guard)") {
+    assert(BenchRecord.mergedQueries(Map("q1" -> -1.0), Seq("q1" -> 2.0)) ==
+      Seq("q1" -> 2.0))
   }
 
   test("a query that failed every sample records its -1 sentinel over " +

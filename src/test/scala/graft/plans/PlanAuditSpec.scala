@@ -179,6 +179,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(PlanAudit.auditUnprunedScans(region).isEmpty)
   }
 
+  test("scanProfiles yields ONE element per pushed filter — a " +
+      "multi-predicate scan must not arrive as a comma-joined blob, " +
+      "and nested commas (In/Or lists) stay inside their filter") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val two = li.select("l_orderkey", "l_quantity", "l_returnflag")
+      .filter(col("l_quantity") > 10 && col("l_returnflag").isin("A", "R"))
+    val prof = PlanAudit.scanProfiles(two)
+    assert(prof.size == 1, prof)
+    val pushed = prof.head.pushedFilters
+    // at minimum: IsNotNull x2, GreaterThan, In — each its OWN element
+    assert(pushed.size >= 3, pushed)
+    assert(pushed.forall(f => !f.contains("), ")), // no glued pairs
+      pushed)
+    assert(pushed.exists(_.startsWith("In(")) ||
+      pushed.exists(_.contains("l_returnflag")), pushed)
+    // the splitter itself, on the documented nasty shapes
+    assert(PlanAudit.splitTopLevel(
+      "IsNotNull(x), GreaterThan(y,3), Or(EqualTo(a,b), In(c, [1,2]))") ==
+      Seq("IsNotNull(x)", "GreaterThan(y,3)",
+        "Or(EqualTo(a,b), In(c, [1,2]))"))
+    assert(PlanAudit.splitTopLevel("") == Nil)
+    assert(PlanAudit.splitTopLevel("IsNotNull(x)") == Seq("IsNotNull(x)"))
+  }
+
   test("PlanSignature counts the shape (exchange/agg/window), renders " +
       "canonically, and diff names exactly what moved") {
     import org.apache.spark.sql.expressions.Window

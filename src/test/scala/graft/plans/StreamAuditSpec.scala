@@ -59,6 +59,40 @@ class StreamAuditSpec extends SparkSpec {
         .groupBy("event_type").count()).isEmpty)
   }
 
+  test("unbounded-state fires when a watermark is PRESENT but never " +
+      "reaches the keys — the false-negative class: in update mode " +
+      "Spark evicts aggregate/dedup state only when the event-time " +
+      "column (or a window over it) is among the grouping/dedup keys") {
+    // watermarked but keyed by user_id only: one state row per user,
+    // never evicted — the watermark bounds nothing here
+    val agg = events.withWatermark("ts", "10 minutes")
+      .groupBy("user_id").count()
+    assert(kinds(agg) == Seq(StreamAudit.UnboundedState), kinds(agg))
+    assert(StreamAudit.audit(agg).head.detail.contains("never reaches"))
+    // watermarked dropDuplicates without the event-time column among
+    // the keys: the seen-key set still grows with the stream
+    val dd = events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    assert(kinds(dd) == Seq(StreamAudit.UnboundedState), kinds(dd))
+    // the three evictable forms are clean: event-time among the dedup
+    // keys, dropDuplicatesWithinWatermark, and grouping on a
+    // time-DERIVED alias (the window() rewrite resolves the same way)
+    assert(kinds(events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")).isEmpty)
+    assert(kinds(events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")).isEmpty)
+    val derived = events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("ts_hour"))
+      .groupBy("ts_hour", "user_id").count()
+    assert(kinds(derived).isEmpty, kinds(derived))
+    // sliding window() resolves through the Expand rewrite
+    assert(kinds(EventStreams.sliding(events)).isEmpty)
+    // dropDuplicatesWithinWatermark with NO watermark at all still fires
+    val ddw = events.dropDuplicatesWithinWatermark("event_id")
+    assert(kinds(ddw) == Seq(StreamAudit.UnboundedState), kinds(ddw))
+  }
+
   test("no-state-timeout fires on flatMapGroupsWithState(NoTimeout)") {
     val found = StreamAudit.audit(AttributionStream.attributed(events).toDF())
     assert(found.map(_.kind) == Seq(StreamAudit.NoStateTimeout), found)
