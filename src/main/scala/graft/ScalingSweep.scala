@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.ScalingAudit
+
+/** Standalone sweep for the empirical scaling-exponent audit
+  * ([[graft.plans.ScalingAudit]]): run the scaling-risk query list at
+  * sf0.001 / sf0.01 / sf0.1 (a decade apart), fit each wall-time
+  * exponent, and
+  *
+  *   - default mode: print one JSON line per query plus a summary,
+  *     and write the table to `scaling_exponents.json` — the
+  *     checked-in record ScalingTableSpec pins bounds against;
+  *   - `--check`: re-measure and compare against the checked-in
+  *     table, exit 1 when any exponent DRIFTED upward beyond
+  *     tolerance (or a previously-unfit query now fits above its
+  *     bound) — the regression gate for "the plans still scale the
+  *     way round N measured".
+  *
+  * Env knobs mirror Bench: SPARK_GRAFT_SF_BASE (default
+  * /root/testdata — must contain sf0.001/sf0.01/sf0.1),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS (samples per point, default 3),
+  * SPARK_GRAFT_ONLY (comma subset of the risk list). */
+object ScalingSweep {
+
+  /** The queries whose 100 TB story rests on a growth argument —
+    * prefix-family rewrites, iterative graph loops, dedup banding /
+    * clustering, interval joins, recursive hierarchy — pinned
+    * empirically instead of by review prose. */
+  val riskList: Seq[String] = Seq(
+    // two-level prefix family (PrefixSum / PrefixLead / PrefixCarry)
+    "q14b_distribution", "q14g_pareto", "q24_zipf", "q26_mix",
+    "q27_pack", "q27_shuffle", "q35d_mad", "q38b_interval_union",
+    // iterative graph loops (rounds ~ log n of linear work)
+    "q41_pagerank", "q41b_lpa", "q41c_components", "q41d_kcore",
+    "q44_triangles", "q44b_clustering",
+    // dedup banding, blocking, clustering
+    "q22_dedup_minhash", "q22_dedup_ngram", "q22_dedup_simhash",
+    "q22_dedup_snm", "q22_dedup_contain", "q22_dedup_cluster",
+    "q22_dedup_keep_best",
+    // similarity: the documented n^1.5 cluster bound + partition fans
+    "q23_semdedup", "q23_knn_exact", "q23_kmeans",
+    // interval / range / as-of joins
+    "q11_join_range", "q11c_interval_join", "q38_overlap", "q12_asof",
+    // other loops and pair machinery
+    "q24_bpe_train", "q42b_triples", "q19j_theilsen", "q37_hierarchy")
+
+  /** Per-query exponent bounds where the DESIGN is documented
+    * super-linear; everything else is held to the default 1.6
+    * (log-linear loops fit ≈ 1.0–1.3 over this range; quadratic reads
+    * ≈ 2). */
+  val bounds: Map[String, Double] = Map(
+    // Σ|c|² ≈ n^1.5 cluster-bounded pair hunt (SimilarityOps scaladoc)
+    "q23_semdedup" -> 1.7,
+    // rarest-first one-sided prefix probe: candidate pairs grow with
+    // duplicate mass; documented super-linear worst case, sub-
+    // quadratic by the prefix bound
+    "q22_dedup_contain" -> 1.8)
+
+  def main(args: Array[String]): Unit = {
+    val check = args.contains("--check")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$base/$s")
+    dirs.foreach { d =>
+      require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)),
+        s"scale directory missing: $d (set SPARK_GRAFT_SF_BASE)")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    // 3 samples per point (vs the bench's 2): the fit differences tiny
+    // minima, so each point's min is worth one extra sample of rigor
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(riskList)(names => riskList.filter(names))
+    val unknown = selected.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"not in the inventory: $unknown")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val fits = selected.map { name =>
+      val f = ScalingAudit.fit(spark, name, SparkEntry.queries(name),
+        dirs, runs)
+      val eTxt = f.exponent.map(f3).getOrElse("null")
+      println(s"""{"query":"$name","wall":[${
+        f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
+        f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":$eTxt}""")
+      f
+    }
+    val over = ScalingAudit.auditExponents(fits, bounds = bounds)
+    over.foreach(f =>
+      System.err.println(s"[scaling] [${f.kind}] ${f.detail}"))
+    val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
+    println(s"""{"metric":"scaling","n_queries":${fits.size},""" +
+      s""""n_fit":${fits.count(_.exponent.nonEmpty)},""" +
+      s""""n_over_bound":${over.size},"cpus":$cpus,""" +
+      s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
+        .mkString("[", ",", "]")}}""")
+    if (check) {
+      val path = java.nio.file.Paths.get("scaling_exponents.json")
+      require(java.nio.file.Files.exists(path),
+        "--check needs a checked-in scaling_exponents.json (run the " +
+          "sweep without --check first)")
+      val recorded = readTable(
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      val drift = ScalingAudit.driftFindings(recorded, fits,
+        bounds = bounds) ++ over
+      drift.foreach(f =>
+        System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
+      spark.stop()
+      if (drift.nonEmpty) sys.exit(1)
+    } else {
+      val qJson = fits.sortBy(_.name).map { f =>
+        s""""${f.name}":{"wall":[${
+          f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
+          f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":${
+          f.exponent.map(f3).getOrElse("null")}}"""
+      }.mkString("{", ",", "}")
+      val body = s"""{"sf_base":"$base","cpus":$cpus,"runs":$runs,""" +
+        s""""dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":$qJson}""" + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("scaling_exponents.json"),
+        body.getBytes("UTF-8"))
+      spark.stop()
+    }
+  }
+
+  /** Recorded per-query exponents out of `scaling_exponents.json`
+    * (fitted entries only). */
+  def readTable(json: String): Map[String, Double] = {
+    import org.json4s._
+    try {
+      (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (name, JObject(body)) =>
+            body.collectFirst {
+              case ("exponent", JDouble(e))  => name -> e
+              case ("exponent", JInt(e))     => name -> e.toDouble
+              case ("exponent", JDecimal(e)) => name -> e.toDouble
+            }
+        }.flatten.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+}

@@ -105,11 +105,15 @@ object Main {
     * repo's own sweep would raise at those thresholds. Point it at a
     * small representative sample of production data: the ratios are
     * scale-free, the counts cost one job per distinct subplan. */
-  private def runQuery(rawArgs: Array[String]): Unit = {
-    val doAudit = rawArgs.contains("--audit")
-    val doExplain = rawArgs.contains("--explain")
-    val doProfile = rawArgs.contains("--profile")
-    val doMeasure = rawArgs.contains("--audit-measure")
+  private case class ReportFlags(doAudit: Boolean, doExplain: Boolean,
+      doProfile: Boolean, doMeasure: Boolean, doScaling: Boolean,
+      lowCard: Set[String], positional: Seq[String])
+
+  /** Strip the report flags out of `rawArgs` (exit(1) on a malformed
+    * `--audit-lowcard`), leaving the positional arguments. Shared by
+    * `-q` and `-e` so both faces of the CLI carry the same audit
+    * tooling. */
+  private def parseReportFlags(rawArgs: Array[String]): ReportFlags = {
     val lowCard: Set[String] = parseLowCard(rawArgs) match {
       case Right(cols) => cols
       case Left(err) =>
@@ -117,17 +121,80 @@ object Main {
         sys.exit(1)
     }
     val lcIdx = rawArgs.indexOf("--audit-lowcard")
-    val args = rawArgs.zipWithIndex.collect {
+    val positional = rawArgs.zipWithIndex.collect {
       case (a, i) if a != "--audit" && a != "--explain" &&
-        a != "--profile" && a != "--audit-measure" &&
+        a != "--profile" && a != "--audit-measure" && a != "--scaling" &&
         (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
     }
+    ReportFlags(rawArgs.contains("--audit"), rawArgs.contains("--explain"),
+      rawArgs.contains("--profile"), rawArgs.contains("--audit-measure"),
+      rawArgs.contains("--scaling"), lowCard, positional.toSeq)
+  }
+
+  private def querySession(): SparkSession = {
     val builder = SparkSession.builder().appName("graft-query")
     if (!sys.props.contains("spark.master") &&
         !sys.env.contains("SPARK_MASTER"))
       builder.master("local[*]")
     SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
-    args.toSeq match {
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One frame through the selected report path — the shared back end
+    * of `-q` (named inventory query) and `-e` (ad-hoc SQL). */
+  private def runReports(df: org.apache.spark.sql.DataFrame, name: String,
+      limit: Int, f: ReportFlags): Unit = {
+    if (f.doExplain) explainReport(df, name, f.lowCard).foreach(println)
+    else if (f.doProfile) profileReport(df, name).foreach(println)
+    else if (f.doMeasure) measuredAuditReport(df, name).foreach(println)
+    else {
+      val t0 = System.nanoTime()
+      df.show(limit, truncate = false)
+      println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (f.doAudit || f.lowCard.nonEmpty)
+        auditReport(df, f.lowCard).foreach(println)
+    }
+  }
+
+  /** `--scaling` report: measure the query at the sibling
+    * sf0.001/sf0.01/sf0.1 directories of `sfDir` and fit the
+    * wall-time exponent ([[graft.plans.ScalingAudit]]) — the
+    * empirical "would this survive 100×" answer, per query, on
+    * demand. The full risk-list sweep (and the checked-in table the
+    * drift gate compares against) lives in [[graft.ScalingSweep]]. */
+  private[cli] def scalingReport(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Seq[String] = {
+    import graft.plans.ScalingAudit
+    val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => Option(parent).map(_.resolve(s)))
+      .collect { case Some(p)
+        if java.nio.file.Files.isDirectory(p) => p.toString }
+    if (dirs.size < 3)
+      return Seq("[graft] scaling: needs the sibling sf0.001/sf0.01/" +
+        s"sf0.1 directories next to $sfDir (found ${dirs.size})")
+    val f = ScalingAudit.fit(spark, name, fn, dirs)
+    val times = f.points.map { p =>
+      f"${java.nio.file.Paths.get(p.dir).getFileName}%s " +
+        f"${p.wallSec}%.2fs wall / ${p.workSec}%.2fs work"
+    }.mkString(" -> ")
+    val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
+    val verdict = f.exponent match {
+      case Some(e) => f"[graft] work exponent: $e%.2f (bound $bound%.2f)"
+      case None => "[graft] work exponent: unfit — data term below " +
+        "the noise floor at these scales (all-overhead query)"
+    }
+    Seq(s"[graft] scaling $name: $times", verdict) ++
+      ScalingAudit.auditExponents(Seq(f), bounds = graft.ScalingSweep.bounds)
+        .map(x => s"[graft] finding: [${x.kind}] ${x.detail}")
+  }
+
+  private def runQuery(rawArgs: Array[String]): Unit = {
+    val flags = parseReportFlags(rawArgs)
+    flags.positional match {
       case Seq("list") =>
         SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       case Seq(name, sfDir, rest @ _*) =>
@@ -137,28 +204,62 @@ object Main {
           sys.exit(1)
         })
         val limit = rest.headOption.map(_.toInt).getOrElse(20)
-        val spark = builder.getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
-        if (doExplain) {
-          explainReport(fn(spark, sfDir), name, lowCard).foreach(println)
-        } else if (doProfile) {
-          profileReport(fn(spark, sfDir), name).foreach(println)
-        } else if (doMeasure) {
-          measuredAuditReport(fn(spark, sfDir), name).foreach(println)
-        } else {
-          val t0 = System.nanoTime()
-          val df = fn(spark, sfDir)
-          df.show(limit, truncate = false)
-          println(f"[graft] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          if (doAudit || lowCard.nonEmpty)
-            auditReport(df, lowCard).foreach(println)
-        }
+        val spark = querySession()
+        if (flags.doScaling)
+          scalingReport(spark, name, fn, sfDir).foreach(println)
+        else runReports(fn(spark, sfDir), name, limit, flags)
         spark.stop()
       case _ =>
         System.err.println(
           "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
             "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
-            "[--profile] [--audit-measure]")
+            "[--profile] [--audit-measure] [--scaling]")
+        sys.exit(1)
+    }
+  }
+
+  /** The `-e` frame: every TESTDATA table of `sfDir` registered as a
+    * temp view (`events` in its normalized integer-µs form — the shape
+    * every inventory query reads), then the user's SQL planned over
+    * them. Split from [[runSql]] so specs drive ad-hoc SQL through the
+    * same report paths without the CLI's session lifecycle. */
+  private[cli] def adhocFrame(spark: SparkSession, sql: String,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    graft.Tables.registerAll(spark, sfDir)
+    graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark.sql(sql)
+  }
+
+  /** `-e "<sql>" <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]
+    * [--explain] [--profile] [--audit-measure]` — ad-hoc SQL over the
+    * registered tables through the SAME audit tooling as `-q`: the
+    * 100 TB consumer composes their own queries, and the cost card /
+    * measured lint must not be reserved for the named inventory. */
+  private def runSql(rawArgs: Array[String]): Unit = {
+    val flags = parseReportFlags(rawArgs)
+    flags.positional match {
+      case Seq(sql, sfDir, rest @ _*) =>
+        val limit = rest.headOption.map(_.toInt).getOrElse(20)
+        val spark = querySession()
+        if (flags.doScaling)
+          scalingReport(spark, "adhoc",
+            (s, dir) => adhocFrame(s, sql, dir), sfDir).foreach(println)
+        else {
+          val df =
+            try adhocFrame(spark, sql, sfDir)
+            catch { case e: org.apache.spark.sql.AnalysisException =>
+              System.err.println(s"SQL error: ${e.getMessage}")
+              spark.stop()
+              sys.exit(1)
+            }
+          runReports(df, "adhoc", limit, flags)
+        }
+        spark.stop()
+      case _ =>
+        System.err.println(
+          "usage: graft.cli.Main -e \"<sql>\" <sfDir> [limit] " +
+            "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
+            "[--profile] [--audit-measure] [--scaling]")
         sys.exit(1)
     }
   }
@@ -282,10 +383,13 @@ object Main {
   def main(args: Array[String]): Unit = {
     val qIdx = args.indexOf("-q")
     if (qIdx >= 0) { runQuery(args.drop(qIdx + 1)); return }
+    val eIdx = args.indexOf("-e")
+    if (eIdx >= 0) { runSql(args.drop(eIdx + 1)); return }
     val cfgPath = args.sliding(2).collectFirst {
       case Array("-c", p) => p }.getOrElse {
       System.err.println(
-        "usage: graft.cli.Main -c config.json [-t] | -q <name|list> <sfDir>")
+        "usage: graft.cli.Main -c config.json [-t] | -q <name|list> " +
+          "<sfDir> | -e \"<sql>\" <sfDir>")
       sys.exit(1)
     }
     val validateOnly = args.contains("-t")

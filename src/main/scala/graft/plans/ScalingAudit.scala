@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** EMPIRICAL SCALING-EXPONENT AUDIT — the one scale claim the plan
+  * lints cannot make by inspection, made by measurement: run a query
+  * at three scale factors a decade apart (sf0.001 / sf0.01 / sf0.1)
+  * and fit the growth exponent of its WORK. A plan that LOOKS bounded
+  * (every window bucketed, every join banded) but hides a quadratic
+  * candidate hunt shows up here as exponent → 2 long before 100 TB
+  * does; a linear pipeline reads ≈ 1; the iterative loops (CC, LPA,
+  * k-core — O(log n) rounds of linear work) read log-linear, a shade
+  * above 1.
+  *
+  * ## The metric: total task time, not wall time
+  *
+  * Wall time is the wrong signal for growth fitting on a parallel
+  * engine, twice over: added work hides behind added parallelism
+  * exactly when the data grows (a query that uses 3 of 32 cores at
+  * sf0.001 and 30 at sf0.1 shows a 10× wall growth for a 100× work
+  * growth — UNDERSTATING the exponent a safety audit exists to
+  * catch), and at tiny scale factors the per-query data term drowns
+  * under fixed session overhead and host noise (measured: 27 of 32
+  * risk-list queries had wall-time first differences below any
+  * defensible noise floor). Total task `executorRunTime`
+  * ([[org.apache.spark.GraftMetricsBridge]]) is parallelism-
+  * independent, decade-over-decade comparable, and its data term is
+  * core-count times larger than wall's. Wall times are still measured
+  * and reported — they answer "how long", the exponent answers "how
+  * does it grow".
+  *
+  * ## The fit
+  *
+  * Model the work as `t(n) = c + a·n^e`: a fixed term `c` (per-task
+  * dispatch over the constant 32-partition layout, plan/codegen —
+  * at tiny SF this dominates and biases any raw log-log slope toward
+  * zero) plus the data term. With measurements a decade apart the
+  * fixed term CANCELS in first differences, and the exponent solves
+  * exactly:
+  *
+  *   t(10n)  − t(n)   = a·n^e·(10^e − 1)
+  *   t(100n) − t(10n) = a·n^e·10^e·(10^e − 1)
+  *   ⇒ e = log10( (t(100n) − t(10n)) / (t(10n) − t(n)) )
+  *
+  * No fit when either difference sits below the noise floor — the
+  * query is all-overhead at these scales, and a ratio of two noise
+  * values would report garbage. Those queries are reported unfit
+  * (exponent None) with their measurements, not silently dropped.
+  *
+  * Findings are advisory (same contract as [[PlanAudit]]): a
+  * documented super-linear design (q23_semdedup's Σ|c|² ≈ n^1.5
+  * cluster bound) goes on the caller's bound overrides with the
+  * reason, and the sweep enforces the OVERRIDDEN bound instead. */
+object ScalingAudit {
+
+  /** One measured scale point: wall-clock minimum and total-task-time
+    * ("work") minimum of the runs at `dir`. */
+  case class Point(dir: String, wallSec: Double, workSec: Double)
+
+  /** A query's measured scaling shape across directories (smallest SF
+    * first) and the exponent fitted on the WORK metric (None =
+    * all-overhead at these scales). */
+  case class ScalingFit(name: String, points: Seq[Point],
+      exponent: Option[Double])
+
+  val SuperlinearScaling = "superlinear-scaling"
+
+  /** Fit `e` from three work measurements a decade apart. None when
+    * either first difference is below the noise floor — the data term
+    * is too small at these scales to carry signal. The floor is the
+    * larger of an absolute term (`noiseFloorSec` — sampling jitter on
+    * small totals) and a RELATIVE term (`relFloor` × the smallest
+    * measurement): a query with an 18s fixed kernel cost jitters by
+    * ~3% between min-of-2 samples, so a 0.5s first difference on that
+    * base is noise wearing a trend (observed: q22_dedup_keep_best
+    * "fit" 1.74 from exactly that — d1 = 0.53s on 18.1s — where the
+    * credible fits on its siblings read 1.0–1.5). */
+  def fitExponent(tSmall: Double, tMid: Double, tLarge: Double,
+      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05): Option[Double] = {
+    val floor = math.max(noiseFloorSec, relFloor * tSmall)
+    val d1 = tMid - tSmall
+    val d2 = tLarge - tMid
+    if (d1 < floor || d2 < floor) None
+    else Some(math.log10(d2 / d1))
+  }
+
+  /** Per-directory minima (wall and work) of `runs` fully-materialized
+    * executions of `fn(spark, dir)`, smallest SF first. The noop sink
+    * forces every operator (a count() would let Catalyst prune the
+    * work being measured); a failed run contributes nothing. One
+    * untimed warm-up at the first (smallest) directory pre-compiles
+    * the shared codegen before anything is billed. */
+  def measure(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame,
+      dirs: Seq[String], runs: Int = 2): Seq[Point] = {
+    def once(dir: String): Option[(Double, Double)] = {
+      val t0 = System.nanoTime()
+      try {
+        var ok = true
+        val work = org.apache.spark.GraftMetricsBridge.taskTimeMs(
+          spark.sparkContext) {
+          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            ok = false
+            System.err.println(
+              s"[scaling] run failed at $dir: ${e.getMessage}")
+          }
+        }
+        if (ok) Some(((System.nanoTime() - t0) / 1e9, work / 1e3)) else None
+      } finally graft.Harness.dropPinnedRdds(spark)
+    }
+    dirs.headOption.foreach(once) // warm-up, untimed
+    dirs.flatMap { dir =>
+      val samples = (0 until math.max(1, runs)).flatMap(_ => once(dir))
+      if (samples.isEmpty) None
+      else Some(Point(dir, samples.map(_._1).min, samples.map(_._2).min))
+    }
+  }
+
+  /** Measure + fit in one call. Requires ≥3 directories (a decade
+    * apart for the exponent to read as documented). */
+  def fit(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame,
+      dirs: Seq[String], runs: Int = 2,
+      noiseFloorSec: Double = 0.1): ScalingFit = {
+    require(dirs.size >= 3,
+      s"scaling fit needs 3 scale directories, got ${dirs.size}")
+    val points = measure(spark, fn, dirs, runs)
+    val e =
+      if (points.size < 3) None
+      else fitExponent(points(0).workSec, points(1).workSec,
+        points(2).workSec, noiseFloorSec)
+    ScalingFit(name, points, e)
+  }
+
+  /** Fold fits to findings: every fitted exponent above its bound
+    * (`bounds` override per query — documented super-linear designs —
+    * else `defaultBound`). Unfit queries are never findings: no
+    * signal, no claim. */
+  def auditExponents(fits: Seq[ScalingFit], defaultBound: Double = 1.6,
+      bounds: Map[String, Double] = Map.empty): Seq[PlanAudit.Finding] =
+    fits.collect {
+      case f if f.exponent.exists(_ > bounds.getOrElse(f.name, defaultBound)) =>
+        PlanAudit.Finding(SuperlinearScaling,
+          f"${f.name}: exponent ${f.exponent.get}%.2f > " +
+            f"bound ${bounds.getOrElse(f.name, defaultBound)}%.2f " +
+            s"(work ${f.points.map(p => f"${p.workSec}%.2fs")
+              .mkString(" -> ")})")
+    }
+
+  /** Drift check against a RECORDED exponent table: fails when a
+    * fresh fit exceeds its recorded exponent by more than `tolerance`
+    * (growth got WORSE — new code path, lost pruning), or when a
+    * previously-unfit query now fits above the default bound. Getting
+    * FASTER or losing the fit (sank into overhead) is never drift. */
+  def driftFindings(recorded: Map[String, Double], fresh: Seq[ScalingFit],
+      tolerance: Double = 0.35, defaultBound: Double = 1.6,
+      bounds: Map[String, Double] = Map.empty): Seq[PlanAudit.Finding] =
+    fresh.flatMap { f =>
+      (f.exponent, recorded.get(f.name)) match {
+        case (Some(e), Some(r)) if e > r + tolerance =>
+          Some(PlanAudit.Finding(SuperlinearScaling,
+            f"${f.name}: exponent drifted ${r}%.2f → ${e}%.2f " +
+              f"(tolerance ${tolerance}%.2f)"))
+        case (Some(e), None)
+            if e > bounds.getOrElse(f.name, defaultBound) =>
+          Some(PlanAudit.Finding(SuperlinearScaling,
+            f"${f.name}: newly fitted exponent ${e}%.2f exceeds bound " +
+              f"${bounds.getOrElse(f.name, defaultBound)}%.2f (was " +
+              "unfit/unrecorded)"))
+        case _ => None
+      }
+    }
+}

@@ -93,6 +93,53 @@ class AuditReportSpec extends SparkSpec {
       s"fanout not flagged:\n${boomLines.mkString("\n")}")
   }
 
+  test("-e ad-hoc SQL reaches the SAME audit tooling as the named " +
+      "inventory: an ad-hoc join over the registered tables drives " +
+      "the explain cost card and the measured audit, and the " +
+      "normalized events view exposes ts_us") {
+    val sql = """SELECT o.o_custkey, count(*) AS n
+                |FROM orders o JOIN customer c
+                |  ON o.o_custkey = c.c_custkey
+                |WHERE c.c_acctbal > 0
+                |GROUP BY o.o_custkey""".stripMargin
+    val df = Main.adhocFrame(spark, sql, sfDir)
+    // the cost card: signature + exchange totals + scan pruning, no
+    // execution
+    val ex = Main.explainReport(df, "adhoc")
+    assert(ex.head == "[graft] explain adhoc")
+    assert(ex.exists(_.startsWith("[graft] exchanges: ")), ex)
+    val scanLines = ex.filter(_.matches(".*: \\d+/\\d+ cols .*"))
+    assert(scanLines.size == 2, s"expected 2 scan lines in:\n" +
+      ex.mkString("\n"))
+    // the measured audit: the join's real cardinalities on this data
+    val ma = Main.measuredAuditReport(df, "adhoc")
+    assert(ma.head == "[graft] measured audit adhoc")
+    assert(ma.exists(_.matches(
+      ".*L=\\d+ R=\\d+ out=\\d+ \\(\\d+\\.\\d+x\\).*")), ma)
+    assert(ma.last == "[graft] measured audit: clean", ma.last)
+    // events arrives normalized: integer-µs ts_us, the oracle shape
+    val ev = Main.adhocFrame(spark,
+      "SELECT ts_us FROM events LIMIT 1", sfDir)
+    assert(ev.schema("ts_us").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("--scaling measures the query at the three sibling scale " +
+      "directories and reports the per-SF times plus a fitted " +
+      "exponent (or an explicit unfit verdict) — never silence") {
+    val lines = Main.scalingReport(spark, "q01_scan",
+      graft.SparkEntry.queries("q01_scan"), sfDir)
+    assert(lines.head.startsWith("[graft] scaling q01_scan: "),
+      lines.head)
+    assert(lines.head.contains("sf0.001") && lines.head.contains("sf0.1"),
+      lines.head)
+    assert(lines.exists(_.startsWith("[graft] work exponent: ")), lines)
+    // missing siblings degrade to a usage message, not an exception
+    val missing = Main.scalingReport(spark, "q01_scan",
+      graft.SparkEntry.queries("q01_scan"), "/tmp")
+    assert(missing.head.contains("needs the sibling"), missing)
+  }
+
   test("--audit-lowcard parsing is strict: a valid list parses, a " +
       "missing value errors, a following flag is NOT consumed as the " +
       "column list (the r6 positional-parsing trap)") {

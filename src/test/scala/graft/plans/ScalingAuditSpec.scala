@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** ScalingAudit — the exponent fit is exact on its own model (the
+  * overhead term cancels in first differences), refuses to fit noise,
+  * and the finding folds / drift checks enforce the bounds. The live
+  * three-SF sweep lives in graft.ScalingSweep (minutes, not a unit
+  * test); here one real measurement pins the plumbing end-to-end. */
+class ScalingAuditSpec extends SparkSpec {
+
+  private def t(c: Double, a: Double, e: Double)(n: Double): Double =
+    c + a * math.pow(n, e)
+
+  test("fitExponent recovers the exact exponent of t = c + a*n^e — " +
+      "the per-query overhead cancels in first differences") {
+    for (e <- Seq(0.5, 1.0, 1.3, 2.0); c <- Seq(0.0, 5.0)) {
+      val f = t(c, 0.4, e) _
+      val got = ScalingAudit.fitExponent(f(1), f(10), f(100),
+        noiseFloorSec = 1e-9).get
+      assert(math.abs(got - e) < 1e-9, s"e=$e c=$c got $got")
+    }
+  }
+
+  test("fitExponent refuses to fit when a first difference is below " +
+      "the noise floor — an all-overhead query carries no signal, and " +
+      "the RELATIVE floor keeps a big fixed kernel cost's jitter from " +
+      "wearing a trend") {
+    // flat: 2.0s at every SF (pure overhead)
+    assert(ScalingAudit.fitExponent(2.0, 2.05, 2.1).isEmpty)
+    // only the last point moves: d1 (0.08) below the 0.1 floor
+    assert(ScalingAudit.fitExponent(2.0, 2.08, 4.0).isEmpty)
+    // negative difference (noise) never fits
+    assert(ScalingAudit.fitExponent(2.0, 1.5, 4.0).isEmpty)
+    // both diffs clear the floor: fits
+    assert(ScalingAudit.fitExponent(2.0, 2.5, 7.0).nonEmpty)
+    // relative floor: d1 = 0.4 clears the absolute 0.1 but is under
+    // 5% of the 10s base — the q22_dedup_keep_best failure shape
+    assert(ScalingAudit.fitExponent(10.0, 10.4, 20.0).isEmpty)
+    assert(ScalingAudit.fitExponent(10.0, 11.0, 20.0).nonEmpty)
+  }
+
+  private def pts(ts: Double*): Seq[ScalingAudit.Point] =
+    ts.zipWithIndex.map { case (t, i) =>
+      ScalingAudit.Point(s"sf$i", t, t) }.toSeq
+
+  test("auditExponents flags only fitted exponents above their bound, " +
+      "honoring per-query overrides for documented super-linear " +
+      "designs") {
+    val fits = Seq(
+      ScalingAudit.ScalingFit("lin", pts(1.0, 2.0, 12.0), Some(1.0)),
+      ScalingAudit.ScalingFit("quad", pts(1.0, 2.0, 101.0), Some(2.0)),
+      ScalingAudit.ScalingFit("n15", pts(1.0, 2.0, 46.0), Some(1.65)),
+      ScalingAudit.ScalingFit("unfit", pts(1.0, 1.0, 1.0), None))
+    val found = ScalingAudit.auditExponents(fits,
+      bounds = Map("n15" -> 1.7))
+    assert(found.map(_.kind).distinct == Seq(ScalingAudit.SuperlinearScaling))
+    assert(found.size == 1 && found.head.detail.startsWith("quad:"),
+      found)
+    // without the override, the documented n^1.5 design would trip too
+    assert(ScalingAudit.auditExponents(fits).size == 2)
+  }
+
+  test("driftFindings fires on upward drift beyond tolerance and on a " +
+      "newly-fitted exponent above bound; getting faster or sinking " +
+      "into overhead is never drift") {
+    val rec = Map("a" -> 1.0, "b" -> 1.2, "c" -> 1.1)
+    val fresh = Seq(
+      ScalingAudit.ScalingFit("a", Nil, Some(1.5)),  // drifted +0.5
+      ScalingAudit.ScalingFit("b", Nil, Some(1.3)),  // +0.1 within tol
+      ScalingAudit.ScalingFit("c", Nil, None),       // sank into overhead
+      ScalingAudit.ScalingFit("d", Nil, Some(1.9)),  // new, over bound
+      ScalingAudit.ScalingFit("e", Nil, Some(1.2)))  // new, under bound
+    // (points are irrelevant to drift logic — Nil keeps the fixture
+    // focused on the exponent transitions)
+    val found = ScalingAudit.driftFindings(rec, fresh)
+    assert(found.size == 2, found)
+    assert(found.exists(_.detail.startsWith("a:")), found)
+    assert(found.exists(_.detail.startsWith("d:")), found)
+  }
+
+  test("measure returns per-directory wall AND work minima on a real " +
+      "query — the task-time listener actually accumulates (the " +
+      "plumbing: noop materialization, listener drain, ordering)") {
+    val points = ScalingAudit.measure(spark,
+      graft.SparkEntry.queries("q01_scan"), Seq(sfDir), runs = 1)
+    assert(points.size == 1 && points.head.dir == sfDir, points)
+    assert(points.head.wallSec > 0, points)
+    assert(points.head.workSec > 0, // listener saw the tasks
+      s"work metric empty — listener drain broken? $points")
+  }
+
+  test("the sweep's risk list is a subset of the inventory and the " +
+      "bound overrides only name risk-list queries") {
+    val missing =
+      graft.ScalingSweep.riskList.filterNot(graft.SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"risk list not in inventory: $missing")
+    val strayBounds = graft.ScalingSweep.bounds.keys
+      .filterNot(graft.ScalingSweep.riskList.contains)
+    assert(strayBounds.isEmpty, s"bounds for non-risk queries: $strayBounds")
+  }
+
+  test("readTable parses fitted exponents and skips unfit/null entries") {
+    val json = """{"sf_base":"/x","cpus":32,"queries":{
+      |"q41_pagerank":{"wall":[0.1,0.3,1.2],"work":[0.5,2.0,21.0],
+      |"exponent":1.08},
+      |"q01_scan":{"wall":[0.1,0.1,0.2],"work":[0.2,0.2,0.3],
+      |"exponent":null}}}""".stripMargin
+    assert(graft.ScalingSweep.readTable(json) == Map("q41_pagerank" -> 1.08))
+    assert(graft.ScalingSweep.readTable("garbage{").isEmpty)
+  }
+}
