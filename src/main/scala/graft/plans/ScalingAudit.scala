@@ -88,8 +88,13 @@ object ScalingAudit {
     * executions of `fn(spark, dir)`, smallest SF first. The noop sink
     * forces every operator (a count() would let Catalyst prune the
     * work being measured); a failed run contributes nothing. One
-    * untimed warm-up at the first (smallest) directory pre-compiles
-    * the shared codegen before anything is billed. */
+    * untimed warm-up at the LAST (largest) directory pre-compiles the
+    * shared codegen with enough loop iterations to reach JIT steady
+    * state before anything is billed — warming at the smallest was
+    * observed to leave kernel-heavy queries (the dedup shingle family)
+    * interpreted through their early timed points, measuring MORE work
+    * at sf0.001 than sf0.01 (10s of task time on 50 documents) and
+    * poisoning the fit's first difference. */
   def measure(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame,
       dirs: Seq[String], runs: Int = 2): Seq[Point] = {
@@ -109,7 +114,7 @@ object ScalingAudit {
         if (ok) Some(((System.nanoTime() - t0) / 1e9, work / 1e3)) else None
       } finally graft.Harness.dropPinnedRdds(spark)
     }
-    dirs.headOption.foreach(once) // warm-up, untimed
+    dirs.lastOption.foreach(once) // warm-up at the largest, untimed
     dirs.flatMap { dir =>
       val samples = (0 until math.max(1, runs)).flatMap(_ => once(dir))
       if (samples.isEmpty) None
