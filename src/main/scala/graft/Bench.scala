@@ -241,21 +241,25 @@ object Bench {
             prev > 0 && ts.min > prev * 1.5) => name
       }
     val stillRegressed = regressedIn(requeued0)
-    val requeued =
-      if (stillRegressed.isEmpty) requeued0
+    val lateMins: Map[String, Double] =
+      if (stillRegressed.isEmpty) Map.empty
       else {
         settleTo(math.min(4.0, cpus.toDouble), 150)
-        val lateMins = stillRegressed.sorted.flatMap { name =>
+        stillRegressed.sorted.flatMap { name =>
           val ts = isolatedSamples(name)
           if (ts.isEmpty) None else Some(name -> ts.min)
         }.toMap
-        requeued0.map { case (name, ts) =>
-          (name, ts ++ lateMins.get(name).toSeq)
-        }
       }
+    val requeued = requeued0.map { case (name, ts) =>
+      (name, ts ++ lateMins.get(name).toSeq)
+    }
     // confirmed = still >1.5x over the record AFTER the strictly-last
-    // isolated retry (or never flagged because no prior existed)
-    val confirmedSlower = regressedIn(requeued).toSet
+    // isolated retry ACTUALLY MEASURED (a retry whose every sample
+    // failed has verified nothing — such a query stays flagged in
+    // regressed_vs_record below but must not raise the record: the
+    // whole point is that only a reproduced slow number may)
+    val confirmedSlower =
+      regressedIn(requeued).filter(lateMins.contains).toSet
     val loadAfter = loadavg()
     // the official record's noise ledger: queries whose ENTIRE in-sweep
     // sampling window a later isolated re-measure (immediate re-audit,
@@ -308,25 +312,46 @@ object Bench {
     //      with file access — the untruncatable record.
     // SELF-REPORTED residual regressions: queries whose folded min
     // still exceeds the prior official record by >1.5x AFTER the
-    // strictly-last settled isolated retry — i.e. CONFIRMED, either a
-    // genuine regression the round introduced or an environment shift
-    // no re-measure can fold (round 7's was a thread-basis mismatch —
-    // local[4] vs the record's local[32] — which is why priorQueries
-    // guards on cpus). Only these may raise the record merge's minima.
-    val regressedVsRecord = confirmedSlower.toSeq.sorted
+    // strictly-last settled isolated retry — either CONFIRMED (the
+    // retry reproduced the slow number: a genuine regression, or an
+    // environment shift no re-measure can fold — round 7's was a
+    // thread-basis mismatch, which is why priorQueries guards on
+    // cpus) or retry-FAILED (still reported here; just barred from
+    // raising the record above). Queries genuinely slower but under
+    // the 1.5x/0.3s detection floor keep the prior record min without
+    // a flag — the record is a best-confirmed-state rolling min by
+    // design; the stdout metric line's total reflects THIS run.
+    val regressedVsRecord = regressedIn(requeued).sorted
     val regJson = cappedJson(regressedVsRecord)
+    // the gray band the detection floor can't confirm: queries slower
+    // than the record by >1.2x but below the 1.5x/0.3s regression bar
+    // keep the prior min in the merged record (best-confirmed-state
+    // semantics). This count sizes that divergence for the reader —
+    // a large value means the record understates the current run.
+    val nSlowerUnconfirmed = requeued.count { case (name, ts) =>
+      ts.nonEmpty && priorMins.get(name).exists(prev =>
+        prev > 0 && ts.min > prev * 1.2) &&
+        !regressedVsRecord.contains(name)
+    }
     // recorded-vs-swept ratios for the flagged queries, inline: a
     // reader of BENCH_r0x alone can size the noise (or the regression)
     // without diffing bench_full.json from git. final = the folded min
-    // that ships; sweep = the raw in-sweep min it replaced or confirmed.
+    // that ships; sweep = the raw in-sweep min it replaced or
+    // confirmed. Capped like every embedded list — the overflow count
+    // is explicit so a fully-noisy box can't silently shorten it.
+    val resultsMap = results.toMap
     val ratioJson = {
       val flagged = (noiseSuspects ++ regressedVsRecord).distinct.sorted
-      flagged.take(8).map { name =>
-        val fin = results.toMap.getOrElse(name, -1.0)
+      val entries = flagged.take(8).map { name =>
+        val fin = resultsMap.getOrElse(name, -1.0)
         val sw = sweepMins.getOrElse(name, fin)
         val prev = priorMins.getOrElse(name, -1.0)
         s""""$name":{"sweep":${f3(sw)},"final":${f3(fin)},"record":${f3(prev)}}"""
-      }.mkString("{", ",", "}")
+      }
+      val more =
+        if (flagged.size > 8) Seq(s""""_more":${flagged.size - 8}""")
+        else Nil
+      (entries ++ more).mkString("{", ",", "}")
     }
     val sorted = results.sortBy(_._1)
     val chunks = sorted.grouped(20).toSeq
@@ -335,7 +360,7 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"flagged_ratios":$ratioJson}"""
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
@@ -365,7 +390,7 @@ object Bench {
     if (fullRun || priorMins.nonEmpty || !priorFileExists) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"flagged_ratios":$ratioJson,"queries":$allQs}""" + "\n")
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"flagged_ratios":$ratioJson,"queries":$allQs}""" + "\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: $e")

@@ -72,8 +72,17 @@ object ScalingSweep {
     // minima, so each point's min is worth one extra sample of rigor
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // names outside the risk list are a LOUD error, not a silent empty
+    // selection — SPARK_GRAFT_ONLY=q01_scan would otherwise select
+    // nothing and (pre-merge) have clobbered the table with it
+    only.foreach { names =>
+      val stray = names.diff(riskList.toSet)
+      require(stray.isEmpty,
+        s"SPARK_GRAFT_ONLY names not on the scaling risk list: $stray")
+    }
     val selected = only.fold(riskList)(names => riskList.filter(names))
+    require(selected.nonEmpty, "empty selection")
     val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"not in the inventory: $unknown")
     val builder = SparkSession.builder()
@@ -95,42 +104,72 @@ object ScalingSweep {
       f
     }
     val over = ScalingAudit.auditExponents(fits, bounds = bounds)
-    over.foreach(f =>
+    val failed = ScalingAudit.auditMeasurementFailures(fits, dirs.size)
+    (over ++ failed).foreach(f =>
       System.err.println(s"[scaling] [${f.kind}] ${f.detail}"))
     val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
     println(s"""{"metric":"scaling","n_queries":${fits.size},""" +
       s""""n_fit":${fits.count(_.exponent.nonEmpty)},""" +
-      s""""n_over_bound":${over.size},"cpus":$cpus,""" +
+      s""""n_over_bound":${over.size},"n_failed":${failed.size},""" +
+      s""""cpus":$cpus,""" +
       s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
         .mkString("[", ",", "]")}}""")
+    val path = java.nio.file.Paths.get("scaling_exponents.json")
     if (check) {
-      val path = java.nio.file.Paths.get("scaling_exponents.json")
       require(java.nio.file.Files.exists(path),
         "--check needs a checked-in scaling_exponents.json (run the " +
           "sweep without --check first)")
       val recorded = readTable(
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      // a query that stopped RUNNING must fail the gate too — its
+      // exponent is None, which the drift rules alone would read as
+      // the benign sank-into-overhead case
       val drift = ScalingAudit.driftFindings(recorded, fits,
-        bounds = bounds) ++ over
+        bounds = bounds) ++ over ++ failed
       drift.foreach(f =>
         System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
       spark.stop()
       if (drift.nonEmpty) sys.exit(1)
     } else {
-      val qJson = fits.sortBy(_.name).map { f =>
-        s""""${f.name}":{"wall":[${
+      // MERGE into the prior table, never clobber: a subset run
+      // (SPARK_GRAFT_ONLY) updates only what it measured and carries
+      // every other recorded entry forward — same rule as the bench
+      // record (exponents are basis-robust by the work metric, so a
+      // carried entry stays comparable). The header reflects THIS run.
+      val freshEntries: Map[String, String] = fits.map { f =>
+        f.name -> s"""{"wall":[${
           f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
           f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":${
           f.exponent.map(f3).getOrElse("null")}}"""
-      }.mkString("{", ",", "}")
+      }.toMap
+      val priorEntries: Map[String, String] =
+        if (!java.nio.file.Files.exists(path)) Map.empty
+        else readRawEntries(
+          new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      val qJson = (priorEntries ++ freshEntries).toSeq.sortBy(_._1)
+        .map { case (name, body) => s""""$name":$body""" }
+        .mkString("{", ",", "}")
       val body = s"""{"sf_base":"$base","cpus":$cpus,"runs":$runs,""" +
         s""""dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$qJson}""" + "\n"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("scaling_exponents.json"),
-        body.getBytes("UTF-8"))
+      java.nio.file.Files.write(path, body.getBytes("UTF-8"))
       spark.stop()
     }
+  }
+
+  /** The prior table's per-query entries as compact-rendered raw JSON
+    * (for the subset-run merge); empty on any parse failure. */
+  def readRawEntries(json: String): Map[String, String] = {
+    import org.json4s._
+    try {
+      (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
+        case JObject(fields) => fields.map { case (name, v) =>
+          name -> org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(v))
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** Recorded per-query exponents out of `scaling_exponents.json`

@@ -131,6 +131,19 @@ object Main {
       rawArgs.contains("--scaling"), lowCard, positional.toSeq)
   }
 
+  /** The optional trailing [limit] positional — a non-numeric token
+    * (a mistyped flag, a stray argument) gets the usage message, not a
+    * raw NumberFormatException stack. */
+  private def parseLimit(rest: Seq[String], usage: => Unit): Int =
+    rest.headOption match {
+      case None => 20
+      case Some(tok) => tok.toIntOption.getOrElse {
+        System.err.println(s"expected a numeric [limit], got '$tok'")
+        usage
+        sys.exit(1)
+      }
+    }
+
   private def querySession(): SparkSession = {
     val builder = SparkSession.builder().appName("graft-query")
     if (!sys.props.contains("spark.master") &&
@@ -192,6 +205,12 @@ object Main {
         .map(x => s"[graft] finding: [${x.kind}] ${x.detail}")
   }
 
+  private def qUsage(): Unit =
+    System.err.println(
+      "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
+        "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
+        "[--profile] [--audit-measure] [--scaling]")
+
   private def runQuery(rawArgs: Array[String]): Unit = {
     val flags = parseReportFlags(rawArgs)
     flags.positional match {
@@ -203,17 +222,14 @@ object Main {
             s"unknown query '$name' — `-q list` prints the inventory")
           sys.exit(1)
         })
-        val limit = rest.headOption.map(_.toInt).getOrElse(20)
+        val limit = parseLimit(rest, qUsage())
         val spark = querySession()
         if (flags.doScaling)
           scalingReport(spark, name, fn, sfDir).foreach(println)
         else runReports(fn(spark, sfDir), name, limit, flags)
         spark.stop()
       case _ =>
-        System.err.println(
-          "usage: graft.cli.Main -q <name|list> <sfDir> [limit] " +
-            "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
-            "[--profile] [--audit-measure] [--scaling]")
+        qUsage()
         sys.exit(1)
     }
   }
@@ -235,11 +251,17 @@ object Main {
     * registered tables through the SAME audit tooling as `-q`: the
     * 100 TB consumer composes their own queries, and the cost card /
     * measured lint must not be reserved for the named inventory. */
+  private def sUsage(): Unit =
+    System.err.println(
+      "usage: graft.cli.Main -e \"<sql>\" <sfDir> [limit] " +
+        "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
+        "[--profile] [--audit-measure] [--scaling]")
+
   private def runSql(rawArgs: Array[String]): Unit = {
     val flags = parseReportFlags(rawArgs)
     flags.positional match {
       case Seq(sql, sfDir, rest @ _*) =>
-        val limit = rest.headOption.map(_.toInt).getOrElse(20)
+        val limit = parseLimit(rest, sUsage())
         val spark = querySession()
         if (flags.doScaling)
           scalingReport(spark, "adhoc",
@@ -256,10 +278,7 @@ object Main {
         }
         spark.stop()
       case _ =>
-        System.err.println(
-          "usage: graft.cli.Main -e \"<sql>\" <sfDir> [limit] " +
-            "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
-            "[--profile] [--audit-measure] [--scaling]")
+        sUsage()
         sys.exit(1)
     }
   }

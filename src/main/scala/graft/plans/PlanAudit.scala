@@ -380,19 +380,27 @@ object PlanAudit {
 
   /** Split a rendered filter list on commas at bracket depth 0 — the
     * separators BETWEEN filters, never the ones inside a nested
-    * `Or(...)` / `In(c, [1,2])`. */
+    * `Or(...)` / `In(c, [1,2])`. Filter VALUES are rendered raw and
+    * unquoted, so a literal containing an unbalanced bracket (e.g.
+    * `StringStartsWith(name,ab(c)`) corrupts depth counting; when the
+    * input ends unbalanced (or ever dips negative) the split is
+    * untrustworthy and the whole string comes back as ONE element —
+    * the safe degenerate reading — instead of gluing the tail. */
   private[plans] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()
     val cur = new StringBuilder
     var depth = 0
+    var corrupt = false
     s.foreach {
       case c @ ('(' | '[') => depth += 1; cur += c
-      case c @ (')' | ']') => depth -= 1; cur += c
+      case c @ (')' | ']') =>
+        depth -= 1; if (depth < 0) corrupt = true; cur += c
       case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString.trim
-    out.toSeq.filter(_.nonEmpty)
+    if (corrupt || depth != 0) Seq(s.trim).filter(_.nonEmpty)
+    else out.toSeq.filter(_.nonEmpty)
   }
 
   /** [[scanProfiles]] folded to findings: scans of a table at least

@@ -65,6 +65,26 @@ object ScalingAudit {
 
   val SuperlinearScaling = "superlinear-scaling"
 
+  /** A query that could not be measured at every scale directory —
+    * every run at some directory failed. Reported as its own finding
+    * kind so a gate run (`ScalingSweep --check`) FAILS on it: a query
+    * that stopped running entirely must not read as "unfit, no drift"
+    * (exponent None looks identical to a benign all-overhead query
+    * otherwise). */
+  val MeasurementFailure = "scaling-measurement-failure"
+
+  /** Fold fits to measurement-failure findings: any fit with fewer
+    * measured points than `nDirs` directories. */
+  def auditMeasurementFailures(fits: Seq[ScalingFit], nDirs: Int)
+      : Seq[PlanAudit.Finding] =
+    fits.collect {
+      case f if f.points.size < nDirs =>
+        PlanAudit.Finding(MeasurementFailure,
+          s"${f.name}: only ${f.points.size}/$nDirs scale points " +
+            "measured — every run failed at " +
+            "some directory (see [scaling] stderr lines)")
+    }
+
   /** Fit `e` from three work measurements a decade apart. None when
     * either first difference is below the noise floor — the data term
     * is too small at these scales to carry signal. The floor is the

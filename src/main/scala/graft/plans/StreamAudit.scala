@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
+import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
@@ -41,62 +41,38 @@ object StreamAudit {
   private def hasWatermark(p: LogicalPlan): Boolean =
     p.exists(_.isInstanceOf[logical.EventTimeWatermark])
 
-  /** ExprIds of attributes DERIVED from a watermarked event-time
-    * column anywhere in `p` — the watermark column itself plus every
-    * alias transitively referencing one (the analyzed form of
-    * `window(ts, ...)` / `session_window(ts, ...)` is an alias over a
-    * projection/expand referencing ts, so windowed groupings resolve
-    * through the same rule). Bottom-up so derivations compose across
-    * stacked projections. */
-  private def timeDerivedIds(p: LogicalPlan): Set[ExprId] = {
-    val ids = scala.collection.mutable.Set[ExprId]()
-    def derive(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Boolean = e.references.exists(r => ids(r.exprId))
-    def walk(n: LogicalPlan): Unit = {
-      n.children.foreach(walk)
-      n match {
-        case w: logical.EventTimeWatermark => ids += w.eventTime.exprId
-        case pr: logical.Project =>
-          pr.projectList.foreach {
-            case a: Alias if derive(a.child) => ids += a.exprId
-            case _ =>
-          }
-        case ag: logical.Aggregate =>
-          ag.aggregateExpressions.foreach {
-            case a: Alias if derive(a.child) => ids += a.exprId
-            case _ =>
-          }
-        // TimeWindowing rewrites sliding window() through Expand:
-        // positional projections map onto the node's output attributes
-        case ex: logical.Expand =>
-          ex.projections.foreach(_.zip(ex.output).foreach {
-            case (e, out) if derive(e) => ids += out.exprId
-            case _ =>
-          })
-        case _ =>
-      }
-    }
-    walk(p)
-    ids.toSet
-  }
-
-  /** True iff some expression in `exprs` references an event-time-
-    * derived column of `child` — the condition under which Spark can
-    * evict aggregate/dedup state as the watermark advances. */
-  private def evictableBy(child: LogicalPlan,
+  /** Spark's OWN eviction criterion, checked the way the physical
+    * operators check it (WatermarkSupport.watermarkExpression): a
+    * grouping/dedup key expression must BE an attribute carrying the
+    * `EventTimeWatermark.delayKey` METADATA. The metadata survives
+    * exactly the transformations Spark can evict through — a plain
+    * rename (Alias over an attribute inherits metadata) and the
+    * `window()`/`session_window()` rewrites (TimeWindowing copies it
+    * onto the window attribute) — and is DROPPED by any computed
+    * derivation (`date_trunc(ts)`, casts, arithmetic), which is
+    * faithful: Spark cannot evict by those either, because it cannot
+    * know how the derivation maps onto the advancing watermark. A
+    * references-based or alias-tracing check would mark such
+    * derivations clean and re-admit the watermark-present-but-
+    * unevictable false-negative class this lint exists to close. */
+  private def evictableBy(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Boolean = {
-    val derived = timeDerivedIds(child)
-    exprs.exists(_.references.exists(r => derived(r.exprId)))
-  }
+      : Boolean =
+    exprs.exists {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        a.metadata.contains(logical.EventTimeWatermark.delayKey)
+      case al: Alias =>
+        al.metadata.contains(logical.EventTimeWatermark.delayKey)
+      case _ => false
+    }
 
   /** Walk a STREAMING frame's analyzed plan and report every stateful
     * operator whose state has no eviction bound. Batch frames return
     * no findings (nothing is kept between batches). For aggregates and
-    * dedups the check is watermark-presence AND key-reaches-the-keys:
-    * Spark only evicts their state when the watermarked event-time
-    * column (or a window over it) appears among the grouping/dedup
-    * expressions — a watermark that never reaches the keys is the
+    * dedups the check is watermark-presence AND a watermark-carrying
+    * key ([[evictableBy]] — Spark's own metadata criterion): a
+    * watermark that never reaches the keys, or reaches them only
+    * through a computed derivation that drops the metadata, is the
     * silent-leak false negative this lint exists to catch.
     * `dropDuplicatesWithinWatermark` evicts by arrival horizon instead
     * and only needs the watermark present. For stream-stream joins the
@@ -111,11 +87,13 @@ object StreamAudit {
       case a: logical.Aggregate
           if a.child.isStreaming &&
             !(hasWatermark(a.child) &&
-              evictableBy(a.child, a.groupingExpressions)) =>
+              evictableBy(a.groupingExpressions)) =>
         val why =
           if (!hasWatermark(a.child)) "no upstream watermark"
-          else "the watermarked event-time column never reaches the " +
-            "grouping (watermark present but nothing to evict by)"
+          else "no watermark-carrying event-time attribute among the " +
+            "grouping keys (watermark present but nothing to evict by " +
+            "— a computed derivation like date_trunc drops the " +
+            "watermark metadata Spark evicts on)"
         buf += Finding(UnboundedState,
           "streaming aggregate keyed [" +
             a.groupingExpressions.map(_.sql).mkString(", ").take(60) +
@@ -123,12 +101,13 @@ object StreamAudit {
             "stream's lifetime")
       case d: logical.Deduplicate
           if d.child.isStreaming &&
-            !(hasWatermark(d.child) && evictableBy(d.child, d.keys)) =>
+            !(hasWatermark(d.child) && evictableBy(d.keys)) =>
         val why =
           if (!hasWatermark(d.child)) "no watermark"
-          else "no event-time column among the keys (state is only " +
-            "evicted when the keys carry the watermarked column; use " +
-            "dropDuplicatesWithinWatermark to evict by arrival horizon)"
+          else "no watermark-carrying event-time column among the keys " +
+            "(state is only evicted when a key attribute carries the " +
+            "watermark metadata; use dropDuplicatesWithinWatermark to " +
+            "evict by arrival horizon)"
         buf += Finding(UnboundedState,
           "streaming dropDuplicates[" +
             d.keys.map(_.name).mkString(", ").take(60) +

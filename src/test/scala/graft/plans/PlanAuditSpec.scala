@@ -201,6 +201,14 @@ class PlanAuditSpec extends SparkSpec {
         "Or(EqualTo(a,b), In(c, [1,2]))"))
     assert(PlanAudit.splitTopLevel("") == Nil)
     assert(PlanAudit.splitTopLevel("IsNotNull(x)") == Seq("IsNotNull(x)"))
+    // raw unquoted literal values can unbalance the brackets
+    // (StringStartsWith(name,ab(c) renders with 2 opens / 1 close):
+    // an unbalanced input comes back as ONE element, never a glued
+    // or mis-split tail
+    assert(PlanAudit.splitTopLevel(
+      "StringStartsWith(name,ab(c), IsNotNull(y)") ==
+      Seq("StringStartsWith(name,ab(c), IsNotNull(y)"))
+    assert(PlanAudit.splitTopLevel("A(x)), B(y)") == Seq("A(x)), B(y)"))
   }
 
   test("PlanSignature counts the shape (exchange/agg/window), renders " +

@@ -100,6 +100,33 @@ class ScalingAuditSpec extends SparkSpec {
     assert(strayBounds.isEmpty, s"bounds for non-risk queries: $strayBounds")
   }
 
+  test("auditMeasurementFailures flags a query measured at fewer " +
+      "points than directories — a query that stopped running must " +
+      "not read as benign unfit in the --check gate") {
+    val fits = Seq(
+      ScalingAudit.ScalingFit("ok", pts(1.0, 2.0, 12.0), Some(1.0)),
+      ScalingAudit.ScalingFit("broken", pts(1.0, 2.0), None))
+    val found = ScalingAudit.auditMeasurementFailures(fits, nDirs = 3)
+    assert(found.size == 1 &&
+      found.head.kind == ScalingAudit.MeasurementFailure &&
+      found.head.detail.startsWith("broken: only 2/3"), found)
+  }
+
+  test("a subset sweep merges into the prior table instead of " +
+      "clobbering it (readRawEntries round-trips untouched entries)") {
+    val prior = """{"sf_base":"/x","queries":{
+      |"a":{"wall":[1,2,3],"work":[1,2,3],"exponent":1.0},
+      |"b":{"wall":[4,5,6],"work":[4,5,6],"exponent":null}}}""".stripMargin
+    val entries = graft.ScalingSweep.readRawEntries(prior)
+    assert(entries.keySet == Set("a", "b"), entries)
+    assert(entries("a").contains("\"exponent\":1.0"), entries("a"))
+    // overlay semantics: fresh wins, untouched carried
+    val merged = entries ++ Map("a" -> """{"exponent":1.2}""")
+    assert(merged("a") == """{"exponent":1.2}""" &&
+      merged("b") == entries("b"))
+    assert(graft.ScalingSweep.readRawEntries("garbage{").isEmpty)
+  }
+
   test("readTable parses fitted exponents and skips unfit/null entries") {
     val json = """{"sf_base":"/x","cpus":32,"queries":{
       |"q41_pagerank":{"wall":[0.1,0.3,1.2],"work":[0.5,2.0,21.0],

@@ -68,26 +68,40 @@ class StreamAuditSpec extends SparkSpec {
     val agg = events.withWatermark("ts", "10 minutes")
       .groupBy("user_id").count()
     assert(kinds(agg) == Seq(StreamAudit.UnboundedState), kinds(agg))
-    assert(StreamAudit.audit(agg).head.detail.contains("never reaches"))
+    assert(StreamAudit.audit(agg).head.detail.contains(
+      "nothing to evict by"))
     // watermarked dropDuplicates without the event-time column among
     // the keys: the seen-key set still grows with the stream
     val dd = events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
     assert(kinds(dd) == Seq(StreamAudit.UnboundedState), kinds(dd))
-    // the three evictable forms are clean: event-time among the dedup
-    // keys, dropDuplicatesWithinWatermark, and grouping on a
-    // time-DERIVED alias (the window() rewrite resolves the same way)
+    // the evictable forms are clean: the watermarked column itself
+    // among the dedup keys, dropDuplicatesWithinWatermark, a RENAME of
+    // the watermarked column (Alias inherits the watermark metadata,
+    // and so does Spark's eviction), and the window()/session_window()
+    // rewrites (TimeWindowing copies the metadata onto the window attr)
     assert(kinds(events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")).isEmpty)
     assert(kinds(events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")).isEmpty)
+    val renamed = events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("event_time"))
+      .groupBy("event_time", "user_id").count()
+    assert(kinds(renamed).isEmpty, kinds(renamed))
+    // sliding window() resolves through the Expand rewrite
+    assert(kinds(EventStreams.sliding(events)).isEmpty)
+    // a COMPUTED derivation of the watermarked column drops the
+    // watermark metadata, and Spark's state store genuinely never
+    // evicts such an aggregate (WatermarkSupport checks key-attribute
+    // metadata) — the lint must fire, faithful to the engine, even
+    // though the grouping "looks" time-based
     val derived = events.withWatermark("ts", "10 minutes")
       .select(col("user_id"),
         date_trunc("hour", col("ts")).as("ts_hour"))
       .groupBy("ts_hour", "user_id").count()
-    assert(kinds(derived).isEmpty, kinds(derived))
-    // sliding window() resolves through the Expand rewrite
-    assert(kinds(EventStreams.sliding(events)).isEmpty)
+    assert(kinds(derived) == Seq(StreamAudit.UnboundedState),
+      kinds(derived))
+    assert(StreamAudit.audit(derived).head.detail.contains("metadata"))
     // dropDuplicatesWithinWatermark with NO watermark at all still fires
     val ddw = events.dropDuplicatesWithinWatermark("event_id")
     assert(kinds(ddw) == Seq(StreamAudit.UnboundedState), kinds(ddw))
