@@ -44,7 +44,13 @@ object ScalingSweep {
     // interval / range / as-of joins
     "q11_join_range", "q11c_interval_join", "q38_overlap", "q12_asof",
     // other loops and pair machinery
-    "q24_bpe_train", "q42b_triples", "q19j_theilsen", "q37_hierarchy")
+    "q24_bpe_train", "q42b_triples", "q19j_theilsen", "q37_hierarchy",
+    // blocked pair matching, per-entity sequence assembly, resampling,
+    // deliberate-skew joins, quasi-identifier grouping, embedding
+    // pair hunts, positional adjacency — growth risks of a different
+    // shape than the families above
+    "q17b_fuzzy", "q40_sessionize", "q29d_paths", "q19i_bootstrap",
+    "q28_skew_join", "q36c_anonymity", "q22_dedup_embed", "q43c_phrase")
 
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
