@@ -104,7 +104,12 @@ object Main {
     * joins (the many-to-many fanout class) — plus the findings the
     * repo's own sweep would raise at those thresholds. Point it at a
     * small representative sample of production data: the ratios are
-    * scale-free, the counts cost one job per distinct subplan. */
+    * scale-free, the counts cost one job per distinct subplan.
+    * `--scaling` measures the query at the sibling sf0.001/sf0.01/
+    * sf0.1 directories and fits the WORK growth exponent (see
+    * [[scalingReport]]). The same flags compose with `-e "<sql>"` —
+    * ad-hoc SQL over the registered tables through identical report
+    * paths ([[adhocFrame]]). */
   private case class ReportFlags(doAudit: Boolean, doExplain: Boolean,
       doProfile: Boolean, doMeasure: Boolean, doScaling: Boolean,
       lowCard: Set[String], positional: Seq[String])
