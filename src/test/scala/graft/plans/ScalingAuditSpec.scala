@@ -90,6 +90,30 @@ class ScalingAuditSpec extends SparkSpec {
       s"work metric empty — listener drain broken? $points")
   }
 
+  test("LIVE mini-gate: three cheap risk-list queries run the real " +
+      "three-SF fit every test round — all points measured (a query " +
+      "that stops running at some scale fails here, not at the next " +
+      "manual sweep), and any FITTED exponent stays far from " +
+      "quadratic. The bound is deliberately loose (1.8 vs the sweep's " +
+      "1.6): min-of-2 sampling noise adds up to ~0.2 to a true ~1.1, " +
+      "and the full-rigor bound belongs to ScalingSweep/--check, not " +
+      "a unit test") {
+    val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s =>
+      parent.resolve(s)).filter(java.nio.file.Files.isDirectory(_))
+      .map(_.toString)
+    assume(dirs.size == 3, s"need all three scale dirs, found $dirs")
+    val offenders = Seq("q19j_theilsen", "q28_skew_join", "q37_hierarchy")
+      .flatMap { name =>
+        val f = ScalingAudit.fit(spark, name,
+          graft.SparkEntry.queries(name), dirs)
+        val fails = ScalingAudit.auditMeasurementFailures(Seq(f), 3) ++
+          ScalingAudit.auditExponents(Seq(f), defaultBound = 1.8)
+        fails.map(x => s"$name: [${x.kind}] ${x.detail}")
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the sweep's risk list is a subset of the inventory and the " +
       "bound overrides only name risk-list queries") {
     val missing =
