@@ -162,13 +162,11 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val slowest10 = raw.filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
       .map(_._1)
-    val regressed = raw.collect {
-      case (name, ts) if ts.nonEmpty && ts.min > 0.3 &&
-        // prev > 0: a carried -1 failure sentinel must not mark a
-        // now-healthy query as regressed (any v > -1.5 is true)
-        priorMins.get(name).exists(prev =>
-          prev > 0 && ts.min > prev * 1.5) => name
-    }
+    // the shared regression predicate (unit-tested in BenchRecordSpec)
+    def regressedIn(rs: Seq[(String, Seq[Double])]): Seq[String] =
+      BenchRecord.regressedVs(priorMins,
+        rs.collect { case (name, ts) if ts.nonEmpty => name -> ts.min })
+    val regressed = regressedIn(raw)
     def isolatedSamples(name: String, n: Int = 2): Seq[Double] = {
       val fn = selected(name)
       (0 until n).flatMap { _ =>
@@ -234,12 +232,6 @@ object Bench {
     // Queries the retry folds back to the record were noise; queries
     // still slow are CONFIRMED regressions and only they may raise the
     // record min (BenchRecord.mergedQueries' confirmedSlower).
-    def regressedIn(rs: Seq[(String, Seq[Double])]): Seq[String] =
-      rs.collect {
-        case (name, ts) if ts.nonEmpty && ts.min > 0.3 &&
-          priorMins.get(name).exists(prev =>
-            prev > 0 && ts.min > prev * 1.5) => name
-      }
     val stillRegressed = regressedIn(requeued0)
     val lateMins: Map[String, Double] =
       if (stillRegressed.isEmpty) Map.empty

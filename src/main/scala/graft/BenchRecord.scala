@@ -69,6 +69,22 @@ object BenchRecord {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Queries whose folded min exceeds the prior record by more than
+    * `factor`, over the `floorSec` absolute floor (tiny queries carry
+    * too much relative noise to flag), against healthy priors only
+    * (a carried -1 failure sentinel must not mark a now-healthy query
+    * regressed). The single regression predicate Bench uses for the
+    * re-audit net, the strictly-last confirmation retry, and the
+    * self-reported `regressed_vs_record` — one definition, tested
+    * here, three call sites. */
+  def regressedVs(prior: Map[String, Double],
+      mins: Seq[(String, Double)], floorSec: Double = 0.3,
+      factor: Double = 1.5): Seq[String] =
+    mins.collect {
+      case (name, v) if v > floorSec &&
+        prior.get(name).exists(p => p > 0 && v > p * factor) => name
+    }
+
   /** The record to persist: prior same-sf entries overlaid with this
     * run's results, sorted by query name. Faster values and failure
     * sentinels always win; a SLOWER value only replaces the prior min

@@ -101,6 +101,25 @@ class BenchRecordSpec extends AnyFunSuite {
       Seq("q1" -> 2.0))
   }
 
+  test("regressedVs flags >1.5x over a healthy prior above the 0.3s " +
+      "floor — and nothing else: tiny queries, mild drift, failure-" +
+      "sentinel priors, and no-prior queries never flag") {
+    val prior = Map("slow" -> 1.0, "tiny" -> 0.05, "mild" -> 1.0,
+      "dead" -> -1.0)
+    val mins = Seq(
+      "slow" -> 1.6,  // 1.6x over 1.0 and > 0.3s: flags
+      "tiny" -> 0.29, // 5.8x but under the absolute floor: no flag
+      "mild" -> 1.4,  // 1.4x, under the factor: no flag
+      "dead" -> 2.0,  // prior is the -1 sentinel: no flag
+      "new" -> 9.9)   // no prior at all: no flag
+    assert(BenchRecord.regressedVs(prior, mins) == Seq("slow"))
+    // the floor and factor are parameters (the sweep's knobs)
+    assert(BenchRecord.regressedVs(prior, mins, floorSec = 0.1) ==
+      Seq("slow", "tiny"))
+    assert(BenchRecord.regressedVs(prior, mins, factor = 1.3) ==
+      Seq("slow", "mild"))
+  }
+
   test("a query that failed every sample records its -1 sentinel over " +
       "any prior value") {
     val merged = BenchRecord.mergedQueries(Map("q1" -> 1.0), Seq("q1" -> -1.0))
