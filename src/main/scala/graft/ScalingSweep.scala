@@ -52,6 +52,39 @@ object ScalingSweep {
     "q17b_fuzzy", "q40_sessionize", "q29d_paths", "q19i_bootstrap",
     "q28_skew_join", "q36c_anonymity", "q22_dedup_embed", "q43c_phrase")
 
+  /** Each risk query's PRIMARY input table — the one whose row count
+    * sets its work scale. Fed to [[graft.plans.ScalingAudit.fitSized]]
+    * as measured per-directory sizes, because the fixture's scale
+    * steps are NOT uniform: the TPC-H tables and events grow 10× per
+    * directory, but documents is 500 rows at both sf0.001 and sf0.01
+    * (5000 at sf0.1) and embeddings 500/500/2000 — for those queries
+    * the first "decade" is identical input, its first difference is
+    * pure run noise, and a decade-assuming fit reports a confidently
+    * wrong exponent. Queries reading several tables carry the
+    * DOMINANT one (q42b's triple generation is basket-driven). */
+  val primaryTable: Map[String, String] = Map(
+    "q14b_distribution" -> "orders", "q14g_pareto" -> "orders",
+    "q24_zipf" -> "documents", "q26_mix" -> "documents",
+    "q27_pack" -> "documents", "q27_shuffle" -> "documents",
+    "q35d_mad" -> "events", "q38b_interval_union" -> "events",
+    "q41_pagerank" -> "orders", "q41b_lpa" -> "orders",
+    "q41c_components" -> "lineitem", "q41d_kcore" -> "lineitem",
+    "q44_triangles" -> "orders", "q44b_clustering" -> "orders",
+    "q22_dedup_minhash" -> "documents", "q22_dedup_ngram" -> "documents",
+    "q22_dedup_simhash" -> "documents", "q22_dedup_snm" -> "documents",
+    "q22_dedup_contain" -> "documents", "q22_dedup_cluster" -> "documents",
+    "q22_dedup_keep_best" -> "documents",
+    "q23_semdedup" -> "embeddings", "q23_knn_exact" -> "embeddings",
+    "q23_kmeans" -> "embeddings",
+    "q11_join_range" -> "events", "q11c_interval_join" -> "events",
+    "q38_overlap" -> "events", "q12_asof" -> "events",
+    "q24_bpe_train" -> "documents", "q42b_triples" -> "lineitem",
+    "q19j_theilsen" -> "part", "q37_hierarchy" -> "orders",
+    "q17b_fuzzy" -> "part", "q40_sessionize" -> "events",
+    "q29d_paths" -> "events", "q19i_bootstrap" -> "lineitem",
+    "q28_skew_join" -> "lineitem", "q36c_anonymity" -> "customer",
+    "q22_dedup_embed" -> "embeddings", "q43c_phrase" -> "documents")
+
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
     * (log-linear loops fit ≈ 1.0–1.3 over this range; quadratic reads
@@ -62,7 +95,14 @@ object ScalingSweep {
     // rarest-first one-sided prefix probe: candidate pairs grow with
     // duplicate mass; documented super-linear worst case, sub-
     // quadratic by the prefix bound
-    "q22_dedup_contain" -> 1.8)
+    "q22_dedup_contain" -> 1.8,
+    // iterative peel over a support-thresholded co-purchase graph:
+    // work = rounds x m where the EDGE count m itself grows
+    // super-linearly in this SF range (more baskets push more pairs
+    // over support 2) and peel depth grows 0 -> 3 -> 5 — measured
+    // 1.29-1.49 run to run, mechanism documented in the q41d
+    // scaladoc; per-round work stays O(m)
+    "q41d_kcore" -> 1.75)
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
@@ -100,11 +140,22 @@ object ScalingSweep {
     spark.sparkContext.setLogLevel("ERROR")
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // measured per-directory row counts of every referenced primary
+    // table (one cheap count each) — the fit's scale axis is DATA, not
+    // a directory-name assumption
+    val tableRows: Map[String, Seq[Long]] =
+      selected.flatMap(primaryTable.get).distinct.sorted.map { t =>
+        t -> dirs.map(d => spark.read.parquet(s"$d/$t.parquet").count())
+      }.toMap
+    def sizesOf(name: String): Seq[Long] =
+      primaryTable.get(name).map(tableRows).getOrElse(Nil)
     val fits = selected.map { name =>
+      val sizes = sizesOf(name)
       val f = ScalingAudit.fit(spark, name, SparkEntry.queries(name),
-        dirs, runs)
+        dirs, runs, sizes = sizes)
       val eTxt = f.exponent.map(f3).getOrElse("null")
-      println(s"""{"query":"$name","wall":[${
+      val sizesTxt = sizes.mkString("[", ",", "]")
+      println(s"""{"query":"$name","sizes":$sizesTxt,"wall":[${
         f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
         f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":$eTxt}""")
       f
@@ -143,7 +194,9 @@ object ScalingSweep {
       // record (exponents are basis-robust by the work metric, so a
       // carried entry stays comparable). The header reflects THIS run.
       val freshEntries: Map[String, String] = fits.map { f =>
-        f.name -> s"""{"wall":[${
+        f.name -> s"""{"table":"${
+          primaryTable.getOrElse(f.name, "")}","sizes":${
+          sizesOf(f.name).mkString("[", ",", "]")},"wall":[${
           f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
           f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":${
           f.exponent.map(f3).getOrElse("null")}}"""

@@ -194,18 +194,32 @@ object Main {
     if (dirs.size < 3)
       return Seq("[graft] scaling: needs the sibling sf0.001/sf0.01/" +
         s"sf0.1 directories next to $sfDir (found ${dirs.size})")
-    val f = ScalingAudit.fit(spark, name, fn, dirs)
+    // the scale axis is the query's MEASURED primary-table rows when
+    // the inventory map knows it (the fixture's documents/embeddings
+    // tables do NOT grow 10x per directory); ad-hoc / unmapped queries
+    // assume a decade per directory, with the caveat printed
+    val sizes = graft.ScalingSweep.primaryTable.get(name).map(t =>
+      dirs.map(d => spark.read.parquet(s"$d/$t.parquet").count()))
+      .getOrElse(Nil)
+    val f = ScalingAudit.fit(spark, name, fn, dirs, sizes = sizes)
     val times = f.points.map { p =>
       f"${java.nio.file.Paths.get(p.dir).getFileName}%s " +
         f"${p.wallSec}%.2fs wall / ${p.workSec}%.2fs work"
     }.mkString(" -> ")
+    val scaleLine =
+      if (sizes.nonEmpty) s"[graft] input scale: " +
+        s"${graft.ScalingSweep.primaryTable(name)} rows " +
+        sizes.mkString(" -> ")
+      else "[graft] input scale: assumed 10x per directory (query not " +
+        "in the inventory scale map)"
     val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
     val verdict = f.exponent match {
       case Some(e) => f"[graft] work exponent: $e%.2f (bound $bound%.2f)"
-      case None => "[graft] work exponent: unfit — data term below " +
-        "the noise floor at these scales (all-overhead query)"
+      case None => "[graft] work exponent: unfit — degenerate scale " +
+        "step or data term below the noise floor (see input scale " +
+        "and work numbers above)"
     }
-    Seq(s"[graft] scaling $name: $times", verdict) ++
+    Seq(s"[graft] scaling $name: $times", scaleLine, verdict) ++
       ScalingAudit.auditExponents(Seq(f), bounds = graft.ScalingSweep.bounds)
         .map(x => s"[graft] finding: [${x.kind}] ${x.detail}")
   }

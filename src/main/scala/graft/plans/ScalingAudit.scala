@@ -104,6 +104,35 @@ object ScalingAudit {
     else Some(math.log10(d2 / d1))
   }
 
+  /** [[fitExponent]] with MEASURED input sizes instead of the assumed
+    * 10×-per-directory: the closed form generalizes to any equal
+    * ratio r (e = ln(d2/d1) / ln r), and the fit REFUSES when the
+    * points do not span two near-equal growth steps — the honesty
+    * this exists for: the fixture's `documents` table is 500 rows at
+    * BOTH sf0.001 and sf0.01 (embeddings 500/500/2000), so for every
+    * document/embedding query the first "decade" is literally
+    * identical input and d1 is pure run noise; fitting it produced
+    * confidently wrong exponents (the committed table briefly carried
+    * semdedup "0.51" and ngram "0.69" that were noise ratios, not
+    * growth). Unequal non-degenerate steps would need a numeric solve
+    * (c no longer cancels); no fixture here has them, so they refuse
+    * too rather than approximate. */
+  def fitSized(times: Seq[Double], sizes: Seq[Long],
+      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05)
+      : Option[Double] = {
+    if (times.size < 3 || sizes.size != times.size) return None
+    val n = sizes.map(_.toDouble)
+    if (!(n(0) < n(1) && n(1) < n(2))) return None
+    val r1 = math.log(n(1) / n(0))
+    val r2 = math.log(n(2) / n(1))
+    if (math.abs(r1 - r2) > 0.02 * math.max(r1, r2)) return None
+    val floor = math.max(noiseFloorSec, relFloor * times(0))
+    val d1 = times(1) - times(0)
+    val d2 = times(2) - times(1)
+    if (d1 < floor || d2 < floor) None
+    else Some(math.log(d2 / d1) / r1)
+  }
+
   /** Per-directory minima (wall and work) of `runs` fully-materialized
     * executions of `fn(spark, dir)`, smallest SF first. The noop sink
     * forces every operator (a count() would let Catalyst prune the
@@ -143,18 +172,23 @@ object ScalingAudit {
   }
 
   /** Measure + fit in one call. Requires ≥3 directories (a decade
-    * apart for the exponent to read as documented). */
+    * apart for the exponent to read as documented). `sizes` = the
+    * query's MEASURED per-directory input rows (primary table) —
+    * when given, the fit goes through [[fitSized]] and refuses
+    * degenerate scale steps; when empty, the directories are assumed
+    * a decade apart. */
   def fit(spark: SparkSession, name: String,
       fn: (SparkSession, String) => DataFrame,
       dirs: Seq[String], runs: Int = 2,
-      noiseFloorSec: Double = 0.1): ScalingFit = {
+      noiseFloorSec: Double = 0.1, sizes: Seq[Long] = Nil): ScalingFit = {
     require(dirs.size >= 3,
       s"scaling fit needs 3 scale directories, got ${dirs.size}")
     val points = measure(spark, fn, dirs, runs)
+    val work = points.map(_.workSec)
     val e =
       if (points.size < 3) None
-      else fitExponent(points(0).workSec, points(1).workSec,
-        points(2).workSec, noiseFloorSec)
+      else if (sizes.nonEmpty) fitSized(work, sizes, noiseFloorSec)
+      else fitExponent(work(0), work(1), work(2), noiseFloorSec)
     ScalingFit(name, points, e)
   }
 

@@ -114,11 +114,50 @@ class ScalingAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("the sweep's risk list is a subset of the inventory and the " +
-      "bound overrides only name risk-list queries") {
+  test("fitSized fits only across two near-equal MEASURED growth " +
+      "steps — the fixture's documents table (500/500/5000) and " +
+      "embeddings (500/500/2000) make the first 'decade' identical " +
+      "input, whose first difference is pure noise, not growth") {
+    // valid 10x/10x steps: exact closed form, any equal ratio
+    assert(math.abs(ScalingAudit.fitSized(
+      Seq(1.0, 2.0, 12.0), Seq(600, 6000, 60000)).get - 1.0) < 1e-9)
+    // 3x/3x steps fit too (the form generalizes past decades)
+    val t3 = Seq(1.0, 1.0 + 0.9, 1.0 + 0.9 + 2.7) // e=1 at r=3
+    assert(math.abs(ScalingAudit.fitSized(
+      t3, Seq(100, 300, 900)).get - 1.0) < 1e-9)
+    // documents shape: flat first step refuses even with big diffs
+    assert(ScalingAudit.fitSized(
+      Seq(1.0, 2.0, 12.0), Seq(500, 500, 5000)).isEmpty)
+    // embeddings shape: unequal steps (1x then 4x) refuse
+    assert(ScalingAudit.fitSized(
+      Seq(1.0, 2.0, 12.0), Seq(500, 500, 2000)).isEmpty)
+    // unequal non-degenerate steps (10x then 3x) refuse rather than
+    // approximate (c no longer cancels)
+    assert(ScalingAudit.fitSized(
+      Seq(1.0, 2.0, 12.0), Seq(100, 1000, 3000)).isEmpty)
+    // shrinking or missing sizes refuse
+    assert(ScalingAudit.fitSized(
+      Seq(1.0, 2.0, 12.0), Seq(1000, 100, 10000)).isEmpty)
+    assert(ScalingAudit.fitSized(Seq(1.0, 2.0, 12.0), Nil).isEmpty)
+    // the noise floors still apply on valid steps
+    assert(ScalingAudit.fitSized(
+      Seq(2.0, 2.05, 2.1), Seq(600, 6000, 60000)).isEmpty)
+  }
+
+  test("the sweep's risk list is a subset of the inventory, every " +
+      "risk query has a primary-table mapping (the fit's scale axis), " +
+      "and the bound overrides only name risk-list queries") {
     val missing =
       graft.ScalingSweep.riskList.filterNot(graft.SparkEntry.queries.contains)
     assert(missing.isEmpty, s"risk list not in inventory: $missing")
+    val unmapped = graft.ScalingSweep.riskList
+      .filterNot(graft.ScalingSweep.primaryTable.contains)
+    assert(unmapped.isEmpty, s"risk queries without a primary table " +
+      s"(their fit would silently assume 10x steps): $unmapped")
+    val validTables = graft.Tables.names.toSet
+    val badTables = graft.ScalingSweep.primaryTable.values
+      .filterNot(validTables)
+    assert(badTables.isEmpty, s"unknown tables in the scale map: $badTables")
     val strayBounds = graft.ScalingSweep.bounds.keys
       .filterNot(graft.ScalingSweep.riskList.contains)
     assert(strayBounds.isEmpty, s"bounds for non-risk queries: $strayBounds")
