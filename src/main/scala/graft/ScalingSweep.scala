@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSession
 import graft.plans.ScalingAudit
 
 /** Standalone sweep for the empirical scaling-exponent audit
-  * ([[graft.plans.ScalingAudit]]): run the scaling-risk query list at
-  * sf0.001 / sf0.01 / sf0.1 (a decade apart), fit each wall-time
-  * exponent, and
+  * ([[graft.plans.ScalingAudit]]): run the scaling-risk query list
+  * across three scale rungs a decade apart, fit each query's WORK
+  * growth exponent, and
   *
   *   - default mode: print one JSON line per query plus a summary,
   *     and write the table to `scaling_exponents.json` — the
@@ -16,12 +16,32 @@ import graft.plans.ScalingAudit
   *     table, exit 1 when any exponent DRIFTED upward beyond
   *     tolerance (or a previously-unfit query now fits above its
   *     bound) — the regression gate for "the plans still scale the
-  *     way round N measured".
+  *     way round N measured";
+  *   - `--out <path>` (either mode): additionally write one JSON
+  *     artifact with the summary, findings and per-query fits — the
+  *     per-round `SCALING_r0x.json` record.
+  *
+  * ## Scale rungs: the generated ladder, not the driver fixture
+  *
+  * By default the sweep measures on the [[ScalingData]] ladder
+  * (`scalingdata/`, generated on first use, byte-deterministic):
+  * rungs a clean 10× apart from testdata-sf0.01-equivalent up to
+  * sf1-equivalent (orders 1.5M / lineitem ~6M / events 1M at the
+  * top). The driver fixture was unusable twice over — `documents`
+  * identical at sf0.001/sf0.01 (degenerate axis, `fitSized` refuses)
+  * and the bottom rungs so small that 27/40 risk queries' first
+  * differences sat under the work-noise floor. Each query measures on
+  * the ladder its cost class needs ([[bigLadder]]): the shingle-heavy
+  * dedup family and semdedup on `core` (documents 500→50k), the cheap
+  * document/embedding family on `big` (documents 5k→500k) where their
+  * data term clears the floor. Pointing `SPARK_GRAFT_SF_BASE` at a
+  * directory that contains `sf0.001` (e.g. `/root/testdata`) instead
+  * selects the legacy flat mode: every query on those three dirs.
   *
   * Env knobs mirror Bench: SPARK_GRAFT_SF_BASE (default
-  * /root/testdata — must contain sf0.001/sf0.01/sf0.1),
-  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS (samples per point, default 3),
-  * SPARK_GRAFT_ONLY (comma subset of the risk list). */
+  * `scalingdata`), SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS (samples per
+  * point, default 3), SPARK_GRAFT_ONLY (comma subset of the risk
+  * list). */
 object ScalingSweep {
 
   /** The queries whose 100 TB story rests on a growth argument —
@@ -54,14 +74,10 @@ object ScalingSweep {
 
   /** Each risk query's PRIMARY input table — the one whose row count
     * sets its work scale. Fed to [[graft.plans.ScalingAudit.fitSized]]
-    * as measured per-directory sizes, because the fixture's scale
-    * steps are NOT uniform: the TPC-H tables and events grow 10× per
-    * directory, but documents is 500 rows at both sf0.001 and sf0.01
-    * (5000 at sf0.1) and embeddings 500/500/2000 — for those queries
-    * the first "decade" is identical input, its first difference is
-    * pure run noise, and a decade-assuming fit reports a confidently
-    * wrong exponent. Queries reading several tables carry the
-    * DOMINANT one (q42b's triple generation is basket-driven). */
+    * as measured per-rung sizes: the fit's scale axis is DATA, not a
+    * directory-name assumption (lineitem's Poisson(4) row count, for
+    * one, is only ~4× orders). Queries reading several tables carry
+    * the DOMINANT one (q42b's triple generation is basket-driven). */
   val primaryTable: Map[String, String] = Map(
     "q14b_distribution" -> "orders", "q14g_pareto" -> "orders",
     "q24_zipf" -> "documents", "q26_mix" -> "documents",
@@ -71,19 +87,34 @@ object ScalingSweep {
     "q41c_components" -> "lineitem", "q41d_kcore" -> "lineitem",
     "q44_triangles" -> "orders", "q44b_clustering" -> "orders",
     "q22_dedup_minhash" -> "documents", "q22_dedup_ngram" -> "documents",
-    "q22_dedup_simhash" -> "documents", "q22_dedup_snm" -> "documents",
+    "q22_dedup_simhash" -> "documents", "q22_dedup_snm" -> "part",
     "q22_dedup_contain" -> "documents", "q22_dedup_cluster" -> "documents",
     "q22_dedup_keep_best" -> "documents",
     "q23_semdedup" -> "embeddings", "q23_knn_exact" -> "embeddings",
     "q23_kmeans" -> "embeddings",
-    "q11_join_range" -> "events", "q11c_interval_join" -> "events",
+    "q11_join_range" -> "events", "q11c_interval_join" -> "lineitem",
     "q38_overlap" -> "events", "q12_asof" -> "events",
     "q24_bpe_train" -> "documents", "q42b_triples" -> "lineitem",
-    "q19j_theilsen" -> "part", "q37_hierarchy" -> "orders",
+    "q19j_theilsen" -> "lineitem", "q37_hierarchy" -> "orders",
     "q17b_fuzzy" -> "part", "q40_sessionize" -> "events",
     "q29d_paths" -> "events", "q19i_bootstrap" -> "lineitem",
     "q28_skew_join" -> "lineitem", "q36c_anonymity" -> "customer",
     "q22_dedup_embed" -> "embeddings", "q43c_phrase" -> "documents")
+
+  /** Queries measured on the `big` ladder (documents 5k→500k,
+    * embeddings 2k→200k): the CHEAP document/embedding family, whose
+    * per-row cost is so small that below ~5k docs the work first
+    * difference sits under the noise floor (honest unfit, no signal).
+    * The shingle-heavy dedup family and the n^1.5 semdedup stay on
+    * `core` (documents 500→50k) — at 500k docs their kernels would
+    * cost minutes per sample, and core already gives them first
+    * differences 100× over the floor. */
+  val bigLadder: Set[String] = Set(
+    "q24_zipf", "q24_bpe_train", "q26_mix", "q27_pack", "q27_shuffle",
+    "q43c_phrase", "q23_knn_exact", "q23_kmeans", "q22_dedup_embed")
+
+  def ladderOf(name: String): String =
+    if (bigLadder(name)) "big" else "core"
 
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
@@ -99,19 +130,20 @@ object ScalingSweep {
     // iterative peel over a support-thresholded co-purchase graph:
     // work = rounds x m where the EDGE count m itself grows
     // super-linearly in this SF range (more baskets push more pairs
-    // over support 2) and peel depth grows 0 -> 3 -> 5 — measured
-    // 1.29-1.49 run to run, mechanism documented in the q41d
-    // scaladoc; per-round work stays O(m)
+    // over support 2) and peel depth grows with density — per-round
+    // work stays O(m); mechanism documented in the q41d scaladoc
     "q41d_kcore" -> 1.75)
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata")
-    val dirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$base/$s")
-    dirs.foreach { d =>
-      require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)),
-        s"scale directory missing: $d (set SPARK_GRAFT_SF_BASE)")
-    }
+    val outPath = args.sliding(2).collectFirst {
+      case Array("--out", p) => p }
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE",
+      ScalingData.defaultBase)
+    // legacy flat mode: a base that carries driver-fixture-style
+    // sf-directories measures every query on those three dirs
+    val flatMode = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/sf0.001"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     // 3 samples per point (vs the bench's 2): the fit differences tiny
@@ -138,55 +170,86 @@ object ScalingSweep {
     SparkEntry.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def dirsOf(name: String): Seq[String] =
+      if (flatMode) Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$base/$s")
+      else ScalingData.dirs(base, ladderOf(name))
+    if (flatMode)
+      dirsOf("").foreach { d =>
+        require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)),
+          s"scale directory missing: $d (set SPARK_GRAFT_SF_BASE)")
+      }
+    else ScalingData.ensure(spark, base) // generate missing rungs
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // measured per-directory row counts of every referenced primary
-    // table (one cheap count each) — the fit's scale axis is DATA, not
-    // a directory-name assumption
-    val tableRows: Map[String, Seq[Long]] =
-      selected.flatMap(primaryTable.get).distinct.sorted.map { t =>
-        t -> dirs.map(d => spark.read.parquet(s"$d/$t.parquet").count())
-      }.toMap
+    def ladderDirs(ladder: String): Seq[String] =
+      if (flatMode) dirsOf("") else ScalingData.dirs(base, ladder)
+    // measured per-rung row counts of every referenced primary table
+    // (one cheap count each), keyed by the ladder it was counted on
+    val tableRows: Map[(String, String), Seq[Long]] =
+      selected.map(n => (ladderOf(n), primaryTable(n))).distinct.sorted
+        .map { case (ladder, t) =>
+          (ladder, t) -> ladderDirs(ladder).map(d =>
+            spark.read.parquet(s"$d/$t.parquet").count())
+        }.toMap
     def sizesOf(name: String): Seq[Long] =
-      primaryTable.get(name).map(tableRows).getOrElse(Nil)
+      primaryTable.get(name)
+        .map(t => tableRows((ladderOf(name), t))).getOrElse(Nil)
     val fits = selected.map { name =>
       val sizes = sizesOf(name)
       val f = ScalingAudit.fit(spark, name, SparkEntry.queries(name),
-        dirs, runs, sizes = sizes)
-      val eTxt = f.exponent.map(f3).getOrElse("null")
-      val sizesTxt = sizes.mkString("[", ",", "]")
-      println(s"""{"query":"$name","sizes":$sizesTxt,"wall":[${
-        f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
-        f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":$eTxt}""")
+        dirsOf(name), runs, sizes = sizes)
+      println(entryJson(name, f, sizes, withName = true))
       f
     }
     val over = ScalingAudit.auditExponents(fits, bounds = bounds)
-    val failed = ScalingAudit.auditMeasurementFailures(fits, dirs.size)
+    val failed = ScalingAudit.auditMeasurementFailures(fits,
+      ScalingData.rungs.size)
     (over ++ failed).foreach(f =>
       System.err.println(s"[scaling] [${f.kind}] ${f.detail}"))
     val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
-    println(s"""{"metric":"scaling","n_queries":${fits.size},""" +
+    val path = java.nio.file.Paths.get("scaling_exponents.json")
+    val drift =
+      if (!check) Nil
+      else {
+        require(java.nio.file.Files.exists(path),
+          "--check needs a checked-in scaling_exponents.json (run the " +
+            "sweep without --check first)")
+        val recorded = readTable(
+          new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+        // a query that stopped RUNNING must fail the gate too — its
+        // exponent is None, which the drift rules alone would read as
+        // the benign sank-into-overhead case
+        ScalingAudit.driftFindings(recorded, fits, bounds = bounds)
+      }
+    drift.foreach(f =>
+      System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
+    val findings = (over ++ failed ++ drift).map(f =>
+      s"[${f.kind}] ${f.detail}")
+    val summary = s"""{"metric":"scaling","mode":"${
+      if (flatMode) "flat" else "ladder"}","sf_base":"$base",""" +
+      s""""cpus":$cpus,"runs":$runs,"n_queries":${fits.size},""" +
       s""""n_fit":${fits.count(_.exponent.nonEmpty)},""" +
       s""""n_over_bound":${over.size},"n_failed":${failed.size},""" +
-      s""""cpus":$cpus,""" +
+      s""""n_drift":${drift.size},""" +
       s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
-        .mkString("[", ",", "]")}}""")
-    val path = java.nio.file.Paths.get("scaling_exponents.json")
+        .mkString("[", ",", "]")}}"""
+    println(summary)
+    // the per-round artifact: summary + findings + every fit, one file
+    outPath.foreach { p =>
+      val qJson = fits.map(f => s""""${f.name}":${
+        entryJson(f.name, f, sizesOf(f.name))}""").mkString("{", ",", "}")
+      val fJson = findings.map(s =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (summary.dropRight(1) +
+          s""","findings":$fJson,"queries":$qJson}""" + "\n")
+          .getBytes("UTF-8"))
+    }
     if (check) {
-      require(java.nio.file.Files.exists(path),
-        "--check needs a checked-in scaling_exponents.json (run the " +
-          "sweep without --check first)")
-      val recorded = readTable(
-        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
-      // a query that stopped RUNNING must fail the gate too — its
-      // exponent is None, which the drift rules alone would read as
-      // the benign sank-into-overhead case
-      val drift = ScalingAudit.driftFindings(recorded, fits,
-        bounds = bounds) ++ over ++ failed
-      drift.foreach(f =>
-        System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
       spark.stop()
-      if (drift.nonEmpty) sys.exit(1)
+      val gate = drift ++ over ++ failed
+      if (gate.nonEmpty) sys.exit(1)
     } else {
       // MERGE into the prior table, never clobber: a subset run
       // (SPARK_GRAFT_ONLY) updates only what it measured and carries
@@ -194,30 +257,58 @@ object ScalingSweep {
       // record (exponents are basis-robust by the work metric, so a
       // carried entry stays comparable). The header reflects THIS run.
       val freshEntries: Map[String, String] = fits.map { f =>
-        f.name -> s"""{"table":"${
-          primaryTable.getOrElse(f.name, "")}","sizes":${
-          sizesOf(f.name).mkString("[", ",", "]")},"wall":[${
-          f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
-          f.points.map(p => f3(p.workSec)).mkString(",")}],"exponent":${
-          f.exponent.map(f3).getOrElse("null")}}"""
+        f.name -> entryJson(f.name, f, sizesOf(f.name))
       }.toMap
+      val priorExists = java.nio.file.Files.exists(path)
       val priorEntries: Map[String, String] =
-        if (!java.nio.file.Files.exists(path)) Map.empty
+        if (!priorExists) Map.empty
         else readRawEntries(
           new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      // CLOBBER GUARD (mirrors Bench's): when a prior table exists but
+      // parses to nothing, a SUBSET run must not replace the committed
+      // 40-query record with its handful of entries — refuse loudly;
+      // only a FULL sweep may re-establish a table over a corrupt file
+      if (only.nonEmpty && priorExists && priorEntries.isEmpty) {
+        System.err.println("[scaling] scaling_exponents.json NOT " +
+          "updated: the prior table exists but could not be parsed, " +
+          "and this was a subset run — a merge would silently drop " +
+          "every unmeasured entry; run the full sweep to re-establish " +
+          "the table")
+        spark.stop()
+        sys.exit(1)
+      }
       val qJson = (priorEntries ++ freshEntries).toSeq.sortBy(_._1)
         .map { case (name, body) => s""""$name":$body""" }
         .mkString("{", ",", "}")
-      val body = s"""{"sf_base":"$base","cpus":$cpus,"runs":$runs,""" +
-        s""""dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      val body = s"""{"sf_base":"$base","mode":"${
+        if (flatMode) "flat" else "ladder"}","cpus":$cpus,"runs":$runs,""" +
         s""""queries":$qJson}""" + "\n"
       java.nio.file.Files.write(path, body.getBytes("UTF-8"))
       spark.stop()
     }
   }
 
+  /** One query's fit as a compact JSON object (optionally with the
+    * name inlined, for the per-query progress lines). */
+  private def entryJson(name: String, f: ScalingAudit.ScalingFit,
+      sizes: Seq[Long], withName: Boolean = false): String = {
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val head = if (withName) s""""query":"$name",""" else ""
+    s"""{$head"table":"${primaryTable.getOrElse(name, "")}",""" +
+      s""""ladder":"${ladderOf(name)}","sizes":${
+        sizes.mkString("[", ",", "]")},"wall":[${
+        f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
+        f.points.map(p => f3(p.workSec)).mkString(",")}],""" +
+      s""""work_spread":[${
+        f.points.map(p => f3(p.workSpread)).mkString(",")}],""" +
+      s""""exponent":${f.exponent.map(f3).getOrElse("null")}}"""
+  }
+
   /** The prior table's per-query entries as compact-rendered raw JSON
-    * (for the subset-run merge); empty on any parse failure. */
+    * (for the subset-run merge); empty on any parse failure — the
+    * caller treats exists-but-empty as a refusal condition, not a
+    * fresh start. */
   def readRawEntries(json: String): Map[String, String] = {
     import org.json4s._
     try {

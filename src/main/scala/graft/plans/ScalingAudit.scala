@@ -54,8 +54,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ScalingAudit {
 
   /** One measured scale point: wall-clock minimum and total-task-time
-    * ("work") minimum of the runs at `dir`. */
-  case class Point(dir: String, wallSec: Double, workSec: Double)
+    * ("work") minimum of the runs at `dir`, plus the work samples'
+    * max/min ratio — the per-point noise a reader needs to judge fit
+    * confidence without re-running (a fit whose smallest point spread
+    * 2× carries less evidence than one whose samples agreed within
+    * 5%). */
+  case class Point(dir: String, wallSec: Double, workSec: Double,
+      workSpread: Double = 1.0)
 
   /** A query's measured scaling shape across directories (smallest SF
     * first) and the exponent fitted on the WORK metric (None =
@@ -167,7 +172,11 @@ object ScalingAudit {
     dirs.flatMap { dir =>
       val samples = (0 until math.max(1, runs)).flatMap(_ => once(dir))
       if (samples.isEmpty) None
-      else Some(Point(dir, samples.map(_._1).min, samples.map(_._2).min))
+      else {
+        val work = samples.map(_._2)
+        Some(Point(dir, samples.map(_._1).min, work.min,
+          if (work.min > 0) work.max / work.min else 1.0))
+      }
     }
   }
 
