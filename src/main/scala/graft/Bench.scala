@@ -149,17 +149,19 @@ object Bench {
     // the re-audit — a real regression survives the re-measure, a
     // noise window folds away.
     // same-sf guard + parse in BenchRecord (unit-tested there)
-    val priorMins: Map[String, Double] =
+    val recordJson: Option[String] =
       try {
         val p = java.nio.file.Paths.get("bench_full.json")
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else BenchRecord.priorQueries(
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir,
+        if (!java.nio.file.Files.exists(p)) None
+        else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      } catch { case _: Throwable => None }
+    val priorMins: Map[String, Double] =
+      recordJson.fold(Map.empty[String, Double])(j =>
+        BenchRecord.priorQueries(j, sfDir,
           // basis guard: a record measured on a different thread count
           // must neither drive regression flags nor be carried into
           // this run's merge (priorMins feeds both)
-          Some(cpus.toInt))
-      } catch { case _: Throwable => Map.empty }
+          Some(cpus.toInt)))
     val slowest10 = raw.filter(_._2.nonEmpty).sortBy(-_._2.min).take(10)
       .map(_._1)
     // the shared regression predicate (unit-tested in BenchRecordSpec)
@@ -265,7 +267,12 @@ object Bench {
       case (name, ts) if ts.nonEmpty &&
         sweepMins.get(name).exists(sw => sw > ts.min * 1.5) => name
     }
-    val suspect = requeued.collect {
+    // contention is judged PRE-late-fold (requeued0): the strictly-last
+    // confirmation retry runs after the final requeue pass, so a folded
+    // noise window with >10x spread (sweep 4s, isolated 0.35s) would
+    // otherwise mint a fresh spread flag with no pass left to clear it —
+    // the late fold can only ADD a fast sample, never new contention
+    val suspect = requeued0.collect {
       case (name, ts) if spreadSuspect(ts) =>
         System.err.println(f"[bench] WARN $name spread ${ts.max / ts.min}%.1fx " +
           f"(min ${ts.min}%.2fs max ${ts.max}%.2fs) — CPU contention?")
@@ -325,6 +332,20 @@ object Bench {
         prev > 0 && ts.min > prev * 1.2) &&
         !regressedVsRecord.contains(name)
     }
+    // RE-BASELINE: bound that divergence (BenchRecord.slowerStreaks).
+    // A query sitting >1.2x over its record min in 3 CONSECUTIVE clean
+    // full sweeps refreshes its record entry to the observed value —
+    // the rolling min may only stay optimistic for as long as noise
+    // could plausibly explain it. Streaks advance only when this run
+    // is itself clean evidence (full sweep, no contention flag); the
+    // >1.5x regression set takes the confirmation-retry path instead.
+    val cleanRun = only.isEmpty && suspect.isEmpty
+    val priorStreaks: Map[String, Int] =
+      if (priorMins.isEmpty) Map.empty
+      else recordJson.fold(Map.empty[String, Int])(BenchRecord.readStreaks)
+    val (newStreaks, rebaselined) = BenchRecord.slowerStreaks(
+      priorMins, results.filter(_._2 >= 0), priorStreaks,
+      regressedVsRecord.toSet, cleanRun)
     // recorded-vs-swept ratios for the flagged queries, inline: a
     // reader of BENCH_r0x alone can size the noise (or the regression)
     // without diffing bench_full.json from git. final = the folded min
@@ -352,7 +373,8 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"flagged_ratios":$ratioJson}"""
+    val rebaseJson = cappedJson(rebaselined.toSeq.sorted)
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
@@ -365,7 +387,7 @@ object Bench {
     // prior min and ships the noise flag instead.
     val merged = BenchRecord.mergedQueries(
       priorMins.filter(kv => SparkEntry.queries.contains(kv._1)), sorted,
-      confirmedSlower)
+      confirmedSlower ++ rebaselined)
     val nCarried = merged.size - sorted.size
     val mergedTotal = merged.collect { case (_, v) if v >= 0 => v }.sum
     val allQs = merged.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -379,10 +401,17 @@ object Bench {
     val fullRun = only.isEmpty
     val priorFileExists =
       java.nio.file.Files.exists(java.nio.file.Paths.get("bench_full.json"))
+    // the streak ledger rides in the record file (current-inventory
+    // entries only, zeros dropped) so the 3-consecutive-clean-sweeps
+    // evidence survives between runs
+    val streaksJson = newStreaks
+      .filter(kv => SparkEntry.queries.contains(kv._1)).toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     if (fullRun || priorMins.nonEmpty || !priorFileExists) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"flagged_ratios":$ratioJson,"queries":$allQs}""" + "\n")
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson,"slower_streak":$streaksJson,"queries":$allQs}""" + "\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: $e")

@@ -85,11 +85,85 @@ object BenchRecord {
         prior.get(name).exists(p => p > 0 && v > p * factor) => name
     }
 
+  /** How many CONSECUTIVE clean full sweeps a query must spend more
+    * than [[RebaselineFactor]] over its record min before the record
+    * refreshes to the observed value — the bound on the rolling min's
+    * optimism. The record is best-confirmed-state by design (one dirty
+    * sweep must not raise it), but a min that only ratchets DOWN
+    * drifts ever further below the honest steady state as sub-
+    * regression slowdowns (1.2–1.5×, under the confirmation bar)
+    * accumulate: round 8 shipped `n_slower_unconfirmed: 45` with the
+    * record total 135.6 s against a 153.2 s sweep. Three consecutive
+    * CLEAN sweeps (full run, no contention flag) agreeing the query is
+    * slower is evidence of a real new steady state, not a noise
+    * window — noise windows are sporadic and the counting run is
+    * already contention-gated. */
+  val RebaselineRuns = 3
+
+  /** The slower-than-record factor that starts a streak: above the
+    * noise band (±8% run drift is normal), below the 1.5× regression
+    * bar (those queries take the confirmation-retry path instead). */
+  val RebaselineFactor = 1.2
+
+  /** Per-query consecutive-slower streaks out of the record's
+    * `slower_streak` map; empty on absence or parse failure. */
+  def readStreaks(json: String): Map[String, Int] =
+    try {
+      val ast = org.json4s.jackson.JsonMethods.parse(json)
+      (ast \ "slower_streak") match {
+        case JObject(fields) => fields.collect {
+          case (k, JInt(v))    => k -> v.toInt
+          case (k, JDouble(v)) => k -> v.toInt
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Advance the slower-than-record streaks with this run's folded
+    * minima and decide which queries to RE-BASELINE (record refreshed
+    * to the observed value via `mergedQueries`' confirmed set).
+    *
+    *   - Streaks only move on a CLEAN run (full sweep, no contention
+    *     flag): a dirty box is evidence of nothing, so its streaks
+    *     carry verbatim — neither incremented (a noise window must not
+    *     accumulate toward a re-baseline) nor reset (nor may it erase
+    *     three clean runs of evidence).
+    *   - A query counts as slower when its folded min sits over
+    *     `factor` × a healthy prior and above the absolute floor;
+    *     `excluded` (the >1.5× regression set — those take the
+    *     strictly-last confirmation path) never counts.
+    *   - A fast-or-equal clean measurement RESETS the streak: the rule
+    *     is consecutive, agreement across distant-in-time sweeps, not
+    *     a lifetime tally.
+    *   - Reaching `k` re-baselines and resets.
+    *
+    * Returns (updated streaks sans zeros, queries to re-baseline). */
+  def slowerStreaks(prior: Map[String, Double],
+      mins: Seq[(String, Double)], priorStreaks: Map[String, Int],
+      excluded: Set[String], cleanRun: Boolean,
+      k: Int = RebaselineRuns, factor: Double = RebaselineFactor,
+      floorSec: Double = 0.3): (Map[String, Int], Set[String]) = {
+    if (!cleanRun) return (priorStreaks, Set.empty)
+    val rebaselined = Set.newBuilder[String]
+    val updated = mins.foldLeft(priorStreaks) { case (acc, (name, v)) =>
+      val slower = v > floorSec && !excluded(name) &&
+        prior.get(name).exists(p => p > 0 && v > p * factor)
+      if (!slower) acc - name
+      else {
+        val streak = acc.getOrElse(name, 0) + 1
+        if (streak >= k) { rebaselined += name; acc - name }
+        else acc.updated(name, streak)
+      }
+    }
+    (updated, rebaselined.result())
+  }
+
   /** The record to persist: prior same-sf entries overlaid with this
     * run's results, sorted by query name. Faster values and failure
     * sentinels always win; a SLOWER value only replaces the prior min
     * when its query is in `confirmedSlower` (the caller's strictly-
-    * last isolated retry reproduced the slow number — see the object
+    * last isolated retry reproduced the slow number, or the
+    * [[slowerStreaks]] re-baseline rule fired — see the object
     * scaladoc for why an unconfirmed slow sweep must not raise the
     * record). */
   def mergedQueries(prior: Map[String, Double],

@@ -111,7 +111,7 @@ object ScalingSweep {
     * differences 100× over the floor. */
   val bigLadder: Set[String] = Set(
     "q24_zipf", "q24_bpe_train", "q26_mix", "q27_pack", "q27_shuffle",
-    "q43c_phrase", "q23_knn_exact", "q23_kmeans", "q22_dedup_embed")
+    "q43c_phrase", "q23_knn_exact", "q23_kmeans")
 
   def ladderOf(name: String): String =
     if (bigLadder(name)) "big" else "core"
@@ -132,7 +132,18 @@ object ScalingSweep {
     // super-linearly in this SF range (more baskets push more pairs
     // over support 2) and peel depth grows with density — per-round
     // work stays O(m); mechanism documented in the q41d scaladoc
-    "q41d_kcore" -> 1.75)
+    "q41d_kcore" -> 1.75,
+    // EXACT cosine-threshold self-join: quadratic BY DEFINITION — the
+    // blocked all-pairs baseline computes (and its worst-case output
+    // IS) Θ(n²) pairs; no exact algorithm beats that on dense-
+    // similarity data, and LSH banding at the 0.5 threshold prunes
+    // nothing (P[band match] for a random pair ≈ P for a true pair).
+    // It therefore measures on the CORE embeddings rung (≤20k — the
+    // sweep exists to pin the shape, not to brute-force 2M²/2 pairs);
+    // the corpus-scale near-dup paths are q23_semdedup (cluster-
+    // bounded, bound 1.7) and the minhash/simhash banded families —
+    // see the q22_dedup_embed scaladoc
+    "q22_dedup_embed" -> 2.15)
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")

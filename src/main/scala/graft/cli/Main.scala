@@ -112,12 +112,13 @@ object Main {
     * paths ([[adhocFrame]]). */
   private case class ReportFlags(doAudit: Boolean, doExplain: Boolean,
       doProfile: Boolean, doMeasure: Boolean, doScaling: Boolean,
-      lowCard: Set[String], positional: Seq[String])
+      lowCard: Set[String], cdcPath: Option[String],
+      positional: Seq[String])
 
   /** Strip the report flags out of `rawArgs` (exit(1) on a malformed
-    * `--audit-lowcard`), leaving the positional arguments. Shared by
-    * `-q` and `-e` so both faces of the CLI carry the same audit
-    * tooling. */
+    * `--audit-lowcard` / `--cdc`), leaving the positional arguments.
+    * Shared by `-q` and `-e` so both faces of the CLI carry the same
+    * audit tooling. */
   private def parseReportFlags(rawArgs: Array[String]): ReportFlags = {
     val lowCard: Set[String] = parseLowCard(rawArgs) match {
       case Right(cols) => cols
@@ -126,14 +127,27 @@ object Main {
         sys.exit(1)
     }
     val lcIdx = rawArgs.indexOf("--audit-lowcard")
+    // --cdc is strict like --audit-lowcard: it REQUIRES a path token
+    // (a following flag must not be consumed as the path)
+    val cdcIdx = rawArgs.indexOf("--cdc")
+    val cdcPath: Option[String] =
+      if (cdcIdx < 0) None
+      else rawArgs.drop(cdcIdx + 1).headOption.filterNot(_.startsWith("--"))
+        .orElse {
+          System.err.println(
+            "--cdc requires a capture-file path (LDJSON) as the next " +
+              "argument")
+          sys.exit(1)
+        }
     val positional = rawArgs.zipWithIndex.collect {
       case (a, i) if a != "--audit" && a != "--explain" &&
         a != "--profile" && a != "--audit-measure" && a != "--scaling" &&
-        (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) => a
+        (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) &&
+        (cdcIdx < 0 || (i != cdcIdx && i != cdcIdx + 1)) => a
     }
     ReportFlags(rawArgs.contains("--audit"), rawArgs.contains("--explain"),
       rawArgs.contains("--profile"), rawArgs.contains("--audit-measure"),
-      rawArgs.contains("--scaling"), lowCard, positional.toSeq)
+      rawArgs.contains("--scaling"), lowCard, cdcPath, positional.toSeq)
   }
 
   /** The optional trailing [limit] positional — a non-numeric token
@@ -177,8 +191,10 @@ object Main {
   }
 
   /** `--scaling` report: measure the query at the sibling
-    * sf0.001/sf0.01/sf0.1 directories of `sfDir` and fit the
-    * wall-time exponent ([[graft.plans.ScalingAudit]]) — the
+    * sf0.001/sf0.01/sf0.1 directories of `sfDir` and fit the WORK
+    * growth exponent ([[graft.plans.ScalingAudit]]; wall time is
+    * reported but not fitted — added work hides behind added cores
+    * exactly when the data grows) — the
     * empirical "would this survive 100×" answer, per query, on
     * demand. The full risk-list sweep (and the checked-in table the
     * drift gate compares against) lives in [[graft.ScalingSweep]]. */
@@ -259,10 +275,33 @@ object Main {
     * them. Split from [[runSql]] so specs drive ad-hoc SQL through the
     * same report paths without the CLI's session lifecycle. */
   private[cli] def adhocFrame(spark: SparkSession, sql: String,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
+      sfDir: String, cdcPath: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
     graft.Tables.registerAll(spark, sfDir)
     graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    cdcPath.foreach(p => registerCdcView(spark, p))
     spark.sql(sql)
+  }
+
+  /** `--cdc <capture.ldjson>`: the user's OWN jsoncdc capture file,
+    * decoded by the real normalizer ([[graft.cdc.JsonCdc.decode]]) and
+    * registered as temp view `cdc` — so the cdc14-style trust checks
+    * (orphan rows, kind mix, pk coverage, tx boundaries) run as ad-hoc
+    * `-e` SQL against production captures, not only the inventory's
+    * synthetic fixture. Columns: seq (file order — text splits keep
+    * it monotone), kind, table, pk, item, old_image, schema_json,
+    * begin_id, commit_id, commit_ts. pg_temp noise is dropped exactly
+    * as the stream path drops it; user table exclusions stay in SQL
+    * (`WHERE "table" <> ...`) where the operator can see them. */
+  private[cli] def registerCdcView(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.text(path)
+      .select(col("value").as("line"))
+      .withColumn("seq", monotonically_increasing_id())
+    graft.cdc.JsonCdc.filterTables(
+      graft.cdc.JsonCdc.decode(lines), excludeTables = Nil)
+      .createOrReplaceTempView("cdc")
   }
 
   /** `-e "<sql>" <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]
@@ -274,7 +313,8 @@ object Main {
     System.err.println(
       "usage: graft.cli.Main -e \"<sql>\" <sfDir> [limit] " +
         "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
-        "[--profile] [--audit-measure] [--scaling]")
+        "[--profile] [--audit-measure] [--scaling] " +
+        "[--cdc capture.ldjson]")
 
   private def runSql(rawArgs: Array[String]): Unit = {
     val flags = parseReportFlags(rawArgs)
@@ -284,10 +324,11 @@ object Main {
         val spark = querySession()
         if (flags.doScaling)
           scalingReport(spark, "adhoc",
-            (s, dir) => adhocFrame(s, sql, dir), sfDir).foreach(println)
+            (s, dir) => adhocFrame(s, sql, dir, flags.cdcPath), sfDir)
+            .foreach(println)
         else {
           val df =
-            try adhocFrame(spark, sql, sfDir)
+            try adhocFrame(spark, sql, sfDir, flags.cdcPath)
             catch { case e: org.apache.spark.sql.AnalysisException =>
               System.err.println(s"SQL error: ${e.getMessage}")
               spark.stop()

@@ -489,7 +489,19 @@ object DedupOps {
     * catches the threshold also admits nearly every pair — the honest
     * scale path for a 0.5-cosine threshold is the blocked exact join;
     * sketch-based candidate generation (SimilarityOps.q23_knn_lsh) wins
-    * only when dups are tight (cos ≳ 0.9). */
+    * only when dups are tight (cos ≳ 0.9).
+    *
+    * Scale: QUADRATIC BY DEFINITION — the exact threshold self-join
+    * computes (and in the dense-similarity worst case its output IS)
+    * Θ(n²) pairs; no exact algorithm does better, only the blocking
+    * spreads it. The scaling gate measures it on the core embeddings
+    * rung (≤ 20k vectors, ~2×10⁸ pairs) under an explicit 2.15 bound
+    * (ScalingSweep.bounds) — at 2M vectors a sweep sample is ~2×10¹²
+    * pairs, hours of kernel time, which is the measurement telling the
+    * truth: this is the small-N exact BASELINE (knn_exact's sibling),
+    * and a 100 TB corpus runs q23_semdedup (cluster-bounded pair hunt,
+    * measured bound 1.7) or the minhash/simhash banded families
+    * instead. */
   def q22_dedup_embed(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 8
     val e = Tables.load(s, dir, "embeddings")

@@ -210,7 +210,18 @@ object GraphOps {
     * exactly once (at its orientation-minimum vertex). Two shuffle
     * joins: wedge generation keyed on the pivot, closure probe keyed on
     * the canonical (lo, hi) pair. No broadcast — at 100 TB every side
-    * is edge-scale.
+    * is edge-scale — and that is now PINNED with shuffle_hash hints,
+    * not left to the planner: the scaling ladder caught Spark
+    * broadcasting the 1.5M-row edge set (160 MiB!) into the closure
+    * probe at the sf1-equivalent rung — one decade more and that
+    * broadcast is a job-killing 1.6 GB. The hints also keep the plan
+    * shape IDENTICAL across scale rungs, so the fitted work exponent
+    * measures growth, not a broadcast→shuffle regime flip straddling
+    * the fit (measured 1.86/2.16 across the flip; the wedge/edge row
+    * counts themselves grow exactly linearly on this constant-degree
+    * graph). shuffle_hash over sort-merge: the probe sides (wedges)
+    * need no sort, and the per-partition build sides are the smaller
+    * edge slices.
     *
     * Determinism: exact integer counts; orientation only changes WHERE
     * a triangle is found, never whether. The oracle therefore counts
@@ -233,12 +244,13 @@ object GraphOps {
           col("b")).otherwise(col("a")).as("v"))
       .localCheckpoint() // wedge + closure branches both read it
     val wedges = oriented.select(col("u"), col("v").as("x"))
-      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .join(oriented.select(col("u"), col("v").as("y")).hint("shuffle_hash"),
+        "u")
       .filter(col("x") < col("y"))
     // closure probe against the CANONICAL edge set: {x, y} is an edge
     // iff (least, greatest) appears — orientation of the closing edge
     // is irrelevant to membership
-    val tris = wedges.join(edges,
+    val tris = wedges.join(edges.hint("shuffle_hash"),
       least(col("x"), col("y")) === col("a") &&
         greatest(col("x"), col("y")) === col("b"))
     tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))

@@ -130,4 +130,62 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(BenchRecord.mergedQueries(Map.empty, Seq("q1" -> 1.0)) ==
       Seq("q1" -> 1.0))
   }
+
+  // ------------------------------------------- re-baseline streaks
+
+  private val prior = Map("q1" -> 1.0, "q2" -> 2.0, "tiny" -> 0.05)
+
+  test("a query >1.2x over its record min on a clean full sweep opens " +
+      "a streak; reaching 3 consecutive re-baselines and resets") {
+    var streaks = Map.empty[String, Int]
+    for (run <- 1 to 2) {
+      val (s, rb) = BenchRecord.slowerStreaks(prior, Seq("q1" -> 1.3),
+        streaks, Set.empty, cleanRun = true)
+      assert(s == Map("q1" -> run) && rb.isEmpty, s"run $run")
+      streaks = s
+    }
+    val (s3, rb3) = BenchRecord.slowerStreaks(prior, Seq("q1" -> 1.3),
+      streaks, Set.empty, cleanRun = true)
+    assert(rb3 == Set("q1") && s3.isEmpty, (s3, rb3))
+  }
+
+  test("a fast-or-equal clean measurement RESETS the streak — the rule " +
+      "is consecutive agreement, not a lifetime tally") {
+    val (s, rb) = BenchRecord.slowerStreaks(prior, Seq("q1" -> 1.05),
+      Map("q1" -> 2), Set.empty, cleanRun = true)
+    assert(s.isEmpty && rb.isEmpty)
+  }
+
+  test("a dirty run carries streaks verbatim: it may neither " +
+      "accumulate toward a re-baseline nor erase clean evidence") {
+    val (s, rb) = BenchRecord.slowerStreaks(prior,
+      Seq("q1" -> 5.0, "q2" -> 2.1), Map("q1" -> 2), Set.empty,
+      cleanRun = false)
+    assert(s == Map("q1" -> 2) && rb.isEmpty)
+  }
+
+  test("the >1.5x regression set never counts (it takes the " +
+      "confirmation-retry path), nor do sub-floor minima or queries " +
+      "with no healthy prior") {
+    val (s, rb) = BenchRecord.slowerStreaks(
+      prior ++ Map("dead" -> -1.0),
+      Seq("q1" -> 1.8, "tiny" -> 0.09, "new" -> 9.0, "dead" -> 9.0),
+      Map.empty, excluded = Set("q1"), cleanRun = true)
+    assert(s.isEmpty && rb.isEmpty, (s, rb))
+  }
+
+  test("a re-baselined query's slower value then replaces the record " +
+      "min through mergedQueries' confirmed set") {
+    val merged = BenchRecord.mergedQueries(prior, Seq("q1" -> 1.3),
+      confirmedSlower = Set("q1")).toMap
+    assert(merged("q1") == 1.3)
+  }
+
+  test("readStreaks round-trips the ledger and is empty on absence " +
+      "or garbage") {
+    val j = """{"sf":"/x","slower_streak":{"q1":2,"q9":1},"queries":{}}"""
+    assert(BenchRecord.readStreaks(j) == Map("q1" -> 2, "q9" -> 1))
+    assert(BenchRecord.readStreaks(rec).isEmpty)
+    assert(BenchRecord.readStreaks("garbage{").isEmpty)
+  }
 }
