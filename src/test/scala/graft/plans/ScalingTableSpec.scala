@@ -27,19 +27,41 @@ class ScalingTableSpec extends AnyFunSuite {
         "regenerate with graft.ScalingSweep")
   }
 
-  test("every fitted exponent in the table respects its bound — no " +
-      "risk-list query grows super-linearly beyond its documented " +
-      "design") {
+  test("every fitted exponent in the table respects its bound — or " +
+      "carries the regime-pass evidence (linear row growth, work " +
+      "within the margin) that downgrades it to constant-regime " +
+      "drift; a committed quadratic fails by name") {
     val fitted = graft.ScalingSweep.readTable(raw)
     assert(fitted.nonEmpty, "no fitted exponents in the table — the " +
       "work metric should fit most of the risk list; regenerate")
+    val rowExps = readRowExponents(raw)
     val over = fitted.filter { case (name, e) =>
-      e > graft.ScalingSweep.bounds.getOrElse(name, 1.6)
+      val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
+      e > bound && ScalingAudit.regimeFatal(e, bound, rowExps.get(name))
     }
     assert(over.isEmpty,
-      "recorded exponents over bound (a growth regression was " +
-        "committed into the table):\n" + over.map { case (n, e) =>
+      "recorded exponents over bound WITHOUT exculpatory row-growth " +
+        "evidence (a growth regression was committed into the " +
+        "table):\n" + over.map { case (n, e) =>
           f"  $n: $e%.2f > ${graft.ScalingSweep.bounds
-            .getOrElse(n, 1.6)}%.2f" }.mkString("\n"))
+            .getOrElse(n, 1.6)}%.2f (rows_exponent: ${rowExps.get(n)})"
+        }.mkString("\n"))
+  }
+
+  /** Per-query `rows_exponent` values (regime-pass evidence) out of
+    * the committed table. */
+  private def readRowExponents(json: String): Map[String, Double] = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
+      case JObject(fields) => fields.collect {
+        case (name, JObject(body)) =>
+          body.collectFirst {
+            case ("rows_exponent", JDouble(e))  => name -> e
+            case ("rows_exponent", JInt(e))     => name -> e.toDouble
+            case ("rows_exponent", JDecimal(e)) => name -> e.toDouble
+          }
+      }.flatten.toMap
+      case _ => Map.empty
+    }
   }
 }
