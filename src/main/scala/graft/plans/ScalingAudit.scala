@@ -256,18 +256,39 @@ object ScalingAudit {
     }
 
   /** Total materialized row volume of one execution at each `dir` —
-    * the sum of every operator's `numOutputRows` (shuffle record
-    * counts where writes are tracked instead), off the final adaptive
-    * plan ([[PlanProfile]]). One untimed run per directory; rows are
-    * deterministic, so one run is the measurement. A directory whose
-    * run fails contributes no point. */
+    * one untimed run per directory (rows are deterministic, so one
+    * run is the measurement; a failed run contributes no point).
+    *
+    * The volume SUMS two views because each has a systematic blind
+    * spot the other covers, and a growth fit only needs a complete
+    * axis, not an unduplicated one (double-counting a stream is a
+    * constant factor that cancels in the fit):
+    *
+    *   - task-level input + shuffle-write records (listener,
+    *     [[org.apache.spark.GraftMetricsBridge]]): sees every JOB the
+    *     query triggered — the eagerly-checkpointed loop iterations
+    *     (CC/LPA/k-core) whose rows never reach the final DataFrame's
+    *     plan, and the stages AQE ran before collapsing an
+    *     empty-output query to EmptyRelation (both measured as
+    *     real-world false "shrinking rows" before this);
+    *   - final-plan `numOutputRows` ([[PlanProfile]]): sees the
+    *     JOIN-INTERNAL streams that never cross an exchange — a
+    *     bucketed all-pairs join emits its quadratic candidate stream
+    *     as join output rows straight into a filter, with only
+    *     survivors shuffled (q22_dedup_embed's n² would read linear
+    *     on shuffle records alone). */
   def rowVolumes(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame,
       dirs: Seq[String]): Seq[Long] =
     dirs.flatMap { dir =>
       try {
-        val profile = PlanProfile.measure(fn(spark, dir))
-        Some(profile.flatMap(_.rows).sum)
+        var planRows = 0L
+        val totals = org.apache.spark.GraftMetricsBridge.taskTotals(
+          spark.sparkContext) {
+          planRows = PlanProfile.measure(fn(spark, dir))
+            .flatMap(_.rows).sum
+        }
+        Some(totals.rows + planRows)
       } catch { case e: Throwable =>
         System.err.println(s"[scaling] rows run failed at $dir: " +
           e.getMessage)
