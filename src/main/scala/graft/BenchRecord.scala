@@ -105,6 +105,33 @@ object BenchRecord {
     * bar (those queries take the confirmation-retry path instead). */
   val RebaselineFactor = 1.2
 
+  /** The agreement band two independent confirmation retries must land
+    * inside for a slower value to count as REPRODUCED (matches the
+    * in-sweep min-stability band): clean samples of the same steady
+    * state cluster; values from a noise window scatter. */
+  val RetryAgreeBand = 1.3
+
+  /** Does the strictly-last confirmation evidence CONFIRM a
+    * regression? Round 9 showed a single settled retry is not enough:
+    * the box's noise arrives in sustained multi-minute windows, so a
+    * retry launched inside the same window as the sweep "reproduces"
+    * the slow number with agreeing samples (cdc10_ivm_join folded at
+    * 2.435s against an isolated truth of 1.824s — 18 entries raised
+    * on noise in one official run). A slower value may raise the
+    * record min only when TWO retry windows, independently settled
+    * and minutes apart, BOTH reproduce it (each min > `factor` × the
+    * record) and AGREE with each other (within `band`) — sustained
+    * noise fails the second settle's load gate (the caller passes a
+    * dirty window as None), and sporadic noise fails agreement. */
+  def retryConfirms(record: Double, w1: Option[Double], w2: Option[Double],
+      factor: Double = 1.5, band: Double = RetryAgreeBand): Boolean =
+    (w1, w2) match {
+      case (Some(a), Some(b)) =>
+        record > 0 && math.min(a, b) > record * factor &&
+          math.max(a, b) <= math.min(a, b) * band
+      case _ => false
+    }
+
   /** Per-query consecutive-slower streaks out of the record's
     * `slower_streak` map; empty on absence or parse failure. */
   def readStreaks(json: String): Map[String, Int] =
@@ -135,6 +162,14 @@ object BenchRecord {
     *   - A fast-or-equal clean measurement RESETS the streak: the rule
     *     is consecutive, agreement across distant-in-time sweeps, not
     *     a lifetime tally.
+    *   - A query that produced NO measurement on a clean run (every
+    *     sample failed) DROPS its streak: "3 consecutive clean sweeps"
+    *     means three consecutive clean OBSERVATIONS — two old slow
+    *     runs plus one later slow run separated by failed measurements
+    *     is not that, and a silently carried streak would let exactly
+    *     that combination fire a re-baseline. (Dirty runs still carry
+    *     everything verbatim, per the first rule — only a clean full
+    *     run is evidence the query truly went unmeasured.)
     *   - Reaching `k` re-baselines and resets.
     *
     * Returns (updated streaks sans zeros, queries to re-baseline). */
@@ -144,8 +179,10 @@ object BenchRecord {
       k: Int = RebaselineRuns, factor: Double = RebaselineFactor,
       floorSec: Double = 0.3): (Map[String, Int], Set[String]) = {
     if (!cleanRun) return (priorStreaks, Set.empty)
+    val measured = mins.map(_._1).toSet
     val rebaselined = Set.newBuilder[String]
-    val updated = mins.foldLeft(priorStreaks) { case (acc, (name, v)) =>
+    val carried = priorStreaks.filter(kv => measured(kv._1))
+    val updated = mins.foldLeft(carried) { case (acc, (name, v)) =>
       val slower = v > floorSec && !excluded(name) &&
         prior.get(name).exists(p => p > 0 && v > p * factor)
       if (!slower) acc - name

@@ -181,6 +181,49 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(merged("q1") == 1.3)
   }
 
+  test("a query that produced NO measurement on a clean run DROPS its " +
+      "streak — two old slow runs plus one later slow run separated " +
+      "by failed measurements are not 3 consecutive clean " +
+      "observations") {
+    val (s, rb) = BenchRecord.slowerStreaks(prior, Seq("q2" -> 2.0),
+      Map("q1" -> 2), Set.empty, cleanRun = true)
+    assert(s.isEmpty && rb.isEmpty, (s, rb))
+    // ...but a DIRTY run still carries it verbatim (dirty evidence may
+    // neither advance nor erase)
+    val (sd, _) = BenchRecord.slowerStreaks(prior, Seq("q2" -> 2.0),
+      Map("q1" -> 2), Set.empty, cleanRun = false)
+    assert(sd == Map("q1" -> 2))
+  }
+
+  // --------------------------------------- confirmation-retry evidence
+
+  test("retryConfirms requires BOTH settled windows to reproduce the " +
+      "slow number — one window (the other dirty or unmeasured) " +
+      "confirms nothing, however slow it measured") {
+    assert(!BenchRecord.retryConfirms(1.0, Some(2.4), None))
+    assert(!BenchRecord.retryConfirms(1.0, None, Some(2.4)))
+    assert(!BenchRecord.retryConfirms(1.0, None, None))
+    assert(BenchRecord.retryConfirms(1.0, Some(2.4), Some(2.5)))
+  }
+
+  test("retryConfirms rejects windows that disagree beyond the noise " +
+      "band (sporadic noise scatters; a real steady state clusters) " +
+      "and windows where either min folded back under the regression " +
+      "bar") {
+    // both over 1.5x the 1.0 record, but 1.6 vs 2.4 disagree (>1.3x)
+    assert(!BenchRecord.retryConfirms(1.0, Some(1.6), Some(2.4)))
+    // one window folded back under the bar: the sweep number was noise
+    assert(!BenchRecord.retryConfirms(1.0, Some(1.2), Some(2.4)))
+    // agreement at the band edge still confirms
+    assert(BenchRecord.retryConfirms(1.0, Some(2.0), Some(2.6)))
+  }
+
+  test("retryConfirms never confirms against a missing or failed " +
+      "record entry (sentinel or zero)") {
+    assert(!BenchRecord.retryConfirms(-1.0, Some(2.0), Some(2.0)))
+    assert(!BenchRecord.retryConfirms(0.0, Some(2.0), Some(2.0)))
+  }
+
   test("readStreaks round-trips the ledger and is empty on absence " +
       "or garbage") {
     val j = """{"sf":"/x","slower_streak":{"q1":2,"q9":1},"queries":{}}"""
