@@ -41,6 +41,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     because one ladder cannot be simultaneously big enough at the
   *     bottom for the cheap family and small enough at the top for the
   *     quadratic-risk family.
+  *   - `heaps`: documents 500→50k with a GROWING vocabulary — Zipf-
+  *     distributed draws over V(n) = ⌈√(54·n)⌉ words (Heaps' law with
+  *     β = 0.5 over the ~54·n token mass; Heaps 1978, Baeza-Yates &
+  *     Navarro 2000 measure β ≈ 0.4–0.6 on natural corpora) — and
+  *     part 2000→200k with a name vocabulary growing ≈ √n. The other
+  *     two ladders deliberately keep the driver fixture's CONSTANT
+  *     31-word vocabulary, which makes shared-shingle candidate mass
+  *     Θ(n²/|U|) with |U| fixed — an honest property of that corpus,
+  *     but NOT of natural text, where |U| grows and prefix filters
+  *     prune. This ladder turns the "the same plan prunes on natural
+  *     text" scaladoc claim (q22_dedup_ngram, q17b_fuzzy) into a
+  *     measured exponent. Vocabulary ranks map to stable pseudo-words
+  *     (rank r is the same word at every rung), so growth means NEW
+  *     words appear — exactly Heaps — rather than the whole corpus
+  *     re-labeling.
   *
   * ## Distribution fidelity
   *
@@ -73,7 +88,7 @@ object ScalingData {
   val rungs: Seq[String] = Seq("r1", "r2", "r3")
 
   /** Ladder names — see the object scaladoc for the split rationale. */
-  val ladders: Seq[String] = Seq("core", "big")
+  val ladders: Seq[String] = Seq("core", "big", "heaps")
 
   def dirs(base: String, ladder: String): Seq[String] =
     rungs.map(r => s"$base/$ladder/$r")
@@ -98,6 +113,15 @@ object ScalingData {
         // floor only past ~20k vectors
         "events" -> 30000L, "documents" -> 5000L * m,
         "embeddings" -> 20000L * m)
+      case "heaps" => Map( // documents/part grow, WITH their vocabularies
+        "customer" -> 1500L, "supplier" -> 100L,
+        // part ×3 the core-equivalent rung: the fuzzy matcher's
+        // per-row cost is tiny (scan + distinct; the levenshtein core
+        // is vocabulary-bounded), so below ~6k parts its work first
+        // difference sits under the 0.1 s noise floor
+        "part" -> 6000L * m, "orders" -> 15000L,
+        "events" -> 30000L, "documents" -> 500L * m,
+        "embeddings" -> 200L)
       case other => throw new IllegalArgumentException(s"ladder: $other")
     }
   }
@@ -270,6 +294,97 @@ object ScalingData {
     Doc(id, text, lang, s"src${id % 20}", text.length.toLong)
   }
 
+  // ------------------------------------------------ heaps-ladder rows
+  /** Stable pseudo-word for a vocabulary rank: rank r is the SAME
+    * word at every rung (vocabulary growth appends new words — Heaps'
+    * law — instead of re-labeling the corpus). 3–9 lowercase letters;
+    * the rare rank collision merges two ranks, which only makes the
+    * effective vocabulary marginally smaller. */
+  private[graft] def pword(rank: Long, salt: Long): String = {
+    val r = rng(rank, salt)
+    val len = 3 + r.nextInt(7)
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) { sb.append(('a' + r.nextInt(26)).toChar); i += 1 }
+    sb.toString
+  }
+
+  /** Heaps-law vocabulary size for an n-document rung: V = ⌈√(54·n)⌉
+    * over the ~54·n token mass (β = 0.5), floored at the fixture's 31
+    * so the smallest rung is never LESS diverse than the constant-
+    * vocabulary ladders. */
+  private[graft] def heapsVocabSize(nDocs: Long): Int =
+    math.max(docVocab.length,
+      math.ceil(math.sqrt(54.0 * nDocs)).toInt)
+
+  /** Cumulative harmonic weights for Zipf(s=1) over a V-word
+    * vocabulary, cached per V (one array per rung, shared across the
+    * generation tasks of this JVM). */
+  private val zipfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def zipfCum(v: Int): Array[Double] =
+    zipfCache.computeIfAbsent(v, _ => {
+      val a = new Array[Double](v)
+      var s = 0.0
+      var i = 0
+      while (i < v) { s += 1.0 / (i + 1); a(i) = s; i += 1 }
+      a
+    })
+
+  /** One Zipf(s=1) draw over the first `v` vocabulary ranks — the
+    * word-frequency law of natural text (stopword-heavy head, long
+    * rare tail), so prefix filters have rare shingles to key on. */
+  private def zipfWord(r: java.util.Random, v: Int): String = {
+    val cum = zipfCum(v)
+    val u = r.nextDouble() * cum(v - 1)
+    var lo = 0
+    var hi = v - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cum(mid) >= u) hi = mid else lo = mid + 1
+    }
+    pword(lo.toLong, 0x6EA5L)
+  }
+
+  /** A heaps-ladder doc's ORIGINAL words — pure in (id, vocab size). */
+  private def baseWordsHeaps(id: Long, v: Int): Array[String] = {
+    val r = rng(id, 0xB0DCL)
+    Array.fill(8 + r.nextInt(93))(zipfWord(r, v))
+  }
+
+  /** Heaps-ladder document: same length law, lang weights, source and
+    * duplicate mass as [[doc]], but words drawn Zipf over the rung's
+    * grown vocabulary. */
+  private[graft] def docHeaps(id: Long, nDocs: Long): Doc = {
+    val v = heapsVocabSize(nDocs)
+    val r = rng(id, 0x0D1CL)
+    val roll = r.nextDouble()
+    def sourceId: Long = id - 1 - math.floorMod(r.nextLong(),
+      math.min(id, 2000L))
+    val words =
+      if (id < 10 || roll >= 0.010) baseWordsHeaps(id, v)
+      else if (roll < 0.004) baseWordsHeaps(sourceId, v) // exact copy
+      else baseWordsHeaps(sourceId, v).map(w => // mutated near-copy
+        if (r.nextDouble() < 0.05) zipfWord(r, v) else w)
+    val text = words.mkString(" ")
+    val d = r.nextDouble()
+    val lang = if (d < 0.4) "en" else docLangs(((d - 0.4) / 0.15).toInt.min(3))
+    Doc(id, text, lang, s"src${id % 20}", text.length.toLong)
+  }
+
+  /** Heaps-ladder part: name vocabulary ≈ √n (a² two-token names with
+    * a = ⌈n^0.25⌉) instead of the fixture's constant 64 — the fuzzy-
+    * match quadratic core (distinct names²) then grows ≈ n, which is
+    * the vocabulary-bounded design claim as a measurable exponent. */
+  private[graft] def partHeaps(id: Long, nPart: Long): Part = {
+    val r = rng(id, 0x9B27L)
+    val a = math.max(4, math.ceil(math.pow(nPart.toDouble, 0.25)).toInt)
+    val name = s"${pword(r.nextInt(a).toLong, 0xAD11L)} " +
+      s"${pword(r.nextInt(a).toLong, 0x0B07L)}"
+    Part(id, name, s"Brand#${1 + r.nextInt(25)}", ptypes(r.nextInt(6)),
+      1 + r.nextInt(50), 900.0 + 0.1 * (id % 1000))
+  }
+
   /** Unit-norm centroids of the 10 labels (weak signal, like the
     * fixture: mean cosine to own centroid ≈ 0.065, cross ≈ 0). */
   private lazy val centroids: Array[Array[Double]] =
@@ -299,19 +414,23 @@ object ScalingData {
     spark.range(0, n, 1, genSlices)
 
   private[graft] def table(spark: SparkSession, name: String,
-      sz: Map[String, Long]): DataFrame = {
+      sz: Map[String, Long], heaps: Boolean = false): DataFrame = {
     import spark.implicits._
     def n = sz(name) // lineitem's row count is derived, not in the map
     name match {
       case "customer" => ids(spark, n).map(id => customer(id)).toDF()
       case "supplier" => ids(spark, n).map(id => supplier(id)).toDF()
-      case "part" => ids(spark, n).map(id => part(id)).toDF()
+      case "part" =>
+        if (heaps) { val np = n; ids(spark, np).map(id => partHeaps(id, np)).toDF() }
+        else ids(spark, n).map(id => part(id)).toDF()
       case "orders" =>
         ids(spark, n).map(id => order(id, sz("customer"))).toDF()
       case "lineitem" => ids(spark, sz("orders"))
         .flatMap(id => lines(id, sz("part"), sz("supplier"))).toDF()
       case "events" => ids(spark, n).map(id => event(id, n)).toDF()
-      case "documents" => ids(spark, n).map(id => doc(id)).toDF()
+      case "documents" =>
+        if (heaps) { val nd = n; ids(spark, nd).map(id => docHeaps(id, nd)).toDF() }
+        else ids(spark, n).map(id => doc(id)).toDF()
       case "embeddings" => ids(spark, n).map(id => vec(id)).toDF()
       case other => throw new IllegalArgumentException(s"table: $other")
     }
@@ -347,7 +466,8 @@ object ScalingData {
         copyFixture(fixtureSf, dir, "region")
         copyFixture(fixtureSf, dir, "nation")
         generated.foreach { t =>
-          table(spark, t, sz).write.mode(SaveMode.Overwrite)
+          table(spark, t, sz, heaps = ladder == "heaps")
+            .write.mode(SaveMode.Overwrite)
             .parquet(s"$dir/$t.parquet")
         }
         Files.write(marker(dir), Array.emptyByteArray)

@@ -96,6 +96,7 @@ object ScalingSweep {
     "q38_overlap" -> "events", "q12_asof" -> "events",
     "q24_bpe_train" -> "documents", "q42b_triples" -> "lineitem",
     "q19j_theilsen" -> "lineitem", "q37_hierarchy" -> "orders",
+    "q24_collocations" -> "documents", // heaps variant only
     "q17b_fuzzy" -> "part", "q40_sessionize" -> "events",
     "q29d_paths" -> "events", "q19i_bootstrap" -> "lineitem",
     "q28_skew_join" -> "lineitem", "q36c_anonymity" -> "customer",
@@ -113,8 +114,43 @@ object ScalingSweep {
     "q24_zipf", "q24_bpe_train", "q26_mix", "q27_pack", "q27_shuffle",
     "q43c_phrase", "q23_knn_exact", "q23_kmeans")
 
+  /** Queries ADDITIONALLY measured on the `heaps` ladder (growing
+    * vocabulary — see [[ScalingData]]), recorded as `<name>@heaps`
+    * entries BESIDE their constant-vocabulary fits: the queries whose
+    * corpus-bound exponents (ngram 1.89 on a 31-word vocabulary,
+    * fuzzy all-overhead on 64 constant names) reflect the fixture,
+    * not the plan — on natural text the vocabulary grows (Heaps' law)
+    * and the prefix filter / distinct-names bound prunes. The @heaps
+    * entries carry the DEFAULT 1.6 bound deliberately: the measured
+    * natural-text exponent is the claim the 100 TB story rests on, so
+    * it gets no corpus-excuse relaxation. */
+  val heapsList: Seq[String] =
+    Seq("q22_dedup_ngram", "q17b_fuzzy", "q24_collocations")
+
+  private val HeapsSuffix = "@heaps"
+
+  /** Every table entry the ladder-mode sweep measures: the risk list
+    * plus the heaps variants. */
+  val allEntries: Seq[String] =
+    riskList ++ heapsList.map(_ + HeapsSuffix)
+
+  /** The inventory query an entry name runs (`q22_dedup_ngram@heaps`
+    * runs `q22_dedup_ngram` — same plan, different corpus law). */
+  def queryOf(entry: String): String = entry.stripSuffix(HeapsSuffix)
+
   def ladderOf(name: String): String =
-    if (bigLadder(name)) "big" else "core"
+    if (name.endsWith(HeapsSuffix)) "heaps"
+    else if (bigLadder(name)) "big"
+    else "core"
+
+  /** Per-entry sample-count overrides: the near-bound fits whose
+    * committed exponents sit within ~0.4 of their fatal threshold
+    * (q41b_lpa, q14g_pareto) take 5 samples per rung instead of the
+    * default 3 — tighter per-rung minima (the recorded work_spread
+    * shows the agreement) separate a regime step from growth with
+    * evidence rather than margin. */
+  val extraRuns: Map[String, Int] =
+    Map("q41b_lpa" -> 5, "q14g_pareto" -> 5)
 
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
@@ -187,17 +223,23 @@ object ScalingSweep {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // names outside the risk list are a LOUD error, not a silent empty
-    // selection — SPARK_GRAFT_ONLY=q01_scan would otherwise select
-    // nothing and (pre-merge) have clobbered the table with it
+    // flat mode measures the risk list only: the heaps variants NEED
+    // the generated growing-vocabulary rungs, which a flat fixture
+    // base does not carry
+    val measurable = if (flatMode) riskList else allEntries
+    // names outside the measurable entries are a LOUD error, not a
+    // silent empty selection — SPARK_GRAFT_ONLY=q01_scan would
+    // otherwise select nothing and (pre-merge) have clobbered the
+    // table with it
     only.foreach { names =>
-      val stray = names.diff(riskList.toSet)
+      val stray = names.diff(measurable.toSet)
       require(stray.isEmpty,
-        s"SPARK_GRAFT_ONLY names not on the scaling risk list: $stray")
+        s"SPARK_GRAFT_ONLY names not on the scaling entry list: $stray")
     }
-    val selected = only.fold(riskList)(names => riskList.filter(names))
+    val selected = only.fold(measurable)(names => measurable.filter(names))
     require(selected.nonEmpty, "empty selection")
-    val unknown = selected.filterNot(SparkEntry.queries.contains)
+    val unknown =
+      selected.filterNot(e => SparkEntry.queries.contains(queryOf(e)))
     require(unknown.isEmpty, s"not in the inventory: $unknown")
     // SPARK_GRAFT_PARTITIONS decouples shuffle partitioning from the
     // thread count (default: = cpus, the bench basis). Used to verify
@@ -226,26 +268,36 @@ object ScalingSweep {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def ladderDirs(ladder: String): Seq[String] =
       if (flatMode) dirsOf("") else ScalingData.dirs(base, ladder)
+    // the basis label each entry is RECORDED under — the actual
+    // measurement basis, so a flat-mode run merged into a ladder-mode
+    // table (or read later) can never pass its entries off as ladder
+    // measurements
+    def basisOf(name: String): String =
+      if (flatMode) "flat" else ladderOf(name)
     // measured per-rung row counts of every referenced primary table
     // (one cheap count each), keyed by the ladder it was counted on
     val tableRows: Map[(String, String), Seq[Long]] =
-      selected.map(n => (ladderOf(n), primaryTable(n))).distinct.sorted
+      selected.map(n => (ladderOf(n), primaryTable(queryOf(n))))
+        .distinct.sorted
         .map { case (ladder, t) =>
           (ladder, t) -> ladderDirs(ladder).map(d =>
             spark.read.parquet(s"$d/$t.parquet").count())
         }.toMap
     def sizesOf(name: String): Seq[Long] =
-      primaryTable.get(name)
+      primaryTable.get(queryOf(name))
         .map(t => tableRows((ladderOf(name), t))).getOrElse(Nil)
+    def fnOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      SparkEntry.queries(queryOf(name))
     val fits = selected.map { name =>
       val sizes = sizesOf(name)
-      val f = ScalingAudit.fit(spark, name, SparkEntry.queries(name),
-        dirsOf(name), runs, sizes = sizes)
-      println(entryJson(name, f, sizes, withName = true))
+      val f = ScalingAudit.fit(spark, name, fnOf(name),
+        dirsOf(name), math.max(runs, extraRuns.getOrElse(name, 0)),
+        sizes = sizes)
+      println(entryJson(name, f, sizes, basisOf(name), withName = true))
       f
     }
     val overRaw = ScalingAudit.auditExponents(fits, bounds = bounds)
-    val overNames = overRaw.map(_.detail.takeWhile(_ != ':')).toSet
+    val overNames = overRaw.map(_.subject).toSet
     val path = java.nio.file.Paths.get("scaling_exponents.json")
     val driftRaw =
       if (!check) Nil
@@ -260,48 +312,69 @@ object ScalingSweep {
         // the benign sank-into-overhead case
         ScalingAudit.driftFindings(recorded, fits, bounds = bounds)
       }
-    val driftNames = driftRaw.map(_.detail.takeWhile(_ != ':')).toSet
-    // REGIME PASS (second stage, flagged queries only): measure the
-    // materialized row volume per rung and fit its growth. Linear rows
-    // + work within the margin downgrades a bound or drift finding to
-    // the advisory constant-regime-drift kind (plan flips / per-task
-    // working-set steps — see ScalingAudit.RegimeDrift); super-linear
-    // rows, an unfit row axis, or work beyond the margin stays FATAL.
+    val driftNames = driftRaw.map(_.subject).toSet
+    // REGIME PASS (second stage, flagged queries only), two kinds of
+    // evidence per candidate:
+    //   1. ROW volume per rung + its growth fit — materialized
+    //      candidate blowups are rows, so super-linear rows (or an
+    //      unfit row axis, or work beyond margin/cap) stays FATAL;
+    //   2. the SCALED-PARTITIONS CONTROL for candidates rows did not
+    //      condemn: re-fit the work exponent with shuffle partitions
+    //      scaled up (per-task bytes held ~constant, as a production
+    //      deployment would size them). A per-task working-set step
+    //      disappears under the control; algorithmic growth — incl.
+    //      the compute-bound quadratics rows cannot see — does not.
+    // Only a candidate BOTH passes is downgraded to the advisory
+    // constant-regime-drift kind, and both measurements ride in the
+    // artifact (rows/rows_exponent, exponent_scaled_partitions).
+    val candidates = (overNames ++ driftNames).toSeq.sorted
     val rowFits: Map[String, (Seq[Long], Option[Double])] =
-      fits.filter(f => overNames(f.name) || driftNames(f.name)).map { f =>
-        val rows = ScalingAudit.rowVolumes(spark,
-          SparkEntry.queries(f.name), dirsOf(f.name))
+      candidates.map { name =>
+        val rows = ScalingAudit.rowVolumes(spark, fnOf(name), dirsOf(name))
         val e =
           if (rows.size < ScalingData.rungs.size) None
-          else ScalingAudit.fitRows(rows, sizesOf(f.name))
-        f.name -> (rows, e)
+          else ScalingAudit.fitRows(rows, sizesOf(name))
+        name -> (rows, e)
+      }.toMap
+    def workOf(name: String): Option[Double] =
+      fits.find(_.name == name).flatMap(_.exponent)
+    def rowFatal(name: String): Boolean =
+      workOf(name).forall(e =>
+        ScalingAudit.regimeFatal(e, bounds.getOrElse(name, 1.6),
+          rowFits.get(name).flatMap(_._2)))
+    val controlPartitions = sys.env
+      .getOrElse("SPARK_GRAFT_CONTROL_PARTITIONS", "256").toInt
+    val controlFits: Map[String, ScalingAudit.ScalingFit] =
+      candidates.filterNot(rowFatal).map { name =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          controlPartitions.toString)
+        try name -> ScalingAudit.fit(spark, s"$name[control]", fnOf(name),
+          dirsOf(name), runs, sizes = sizesOf(name))
+        finally spark.conf.set("spark.sql.shuffle.partitions", partitions)
       }.toMap
     def fatalFor(name: String): Boolean =
-      fits.find(_.name == name).forall(f => f.exponent.forall(e =>
-        ScalingAudit.regimeFatal(e, bounds.getOrElse(name, 1.6),
-          rowFits.get(name).flatMap(_._2))))
-    def regimeNote(name: String): graft.plans.PlanAudit.Finding = {
-      val f = fits.find(_.name == name).get
-      ScalingAudit.regimeFinding(name, f.exponent.get,
-        bounds.getOrElse(name, 1.6), rowFits(name)._1, rowFits(name)._2)
-    }
+      rowFatal(name) || !controlFits.get(name).exists(c =>
+        workOf(name).exists(e => ScalingAudit.controlSupports(
+          e, c.points.size, c.exponent, ScalingData.rungs.size)))
+    def regimeNote(name: String): graft.plans.PlanAudit.Finding =
+      ScalingAudit.regimeFinding(name, workOf(name).get,
+        bounds.getOrElse(name, 1.6), rowFits(name)._1, rowFits(name)._2,
+        controlFits(name).exponent, controlPartitions)
     val (over, regime) = overNames.toSeq.sorted.partition(fatalFor) match {
       case (fatal, downgraded) =>
-        (overRaw.filter(o => fatal.exists(n =>
-          o.detail.startsWith(n + ":"))),
+        (overRaw.filter(o => fatal.contains(o.subject)),
           downgraded.map(regimeNote))
     }
     // drift findings compose with the same evidence: an upward work
-    // drift on a query whose rows grew linearly and whose fresh fit
-    // sits within bound+margin is the regime noise band (mid-range
-    // fits reproduce within ~0.2–0.5 across clean sweeps), not a
-    // growth regression — the bound check above, not the drift diff,
-    // owns gross growth
+    // drift on a query whose rows grew linearly, whose fresh fit sits
+    // within bound+margin, and whose control fit confirms the
+    // mechanism is the regime noise band (mid-range fits reproduce
+    // within ~0.2–0.5 across clean sweeps), not a growth regression —
+    // the bound check above, not the drift diff, owns gross growth
     val (drift, driftRegime) =
       driftNames.toSeq.sorted.partition(fatalFor) match {
         case (fatal, downgraded) =>
-          (driftRaw.filter(o => fatal.exists(n =>
-            o.detail.startsWith(n + ":"))),
+          (driftRaw.filter(o => fatal.contains(o.subject)),
             downgraded.filterNot(overNames) // one advisory per query
               .map(regimeNote))
       }
@@ -316,9 +389,11 @@ object ScalingSweep {
     val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
     val findings = (over ++ regime ++ failed ++ drift ++ driftRegime)
       .map(f => s"[${f.kind}] ${f.detail}")
-    val summary = s"""{"metric":"scaling","mode":"${
-      if (flatMode) "flat" else "ladder"}","sf_base":"$base",""" +
-      s""""cpus":$cpus,"runs":$runs,"n_queries":${fits.size},""" +
+    val runMode = if (flatMode) "flat" else "ladder"
+    val summary = s"""{"metric":"scaling","mode":"$runMode",""" +
+      s""""sf_base":"$base","cpus":$cpus,"runs":$runs,""" +
+      s""""control_partitions":$controlPartitions,""" +
+      s""""n_queries":${fits.size},""" +
       s""""n_fit":${fits.count(_.exponent.nonEmpty)},""" +
       s""""n_over_bound":${over.size},"n_regime_drift":${
         regime.size + driftRegime.size},""" +
@@ -326,11 +401,15 @@ object ScalingSweep {
       s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
         .mkString("[", ",", "]")}}"""
     println(summary)
+    def fullEntry(f: ScalingAudit.ScalingFit): String =
+      entryJson(f.name, f, sizesOf(f.name), basisOf(f.name),
+        rowsInfo = rowFits.get(f.name),
+        control = controlFits.get(f.name)
+          .map(c => (controlPartitions, c.exponent)))
     // the per-round artifact: summary + findings + every fit, one file
     outPath.foreach { p =>
-      val qJson = fits.map(f => s""""${f.name}":${
-        entryJson(f.name, f, sizesOf(f.name),
-          rowsInfo = rowFits.get(f.name))}""").mkString("{", ",", "}")
+      val qJson = fits.map(f => s""""${f.name}":${fullEntry(f)}""")
+        .mkString("{", ",", "}")
       val fJson = findings.map(s =>
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
@@ -349,15 +428,13 @@ object ScalingSweep {
       // every other recorded entry forward — same rule as the bench
       // record (exponents are basis-robust by the work metric, so a
       // carried entry stays comparable). The header reflects THIS run.
-      val freshEntries: Map[String, String] = fits.map { f =>
-        f.name -> entryJson(f.name, f, sizesOf(f.name),
-          rowsInfo = rowFits.get(f.name))
-      }.toMap
+      val freshEntries: Map[String, String] =
+        fits.map(f => f.name -> fullEntry(f)).toMap
       val priorExists = java.nio.file.Files.exists(path)
-      val priorEntries: Map[String, String] =
-        if (!priorExists) Map.empty
-        else readRawEntries(
-          new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      val priorJson: String =
+        if (!priorExists) ""
+        else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val priorEntries: Map[String, String] = readRawEntries(priorJson)
       // CLOBBER GUARD (mirrors Bench's): when a prior table exists but
       // parses to nothing, a SUBSET run must not replace the committed
       // 40-query record with its handful of entries — refuse loudly;
@@ -371,12 +448,30 @@ object ScalingSweep {
         spark.stop()
         sys.exit(1)
       }
-      val qJson = (priorEntries ++ freshEntries).toSeq.sortBy(_._1)
+      // MODE GUARD: entries measured on the generated ladder and on a
+      // flat fixture base are different bases — merging them would
+      // produce a table whose per-entry basis cannot be trusted. A
+      // subset run on a different mode refuses; a FULL run replaces
+      // the table, re-establishing it on this run's basis.
+      val priorMode = readMode(priorJson)
+      val modeMismatch = priorExists &&
+        priorEntries.nonEmpty && priorMode.exists(_ != runMode)
+      if (modeMismatch && only.nonEmpty) {
+        System.err.println("[scaling] scaling_exponents.json NOT " +
+          s"updated: the prior table was measured in '${priorMode.get}' " +
+          s"mode and this subset run in '$runMode' mode — a merge would " +
+          "mix measurement bases; run the FULL sweep to re-establish " +
+          "the table on this basis")
+        spark.stop()
+        sys.exit(1)
+      }
+      val carried = if (modeMismatch) Map.empty[String, String]
+        else priorEntries
+      val qJson = (carried ++ freshEntries).toSeq.sortBy(_._1)
         .map { case (name, body) => s""""$name":$body""" }
         .mkString("{", ",", "}")
-      val body = s"""{"sf_base":"$base","mode":"${
-        if (flatMode) "flat" else "ladder"}","cpus":$cpus,"runs":$runs,""" +
-        s""""queries":$qJson}""" + "\n"
+      val body = s"""{"sf_base":"$base","mode":"$runMode",""" +
+        s""""cpus":$cpus,"runs":$runs,"queries":$qJson}""" + "\n"
       java.nio.file.Files.write(path, body.getBytes("UTF-8"))
       spark.stop()
     }
@@ -384,11 +479,15 @@ object ScalingSweep {
 
   /** One query's fit as a compact JSON object (optionally with the
     * name inlined, for the per-query progress lines; `rowsInfo` — the
-    * regime pass's row volumes + row exponent — rides along for
-    * queries the pass measured). */
+    * regime pass's row volumes + row exponent — and `control` — the
+    * scaled-partitions control fit — ride along for queries those
+    * passes measured). `basis` is the ACTUAL measurement basis
+    * ("flat" in legacy flat mode), not the ladder the entry would use
+    * in ladder mode. */
   private def entryJson(name: String, f: ScalingAudit.ScalingFit,
-      sizes: Seq[Long], withName: Boolean = false,
-      rowsInfo: Option[(Seq[Long], Option[Double])] = None): String = {
+      sizes: Seq[Long], basis: String, withName: Boolean = false,
+      rowsInfo: Option[(Seq[Long], Option[Double])] = None,
+      control: Option[(Int, Option[Double])] = None): String = {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val head = if (withName) s""""query":"$name",""" else ""
@@ -396,15 +495,31 @@ object ScalingSweep {
       s""""rows":${rows.mkString("[", ",", "]")},"rows_exponent":${
         e.map(f3).getOrElse("null")},"""
     }.getOrElse("")
-    s"""{$head"table":"${primaryTable.getOrElse(name, "")}",""" +
-      s""""ladder":"${ladderOf(name)}","sizes":${
+    val controlPart = control.map { case (parts, e) =>
+      s""""control_partitions":$parts,"exponent_scaled_partitions":${
+        e.map(f3).getOrElse("null")},"""
+    }.getOrElse("")
+    s"""{$head"table":"${primaryTable.getOrElse(queryOf(name), "")}",""" +
+      s""""ladder":"$basis","sizes":${
         sizes.mkString("[", ",", "]")},"wall":[${
         f.points.map(p => f3(p.wallSec)).mkString(",")}],"work":[${
         f.points.map(p => f3(p.workSec)).mkString(",")}],""" +
       s""""work_spread":[${
         f.points.map(p => f3(p.workSpread)).mkString(",")}],""" +
-      rowsPart +
+      rowsPart + controlPart +
       s""""exponent":${f.exponent.map(f3).getOrElse("null")}}"""
+  }
+
+  /** The prior table's header `mode` field ("ladder"/"flat"); None on
+    * absence or parse failure (legacy tables predate the field). */
+  def readMode(json: String): Option[String] = {
+    import org.json4s._
+    try {
+      (org.json4s.jackson.JsonMethods.parse(json) \ "mode") match {
+        case JString(s) => Some(s)
+        case _          => None
+      }
+    } catch { case _: Throwable => None }
   }
 
   /** The prior table's per-query entries as compact-rendered raw JSON

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
   * (`assertClean` for the common strict case with an allowlist). */
 object PlanAudit {
 
-  /** One detected scale risk. */
-  case class Finding(kind: String, detail: String)
+  /** One detected scale risk. `subject` — the query (or other unit)
+    * the finding is ABOUT, carried structurally so callers that
+    * partition findings by query (the scaling sweep's fatal/advisory
+    * gate) never re-parse the human-readable detail text; empty when
+    * the producer has no per-query subject (the plan walks, whose
+    * findings describe the one plan being audited). */
+  case class Finding(kind: String, detail: String, subject: String = "")
 
   val CartesianJoin = "cartesian-join"
   val UnpartitionedWindow = "unpartitioned-window"

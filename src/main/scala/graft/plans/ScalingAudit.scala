@@ -85,17 +85,32 @@ object ScalingAudit {
     *     sort state into each task and the LLC→DRAM transition (plus
     *     sort-fallback log factors) inflates per-row cost a bounded
     *     2–5× ONCE — production sizes partitions to hold per-task
-    *     bytes roughly constant instead (verified: re-running the
-    *     flagged queries at 256 shuffle partitions drops their
-    *     exponents by 0.1–0.2).
+    *     bytes roughly constant instead.
     *
-    * A real quadratic CANNOT hide here: candidate/pair blowups are
-    * materialized rows (that is what makes them expensive), so their
-    * row exponent reads ≈ 2 and the finding stays FATAL. The rule:
-    * work over bound is downgraded to this advisory kind iff the row
-    * exponent fits ≤ [[RowBound]] AND the work excess stays within
-    * [[RegimeMargin]] — beyond the margin even linear rows fail (a
-    * 10× per-row drift is a bug whatever its mechanism). */
+    * Materialized candidate/pair blowups CANNOT hide here: they are
+    * rows (that is what makes them expensive), so their row exponent
+    * reads ≈ 2 and the finding stays FATAL. But a COMPUTE-bound
+    * quadratic can have linear rows (a per-group O(n_g²) kernel with
+    * growing groups, a repeated in-task rescan that never crosses an
+    * exchange) — which is why linear rows alone are NOT sufficient
+    * evidence. The rule: work over bound is downgraded to this
+    * advisory kind iff
+    *
+    *   1. the row exponent fits ≤ [[RowBound]],
+    *   2. the work excess stays within [[RegimeMargin]] AND the
+    *      absolute exponent sits under [[AbsoluteCap]] (near-2 fits
+    *      are never waved through on row evidence alone), and
+    *   3. the SCALED-PARTITIONS CONTROL confirms the mechanism
+    *      ([[controlSupports]]): re-fitting the query with shuffle
+    *      partitions scaled up — per-task bytes held roughly
+    *      constant, as production would — drops the exponent by at
+    *      least [[ControlDrop]] (or sinks it below the noise floor).
+    *      A per-task working-set step disappears under that control;
+    *      algorithmic growth, including the compute-bound quadratics
+    *      rows cannot see, does not. The control measurement rides in
+    *      the artifact (`exponent_scaled_partitions`), so the
+    *      advisory carries its own refutation of the
+    *      algorithmic-growth hypothesis instead of a prose claim. */
   val RegimeDrift = "constant-regime-drift"
 
   /** Row-growth exponent above which over-bound work is algorithmic,
@@ -105,9 +120,34 @@ object ScalingAudit {
 
   /** How far work may exceed its bound and still be regime-classified
     * when rows are linear (the measured flip/cache steps cost ≤ 0.35
-    * of exponent on this ladder; 0.5 leaves headroom without admitting
-    * a true quadratic, which linear rows already exclude). */
+    * of exponent on this ladder; 0.5 leaves headroom — the absolute
+    * cap and the scaled-partitions control own the near-quadratic
+    * end this margin alone would admit). */
   val RegimeMargin = 0.5
+
+  /** Hard ceiling on any regime downgrade: a fit at or above
+    * effectively-quadratic stays FATAL whatever the row and control
+    * evidence say — at that magnitude the honest responses are a
+    * documented per-query bound with its mechanism, or a fix. */
+  val AbsoluteCap = 1.9
+
+  /** The minimum exponent drop the scaled-partitions control must
+    * show to confirm the per-task working-set mechanism (the measured
+    * drop on this ladder's flagged queries is 0.1–0.2). */
+  val ControlDrop = 0.1
+
+  /** Does the scaled-partitions control run CONFIRM the constant-
+    * regime mechanism? Yes when the control measured every rung and
+    * its exponent dropped by ≥ `drop` — or lost the fit entirely
+    * (first differences sank below the noise floor: the strongest
+    * possible flattening). A control that failed to measure, or whose
+    * exponent held, refutes the regime hypothesis — the over-bound
+    * finding stays FATAL. */
+  def controlSupports(workExponent: Double, controlPoints: Int,
+      controlExponent: Option[Double], nDirs: Int,
+      drop: Double = ControlDrop): Boolean =
+    controlPoints >= nDirs &&
+      controlExponent.forall(_ <= workExponent - drop)
 
   /** A query that could not be measured at every scale directory —
     * every run at some directory failed. Reported as its own finding
@@ -126,7 +166,8 @@ object ScalingAudit {
         PlanAudit.Finding(MeasurementFailure,
           s"${f.name}: only ${f.points.size}/$nDirs scale points " +
             "measured — every run failed at " +
-            "some directory (see [scaling] stderr lines)")
+            "some directory (see [scaling] stderr lines)",
+          subject = f.name)
     }
 
   /** Fit `e` from three work measurements a decade apart. None when
@@ -252,7 +293,8 @@ object ScalingAudit {
           f"${f.name}: exponent ${f.exponent.get}%.2f > " +
             f"bound ${bounds.getOrElse(f.name, defaultBound)}%.2f " +
             s"(work ${f.points.map(p => f"${p.workSec}%.2fs")
-              .mkString(" -> ")})")
+              .mkString(" -> ")})",
+          subject = f.name)
     }
 
   /** Total materialized row volume of one execution at each `dir` —
@@ -304,26 +346,39 @@ object ScalingAudit {
     fitSized(rows.map(_.toDouble), sizes,
       noiseFloorSec = 1.0, relFloor = 0.0)
 
-  /** The regime rule (see [[RegimeDrift]]): is an over-bound work
-    * exponent still FATAL given the row-growth fit? Fatal when rows
-    * did not fit (no exculpatory evidence), grew super-linearly
-    * themselves, or the work excess exceeds the regime margin. */
+  /** The regime rule's ROW half (see [[RegimeDrift]] — conditions 1
+    * and 2): is an over-bound work exponent still FATAL given the
+    * row-growth fit alone? Fatal when rows did not fit (no
+    * exculpatory evidence), grew super-linearly themselves, the work
+    * excess exceeds the regime margin, or the absolute exponent
+    * reaches [[AbsoluteCap]]. Passing here only makes the query a
+    * downgrade CANDIDATE — the scaled-partitions control
+    * ([[controlSupports]], condition 3) has the final word. */
   def regimeFatal(workExponent: Double, bound: Double,
       rowExponent: Option[Double], rowBound: Double = RowBound,
       margin: Double = RegimeMargin): Boolean =
-    rowExponent.forall(_ > rowBound) || workExponent > bound + margin
+    rowExponent.forall(_ > rowBound) || workExponent > bound + margin ||
+      workExponent >= AbsoluteCap
 
   /** The advisory [[RegimeDrift]] finding for an over-bound fit the
-    * rule downgraded — rows evidence inline so the artifact reader
-    * never has to re-run the pass to judge it. */
+    * rule downgraded — rows AND control evidence inline so the
+    * artifact reader never has to re-run the pass to judge it.
+    * `controlExponent` None = the control run flattened below the
+    * noise floor (the strongest drop). */
   def regimeFinding(name: String, workExponent: Double, bound: Double,
-      rows: Seq[Long], rowExponent: Option[Double]): PlanAudit.Finding =
+      rows: Seq[Long], rowExponent: Option[Double],
+      controlExponent: Option[Double],
+      controlPartitions: Int): PlanAudit.Finding =
     PlanAudit.Finding(RegimeDrift,
       f"$name: work exponent $workExponent%.2f over bound $bound%.2f " +
         "but row volume grows at " +
         rowExponent.map(e => f"$e%.2f").getOrElse("unfit") +
-        s" (rows ${rows.mkString(" -> ")}) — constant-regime step, " +
-        "not algorithmic growth")
+        s" (rows ${rows.mkString(" -> ")}) and the exponent at " +
+        s"$controlPartitions shuffle partitions drops to " +
+        controlExponent.map(e => f"$e%.2f")
+          .getOrElse("below the noise floor") +
+        " — constant-regime step, not algorithmic growth",
+      subject = name)
 
   /** Drift check against a RECORDED exponent table: fails when a
     * fresh fit exceeds its recorded exponent by more than `tolerance`
@@ -345,13 +400,13 @@ object ScalingAudit {
         case (Some(e), Some(r)) if e > r + tolerance =>
           Some(PlanAudit.Finding(SuperlinearScaling,
             f"${f.name}: exponent drifted ${r}%.2f → ${e}%.2f " +
-              f"(tolerance ${tolerance}%.2f)"))
+              f"(tolerance ${tolerance}%.2f)", subject = f.name))
         case (Some(e), None)
             if e > bounds.getOrElse(f.name, defaultBound) =>
           Some(PlanAudit.Finding(SuperlinearScaling,
             f"${f.name}: newly fitted exponent ${e}%.2f exceeds bound " +
               f"${bounds.getOrElse(f.name, defaultBound)}%.2f (was " +
-              "unfit/unrecorded)"))
+              "unfit/unrecorded)", subject = f.name))
         case _ => None
       }
     }

@@ -21,20 +21,70 @@ class ScalingDataSpec extends SparkSpec {
     assert(ScalingData.doc(123L).text != ScalingData.doc(124L).text)
   }
 
-  test("ladder sizes: both ladders step a clean 10x per rung on their " +
-      "growth tables, and `big` pins everything except documents/" +
-      "embeddings (its growth axis) at core-r1 size") {
+  test("ladder sizes: every ladder steps a clean 10x per rung on its " +
+      "growth tables, and the non-growth tables pin at core-r1 size " +
+      "(big grows documents/embeddings; heaps grows documents/part)") {
     for (l <- ScalingData.ladders; r <- 0 to 1) {
       val a = ScalingData.sizes(l, r)
       val b = ScalingData.sizes(l, r + 1)
       assert(b("documents") == 10 * a("documents"), s"$l r$r")
-      assert(b("embeddings") == 10 * a("embeddings"), s"$l r$r")
+      if (l != "heaps")
+        assert(b("embeddings") == 10 * a("embeddings"), s"$l r$r")
+      else
+        assert(b("part") == 10 * a("part"), s"$l r$r")
     }
     val core1 = ScalingData.sizes("core", 0)
     val big3 = ScalingData.sizes("big", 2)
     for (t <- Seq("customer", "supplier", "part", "orders", "events"))
       assert(big3(t) == core1(t), t)
+    val heaps3 = ScalingData.sizes("heaps", 2)
+    for (t <- Seq("customer", "supplier", "orders", "events", "embeddings"))
+      assert(heaps3(t) == core1(t), t)
     assert(ScalingData.sizes("core", 2)("orders") == 1500000L)
+  }
+
+  test("heaps documents follow Heaps/Zipf: vocabulary grows ~sqrt(10)x " +
+      "per decade with rank-stable words (growth appends NEW words), " +
+      "frequencies are head-heavy, and the length law and duplicate " +
+      "mass match the constant-vocabulary recipe") {
+    assert(ScalingData.docHeaps(123L, 5000L) ==
+      ScalingData.docHeaps(123L, 5000L)) // pure
+    val small = (0L until 2000L).map(ScalingData.docHeaps(_, 2000L))
+    val large = (0L until 20000L).map(ScalingData.docHeaps(_, 20000L))
+    val vSmall = small.flatMap(_.text.split(" ")).toSet
+    val vLarge = large.flatMap(_.text.split(" ")).toSet
+    // V = ceil(sqrt(54 n)) up to unseen-tail slack: a decade of docs
+    // grows the OBSERVED vocabulary ~2.5-3.2x (sqrt(10) at the recipe)
+    val growth = vLarge.size.toDouble / vSmall.size
+    assert(growth > 2.2 && growth < 3.6, (vSmall.size, vLarge.size))
+    // rank-stable: the small rung's vocabulary is (almost entirely) a
+    // subset of the large rung's — new words appear, old ones persist
+    assert(vSmall.diff(vLarge).size < vSmall.size / 20,
+      vSmall.diff(vLarge).size)
+    // Zipf head: the most frequent word covers >5% of tokens while the
+    // median word is rare (head-heavy, long tail)
+    val freq = large.flatMap(_.text.split(" "))
+      .groupBy(identity).map(_._2.size).toSeq.sorted(Ordering[Int].reverse)
+    assert(freq.head.toDouble / freq.sum > 0.05,
+      freq.head.toDouble / freq.sum)
+    val perDoc = large.map(_.text.split(" ").length)
+    assert(perDoc.min >= 8 && perDoc.max <= 100)
+    val dupRows = 20000 - large.map(_.text).distinct.size
+    assert(dupRows > 20000 / 2000 && dupRows < 20000 / 50, dupRows)
+  }
+
+  test("heaps parts grow their NAME vocabulary ~sqrt(n) (the fuzzy " +
+      "quadratic core then grows ~n, the vocabulary-bounded claim as " +
+      "a measurable exponent)") {
+    assert(ScalingData.partHeaps(9L, 2000L) ==
+      ScalingData.partHeaps(9L, 2000L)) // pure
+    val small = (0L until 2000L).map(ScalingData.partHeaps(_, 2000L))
+    val large = (0L until 200000L).map(ScalingData.partHeaps(_, 200000L))
+    val vs = small.map(_.p_name).distinct.size.toDouble
+    val vl = large.map(_.p_name).distinct.size.toDouble
+    // two decades of parts: name vocabulary grows ~10x (a² with
+    // a = ceil(n^0.25); integer ceilings make it approximate)
+    assert(vl / vs > 6 && vl / vs < 16, (vs, vl))
   }
 
   test("documents keep the fixture's law: 31-word vocabulary, 8-100 " +

@@ -161,12 +161,26 @@ class ScalingAuditSpec extends SparkSpec {
     val strayBounds = graft.ScalingSweep.bounds.keys
       .filterNot(graft.ScalingSweep.riskList.contains)
     assert(strayBounds.isEmpty, s"bounds for non-risk queries: $strayBounds")
+    // heaps variants: each strips to an inventory query with a
+    // primary-table mapping, routes to the heaps ladder, and carries
+    // NO bound override (the natural-text fit answers to the default
+    // bound — that is the point of measuring it)
+    for (e <- graft.ScalingSweep.heapsList) {
+      val entry = e + "@heaps"
+      assert(graft.ScalingSweep.allEntries.contains(entry), entry)
+      assert(graft.ScalingSweep.queryOf(entry) == e, entry)
+      assert(graft.SparkEntry.queries.contains(e), e)
+      assert(graft.ScalingSweep.primaryTable.contains(e), e)
+      assert(graft.ScalingSweep.ladderOf(entry) == "heaps", entry)
+      assert(!graft.ScalingSweep.bounds.contains(entry), entry)
+    }
   }
 
-  test("the regime rule: over-bound work stays FATAL when rows are " +
-      "unfit or super-linear or the excess beats the margin; linear " +
-      "rows within the margin downgrade to advisory drift") {
-    // linear rows, small excess → advisory (not fatal)
+  test("the regime rule's row half: over-bound work stays FATAL when " +
+      "rows are unfit or super-linear, the excess beats the margin, " +
+      "or the absolute exponent reaches the cap; linear rows within " +
+      "margin and under the cap make a downgrade CANDIDATE") {
+    // linear rows, small excess → candidate (not row-fatal)
     assert(!ScalingAudit.regimeFatal(1.8, 1.6, Some(1.05)))
     // rows themselves quadratic (candidate blowup) → fatal
     assert(ScalingAudit.regimeFatal(1.8, 1.6, Some(1.95)))
@@ -174,16 +188,58 @@ class ScalingAuditSpec extends SparkSpec {
     assert(ScalingAudit.regimeFatal(1.8, 1.6, None))
     // linear rows but work way past the margin → fatal anyway
     assert(ScalingAudit.regimeFatal(2.3, 1.6, Some(1.0)))
+    // ABSOLUTE CAP: an effectively-quadratic fit is never waved
+    // through on row evidence alone, even inside the margin — the
+    // compute-bound quadratic class (per-group O(n_g²) kernels,
+    // in-task rescans) has linear rows and near-2 work
+    assert(ScalingAudit.regimeFatal(1.95, 1.6, Some(1.0)))
+    assert(ScalingAudit.regimeFatal(1.9, 1.8, Some(1.0)))
+    assert(!ScalingAudit.regimeFatal(1.89, 1.8, Some(1.0)))
+  }
+
+  test("the scaled-partitions control has the final word on a " +
+      "downgrade: a full-rung control whose exponent dropped by the " +
+      "minimum (or sank below the noise floor) supports; a held " +
+      "exponent or a failed control refutes") {
+    // dropped 1.8 → 1.65: the per-task working-set mechanism confirmed
+    assert(ScalingAudit.controlSupports(1.8, 3, Some(1.65), nDirs = 3))
+    // sank below the noise floor entirely: the strongest flattening
+    assert(ScalingAudit.controlSupports(1.8, 3, None, nDirs = 3))
+    // held at 1.75 (< the 0.1 minimum drop): algorithmic growth
+    assert(!ScalingAudit.controlSupports(1.8, 3, Some(1.75), nDirs = 3))
+    // control failed to measure every rung: no evidence, no downgrade
+    assert(!ScalingAudit.controlSupports(1.8, 2, Some(1.2), nDirs = 3))
   }
 
   test("the advisory finding fires with the constant-regime-drift " +
-      "kind and carries the rows evidence inline — the firing " +
-      "positive control for ScalingAudit.RegimeDrift") {
+      "kind, a structural subject, and carries the rows AND control " +
+      "evidence inline — the firing positive control for " +
+      "ScalingAudit.RegimeDrift") {
     val f = ScalingAudit.regimeFinding("q41b_lpa", 1.62, 1.6,
-      Seq(4500L, 45000L, 450000L), Some(1.0))
+      Seq(4500L, 45000L, 450000L), Some(1.0), Some(1.45), 256)
     assert(f.kind == ScalingAudit.RegimeDrift)
+    assert(f.subject == "q41b_lpa")
     assert(f.detail.contains("1.62") && f.detail.contains("1.00") &&
-      f.detail.contains("4500 -> 45000 -> 450000"), f.detail)
+      f.detail.contains("4500 -> 45000 -> 450000") &&
+      f.detail.contains("256") && f.detail.contains("1.45"), f.detail)
+    // a control that flattened below the floor reads as such
+    val g = ScalingAudit.regimeFinding("q", 1.7, 1.6,
+      Seq(1L, 2L, 3L), Some(1.0), None, 256)
+    assert(g.detail.contains("below the noise floor"), g.detail)
+  }
+
+  test("every scaling finding carries its query as a structural " +
+      "subject — the sweep's fatal/advisory partition must never " +
+      "re-parse detail text") {
+    val fits = Seq(
+      ScalingAudit.ScalingFit("over", pts(1.0, 3.0, 30.0), Some(2.2)),
+      ScalingAudit.ScalingFit("broken", pts(1.0, 2.0), None))
+    assert(ScalingAudit.auditExponents(fits).map(_.subject) == Seq("over"))
+    assert(ScalingAudit.auditMeasurementFailures(fits, 3)
+      .map(_.subject) == Seq("broken"))
+    val drift = ScalingAudit.driftFindings(Map("over" -> 1.0),
+      fits.take(1))
+    assert(drift.map(_.subject) == Seq("over"))
   }
 
   test("fitRows fits exact row counts across valid steps and refuses " +

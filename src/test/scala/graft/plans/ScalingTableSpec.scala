@@ -18,34 +18,58 @@ class ScalingTableSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
 
-  test("the table covers every risk-list query (fitted or explicitly " +
-      "unfit — silence is not coverage)") {
-    val missing = graft.ScalingSweep.riskList
+  test("the table covers every entry the sweep measures — the risk " +
+      "list AND the heaps variants (fitted or explicitly unfit — " +
+      "silence is not coverage)") {
+    val missing = graft.ScalingSweep.allEntries
       .filterNot(q => raw.contains("\"" + q + "\""))
     assert(missing.isEmpty,
-      s"risk-list queries absent from the table: $missing — " +
+      s"sweep entries absent from the table: $missing — " +
         "regenerate with graft.ScalingSweep")
   }
 
   test("every fitted exponent in the table respects its bound — or " +
-      "carries the regime-pass evidence (linear row growth, work " +
-      "within the margin) that downgrades it to constant-regime " +
-      "drift; a committed quadratic fails by name") {
+      "carries the FULL regime-pass evidence (linear row growth, work " +
+      "within margin and under the absolute cap, AND a scaled-" +
+      "partitions control fit that dropped) downgrading it to " +
+      "constant-regime drift; a committed quadratic fails by name") {
     val fitted = graft.ScalingSweep.readTable(raw)
     assert(fitted.nonEmpty, "no fitted exponents in the table — the " +
       "work metric should fit most of the risk list; regenerate")
     val rowExps = readRowExponents(raw)
+    val controls = readControls(raw)
     val over = fitted.filter { case (name, e) =>
       val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
-      e > bound && ScalingAudit.regimeFatal(e, bound, rowExps.get(name))
+      def controlOk = controls.get(name).exists(c =>
+        ScalingAudit.controlSupports(e, graft.ScalingData.rungs.size,
+          c, graft.ScalingData.rungs.size))
+      e > bound &&
+        (ScalingAudit.regimeFatal(e, bound, rowExps.get(name)) || !controlOk)
     }
     assert(over.isEmpty,
-      "recorded exponents over bound WITHOUT exculpatory row-growth " +
+      "recorded exponents over bound WITHOUT full exculpatory " +
         "evidence (a growth regression was committed into the " +
         "table):\n" + over.map { case (n, e) =>
           f"  $n: $e%.2f > ${graft.ScalingSweep.bounds
-            .getOrElse(n, 1.6)}%.2f (rows_exponent: ${rowExps.get(n)})"
+            .getOrElse(n, 1.6)}%.2f (rows_exponent: ${rowExps.get(n)}, " +
+            s"control: ${controls.get(n)})"
         }.mkString("\n"))
+  }
+
+  test("the heaps variants carry FITTED exponents under the default " +
+      "bound — the natural-text growth numbers the corpus-bound " +
+      "exponents defer to must exist and be sub-quadratic, not " +
+      "all-overhead") {
+    val fitted = graft.ScalingSweep.readTable(raw)
+    for (e <- graft.ScalingSweep.heapsList) {
+      val entry = e + "@heaps"
+      val exp = fitted.get(entry)
+      assert(exp.nonEmpty, s"$entry has no fitted exponent — the " +
+        "Heaps ladder exists to measure exactly this entry")
+      assert(exp.get <= 1.6, s"$entry fitted ${exp.get} > 1.6: the " +
+        "natural-text pruning claim does not hold — investigate the " +
+        "prefix filter before re-documenting a bound")
+    }
   }
 
   /** Per-query `rows_exponent` values (regime-pass evidence) out of
@@ -59,6 +83,29 @@ class ScalingTableSpec extends AnyFunSuite {
             case ("rows_exponent", JDouble(e))  => name -> e
             case ("rows_exponent", JInt(e))     => name -> e.toDouble
             case ("rows_exponent", JDecimal(e)) => name -> e.toDouble
+          }
+      }.flatten.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Per-query scaled-partitions control evidence: present iff the
+    * control ran (the `exponent_scaled_partitions` key exists), with
+    * None = the control flattened below the noise floor. */
+  private def readControls(json: String): Map[String, Option[Double]] = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
+      case JObject(fields) => fields.collect {
+        case (name, JObject(body)) =>
+          body.collectFirst {
+            case ("exponent_scaled_partitions", JDouble(e)) =>
+              name -> Option(e)
+            case ("exponent_scaled_partitions", JInt(e)) =>
+              name -> Option(e.toDouble)
+            case ("exponent_scaled_partitions", JDecimal(e)) =>
+              name -> Option(e.toDouble)
+            case ("exponent_scaled_partitions", JNull) =>
+              name -> Option.empty[Double]
           }
       }.flatten.toMap
       case _ => Map.empty
