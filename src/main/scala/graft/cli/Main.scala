@@ -112,8 +112,13 @@ object Main {
     * paths ([[adhocFrame]]). */
   private case class ReportFlags(doAudit: Boolean, doExplain: Boolean,
       doProfile: Boolean, doMeasure: Boolean, doScaling: Boolean,
-      lowCard: Set[String], cdcPath: Option[String],
+      lowCard: Set[String], cdcPath: Option[String], cdcWire: String,
       positional: Seq[String])
+
+  /** Wire formats `--cdc-wire` accepts — one per capture normalizer
+    * the daemon already speaks (jsoncdc = PostgreSQL logical decoding,
+    * binlog = MySQL row events, oplog = MongoDB). */
+  private[cli] val cdcWires = Seq("jsoncdc", "binlog", "oplog")
 
   /** Strip the report flags out of `rawArgs` (exit(1) on a malformed
     * `--audit-lowcard` / `--cdc`), leaving the positional arguments.
@@ -139,15 +144,29 @@ object Main {
               "argument")
           sys.exit(1)
         }
+    // --cdc-wire routes the capture through the matching normalizer;
+    // strict like --cdc (requires a value, and only a known one — a
+    // typo must not silently decode a binlog capture as jsoncdc)
+    val wireIdx = rawArgs.indexOf("--cdc-wire")
+    val cdcWire: String =
+      if (wireIdx < 0) "jsoncdc"
+      else rawArgs.drop(wireIdx + 1).headOption.filter(cdcWires.contains)
+        .getOrElse {
+          System.err.println("--cdc-wire requires one of " +
+            cdcWires.mkString("|") + " as the next argument")
+          sys.exit(1)
+        }
     val positional = rawArgs.zipWithIndex.collect {
       case (a, i) if a != "--audit" && a != "--explain" &&
         a != "--profile" && a != "--audit-measure" && a != "--scaling" &&
         (lcIdx < 0 || (i != lcIdx && i != lcIdx + 1)) &&
-        (cdcIdx < 0 || (i != cdcIdx && i != cdcIdx + 1)) => a
+        (cdcIdx < 0 || (i != cdcIdx && i != cdcIdx + 1)) &&
+        (wireIdx < 0 || (i != wireIdx && i != wireIdx + 1)) => a
     }
     ReportFlags(rawArgs.contains("--audit"), rawArgs.contains("--explain"),
       rawArgs.contains("--profile"), rawArgs.contains("--audit-measure"),
-      rawArgs.contains("--scaling"), lowCard, cdcPath, positional.toSeq)
+      rawArgs.contains("--scaling"), lowCard, cdcPath, cdcWire,
+      positional.toSeq)
   }
 
   /** The optional trailing [limit] positional — a non-numeric token
@@ -275,33 +294,55 @@ object Main {
     * them. Split from [[runSql]] so specs drive ad-hoc SQL through the
     * same report paths without the CLI's session lifecycle. */
   private[cli] def adhocFrame(spark: SparkSession, sql: String,
-      sfDir: String, cdcPath: Option[String] = None)
+      sfDir: String, cdcPath: Option[String] = None,
+      cdcWire: String = "jsoncdc")
       : org.apache.spark.sql.DataFrame = {
     graft.Tables.registerAll(spark, sfDir)
     graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    cdcPath.foreach(p => registerCdcView(spark, p))
+    cdcPath.foreach(p => registerCdcView(spark, p, cdcWire))
     spark.sql(sql)
   }
 
-  /** `--cdc <capture.ldjson>`: the user's OWN jsoncdc capture file,
-    * decoded by the real normalizer ([[graft.cdc.JsonCdc.decode]]) and
-    * registered as temp view `cdc` — so the cdc14-style trust checks
-    * (orphan rows, kind mix, pk coverage, tx boundaries) run as ad-hoc
-    * `-e` SQL against production captures, not only the inventory's
-    * synthetic fixture. Columns: seq (file order — text splits keep
-    * it monotone), kind, table, pk, item, old_image, schema_json,
-    * begin_id, commit_id, commit_ts. pg_temp noise is dropped exactly
-    * as the stream path drops it; user table exclusions stay in SQL
-    * (`WHERE "table" <> ...`) where the operator can see them. */
+  /** `--cdc <capture.ldjson> [--cdc-wire jsoncdc|binlog|oplog]`: the
+    * user's OWN capture file, decoded by the real normalizer for its
+    * wire and registered as temp view `cdc` — so the cdc14-style trust
+    * checks (orphan rows, kind mix, pk coverage, tx boundaries) run as
+    * ad-hoc `-e` SQL against production captures, not only the
+    * inventory's synthetic fixture. Every wire shares the envelope
+    * core (seq — file order; text splits keep it monotone — kind,
+    * table, pk, item) plus its wire-specific columns:
+    *
+    *   - jsoncdc ([[graft.cdc.JsonCdc.decode]]): old_image,
+    *     schema_json, begin_id, commit_id, commit_ts; pg_temp noise
+    *     dropped exactly as the stream path drops it;
+    *   - binlog ([[graft.cdc.BinlogCdc.decode]]): schema, row_idx
+    *     (row order within a multi-row statement); the stateful
+    *     tablemap pk carry runs exactly as in the batch replay path;
+    *   - oplog ([[graft.cdc.OplogCdc.decode]]): ns/db/collection,
+    *     subject, ts (oplog seconds).
+    *
+    * User table exclusions stay in SQL (`WHERE "table" <> ...`) where
+    * the operator can see them. */
   private[cli] def registerCdcView(spark: SparkSession,
-      path: String): Unit = {
+      path: String, wire: String = "jsoncdc"): Unit = {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(path)
       .select(col("value").as("line"))
       .withColumn("seq", monotonically_increasing_id())
-    graft.cdc.JsonCdc.filterTables(
-      graft.cdc.JsonCdc.decode(lines), excludeTables = Nil)
-      .createOrReplaceTempView("cdc")
+    val decoded = wire match {
+      case "jsoncdc" =>
+        graft.cdc.JsonCdc.filterTables(
+          graft.cdc.JsonCdc.decode(lines), excludeTables = Nil)
+      case "binlog" => graft.cdc.BinlogCdc.decode(lines)
+      case "oplog" =>
+        // the oplog envelope names its collection `ns`; alias a
+        // `table` column so wire-generic trust-check SQL ports
+        graft.cdc.OplogCdc.decode(lines)
+          .withColumn("table", col("collection"))
+      case other => throw new IllegalArgumentException(
+        s"--cdc-wire: $other (expected ${cdcWires.mkString("|")})")
+    }
+    decoded.createOrReplaceTempView("cdc")
   }
 
   /** `-e "<sql>" <sfDir> [limit] [--audit] [--audit-lowcard c1,c2]
@@ -314,7 +355,7 @@ object Main {
       "usage: graft.cli.Main -e \"<sql>\" <sfDir> [limit] " +
         "[--audit] [--audit-lowcard col1,col2,...] [--explain] " +
         "[--profile] [--audit-measure] [--scaling] " +
-        "[--cdc capture.ldjson]")
+        "[--cdc capture.ldjson] [--cdc-wire jsoncdc|binlog|oplog]")
 
   private def runSql(rawArgs: Array[String]): Unit = {
     val flags = parseReportFlags(rawArgs)
@@ -324,11 +365,12 @@ object Main {
         val spark = querySession()
         if (flags.doScaling)
           scalingReport(spark, "adhoc",
-            (s, dir) => adhocFrame(s, sql, dir, flags.cdcPath), sfDir)
+            (s, dir) => adhocFrame(s, sql, dir, flags.cdcPath,
+              flags.cdcWire), sfDir)
             .foreach(println)
         else {
           val df =
-            try adhocFrame(spark, sql, sfDir, flags.cdcPath)
+            try adhocFrame(spark, sql, sfDir, flags.cdcPath, flags.cdcWire)
             catch { case e: org.apache.spark.sql.AnalysisException =>
               System.err.println(s"SQL error: ${e.getMessage}")
               spark.stop()
