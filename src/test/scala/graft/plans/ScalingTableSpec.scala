@@ -56,6 +56,25 @@ class ScalingTableSpec extends AnyFunSuite {
         }.mkString("\n"))
   }
 
+  test("every entry carries at least one measured growth axis — a " +
+      "fitted WORK exponent, or (when work is honestly unfittable at " +
+      "this host's sampling noise) a fitted ROWS exponent: 'no " +
+      "signal' may describe the work metric, never the entry") {
+    import org.json4s._
+    val entries = (org.json4s.jackson.JsonMethods.parse(raw) \ "queries")
+      .asInstanceOf[JObject].obj
+    val blind = entries.collect {
+      case (name, body: JObject)
+          if !body.obj.exists { case (k, v) =>
+            (k == "exponent" || k == "rows_exponent") &&
+              (v.isInstanceOf[JDouble] || v.isInstanceOf[JInt] ||
+                v.isInstanceOf[JDecimal])
+          } => name
+    }
+    assert(blind.isEmpty,
+      s"entries with neither a work nor a rows growth fit: $blind")
+  }
+
   test("the heaps variants carry FITTED exponents under the default " +
       "bound — the natural-text growth numbers the corpus-bound " +
       "exponents defer to must exist and be sub-quadratic, not " +
