@@ -328,8 +328,17 @@ object ScalingSweep {
     // constant-regime-drift kind, and both measurements ride in the
     // artifact (rows/rows_exponent, exponent_scaled_partitions).
     val candidates = (overNames ++ driftNames).toSeq.sorted
+    // rows are also measured for every work-UNFIT query (measured at
+    // all rungs, exponent refused by the noise floors): rows are
+    // EXACT — no sampling scatter — so an entry whose work cannot be
+    // fitted at this host's noise still carries a measured growth
+    // axis (q41_pagerank: work d1 sits inside its own run-to-run
+    // band, rows fit 1.18 — the growth story survives the honest
+    // work refusal). One untimed run per rung, unfit queries only.
+    val unfitFull = fits.filter(f => f.exponent.isEmpty &&
+      f.points.size == ScalingData.rungs.size).map(_.name)
     val rowFits: Map[String, (Seq[Long], Option[Double])] =
-      candidates.map { name =>
+      (candidates ++ unfitFull).distinct.sorted.map { name =>
         val rows = ScalingAudit.rowVolumes(spark, fnOf(name), dirsOf(name))
         val e =
           if (rows.size < ScalingData.rungs.size) None
@@ -355,7 +364,8 @@ object ScalingSweep {
     def fatalFor(name: String): Boolean =
       rowFatal(name) || !controlFits.get(name).exists(c =>
         workOf(name).exists(e => ScalingAudit.controlSupports(
-          e, c.points.size, c.exponent, ScalingData.rungs.size)))
+          e, c.points.size, c.exponent, ScalingData.rungs.size,
+          bound = bounds.getOrElse(name, 1.6))))
     def regimeNote(name: String): graft.plans.PlanAudit.Finding =
       ScalingAudit.regimeFinding(name, workOf(name).get,
         bounds.getOrElse(name, 1.6), rowFits(name)._1, rowFits(name)._2,

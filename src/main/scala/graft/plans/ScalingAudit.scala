@@ -138,16 +138,22 @@ object ScalingAudit {
 
   /** Does the scaled-partitions control run CONFIRM the constant-
     * regime mechanism? Yes when the control measured every rung and
-    * its exponent dropped by ≥ `drop` — or lost the fit entirely
-    * (first differences sank below the noise floor: the strongest
-    * possible flattening). A control that failed to measure, or whose
-    * exponent held, refutes the regime hypothesis — the over-bound
-    * finding stays FATAL. */
+    * EITHER its exponent dropped by ≥ `drop`, OR it landed at or
+    * under the query's own `bound` (the strongest possible evidence:
+    * at production partition sizing the plan measurably meets its
+    * bound — a marginal 1.62-vs-1.60 fit whose control reads 1.54
+    * must not flake the gate on a 0.08 drop), or it lost the fit
+    * entirely (first differences sank below the noise floor). A
+    * control that failed to measure, or whose exponent held OVER the
+    * bound without the minimum drop, refutes the regime hypothesis —
+    * the over-bound finding stays FATAL. */
   def controlSupports(workExponent: Double, controlPoints: Int,
       controlExponent: Option[Double], nDirs: Int,
-      drop: Double = ControlDrop): Boolean =
+      drop: Double = ControlDrop,
+      bound: Double = Double.NegativeInfinity): Boolean =
     controlPoints >= nDirs &&
-      controlExponent.forall(_ <= workExponent - drop)
+      controlExponent.forall(c =>
+        c <= workExponent - drop || c <= bound)
 
   /** A query that could not be measured at every scale directory —
     * every run at some directory failed. Reported as its own finding
@@ -173,21 +179,42 @@ object ScalingAudit {
   /** Fit `e` from three work measurements a decade apart. None when
     * either first difference is below the noise floor — the data term
     * is too small at these scales to carry signal. The floor is the
-    * larger of an absolute term (`noiseFloorSec` — sampling jitter on
-    * small totals) and a RELATIVE term (`relFloor` × the smallest
-    * measurement): a query with an 18s fixed kernel cost jitters by
+    * largest of an absolute term (`noiseFloorSec` — sampling jitter on
+    * small totals), a RELATIVE term (`relFloor` × the smallest
+    * measurement: a query with an 18s fixed kernel cost jitters by
     * ~3% between min-of-2 samples, so a 0.5s first difference on that
-    * base is noise wearing a trend (observed: q22_dedup_keep_best
-    * "fit" 1.74 from exactly that — d1 = 0.53s on 18.1s — where the
-    * credible fits on its siblings read 1.0–1.5). */
+    * base is noise wearing a trend — observed: q22_dedup_keep_best
+    * "fit" 1.74 from exactly that, d1 = 0.53s on 18.1s), and a
+    * SPREAD term per difference (see [[spreadFloor]]): a difference
+    * smaller than its own endpoints' measured sample scatter is two
+    * noise values subtracted, whatever the other floors say —
+    * observed: q41_pagerank "fit" 2.10 from d1 = 0.107s between two
+    * points whose own samples scattered 1.9–2.1× (the credible fit
+    * on tighter samples reads ~1.6 with linear rows). */
   def fitExponent(tSmall: Double, tMid: Double, tLarge: Double,
-      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05): Option[Double] = {
-    val floor = math.max(noiseFloorSec, relFloor * tSmall)
+      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05,
+      spreads: Seq[Double] = Nil): Option[Double] = {
+    val base = math.max(noiseFloorSec, relFloor * tSmall)
+    val ts = Seq(tSmall, tMid, tLarge)
     val d1 = tMid - tSmall
     val d2 = tLarge - tMid
-    if (d1 < floor || d2 < floor) None
+    if (d1 < math.max(base, spreadFloor(ts, spreads, 0)) ||
+        d2 < math.max(base, spreadFloor(ts, spreads, 1))) None
     else Some(math.log10(d2 / d1))
   }
+
+  /** Noise floor for difference `i` (t(i+1) − t(i)) from the two
+    * endpoints' measured sample spread: half the larger endpoint
+    * scatter, (spread − 1) × t being the full max-to-min scatter of
+    * that point's samples. The min is the steady-state estimator, but
+    * when a point's own samples disagree 2×, its min is uncertain by
+    * a comparable magnitude — a difference that does not clearly
+    * exceed that uncertainty is not evidence of growth. Empty spreads
+    * (legacy callers, single-sample runs) contribute nothing. */
+  def spreadFloor(ts: Seq[Double], spreads: Seq[Double], i: Int): Double =
+    if (spreads.size < ts.size) 0.0
+    else 0.5 * math.max(
+      (spreads(i) - 1.0) * ts(i), (spreads(i + 1) - 1.0) * ts(i + 1))
 
   /** [[fitExponent]] with MEASURED input sizes instead of the assumed
     * 10×-per-directory: the closed form generalizes to any equal
@@ -203,18 +230,19 @@ object ScalingAudit {
     * (c no longer cancels); no fixture here has them, so they refuse
     * too rather than approximate. */
   def fitSized(times: Seq[Double], sizes: Seq[Long],
-      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05)
-      : Option[Double] = {
+      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05,
+      spreads: Seq[Double] = Nil): Option[Double] = {
     if (times.size < 3 || sizes.size != times.size) return None
     val n = sizes.map(_.toDouble)
     if (!(n(0) < n(1) && n(1) < n(2))) return None
     val r1 = math.log(n(1) / n(0))
     val r2 = math.log(n(2) / n(1))
     if (math.abs(r1 - r2) > 0.02 * math.max(r1, r2)) return None
-    val floor = math.max(noiseFloorSec, relFloor * times(0))
+    val base = math.max(noiseFloorSec, relFloor * times(0))
     val d1 = times(1) - times(0)
     val d2 = times(2) - times(1)
-    if (d1 < floor || d2 < floor) None
+    if (d1 < math.max(base, spreadFloor(times, spreads, 0)) ||
+        d2 < math.max(base, spreadFloor(times, spreads, 1))) None
     else Some(math.log(d2 / d1) / r1)
   }
 
@@ -274,10 +302,13 @@ object ScalingAudit {
       s"scaling fit needs 3 scale directories, got ${dirs.size}")
     val points = measure(spark, fn, dirs, runs)
     val work = points.map(_.workSec)
+    val spreads = points.map(_.workSpread)
     val e =
       if (points.size < 3) None
-      else if (sizes.nonEmpty) fitSized(work, sizes, noiseFloorSec)
-      else fitExponent(work(0), work(1), work(2), noiseFloorSec)
+      else if (sizes.nonEmpty)
+        fitSized(work, sizes, noiseFloorSec, spreads = spreads)
+      else fitExponent(work(0), work(1), work(2), noiseFloorSec,
+        spreads = spreads)
     ScalingFit(name, points, e)
   }
 

@@ -40,6 +40,33 @@ class ScalingAuditSpec extends SparkSpec {
     assert(ScalingAudit.fitExponent(10.0, 11.0, 20.0).nonEmpty)
   }
 
+  test("the SPREAD floor refuses a difference smaller than its own " +
+      "endpoints' sample scatter — the q41_pagerank failure shape: " +
+      "d1 = 0.107s between points whose samples scattered 2x 'fit' a " +
+      "confidently wrong 2.10") {
+    // the real numbers: work [0.763, 0.870, 14.390], spreads
+    // [1.900, 2.057, 1.449] — d1 = 0.107 clears the absolute floor
+    // but not the 0.46 endpoint scatter; refused
+    assert(ScalingAudit.fitSized(
+      Seq(0.763, 0.870, 14.390), Seq(15000L, 150000L, 1500000L),
+      spreads = Seq(1.900, 2.057, 1.449)).isEmpty)
+    // the same work values with TIGHT samples fit (the difference is
+    // now evidence, however small)
+    assert(ScalingAudit.fitSized(
+      Seq(0.763, 0.870, 14.390), Seq(15000L, 150000L, 1500000L),
+      spreads = Seq(1.05, 1.05, 1.05)).nonEmpty)
+    // no spreads (legacy caller / single-sample runs): unchanged
+    assert(ScalingAudit.fitSized(
+      Seq(0.763, 0.870, 14.390), Seq(15000L, 150000L, 1500000L)).nonEmpty)
+    // fitExponent honors the same floor
+    assert(ScalingAudit.fitExponent(0.763, 0.870, 14.390,
+      spreads = Seq(1.900, 2.057, 1.449)).isEmpty)
+    // the floor is per-difference: a noisy SMALL pair with a huge d1
+    // still fits (scatter 0.9*0.2*0.5 = 0.09 << d1 = 2.0)
+    assert(ScalingAudit.fitExponent(0.2, 2.2, 22.0,
+      spreads = Seq(1.9, 1.1, 1.1)).nonEmpty)
+  }
+
   private def pts(ts: Double*): Seq[ScalingAudit.Point] =
     ts.zipWithIndex.map { case (t, i) =>
       ScalingAudit.Point(s"sf$i", t, t) }.toSeq
@@ -209,6 +236,16 @@ class ScalingAuditSpec extends SparkSpec {
     assert(!ScalingAudit.controlSupports(1.8, 3, Some(1.75), nDirs = 3))
     // control failed to measure every rung: no evidence, no downgrade
     assert(!ScalingAudit.controlSupports(1.8, 2, Some(1.2), nDirs = 3))
+    // the BOUND clause: a marginal 1.62-vs-1.60 fit whose control
+    // lands at 1.54 — under the bound itself — supports even though
+    // the drop (0.08) misses the minimum; the same control value
+    // without the bound in evidence refutes
+    assert(ScalingAudit.controlSupports(1.62, 3, Some(1.54), nDirs = 3,
+      bound = 1.6))
+    assert(!ScalingAudit.controlSupports(1.62, 3, Some(1.54), nDirs = 3))
+    // ...but a control still OVER the bound needs the full drop
+    assert(!ScalingAudit.controlSupports(1.72, 3, Some(1.65), nDirs = 3,
+      bound = 1.6))
   }
 
   test("the advisory finding fires with the constant-regime-drift " +

@@ -42,7 +42,7 @@ class ScalingTableSpec extends AnyFunSuite {
       val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
       def controlOk = controls.get(name).exists(c =>
         ScalingAudit.controlSupports(e, graft.ScalingData.rungs.size,
-          c, graft.ScalingData.rungs.size))
+          c, graft.ScalingData.rungs.size, bound = bound))
       e > bound &&
         (ScalingAudit.regimeFatal(e, bound, rowExps.get(name)) || !controlOk)
     }
