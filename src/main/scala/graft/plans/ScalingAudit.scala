@@ -399,9 +399,15 @@ object ScalingAudit {
   def regimeFinding(name: String, workExponent: Double, bound: Double,
       rows: Seq[Long], rowExponent: Option[Double],
       controlExponent: Option[Double],
-      controlPartitions: Int): PlanAudit.Finding =
+      controlPartitions: Int): PlanAudit.Finding = {
+    // a bound-origin finding is literally over its bound; a
+    // drift-origin one (fresh fit above the RECORDED fit by more than
+    // tolerance, possibly still under the bound) must not claim so
+    val flagged =
+      if (workExponent > bound) f"over bound $bound%.2f"
+      else f"drifted above its recorded fit (bound $bound%.2f)"
     PlanAudit.Finding(RegimeDrift,
-      f"$name: work exponent $workExponent%.2f over bound $bound%.2f " +
+      f"$name: work exponent $workExponent%.2f $flagged " +
         "but row volume grows at " +
         rowExponent.map(e => f"$e%.2f").getOrElse("unfit") +
         s" (rows ${rows.mkString(" -> ")}) and the exponent at " +
@@ -410,6 +416,7 @@ object ScalingAudit {
           .getOrElse("below the noise floor") +
         " — constant-regime step, not algorithmic growth",
       subject = name)
+  }
 
   /** Drift check against a RECORDED exponent table: fails when a
     * fresh fit exceeds its recorded exponent by more than `tolerance`

@@ -263,6 +263,13 @@ class ScalingAuditSpec extends SparkSpec {
     val g = ScalingAudit.regimeFinding("q", 1.7, 1.6,
       Seq(1L, 2L, 3L), Some(1.0), None, 256)
     assert(g.detail.contains("below the noise floor"), g.detail)
+    // a drift-origin advisory whose exponent sits UNDER the bound
+    // must not claim 'over bound' (q27_shuffle drifted 0.66 -> 1.19
+    // against a 1.6 bound — the text was literally false)
+    val h = ScalingAudit.regimeFinding("q27_shuffle", 1.19, 1.6,
+      Seq(1L, 2L, 3L), Some(0.95), Some(1.04), 256)
+    assert(!h.detail.contains("over bound") &&
+      h.detail.contains("drifted above its recorded fit"), h.detail)
   }
 
   test("every scaling finding carries its query as a structural " +
