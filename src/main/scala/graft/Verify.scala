@@ -43,6 +43,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // measured numeric error of the rows-only sketch/codec entries —
+    // the artifact that certifies the sketches, not just their shape
+    // (tools/check.py fails on a measurement over its bound)
+    val errs = SparkEntry.approxErrors.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, (bound, fn)) =>
+        try {
+          val e = fn(spark, sfDir)
+          Some(s"${q(name)}: {${q("err")}: $e, ${q("bound")}: $bound}")
+        } catch { case ex: Throwable =>
+          System.err.println(s"[verify] $name error measure failed: " +
+            ex.getMessage)
+          None
+        } finally Harness.dropPinnedRdds(spark)
+      }
+    if (errs.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/approx_err.json"),
+        errs.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -143,17 +143,48 @@ object ScalingAudit {
     * at production partition sizing the plan measurably meets its
     * bound — a marginal 1.62-vs-1.60 fit whose control reads 1.54
     * must not flake the gate on a 0.08 drop), or it lost the fit
-    * entirely (first differences sank below the noise floor). A
-    * control that failed to measure, or whose exponent held OVER the
-    * bound without the minimum drop, refutes the regime hypothesis —
-    * the over-bound finding stays FATAL. */
+    * entirely BECAUSE it flattened — `flattened` = the caller checked
+    * ([[flattened]]) that every first difference genuinely sits below
+    * the absolute/relative noise floor. An unfit control whose fit
+    * was refused for any OTHER reason (its own samples' scatter
+    * tripping the spread floor, a degenerate size axis) is NOISY
+    * evidence, not flattening — counting it as support would let a
+    * contended control run launder a fatal over-bound finding into an
+    * advisory. A control that failed to measure, refused its fit
+    * without flattening, or whose exponent held OVER the bound
+    * without the minimum drop, refutes the regime hypothesis — the
+    * over-bound finding stays FATAL. */
   def controlSupports(workExponent: Double, controlPoints: Int,
       controlExponent: Option[Double], nDirs: Int,
       drop: Double = ControlDrop,
-      bound: Double = Double.NegativeInfinity): Boolean =
+      bound: Double = Double.NegativeInfinity,
+      flattened: Boolean = false): Boolean =
     controlPoints >= nDirs &&
-      controlExponent.forall(c =>
-        c <= workExponent - drop || c <= bound)
+      controlExponent.map(c =>
+        c <= workExponent - drop || c <= bound).getOrElse(flattened)
+
+  /** Did an unfit run genuinely FLATTEN — every first difference below
+    * the absolute/relative noise floor ALONE (the spread term
+    * excluded)? This is the refusal cause [[controlSupports]] may read
+    * as "sank below the noise floor": the data term measurably
+    * vanished. A fit refused only by its endpoints' sample scatter
+    * ([[spreadFloor]]) or by a degenerate/unequal size axis returns
+    * false — those are measurement-quality refusals and carry no
+    * evidence about the growth shape. */
+  def flattened(times: Seq[Double], sizes: Seq[Long],
+      noiseFloorSec: Double = 0.1, relFloor: Double = 0.05): Boolean = {
+    if (times.size < 3) return false
+    if (sizes.nonEmpty) { // the size axis must be two near-equal steps
+      if (sizes.size != times.size) return false
+      val n = sizes.map(_.toDouble)
+      if (!(n(0) < n(1) && n(1) < n(2))) return false
+      val r1 = math.log(n(1) / n(0))
+      val r2 = math.log(n(2) / n(1))
+      if (math.abs(r1 - r2) > 0.02 * math.max(r1, r2)) return false
+    }
+    val base = math.max(noiseFloorSec, relFloor * times(0))
+    (times(1) - times(0)) < base && (times(2) - times(1)) < base
+  }
 
   /** A query that could not be measured at every scale directory —
     * every run at some directory failed. Reported as its own finding

@@ -216,6 +216,94 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** ERROR CERTIFICATION for q04b — the sketch-accuracy claim as a
+    * HASH-GREEN driver check instead of a spec-only bound: emit, per
+    * group, `err_ok` = |approx − exact| ≤ 5% · exact (rsd 0.02, so
+    * 2.5σ of headroom), and let the oracle assert the literal `true`
+    * it can compute. A degraded sketch turns the driver's hash gate
+    * red — the rows-only q04b entry keeps the estimates themselves,
+    * this entry certifies them. The exact side rides the same
+    * two-phase distinct aggregate as q04. */
+  def q04b_approx_err(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"),
+        countDistinct(col("o_custkey")).as("e"))
+      .select(col("o_orderpriority"),
+        (abs(col("a") - col("e")) <= col("e") * lit(0.05)).as("err_ok"))
+      .orderBy("o_orderpriority")
+
+  val q04bErrSql: String =
+    """SELECT o_orderpriority, true AS err_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** The measured error behind q04b_approx_err: max over groups of
+    * |approx − exact| / exact. Dumped by Verify into approx_err.json
+    * (one double to the driver — the bounded action). */
+  def q04bMaxRelErr(s: SparkSession, dir: String): Double =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"),
+        countDistinct(col("o_custkey")).as("e"))
+      .select(max(abs(col("a") - col("e")).cast(DoubleType) / col("e"))
+        .as("m"))
+      .head().getDouble(0)
+
+  /** ERROR CERTIFICATION for q04c — both Datasketches claims the spec
+    * pins, as hash-green driver rows: per event type, the sketch
+    * estimate sits within 5% of the exact distinct-user count; and on
+    * the `__all__` row, union-of-parts equals sketch-of-whole EXACTLY
+    * (registers merge by max — any partitioning lands the same
+    * estimate) AND sits within 5% of the exact overall distinct. The
+    * oracle asserts the literal `true` per row. */
+  def q04c_hll_err(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .localCheckpoint() // per-type rows + the union both read it
+    val perOk = per.select(col("event_type"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact"))
+        <= col("exact") * lit(0.05)).as("err_ok"))
+    val whole = ev.agg(hll_sketch_agg(col("user_id"), lit(14)).as("skw"),
+      countDistinct(col("user_id")).as("exactw"))
+    val allOk = per.agg(hll_union_agg(col("sk")).as("sku"))
+      .crossJoin(broadcast(whole)) // one row × one row
+      .select(lit("__all__").as("event_type"),
+        (hll_sketch_estimate(col("sku")) === hll_sketch_estimate(col("skw"))
+          && abs(hll_sketch_estimate(col("sku")) - col("exactw"))
+             <= col("exactw") * lit(0.05)).as("err_ok"))
+    perOk.unionByName(allOk).orderBy("event_type")
+  }
+
+  val q04cErrSql: String =
+    """SELECT event_type, true AS err_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL SELECT '__all__' AS event_type, true AS err_ok
+      |ORDER BY event_type""".stripMargin
+
+  /** The measured error behind q04c_hll_err: max relative error of the
+    * per-type estimates AND the union-of-parts estimate against their
+    * exact distinct counts (one double to the driver). */
+  def q04cMaxRelErr(s: SparkSession, dir: String): Double = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+      .localCheckpoint()
+    val perErr = per.select(
+      (abs(hll_sketch_estimate(col("sk")) - col("exact")).cast(DoubleType)
+        / col("exact")).as("err"))
+    val whole = ev.agg(countDistinct(col("user_id")).as("exactw"))
+    val allErr = per.agg(hll_union_agg(col("sk")).as("sku"))
+      .crossJoin(broadcast(whole))
+      .select((abs(hll_sketch_estimate(col("sku")) - col("exactw"))
+        .cast(DoubleType) / col("exactw")).as("err"))
+    perErr.unionByName(allErr).agg(max(col("err")).as("m"))
+      .head().getDouble(0)
+  }
+
   // ---------------------------------------------------------------- Q05
   /** ROLLUP grouping sets over a 3-way join. grouping_id disambiguates
     * rollup-NULLs so the sort stays total without nullable keys deciding
@@ -2783,6 +2871,8 @@ object Relational {
     "q04_agg_distinct" -> (q04_agg_distinct _),
     "q04b_approx_distinct" -> (q04b_approx_distinct _),
     "q04c_hll_sketches" -> (q04c_hll_sketches _),
+    "q04b_approx_err" -> (q04b_approx_err _),
+    "q04c_hll_err" -> (q04c_hll_err _),
     "q05_rollup" -> (q05_rollup _),
     "q05b_cube" -> (q05b_cube _),
     "q05c_grouping_sets" -> (q05c_grouping_sets _),
@@ -2853,6 +2943,8 @@ object Relational {
     "q03b_pivot" -> q03bSql,
     "q03c_unpivot" -> q03cSql,
     "q04_agg_distinct" -> q04Sql,
+    "q04b_approx_err" -> q04bErrSql,
+    "q04c_hll_err" -> q04cErrSql,
     "q05_rollup" -> q05Sql,
     "q05b_cube" -> q05bSql,
     "q05c_grouping_sets" -> q05cSql,

@@ -1013,6 +1013,125 @@ object SimilarityOps {
       |SELECT dropped, cid, keeper, cos FROM r WHERE rn = 1
       |ORDER BY dropped""".stripMargin
 
+  /** ADAPTIVE-K SEMANTIC DEDUPLICATION — q23_semdedup's 100 TB sizing
+    * rule (its scaladoc: "at 100 TB you size k ≈ √n") as a measurable
+    * entry instead of a prose claim: k = max(8, ⌈√n⌉), so BOTH halves
+    * of the work are Θ(n^1.5) BY DESIGN — assignment probes n·k
+    * centroid candidates, within-cluster pairs total Σ|c|² ≈ n²/k —
+    * and the scaling sweep pins that exponent on the `vec` ladder
+    * (bound 1.7 = the designed 1.5 plus regime headroom). Same drop
+    * rule, threshold, and integer micro-space as q23_semdedup; the
+    * sf0.01 oracle replays it hash-exactly at k = 45.
+    *
+    * Plan differences from the fixed-k twin, both forced by k ≈ √n:
+    *   - centroids are a COLLECTED driver seq (k ≤ ⌈√n⌉ rows — ~1.4k
+    *     at big-ladder 2M, sub-linear and KBs) broadcast back as a
+    *     k-row join side: the literal-array assignment of
+    *     q23_kmeans/q23_semdedup stops codegen-compiling past ~100
+    *     centroids;
+    *   - assignment is a broadcast nested-loop over those k rows into
+    *     a map-side-combined argmin (min of (dist, cid) structs — the
+    *     same first-minimum tie rule as array_position), so the
+    *     exchange carries n (vec_id, cid) rows, never the n·k
+    *     candidate stream. */
+  def q23_semdedup_adaptive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBlocks = 8
+    val vq = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000) as bigint) + 2000000)")
+          .as("vm"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", normExpr(col("v")))
+      .localCheckpoint() // count + centroid head + assignment share it
+    val k = math.max(8, math.ceil(math.sqrt(vq.count().toDouble)).toInt)
+    // deterministic init (the q23_kmeans rule): the k smallest vec_ids,
+    // cid = rank in vec_id order — k ≈ √n rows to the driver
+    val cents: Seq[(Long, Seq[Long])] =
+      vq.orderBy("vec_id").limit(k).select("vm").collect()
+        .map(_.getSeq[Long](0)).toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }
+    val centDf = broadcast(cents.toDF("cid", "cvm"))
+    val best = vq.select(col("vec_id"), col("vm")).crossJoin(centDf)
+      .withColumn("dist", aggregate(zip_with(col("vm"), col("cvm"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id").as("b_id"), col("m.cid").as("cid"))
+    val assigned = vq.join(best, col("vec_id") === col("b_id"))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      // eager: BOTH pair sides below read the assignment — without the
+      // snapshot each would recompute the n·k argmin probe (the plan
+      // signature showed the whole subtree duplicated: sort_agg 6,
+      // bnlj 2); n rows × (64 doubles + keys) is the working set the
+      // pair join holds anyway. blk is derived AFTER the pin (pmod is
+      // row-local) so the snapshot stays at the 4-column minimum the
+      // fork consumes.
+      .localCheckpoint()
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+    // within-cluster pairs: the identical triangular block-bucket
+    // machinery as q23_semdedup — keyed (cid, bucket) so a big cluster
+    // spreads over |blocks|²/2 tasks instead of one reducer
+    val aSide = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("nrm_a"), col("blk").as("blk_a"))
+      .withColumn("bucket", explode(expr(
+        s"transform(sequence(blk_a, ${nBlocks - 1}), x -> blk_a * $nBlocks + x)")))
+    val bSide = assigned.select(col("cid").as("cid_b"),
+        col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nrm_b"), col("blk").as("blk_b"))
+      .withColumn("bucket_b", explode(expr(
+        s"transform(sequence(0, blk_b), x -> x * $nBlocks + blk_b)")))
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pairs = aSide.repartition(n, col("cid"), col("bucket"))
+      .join(bSide.repartition(n, col("cid_b"), col("bucket_b")),
+        col("cid") === col("cid_b") && col("bucket") === col("bucket_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dotExpr(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("cid"), least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"), col("cos"))
+    pairs.groupBy(col("b").as("dropped"))
+      .agg(min(col("cid")).as("cid"),
+        max(struct(col("cos"), (-col("a")).as("na"))).as("best"))
+      .select(col("dropped"), col("cid"), (-col("best.na")).as("keeper"),
+        col("best.cos").as("cos"))
+      .orderBy("dropped")
+  }
+
+  val q23SemdedupAdaptiveSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 2000000)
+      |      AS vm,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, vm, dv,
+      |    sqrt(list_reduce(list_transform(dv, x -> x*x), (a,b) -> a+b))
+      |      AS nrm
+      |  FROM v),
+      |c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, vm
+      |  FROM (SELECT vm, row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+      |  WHERE rn <= GREATEST(8,
+      |    CEIL(SQRT((SELECT count(*) FROM embeddings))))),
+      |d AS (SELECT n.vec_id, n.dv, n.nrm, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (n.vm[i] - c.vm[i]) * (n.vm[i] - c.vm[i]))) AS dist
+      |  FROM n, c0 c),
+      |a AS (SELECT vec_id, dv, nrm, cid FROM (SELECT *, row_number()
+      |    OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      |  WHERE rn = 1),
+      |p AS (SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+      |    list_reduce(list_transform(list_zip(x.dv, y.dv), q -> q[1]*q[2]),
+      |      (s,t) -> s+t) / (x.nrm * y.nrm) AS cos
+      |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      |f AS (SELECT * FROM p WHERE cos >= 0.35),
+      |r AS (SELECT b AS dropped, cid, a AS keeper, cos, row_number()
+      |    OVER (PARTITION BY b ORDER BY cos DESC, a) AS rn FROM f)
+      |SELECT dropped, cid, keeper, cos FROM r WHERE rn = 1
+      |ORDER BY dropped""".stripMargin
+
   // ------------------------------------------------------------ recall
   /** ANN RECALL@k EVALUATION (q23_recall) — the certification harness
     * every approximate index needs before it replaces the exact path:
@@ -1095,6 +1214,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_recall" -> (q23_recall _),
     "q23_semdedup" -> (q23_semdedup _),
+    "q23_semdedup_adaptive" -> (q23_semdedup_adaptive _),
     "q23_knn_exact" -> (q23_knn_exact _),
     "q23_range" -> (q23_range _),
     "q23_mmr" -> (q23_mmr _),
@@ -1112,6 +1232,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q23_recall" -> q23RecallSql,
     "q23_semdedup" -> q23SemdedupSql,
+    "q23_semdedup_adaptive" -> q23SemdedupAdaptiveSql,
     "q23_knn_exact" -> q23ExactSql,
     "q23_range" -> q23RangeSql,
     "q23_mmr" -> q23MmrSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -734,6 +734,125 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ERROR CERTIFICATION for q24_quantiles_approx — the Greenwald-
+    * Khanna rank guarantee as a HASH-GREEN driver check: for each
+    * reported percentile value v, the count of rows strictly below v
+    * must not exceed (p + ε)·n and the count at-or-below v must reach
+    * (p − ε)·n, with ε = 1/accuracy (= 1e-4) and a ±1-row slack for
+    * the fractional target rank. The oracle asserts the literal
+    * `true` per language — a sketch whose rank error exceeded its
+    * contract turns the driver's hash gate red. One conditional-sum
+    * aggregate over documents with the 5-row approx result broadcast
+    * onto it — no window, no second shuffle. */
+  def q24_quantiles_err(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0 / 10000
+    val ap = q24_quantiles_approx(s, dir) // lang, n_docs, p50, p90, p99
+    val j = Tables.load(s, dir, "documents").select(col("lang"), col("n_chars"))
+      .join(broadcast(ap), Seq("lang"))
+    val agg = j.groupBy("lang").agg(
+      first(col("n_docs")).as("n"),
+      sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)).as("lt_p50"),
+      sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)).as("le_p50"),
+      sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L)).as("lt_p90"),
+      sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L)).as("le_p90"),
+      sum(when(col("n_chars") < col("p99"), 1L).otherwise(0L)).as("lt_p99"),
+      sum(when(col("n_chars") <= col("p99"), 1L).otherwise(0L)).as("le_p99"))
+    def ok(p: String, frac: Double): Column =
+      (col(s"lt_$p") <= col("n") * frac + col("n") * eps + 1.0) &&
+        (col(s"le_$p") >= col("n") * frac - col("n") * eps - 1.0)
+    agg.select(col("lang"), ok("p50", 0.5).as("p50_ok"),
+        ok("p90", 0.9).as("p90_ok"), ok("p99", 0.99).as("p99_ok"))
+      .orderBy("lang")
+  }
+
+  val q24QuantilesErrSql: String =
+    """SELECT lang, true AS p50_ok, true AS p90_ok, true AS p99_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The measured error behind q24_quantiles_err: the worst rank-error
+    * FRACTION across (language × percentile) — max(0, lt − t, t − le)/n
+    * with t = p·n — one double to the driver for approx_err.json. */
+  def q24QuantilesMaxRankErr(s: SparkSession, dir: String): Double = {
+    val ap = q24_quantiles_approx(s, dir)
+    val j = Tables.load(s, dir, "documents").select(col("lang"), col("n_chars"))
+      .join(broadcast(ap), Seq("lang"))
+    val agg = j.groupBy("lang").agg(
+      first(col("n_docs")).as("n"),
+      sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)).as("lt_p50"),
+      sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)).as("le_p50"),
+      sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L)).as("lt_p90"),
+      sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L)).as("le_p90"),
+      sum(when(col("n_chars") < col("p99"), 1L).otherwise(0L)).as("lt_p99"),
+      sum(when(col("n_chars") <= col("p99"), 1L).otherwise(0L)).as("le_p99"))
+    def err(p: String, frac: Double): Column =
+      greatest(lit(0.0), col(s"lt_$p") - col("n") * frac,
+        col("n") * frac - col(s"le_$p")) / col("n")
+    agg.select(greatest(err("p50", 0.5), err("p90", 0.9), err("p99", 0.99))
+        .as("e"))
+      .agg(max(col("e")).as("m"))
+      .head().getDouble(0)
+  }
+
+  /** ERROR CERTIFICATION for q24_compress — the codec's semantic
+    * contract as a HASH-GREEN driver check: every document's deflate
+    * stream must inflate back to the exact original bytes (and be
+    * non-empty, and no larger than raw + the 64-byte zlib overhead
+    * bound). The oracle asserts the literal `true` per document. Same
+    * one-codec-per-partition shape as q24_compress; the inflate rides
+    * the same pass, so certification costs one map over the corpus,
+    * no shuffle. */
+  def q24_compress_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val infl = new java.util.zip.Inflater()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            defl.end(); infl.end()
+          })
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(in); defl.finish()
+          val comp = new java.io.ByteArrayOutputStream(in.length / 2 + 16)
+          while (!defl.finished()) {
+            val m = defl.deflate(buf)
+            comp.write(buf, 0, m)
+          }
+          val cbytes = comp.toByteArray
+          val back = new java.io.ByteArrayOutputStream(in.length + 16)
+          val ok =
+            try {
+              infl.reset(); infl.setInput(cbytes)
+              var stuck = false
+              while (!infl.finished() && !stuck) {
+                val m = infl.inflate(buf)
+                if (m > 0) back.write(buf, 0, m)
+                else if (!infl.finished()) stuck = true // truncated stream
+              }
+              infl.finished() &&
+                java.util.Arrays.equals(in, back.toByteArray)
+            } catch { case _: java.util.zip.DataFormatException => false }
+          (id, ok && cbytes.length > 0 && cbytes.length <= in.length + 64)
+        }
+      }.toDF("doc_id", "roundtrip_ok")
+      .orderBy("doc_id")
+  }
+
+  val q24CompressRoundtripSql: String =
+    """SELECT doc_id, true AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The measured error behind q24_compress_roundtrip: the FRACTION of
+    * documents failing the roundtrip/size contract (0.0 = the codec
+    * seam is lossless corpus-wide) — one double to the driver. */
+  def q24CompressFailFrac(s: SparkSession, dir: String): Double =
+    q24_compress_roundtrip(s, dir)
+      .agg(avg(when(col("roundtrip_ok"), 0.0).otherwise(1.0)).as("f"))
+      .head().getDouble(0)
+
   /** Tokenizer VOCABULARY COVERAGE / OOV rate per language: what share
     * of a corpus's tokens fall outside the trained top-500 vocabulary
     * (q24_vocab's selection rule) — the go/no-go check before shipping
@@ -869,7 +988,10 @@ object TextOps {
     // rows-only: sketch internals engine-specific (see scaladoc)
     "q24_quantiles_approx" -> (q24_quantiles_approx _),
     // rows-only: no zlib in the oracle engine (see q24_compress doc)
-    "q24_compress" -> (q24_compress _))
+    "q24_compress" -> (q24_compress _),
+    // hash-green error certifications of the two rows-only kernels
+    "q24_quantiles_err" -> (q24_quantiles_err _),
+    "q24_compress_roundtrip" -> (q24_compress_roundtrip _))
 
   def oracles: Map[String, String] = Map(
     "q24_collocations" -> q24CollocationsSql,
@@ -887,5 +1009,7 @@ object TextOps {
     "q24_bpe_pairs" -> q24BpePairsSql,
     "q24_bpe_train" -> q24BpeTrainSql,
     "q24_bpe_encode" -> q24BpeEncodeSql,
-    "q24_quantiles" -> q24QuantilesSql)
+    "q24_quantiles" -> q24QuantilesSql,
+    "q24_quantiles_err" -> q24QuantilesErrSql,
+    "q24_compress_roundtrip" -> q24CompressRoundtripSql)
 }

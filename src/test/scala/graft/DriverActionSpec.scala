@@ -33,16 +33,20 @@ class DriverActionSpec extends AnyFunSuite {
       (("one-row max(key) aggregates guarding epoch/key-space " +
         "assumptions before composing fixtures"), 4),
     "SimilarityOps.scala" ->
-      (("k centroid rows (k<=8) collected between Lloyd iterations " +
-        "and as literal assignment tables — constant-size by k"), 4),
+      (("k centroid rows collected between Lloyd iterations and as " +
+        "assignment tables — constant (k<=8) for the literal-array " +
+        "entries, k<=ceil(sqrt(n)) (sub-linear, ~1.4k rows / KBs at " +
+        "the 2M top rung) for q23_semdedup_adaptive's broadcast side"), 5),
     "TextOps.scala" ->
-      (("one merge-pair row per BPE training round + a one-row corpus " +
-        "total"), 2),
+      (("one merge-pair row per BPE training round, a one-row corpus " +
+        "total, and two one-row error measurements (quantile rank " +
+        "error, compress roundtrip fail fraction) for approx_err.json"), 4),
     "IndexOps.scala" ->
       (("one-row (N, avgdl) corpus-stats aggregate for BM25"), 1),
     "Relational.scala" ->
       (("the q19k overflow guard collects |event_type| cohort sizes " +
-        "(bounded enum domain)"), 1),
+        "(bounded enum domain) + two one-row error measurements (q04b/" +
+        "q04c max sketch relative error) for approx_err.json"), 3),
     "DedupOps.scala" ->
       (("one-row (count, bit_xor) index fingerprint for the " +
         "incremental-dedup idempotence check"), 1))

@@ -22,6 +22,7 @@ class PlanAuditSweepSpec extends SparkSpec {
     // O(n) work, O(1) replication — the repo's alternative to an
     // unpartitioned window
     "q19e_chi2" -> nlj,        // grand-total row onto the contingency agg
+    "q04c_hll_err" -> nlj,     // one-row union sketch × one-row whole sketch
     "q19h_benford" -> nlj,     // total-count row onto digit classes
     "q26_pps" -> nlj,          // corpus token-mass row onto strata
     "q26_temperature" -> nlj,  // mixture-weight summary row
@@ -37,6 +38,10 @@ class PlanAuditSweepSpec extends SparkSpec {
     // the broadcast side is fixed-size by construction, the stream
     // side passes once — linear, not quadratic in the corpus
     "q23_knn_exact" -> nlj,
+    // broadcast centroid side of k = ceil(sqrt(n)) rows (sub-linear,
+    // KBs) probed once per vector then argmin-combined map-side: the
+    // designed n^1.5 assignment, not a corpus cartesian
+    "q23_semdedup_adaptive" -> nlj,
     "q23_range" -> nlj,
     "q23_hardneg" -> nlj,
     "q23_pq" -> nlj,

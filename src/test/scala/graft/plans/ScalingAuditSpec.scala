@@ -230,8 +230,14 @@ class ScalingAuditSpec extends SparkSpec {
       "exponent or a failed control refutes") {
     // dropped 1.8 → 1.65: the per-task working-set mechanism confirmed
     assert(ScalingAudit.controlSupports(1.8, 3, Some(1.65), nDirs = 3))
-    // sank below the noise floor entirely: the strongest flattening
-    assert(ScalingAudit.controlSupports(1.8, 3, None, nDirs = 3))
+    // sank below the noise floor entirely — and the caller VERIFIED
+    // the refusal cause was genuine flattening: the strongest drop
+    assert(ScalingAudit.controlSupports(1.8, 3, None, nDirs = 3,
+      flattened = true))
+    // unfit control WITHOUT verified flattening (fit refused by its
+    // own samples' scatter or a degenerate size axis): noisy evidence
+    // must not launder a fatal finding into an advisory
+    assert(!ScalingAudit.controlSupports(1.8, 3, None, nDirs = 3))
     // held at 1.75 (< the 0.1 minimum drop): algorithmic growth
     assert(!ScalingAudit.controlSupports(1.8, 3, Some(1.75), nDirs = 3))
     // control failed to measure every rung: no evidence, no downgrade
@@ -246,6 +252,30 @@ class ScalingAuditSpec extends SparkSpec {
     // ...but a control still OVER the bound needs the full drop
     assert(!ScalingAudit.controlSupports(1.72, 3, Some(1.65), nDirs = 3,
       bound = 1.6))
+  }
+
+  test("flattened distinguishes the fit-refusal causes: true only " +
+      "when every first difference sits below the absolute/relative " +
+      "floor ALONE — a spread-floor or size-axis refusal is noise, " +
+      "not flattening") {
+    val sizes = Seq(1000L, 10000L, 100000L)
+    // genuinely flat: differences 0.03s / 0.05s under the 0.1s floor
+    assert(ScalingAudit.flattened(Seq(1.00, 1.03, 1.08), sizes))
+    // a real data term: d2 = 2.0s is signal, not flatness — this fit
+    // would only have been refused by spread/size rules, so an unfit
+    // control here supports nothing
+    assert(!ScalingAudit.flattened(Seq(1.0, 1.5, 3.5), sizes))
+    // one flat difference + one live one: ambiguous, not flattening
+    assert(!ScalingAudit.flattened(Seq(1.0, 1.05, 3.0), sizes))
+    // degenerate size axis (the fixture's 500/500/2000 documents):
+    // whatever the times say, the axis carries no growth evidence
+    assert(!ScalingAudit.flattened(Seq(1.00, 1.03, 1.08),
+      Seq(500L, 500L, 2000L)))
+    // relative floor: a 20s-base query's 0.6s differences are inside
+    // the 5% sampling jitter — flat at that magnitude
+    assert(ScalingAudit.flattened(Seq(20.0, 20.6, 21.1), sizes))
+    // fewer than 3 points: no claim
+    assert(!ScalingAudit.flattened(Seq(1.0, 1.01), Seq(10L, 100L)))
   }
 
   test("the advisory finding fires with the constant-regime-drift " +

@@ -4,10 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The checked-in scaling-exponent table (`scaling_exponents.json`,
   * written by `graft.ScalingSweep`) stays coherent with the code:
-  * it exists, covers the full risk list, and every FITTED exponent
-  * respects its bound — so regenerating the table after a change that
-  * worsened growth fails here by query name (the drift gate's
-  * committed half; the live half is `ScalingSweep --check`). */
+  * it exists, covers the full risk list, every FITTED exponent
+  * respects its bound (or carries full regime evidence), and — the
+  * r10 lesson — every committed fit is REPRODUCIBLE under the
+  * CURRENT audit floors from its own recorded points, so a table
+  * written under older, laxer rules cannot be recommitted (the r10
+  * table carried a q22_dedup_embed fit whose rung-1 sample spread
+  * the later spread floor refuses). This is the drift gate's
+  * committed half; the live half is `ScalingSweep --check`. */
 class ScalingTableSpec extends AnyFunSuite {
 
   private lazy val raw: String = {
@@ -31,8 +35,9 @@ class ScalingTableSpec extends AnyFunSuite {
   test("every fitted exponent in the table respects its bound — or " +
       "carries the FULL regime-pass evidence (linear row growth, work " +
       "within margin and under the absolute cap, AND a scaled-" +
-      "partitions control fit that dropped) downgrading it to " +
-      "constant-regime drift; a committed quadratic fails by name") {
+      "partitions control that measured EVERY rung and dropped or " +
+      "genuinely flattened); a committed quadratic, or an advisory " +
+      "leaning on a noisy/partial control, fails by name") {
     val fitted = graft.ScalingSweep.readTable(raw)
     assert(fitted.nonEmpty, "no fitted exponents in the table — the " +
       "work metric should fit most of the risk list; regenerate")
@@ -40,9 +45,14 @@ class ScalingTableSpec extends AnyFunSuite {
     val controls = readControls(raw)
     val over = fitted.filter { case (name, e) =>
       val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
+      // the control's own recorded point count and flattened flag,
+      // not assumptions: a control that lost a rung, or whose fit was
+      // refused by sample scatter rather than flattening, supports
+      // nothing (the r10 ADVICE findings — both laundering paths)
       def controlOk = controls.get(name).exists(c =>
-        ScalingAudit.controlSupports(e, graft.ScalingData.rungs.size,
-          c, graft.ScalingData.rungs.size, bound = bound))
+        ScalingAudit.controlSupports(e, c.points, c.exponent,
+          graft.ScalingData.rungs.size, bound = bound,
+          flattened = c.flattened))
       e > bound &&
         (ScalingAudit.regimeFatal(e, bound, rowExps.get(name)) || !controlOk)
     }
@@ -52,8 +62,34 @@ class ScalingTableSpec extends AnyFunSuite {
         "table):\n" + over.map { case (n, e) =>
           f"  $n: $e%.2f > ${graft.ScalingSweep.bounds
             .getOrElse(n, 1.6)}%.2f (rows_exponent: ${rowExps.get(n)}, " +
-            s"control: ${controls.get(n)})"
+            s"control: ${readControls(raw).get(n)})"
         }.mkString("\n"))
+  }
+
+  test("every committed fit is reproducible from its own recorded " +
+      "points under the CURRENT floors — re-running fitSized on the " +
+      "recorded (work, sizes, work_spread) must yield the recorded " +
+      "exponent, so a table written under older, laxer audit rules " +
+      "(pre-spread-floor fits, hand-edits) cannot be recommitted") {
+    val entries = readPoints(raw)
+    assert(entries.nonEmpty, "no parseable entries in the table")
+    val stale = entries.flatMap {
+      case (name, (work, sizes, spreads, Some(recorded))) =>
+        val refit = ScalingAudit.fitSized(work, sizes, spreads = spreads)
+        refit match {
+          case None => Some(s"$name: recorded exponent $recorded but " +
+            "the current floors REFUSE this fit (work " +
+            s"${work.mkString(",")} spread ${spreads.mkString(",")})")
+          case Some(e) if math.abs(e - recorded) > 0.005 =>
+            Some(f"$name: recorded $recorded%.3f but refit gives " +
+              f"$e%.3f — the table does not match its own points")
+          case _ => None
+        }
+      case _ => None // unfit entries assert nothing here
+    }
+    assert(stale.isEmpty,
+      "committed fits the current audit rules would not produce " +
+        "(regenerate the table under HEAD):\n" + stale.mkString("\n"))
   }
 
   test("every entry carries at least one measured growth axis — a " +
@@ -108,25 +144,70 @@ class ScalingTableSpec extends AnyFunSuite {
     }
   }
 
-  /** Per-query scaled-partitions control evidence: present iff the
-    * control ran (the `exponent_scaled_partitions` key exists), with
-    * None = the control flattened below the noise floor. */
-  private def readControls(json: String): Map[String, Option[Double]] = {
+  private case class Control(points: Int, exponent: Option[Double],
+      flattened: Boolean)
+
+  /** Per-query scaled-partitions control evidence. Present iff the
+    * entry records a control run; `points` and `flattened` come from
+    * the entry's own fields — an entry that predates them (legacy
+    * table) reads points = 0 / flattened = false, i.e. a control that
+    * can support nothing, forcing regeneration under HEAD. */
+  private def readControls(json: String): Map[String, Control] = {
     import org.json4s._
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d)  => Some(d)
+      case JInt(i)     => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
     (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
       case JObject(fields) => fields.collect {
+        case (name, JObject(body)) if body.exists(
+            _._1 == "exponent_scaled_partitions") =>
+          val m = body.toMap
+          name -> Control(
+            m.get("control_points").flatMap(num).fold(0)(_.toInt),
+            m.get("exponent_scaled_partitions").flatMap(num),
+            m.get("control_flattened").contains(JBool(true)))
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Every entry's recorded (work, sizes, work_spread, exponent) for
+    * the refit backstop. Entries missing any of the arrays are
+    * skipped (they also fail the coverage/axis tests if material). */
+  private def readPoints(json: String)
+      : Map[String, (Seq[Double], Seq[Long], Seq[Double], Option[Double])] = {
+    import org.json4s._
+    def nums(v: JValue): Option[Seq[Double]] = v match {
+      case JArray(xs) =>
+        val ds = xs.flatMap {
+          case JDouble(d)  => Some(d)
+          case JInt(i)     => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case _           => None
+        }
+        if (ds.size == xs.size) Some(ds) else None
+      case _ => None
+    }
+    (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
+      case JObject(fields) => fields.flatMap {
         case (name, JObject(body)) =>
-          body.collectFirst {
-            case ("exponent_scaled_partitions", JDouble(e)) =>
-              name -> Option(e)
-            case ("exponent_scaled_partitions", JInt(e)) =>
-              name -> Option(e.toDouble)
-            case ("exponent_scaled_partitions", JDecimal(e)) =>
-              name -> Option(e.toDouble)
-            case ("exponent_scaled_partitions", JNull) =>
-              name -> Option.empty[Double]
-          }
-      }.flatten.toMap
+          val m = body.toMap
+          for {
+            work <- m.get("work").flatMap(nums)
+            sizes <- m.get("sizes").flatMap(nums)
+            spread <- m.get("work_spread").flatMap(nums)
+          } yield name -> ((work, sizes.map(_.toLong), spread,
+            m.get("exponent").flatMap {
+              case JDouble(d)  => Some(d)
+              case JInt(i)     => Some(i.toDouble)
+              case JDecimal(d) => Some(d.toDouble)
+              case _           => None
+            }))
+        case _ => None
+      }.toMap
       case _ => Map.empty
     }
   }

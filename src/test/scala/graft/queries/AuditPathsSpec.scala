@@ -115,4 +115,61 @@ class AuditPathsSpec extends SparkSpec {
       assert(r.getLong(1) >= 0 && r.getLong(1) < 8)
     }
   }
+
+  test("q23_semdedup_adaptive: bit-identical to the naive in-memory " +
+      "recompute under the k = max(8, ceil(sqrt(n))) sizing rule — " +
+      "assignment (integer micro-space, first-minimum ties), drop " +
+      "rule, keeper choice, and the cosine values themselves") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val n = vecs.length
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def vm(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000).toLong + 2000000)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val dv = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val nrm = dv.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val cents = vecs.take(k).map { case (_, v) => vm(v) }
+    val cid = vecs.map { case (id, v) =>
+      val m = vm(v)
+      var best = 0; var bestD = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < 64) { val t = m(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c } // first minimum wins
+      }
+      id -> best.toLong
+    }.toMap
+    val byId = dv.toMap
+    val want = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Double)] // dropped -> (cid, keeper, cos)
+    for (Array((ia, _), (ib, _)) <- vecs.combinations(2)
+         if cid(ia) == cid(ib)) {
+      val cos = dot(byId(ia), byId(ib)) / (nrm(ia) * nrm(ib))
+      if (cos >= 0.35) {
+        val (a, b) = (math.min(ia, ib), math.max(ia, ib))
+        val cur = want.get(b)
+        if (cur.forall { case (_, ka, c) => cos > c || (cos == c && a < ka) })
+          want(b) = (cid(b), a, cos)
+      }
+    }
+    val got = SimilarityOps.queries("q23_semdedup_adaptive")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"drop lists differ: extra=${got.keySet -- want.keySet} " +
+        s"missing=${want.keySet -- got.keySet}")
+    got.foreach { case (b, row) => assert(row == want(b), s"dropped $b") }
+    assert(got.nonEmpty, "fixture corpus has same-cluster near-dup pairs")
+    // the sizing rule really widened the cluster space past the fixed-k
+    // twin's 8
+    assert(k > 8 && cid.values.toSet.size > 8)
+  }
 }

@@ -105,6 +105,25 @@ def main():
         else:
             print(f"PASS {name} ({len(orows)} rows)")
             n_pass += 1
+    # approx_err.json (written by graft.Verify): the measured numeric
+    # error of the rows-only sketch/codec entries, each with its
+    # documented bound — a measurement over its bound is a FAIL, so the
+    # no-oracle entries are certified, not merely row-counted.
+    try:
+        with open(f"{out_dir}/approx_err.json") as f:
+            errs = json.load(f)
+    except FileNotFoundError:
+        errs = {}
+    for name in sorted(errs):
+        if only and name not in only:
+            continue
+        e, bound = errs[name]["err"], errs[name]["bound"]
+        if e <= bound:
+            print(f"PASS {name} approx err={e:.6f} <= bound {bound}")
+            n_pass += 1
+        else:
+            print(f"FAIL {name} approx err={e:.6f} > bound {bound}")
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
