@@ -55,10 +55,16 @@ object ScalingAudit {
 
   /** One measured scale point: wall-clock minimum and total-task-time
     * ("work") minimum of the runs at `dir`, plus the work samples'
-    * max/min ratio — the per-point noise a reader needs to judge fit
-    * confidence without re-running (a fit whose smallest point spread
-    * 2× carries less evidence than one whose samples agreed within
-    * 5%). */
+    * REPRODUCTION ratio — second-smallest / smallest — the per-point
+    * uncertainty of the MIN estimator a reader needs to judge fit
+    * confidence without re-running. The min is the steady-state
+    * estimator; its uncertainty is whether the bottom REPRODUCED (the
+    * bench's minStable rule: two smallest agree ⇒ both clean), not
+    * how high the worst sample spiked — one host-noise outlier among
+    * several clean samples must not poison the floor (observed:
+    * q22_dedup_contain@heaps refused its fit from a single 2.2×
+    * sample among five whose other four agreed within 15%). With two
+    * samples the two definitions coincide (max/min). */
   case class Point(dir: String, wallSec: Double, workSec: Double,
       workSpread: Double = 1.0)
 
@@ -100,17 +106,30 @@ object ScalingAudit {
     *   2. the work excess stays within [[RegimeMargin]] AND the
     *      absolute exponent sits under [[AbsoluteCap]] (near-2 fits
     *      are never waved through on row evidence alone), and
-    *   3. the SCALED-PARTITIONS CONTROL confirms the mechanism
-    *      ([[controlSupports]]): re-fitting the query with shuffle
-    *      partitions scaled up — per-task bytes held roughly
-    *      constant, as production would — drops the exponent by at
-    *      least [[ControlDrop]] (or sinks it below the noise floor).
-    *      A per-task working-set step disappears under that control;
-    *      algorithmic growth, including the compute-bound quadratics
-    *      rows cannot see, does not. The control measurement rides in
-    *      the artifact (`exponent_scaled_partitions`), so the
-    *      advisory carries its own refutation of the
-    *      algorithmic-growth hypothesis instead of a prose claim. */
+    *   3. a MECHANISM CONTROL confirms it ([[controlSupports]]) — one
+    *      re-fit per hypothesized mechanism, each holding that
+    *      mechanism's variable constant across the ladder the way a
+    *      production deployment would:
+    *        - the SCALED-PARTITIONS control (shuffle partitions up,
+    *          per-task bytes held roughly constant) catches the
+    *          working-set step;
+    *        - the NO-BROADCAST control (autoBroadcastJoinThreshold
+    *          −1, join strategy held at the shuffle regime on every
+    *          rung — where 100 TB lives anyway) catches the planner
+    *          flip, which partition scaling cannot see (measured:
+    *          q11c fitted 1.66 with the flip inside the decade —
+    *          BroadcastHashJoin at r2, SortMergeJoin at r3 — and
+    *          0.61 with the strategy held; its candidate mass counts
+    *          exactly linear).
+    *      A control supports when its exponent drops by at least
+    *      [[ControlDrop]], lands under the bound, or verifiably
+    *      flattens below the noise floor; algorithmic growth,
+    *      including the compute-bound quadratics rows cannot see,
+    *      survives every control. The confirming measurement rides
+    *      in the artifact (`exponent_scaled_partitions` /
+    *      `exponent_no_broadcast`), so the advisory carries its own
+    *      refutation of the algorithmic-growth hypothesis instead of
+    *      a prose claim. */
   val RegimeDrift = "constant-regime-drift"
 
   /** Row-growth exponent above which over-bound work is algorithmic,
@@ -236,12 +255,13 @@ object ScalingAudit {
 
   /** Noise floor for difference `i` (t(i+1) − t(i)) from the two
     * endpoints' measured sample spread: half the larger endpoint
-    * scatter, (spread − 1) × t being the full max-to-min scatter of
-    * that point's samples. The min is the steady-state estimator, but
-    * when a point's own samples disagree 2×, its min is uncertain by
-    * a comparable magnitude — a difference that does not clearly
-    * exceed that uncertainty is not evidence of growth. Empty spreads
-    * (legacy callers, single-sample runs) contribute nothing. */
+    * scatter, (spread − 1) × t being the reproduction gap of that
+    * point's two smallest samples (see [[Point]]). The min is the
+    * steady-state estimator, but when a point's bottom two samples
+    * disagree 2×, its min is uncertain by a comparable magnitude — a
+    * difference that does not clearly exceed that uncertainty is not
+    * evidence of growth. Empty spreads (legacy callers,
+    * single-sample runs) contribute nothing. */
   def spreadFloor(ts: Seq[Double], spreads: Seq[Double], i: Int): Double =
     if (spreads.size < ts.size) 0.0
     else 0.5 * math.max(
@@ -312,9 +332,12 @@ object ScalingAudit {
       val samples = (0 until math.max(1, runs)).flatMap(_ => once(dir))
       if (samples.isEmpty) None
       else {
-        val work = samples.map(_._2)
-        Some(Point(dir, samples.map(_._1).min, work.min,
-          if (work.min > 0) work.max / work.min else 1.0))
+        val work = samples.map(_._2).sorted
+        // spread = reproduction ratio of the two smallest samples
+        // (see [[Point]]) — max/min when only two samples exist
+        Some(Point(dir, samples.map(_._1).min, work.head,
+          if (work.size >= 2 && work.head > 0) work(1) / work.head
+          else 1.0))
       }
     }
   }
@@ -425,12 +448,14 @@ object ScalingAudit {
   /** The advisory [[RegimeDrift]] finding for an over-bound fit the
     * rule downgraded — rows AND control evidence inline so the
     * artifact reader never has to re-run the pass to judge it.
-    * `controlExponent` None = the control run flattened below the
-    * noise floor (the strongest drop). */
+    * `controlDesc` names the mechanism control that confirmed ("at
+    * 256 shuffle partitions" / "with the broadcast threshold
+    * disabled"); `controlExponent` None = that control run flattened
+    * below the noise floor (the strongest drop). */
   def regimeFinding(name: String, workExponent: Double, bound: Double,
       rows: Seq[Long], rowExponent: Option[Double],
       controlExponent: Option[Double],
-      controlPartitions: Int): PlanAudit.Finding = {
+      controlDesc: String): PlanAudit.Finding = {
     // a bound-origin finding is literally over its bound; a
     // drift-origin one (fresh fit above the RECORDED fit by more than
     // tolerance, possibly still under the bound) must not claim so
@@ -441,8 +466,8 @@ object ScalingAudit {
       f"$name: work exponent $workExponent%.2f $flagged " +
         "but row volume grows at " +
         rowExponent.map(e => f"$e%.2f").getOrElse("unfit") +
-        s" (rows ${rows.mkString(" -> ")}) and the exponent at " +
-        s"$controlPartitions shuffle partitions drops to " +
+        s" (rows ${rows.mkString(" -> ")}) and the exponent " +
+        s"$controlDesc drops to " +
         controlExponent.map(e => f"$e%.2f")
           .getOrElse("below the noise floor") +
         " — constant-regime step, not algorithmic growth",

@@ -283,7 +283,8 @@ class ScalingAuditSpec extends SparkSpec {
       "evidence inline — the firing positive control for " +
       "ScalingAudit.RegimeDrift") {
     val f = ScalingAudit.regimeFinding("q41b_lpa", 1.62, 1.6,
-      Seq(4500L, 45000L, 450000L), Some(1.0), Some(1.45), 256)
+      Seq(4500L, 45000L, 450000L), Some(1.0), Some(1.45),
+      "at 256 shuffle partitions")
     assert(f.kind == ScalingAudit.RegimeDrift)
     assert(f.subject == "q41b_lpa")
     assert(f.detail.contains("1.62") && f.detail.contains("1.00") &&
@@ -291,13 +292,14 @@ class ScalingAuditSpec extends SparkSpec {
       f.detail.contains("256") && f.detail.contains("1.45"), f.detail)
     // a control that flattened below the floor reads as such
     val g = ScalingAudit.regimeFinding("q", 1.7, 1.6,
-      Seq(1L, 2L, 3L), Some(1.0), None, 256)
+      Seq(1L, 2L, 3L), Some(1.0), None, "at 256 shuffle partitions")
     assert(g.detail.contains("below the noise floor"), g.detail)
     // a drift-origin advisory whose exponent sits UNDER the bound
     // must not claim 'over bound' (q27_shuffle drifted 0.66 -> 1.19
     // against a 1.6 bound — the text was literally false)
     val h = ScalingAudit.regimeFinding("q27_shuffle", 1.19, 1.6,
-      Seq(1L, 2L, 3L), Some(0.95), Some(1.04), 256)
+      Seq(1L, 2L, 3L), Some(0.95), Some(1.04),
+      "with the broadcast threshold disabled (join strategy held)")
     assert(!h.detail.contains("over bound") &&
       h.detail.contains("drifted above its recorded fit"), h.detail)
   }

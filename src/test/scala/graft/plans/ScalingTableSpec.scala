@@ -42,19 +42,25 @@ class ScalingTableSpec extends AnyFunSuite {
     assert(fitted.nonEmpty, "no fitted exponents in the table — the " +
       "work metric should fit most of the risk list; regenerate")
     val rowExps = readRowExponents(raw)
-    val controls = readControls(raw)
+    val controls = readControls(raw, "control_points",
+      "control_flattened", "exponent_scaled_partitions")
+    val strategies = readControls(raw, "nobroadcast_points",
+      "nobroadcast_flattened", "exponent_no_broadcast")
     val over = fitted.filter { case (name, e) =>
       val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
-      // the control's own recorded point count and flattened flag,
+      // each control's own recorded point count and flattened flag,
       // not assumptions: a control that lost a rung, or whose fit was
       // refused by sample scatter rather than flattening, supports
-      // nothing (the r10 ADVICE findings — both laundering paths)
-      def controlOk = controls.get(name).exists(c =>
+      // nothing (the r10 ADVICE findings — both laundering paths).
+      // EITHER mechanism control may exculpate: scaled partitions
+      // (working-set step) or no-broadcast (planner flip).
+      def okIn(m: Map[String, Control]) = m.get(name).exists(c =>
         ScalingAudit.controlSupports(e, c.points, c.exponent,
           graft.ScalingData.rungs.size, bound = bound,
           flattened = c.flattened))
       e > bound &&
-        (ScalingAudit.regimeFatal(e, bound, rowExps.get(name)) || !controlOk)
+        (ScalingAudit.regimeFatal(e, bound, rowExps.get(name)) ||
+          !(okIn(controls) || okIn(strategies)))
     }
     assert(over.isEmpty,
       "recorded exponents over bound WITHOUT full exculpatory " +
@@ -62,7 +68,8 @@ class ScalingTableSpec extends AnyFunSuite {
         "table):\n" + over.map { case (n, e) =>
           f"  $n: $e%.2f > ${graft.ScalingSweep.bounds
             .getOrElse(n, 1.6)}%.2f (rows_exponent: ${rowExps.get(n)}, " +
-            s"control: ${readControls(raw).get(n)})"
+            s"control: ${controls.get(n)}, nobroadcast: ${
+              strategies.get(n)})"
         }.mkString("\n"))
   }
 
@@ -147,12 +154,15 @@ class ScalingTableSpec extends AnyFunSuite {
   private case class Control(points: Int, exponent: Option[Double],
       flattened: Boolean)
 
-  /** Per-query scaled-partitions control evidence. Present iff the
-    * entry records a control run; `points` and `flattened` come from
-    * the entry's own fields — an entry that predates them (legacy
-    * table) reads points = 0 / flattened = false, i.e. a control that
-    * can support nothing, forcing regeneration under HEAD. */
-  private def readControls(json: String): Map[String, Control] = {
+  /** Per-query mechanism-control evidence (scaled-partitions or
+    * no-broadcast, selected by field names). Present iff the entry
+    * records that control's exponent key; `points` and `flattened`
+    * come from the entry's own fields — an entry that predates them
+    * (legacy table) reads points = 0 / flattened = false, i.e. a
+    * control that can support nothing, forcing regeneration under
+    * HEAD. */
+  private def readControls(json: String, pointsKey: String,
+      flattenedKey: String, expKey: String): Map[String, Control] = {
     import org.json4s._
     def num(v: JValue): Option[Double] = v match {
       case JDouble(d)  => Some(d)
@@ -162,13 +172,12 @@ class ScalingTableSpec extends AnyFunSuite {
     }
     (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
       case JObject(fields) => fields.collect {
-        case (name, JObject(body)) if body.exists(
-            _._1 == "exponent_scaled_partitions") =>
+        case (name, JObject(body)) if body.exists(_._1 == expKey) =>
           val m = body.toMap
           name -> Control(
-            m.get("control_points").flatMap(num).fold(0)(_.toInt),
-            m.get("exponent_scaled_partitions").flatMap(num),
-            m.get("control_flattened").contains(JBool(true)))
+            m.get(pointsKey).flatMap(num).fold(0)(_.toInt),
+            m.get(expKey).flatMap(num),
+            m.get(flattenedKey).contains(JBool(true)))
       }.toMap
       case _ => Map.empty
     }
