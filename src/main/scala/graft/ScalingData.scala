@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * ## What this generates
   *
-  * Two ladders under `scalingdata/` (gitignored — ~700 MB, minutes to
+  * Four ladders under `scalingdata/` (gitignored — ~1 GB, minutes to
   * regenerate, byte-deterministic), each three rungs `r1/r2/r3` a
   * clean 10× apart, every rung a full star schema so any query can
   * run against any rung:
@@ -41,7 +41,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     because one ladder cannot be simultaneously big enough at the
   *     bottom for the cheap family and small enough at the top for the
   *     quadratic-risk family.
-  *   - `heaps`: documents 500→50k with a GROWING vocabulary — Zipf-
+  *   - `heaps`: documents 1500→150k with a GROWING vocabulary — Zipf-
   *     distributed draws over V(n) = ⌈√(54·n)⌉ words (Heaps' law with
   *     β = 0.5 over the ~54·n token mass; Heaps 1978, Baeza-Yates &
   *     Navarro 2000 measure β ≈ 0.4–0.6 on natural corpora) — and
@@ -135,7 +135,12 @@ object ScalingData {
         // is vocabulary-bounded), so below ~6k parts its work first
         // difference sits under the 0.1 s noise floor
         "part" -> 6000L * m, "orders" -> 15000L,
-        "events" -> 30000L, "documents" -> 500L * m,
+        // documents ×3 the core-equivalent rung: the shingle kernels
+        // carry a ~9 s fixed cost at 32 tasks, so the 500→5k step's
+        // data term sat UNDER the 5% relative floor and the
+        // ngram@heaps fit flip-flopped run to run; at 1.5k→150k both
+        // first differences clear every floor by design
+        "events" -> 30000L, "documents" -> 1500L * m,
         "embeddings" -> 200L)
       case other => throw new IllegalArgumentException(s"ladder: $other")
     }
