@@ -23,11 +23,13 @@ class ScalingDataSpec extends SparkSpec {
 
   test("ladder sizes: every ladder steps a clean 10x per rung on its " +
       "growth tables, and the non-growth tables pin at core-r1 size " +
-      "(big grows documents/embeddings; heaps grows documents/part)") {
+      "(big grows documents/embeddings; heaps grows documents/part; " +
+      "vec grows only embeddings)") {
     for (l <- ScalingData.ladders; r <- 0 to 1) {
       val a = ScalingData.sizes(l, r)
       val b = ScalingData.sizes(l, r + 1)
-      assert(b("documents") == 10 * a("documents"), s"$l r$r")
+      if (l != "vec")
+        assert(b("documents") == 10 * a("documents"), s"$l r$r")
       if (l != "heaps")
         assert(b("embeddings") == 10 * a("embeddings"), s"$l r$r")
       else
@@ -40,6 +42,10 @@ class ScalingDataSpec extends SparkSpec {
     val heaps3 = ScalingData.sizes("heaps", 2)
     for (t <- Seq("customer", "supplier", "orders", "events", "embeddings"))
       assert(heaps3(t) == core1(t), t)
+    val vec3 = ScalingData.sizes("vec", 2)
+    for (t <- Seq("customer", "supplier", "part", "orders", "events",
+        "documents"))
+      assert(vec3(t) == core1(t), t)
     assert(ScalingData.sizes("core", 2)("orders") == 1500000L)
   }
 
