@@ -295,6 +295,30 @@ object Bench {
     // judge whether this run COULD have confirmed a regression at all
     val retryClean = clean1 && clean2
     val loadAfter = loadavg()
+    // STREAMING THROUGHPUT (the reference's one published metric
+    // family — BASELINE.md relay latency): microbatch decode→sink
+    // events/s through the full CDC dispatch pipeline, measured per
+    // official round so BENCH_r0x.json tracks it beside the query
+    // times instead of the number living only in CdcThroughputSpec's
+    // sbt assertion. Best of 2 probes (each self-warming — the JIT
+    // analogue of the query sweep's min-of-2); runs strictly after
+    // the confirmation retries so it cannot pollute them. Subset runs
+    // skip it (-1) and the FILE record carries the prior measured
+    // rate forward, same spirit as the per-query merge; a probe
+    // failure records -1 and never kills the bench.
+    val streamRate: Double =
+      if (only.nonEmpty) -1.0
+      else (0 until 2).flatMap { _ =>
+        try Some(graft.streaming.ThroughputProbe.run(spark).eventsPerSec)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
+          None
+        }
+      }.foldLeft(-1.0)(math.max)
+    val recordedStreamRate: Double =
+      if (streamRate >= 0) streamRate
+      else recordJson.flatMap(BenchRecord.priorStreamingRate)
+        .getOrElse(-1.0)
     // the official record's noise ledger: queries whose ENTIRE in-sweep
     // sampling window a later isolated re-measure (immediate re-audit,
     // contention requeue, or the strictly-last confirmation retry) beat
@@ -414,7 +438,7 @@ object Bench {
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
     val rebaseJson = cappedJson(rebaselined.toSeq.sorted)
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"streaming_events_per_sec":${f3(streamRate)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
@@ -451,7 +475,7 @@ object Bench {
     if (fullRun || priorMins.nonEmpty || !priorFileExists) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson,"slower_streak":$streaksJson,"queries":$allQs}""" + "\n")
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"streaming_events_per_sec":${f3(recordedStreamRate)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson,"slower_streak":$streaksJson,"queries":$allQs}""" + "\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: $e")

@@ -132,6 +132,22 @@ object BenchRecord {
       case _ => false
     }
 
+  /** The record's measured streaming throughput
+    * (`streaming_events_per_sec`, written by Bench's ThroughputProbe
+    * pass); None on absence, a -1 sentinel, or parse failure — so a
+    * SUBSET run (which skips the probe) carries the last measured
+    * rate forward instead of clobbering it. */
+  def priorStreamingRate(json: String): Option[Double] =
+    try {
+      (org.json4s.jackson.JsonMethods.parse(json) \
+          "streaming_events_per_sec") match {
+        case JDouble(v) if v >= 0  => Some(v)
+        case JInt(v) if v >= 0     => Some(v.toDouble)
+        case JDecimal(v) if v >= 0 => Some(v.toDouble)
+        case _                     => None
+      }
+    } catch { case _: Throwable => None }
+
   /** Per-query consecutive-slower streaks out of the record's
     * `slower_streak` map; empty on absence or parse failure. */
   def readStreaks(json: String): Map[String, Int] =

@@ -57,11 +57,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     words appear — exactly Heaps — rather than the whole corpus
   *     re-labeling.
   *   - `vec`: embeddings 2k→200k, other tables pinned at core-r1 size
-  *     — the rung band for the adaptive-k semdedup
+  *     — the rung band for BOTH semdedup twins: the adaptive-k entry
   *     (q23_semdedup_adaptive), whose Θ(n^1.5) work (k ≈ √n sizing:
   *     n·k·d assignment + n²/k within-cluster pairs) is all-overhead
   *     on core's 200-vector bottom rung and minutes-per-sample at
-  *     big's 2M top rung.
+  *     big's 2M top rung, and the fixed-k entry (q23_semdedup), whose
+  *     Θ(n²/k) pair term at pinned k = 8 only clears the noise floor
+  *     past ~20k vectors (its core-ladder fit read 0.20 —
+  *     all-overhead, no growth signal).
   *
   * ## Distribution fidelity
   *

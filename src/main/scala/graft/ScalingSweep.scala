@@ -120,8 +120,13 @@ object ScalingSweep {
     * whose Θ(n^1.5) design claim needs rungs where BOTH first
     * differences clear the noise floor (core's 200→2k bottom step is
     * all-overhead for it) without the minutes-per-sample cost its
-    * k·n assignment would pay at big's 2M top rung. */
-  val vecLadder: Set[String] = Set("q23_semdedup_adaptive")
+    * k·n assignment would pay at big's 2M top rung — and the FIXED-k
+    * twin, whose committed core-ladder fit (0.20 at ≤20k vectors) was
+    * all-overhead and said nothing about its growth (the r11 verdict
+    * finding): on this band its pair term dominates by r3 and the
+    * honest exponent is measurable (see its bound note — quadratic at
+    * pinned k, by definition). */
+  val vecLadder: Set[String] = Set("q23_semdedup_adaptive", "q23_semdedup")
 
   /** Queries ADDITIONALLY measured on the `heaps` ladder (growing
     * vocabulary — see [[ScalingData]]), recorded as `<name>@heaps`
@@ -168,15 +173,34 @@ object ScalingSweep {
     Map("q41b_lpa" -> 5, "q14g_pareto" -> 5,
       "q22_dedup_ngram" -> 5, "q22_dedup_cluster" -> 5,
       "q22_dedup_keep_best" -> 5, "q23_semdedup_adaptive" -> 5,
-      "q22_dedup_contain@heaps" -> 5)
+      "q22_dedup_contain@heaps" -> 5,
+      // the r11 verdict's last 3-sample bound-straddler: committed
+      // 1.824-with-advisory vs a same-round --check re-fit of 1.403 —
+      // a 0.42 swing that is exactly the scatter extraRuns exists for
+      "q41_pagerank" -> 5,
+      // fixed-k semdedup re-pointed to the vec ladder: its pair term
+      // sits near its documented definitional bound, so the fit gets
+      // the same 5-sample treatment as the other near-bound entries
+      "q23_semdedup" -> 5)
 
   /** Per-query exponent bounds where the DESIGN is documented
     * super-linear; everything else is held to the default 1.6
     * (log-linear loops fit ≈ 1.0–1.3 over this range; quadratic reads
     * ≈ 2). */
   val bounds: Map[String, Double] = Map(
-    // Σ|c|² ≈ n^1.5 cluster-bounded pair hunt (SimilarityOps scaladoc)
-    "q23_semdedup" -> 1.7,
+    // FIXED-k semdedup (k = 8 pinned) measured on the vec ladder:
+    // with k pinned while n grows, within-cluster pair work is
+    // Θ(Σ|c|²) = Θ(n²/k) — quadratic BY DEFINITION, same class as
+    // q22_dedup_embed (the clustering divides the pair mass by a
+    // CONSTANT; only k ≈ √n sizing makes it n^1.5, and that sizing
+    // IS the adaptive twin below, measured 1.5 on the same ladder).
+    // This entry exists for the fixed-k semantics and its oracle;
+    // the 100 TB path is q23_semdedup_adaptive. 2.25 = the
+    // definitional 2.0 plus the same constant-regime scatter the
+    // other heavy pair kernels show run to run; its ROW volume (the
+    // within-cluster pair stream) is quadratic too, so the regime
+    // rule never exculpates a regression past this bound.
+    "q23_semdedup" -> 2.25,
     // the production-sizing twin: k grows with ⌈√n⌉, so assignment
     // (n·k·d) and within-cluster pairs (n²/k) are BOTH Θ(n^1.5) BY
     // DESIGN — the measured exponent ≈1.5 IS the claim. 1.8 = 1.5
@@ -508,6 +532,13 @@ object ScalingSweep {
     val findings = (over ++ regime ++ failed ++ drift ++ driftRegime)
       .map(f => s"[${f.kind}] ${f.detail}")
     val runMode = if (flatMode) "flat" else "ladder"
+    // COUNTING RULE (the r11 verdict's bookkeeping nit): "fitted" =
+    // n_fit = every entry whose exponent is non-null, INCLUDING fits
+    // that survive only via an advisory regime downgrade (those are
+    // counted separately in n_regime_drift, which overlaps n_fit).
+    // The artifact has ONE fitted count; prose about the table (commit
+    // messages, ledgers) must quote n_fit verbatim, never a
+    // hand-adjusted "fitted minus advisories" variant.
     val summary = s"""{"metric":"scaling","mode":"$runMode",""" +
       s""""sf_base":"$base","cpus":$cpus,"runs":$runs,""" +
       s""""control_partitions":$controlPartitions,""" +
@@ -524,10 +555,12 @@ object ScalingSweep {
         rowsInfo = rowFits.get(f.name),
         control = controlFits.get(f.name)
           .map(c => ControlRecord(controlPartitions, c.points.size,
-            c.exponent, controlFlattened(f.name))),
+            c.exponent, controlFlattened(f.name),
+            c.points.map(_.workSec), c.points.map(_.workSpread))),
         strategy = strategyFits.get(f.name)
           .map(c => StrategyRecord(c.points.size, c.exponent,
-            flattenedIn(strategyFits, f.name))))
+            flattenedIn(strategyFits, f.name),
+            c.points.map(_.workSec), c.points.map(_.workSpread))))
     // the per-round artifact: summary + findings + every fit, one file
     outPath.foreach { p =>
       val qJson = fits.map(f => s""""${f.name}":${fullEntry(f)}""")
@@ -603,17 +636,24 @@ object ScalingSweep {
     * partition count, how many rungs the control actually MEASURED
     * (a control that lost a rung cannot support a downgrade, and the
     * committed-table spec needs the real count, not an assumption),
-    * its exponent, and — when unfit — whether the refusal was genuine
-    * flattening ([[graft.plans.ScalingAudit.flattened]]) rather than
-    * sample scatter. */
+    * its exponent, whether an unfit refusal was genuine flattening
+    * ([[graft.plans.ScalingAudit.flattened]]) rather than sample
+    * scatter — AND the control's own measured work/spread arrays
+    * (its sizes are the entry's: same dirs, same primary table), so
+    * ScalingTableSpec can RE-DERIVE exponent/flattened/points from
+    * the recorded points exactly as it refits the primary fit. A
+    * self-reported summary with no underlying points could be
+    * hand-edited or go stale and still downgrade an over-bound
+    * committed fit (the r11 ADVICE's laundering residual). */
   case class ControlRecord(partitions: Int, points: Int,
-      exponent: Option[Double], flattened: Boolean)
+      exponent: Option[Double], flattened: Boolean,
+      work: Seq[Double], spread: Seq[Double])
 
   /** The NO-BROADCAST mechanism control (join strategy held in the
     * shuffle regime on every rung): recorded for entries the
     * partition control could not exculpate, same evidence fields. */
   case class StrategyRecord(points: Int, exponent: Option[Double],
-      flattened: Boolean)
+      flattened: Boolean, work: Seq[Double], spread: Seq[Double])
 
   /** One query's fit as a compact JSON object (optionally with the
     * name inlined, for the per-query progress lines; `rowsInfo` — the
@@ -638,12 +678,16 @@ object ScalingSweep {
       s""""control_partitions":${c.partitions},""" +
         s""""control_points":${c.points},""" +
         s""""control_flattened":${c.flattened},""" +
+        s""""control_work":[${c.work.map(f3).mkString(",")}],""" +
+        s""""control_work_spread":[${c.spread.map(f3).mkString(",")}],""" +
         s""""exponent_scaled_partitions":${
           c.exponent.map(f3).getOrElse("null")},"""
     }.getOrElse("")
     val strategyPart = strategy.map { c =>
       s""""nobroadcast_points":${c.points},""" +
         s""""nobroadcast_flattened":${c.flattened},""" +
+        s""""nobroadcast_work":[${c.work.map(f3).mkString(",")}],""" +
+        s""""nobroadcast_work_spread":[${c.spread.map(f3).mkString(",")}],""" +
         s""""exponent_no_broadcast":${
           c.exponent.map(f3).getOrElse("null")},"""
     }.getOrElse("")

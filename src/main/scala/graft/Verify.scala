@@ -45,22 +45,26 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // measured numeric error of the rows-only sketch/codec entries —
     // the artifact that certifies the sketches, not just their shape
-    // (tools/check.py fails on a measurement over its bound)
+    // (tools/check.py fails on a measurement over its bound). Written
+    // UNCONDITIONALLY (prior file deleted first) so a stale file from
+    // an earlier run can never be validated against newer code, and a
+    // THROWING measurement is recorded as an explicit err=null entry
+    // that check.py counts as FAIL — a regression that crashes the
+    // measurement must fail the gate, not silently drop its cert.
+    Files.deleteIfExists(Paths.get(s"$outDir/approx_err.json"))
     val errs = SparkEntry.approxErrors.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, (bound, fn)) =>
-        try {
-          val e = fn(spark, sfDir)
-          Some(s"${q(name)}: {${q("err")}: $e, ${q("bound")}: $bound}")
-        } catch { case ex: Throwable =>
-          System.err.println(s"[verify] $name error measure failed: " +
-            ex.getMessage)
-          None
-        } finally Harness.dropPinnedRdds(spark)
+      .map { case (name, (bound, fn)) =>
+        val e = try fn(spark, sfDir).toString
+          catch { case ex: Throwable =>
+            System.err.println(s"[verify] $name error measure failed: " +
+              ex.getMessage)
+            "null"
+          } finally Harness.dropPinnedRdds(spark)
+        s"${q(name)}: {${q("err")}: $e, ${q("bound")}: $bound}"
       }
-    if (errs.nonEmpty)
-      Files.writeString(Paths.get(s"$outDir/approx_err.json"),
-        errs.mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/approx_err.json"),
+      errs.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -297,6 +297,18 @@ object ScalingAudit {
     else Some(math.log(d2 / d1) / r1)
   }
 
+  /** Millisecond quantization of every measured Point value: the
+    * committed table writes 3 decimals, and ScalingTableSpec's refit
+    * backstop re-derives the exponent FROM those written values — a
+    * fit computed from full-precision samples but recorded rounded
+    * could flip fit→refuse (or drift past the refit tolerance) right
+    * at a floor boundary purely from rounding. Quantizing at the
+    * measurement boundary makes the fit's inputs and the artifact's
+    * values the same numbers, so the round trip is exact. 1 ms is
+    * 100× under the 0.1 s absolute noise floor — nothing real is
+    * lost. */
+  private def quant(v: Double): Double = math.rint(v * 1000) / 1000
+
   /** Per-directory minima (wall and work) of `runs` fully-materialized
     * executions of `fn(spark, dir)`, smallest SF first. The noop sink
     * forces every operator (a count() would let Catalyst prune the
@@ -334,10 +346,12 @@ object ScalingAudit {
       else {
         val work = samples.map(_._2).sorted
         // spread = reproduction ratio of the two smallest samples
-        // (see [[Point]]) — max/min when only two samples exist
-        Some(Point(dir, samples.map(_._1).min, work.head,
-          if (work.size >= 2 && work.head > 0) work(1) / work.head
-          else 1.0))
+        // (see [[Point]]) — max/min when only two samples exist.
+        // All three values ms-quantized (see [[quant]]) so the fit
+        // and the written artifact share identical inputs.
+        Some(Point(dir, quant(samples.map(_._1).min), quant(work.head),
+          quant(if (work.size >= 2 && work.head > 0) work(1) / work.head
+          else 1.0)))
       }
     }
   }

@@ -253,9 +253,14 @@ object Relational {
   /** ERROR CERTIFICATION for q04c — both Datasketches claims the spec
     * pins, as hash-green driver rows: per event type, the sketch
     * estimate sits within 5% of the exact distinct-user count; and on
-    * the `__all__` row, union-of-parts equals sketch-of-whole EXACTLY
-    * (registers merge by max — any partitioning lands the same
-    * estimate) AND sits within 5% of the exact overall distinct. The
+    * the `__all__` row, union-of-parts agrees with sketch-of-whole
+    * within 1e-6 relative (register STATE is path-independent under
+    * max-merge at fixed lgK, but the library's estimator may take a
+    * different path — HIP vs composite — for a merged union than for a
+    * directly-built sketch, so exact `===` on the estimates could go
+    * red spuriously at other sizes/partitionings even when both
+    * sketches are correct) AND sits within 5% of the exact overall
+    * distinct — the 5%-vs-exact clause stays the hard bound. The
     * oracle asserts the literal `true` per row. */
   def q04c_hll_err(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -271,7 +276,8 @@ object Relational {
     val allOk = per.agg(hll_union_agg(col("sk")).as("sku"))
       .crossJoin(broadcast(whole)) // one row × one row
       .select(lit("__all__").as("event_type"),
-        (hll_sketch_estimate(col("sku")) === hll_sketch_estimate(col("skw"))
+        (abs(hll_sketch_estimate(col("sku")) - hll_sketch_estimate(col("skw")))
+           <= hll_sketch_estimate(col("skw")) * lit(1e-6)
           && abs(hll_sketch_estimate(col("sku")) - col("exactw"))
              <= col("exactw") * lit(0.05)).as("err_ok"))
     perOk.unionByName(allOk).orderBy("event_type")

@@ -922,7 +922,15 @@ object SimilarityOps {
     * (identical IEEE order in both engines). The 0.35 threshold is
     * calibrated to the fixture's near-random vectors (true neighbors
     * sit at cos 0.26–0.39 — see the q23_knn_lsh band-sizing note); a
-    * production corpus with real duplicate structure uses ~0.9. */
+    * production corpus with real duplicate structure uses ~0.9.
+    *
+    * Growth stance: THIS entry pins k = 8, so its pair term is
+    * Θ(n²/k) — quadratic by definition once n grows past the constant
+    * k (the scaling sweep measures it on the vec ladder under a
+    * documented definitional bound, like q22_dedup_embed). The k ≈ √n
+    * sizing that makes the design Θ(n^1.5) is the adaptive twin
+    * ([[q23_semdedup_adaptive]]) — that entry, not this one, carries
+    * the 100 TB claim. */
   def q23_semdedup(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val nBlocks = 8

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Measured microbatch throughput of the FULL CDC dispatch pipeline
+  * (decode → filters → schema attach → tx assembly → envelope), the
+  * streaming analogue of the reference's one published metric family
+  * (BASELINE.md: 1–3 ms per-event relay latency, single-threaded JS
+  * worker ≈ 10³ events/s order of magnitude).
+  *
+  * Two consumers, one measurement: CdcThroughputSpec asserts the
+  * regression floor (>10k ev/s) per `sbt test`, and Bench runs it per
+  * official round so the events/s figure lands in BENCH_r0x.json
+  * beside the query times — the r11 verdict's ask: the one
+  * reference-comparable number must be tracked round over round like
+  * everything else, not live only inside an sbt assertion.
+  *
+  * Measurement shape (the spec's original design, lifted): a synthetic
+  * jsoncdc stream of `nTx` begin/insert/commit transactions through
+  * [[TxAssembly.decodeToEvents]] → [[CdcPipeline.run]]. The first
+  * quarter is an UNTIMED warm batch — plan/codegen compiles on first
+  * rows, but the C2 JIT only compiles the hot interpreted paths
+  * (JsonToStructs is CodegenFallback) after thousands of iterations;
+  * a token warm-up leaves the timed batch 3–10× under steady state
+  * (measured: 9k ev/s cold vs ~40k warm). The memory sink keeps the
+  * assembled transactions countable for the spec's sanity assertion. */
+object ThroughputProbe {
+
+  /** events/secs over the timed batch; `transactions` = assembled tx
+    * rows observed at the sink (the correctness sanity: every tx in
+    * the timed+warm stream must assemble exactly once). */
+  case class Result(events: Long, secs: Double, eventsPerSec: Double,
+      transactions: Long)
+
+  def run(spark: SparkSession, nTx: Int = 20000): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = (0 until nTx).iterator.flatMap { i =>
+      Iterator(
+        ("pg1", i * 3L, s"""{"begin": $i}"""),
+        ("pg1", i * 3L + 1,
+          s"""{"insert": {"id": $i, "v": "x$i"}, "table": "t"}"""),
+        ("pg1", i * 3L + 2,
+          s"""{"commit": $i, "t": "2024-01-01 00:00:00"}"""))
+    }.toSeq
+    val mem = MemoryStream[(String, Long, String)]
+    val out = CdcPipeline.run(
+      TxAssembly.decodeToEvents(mem.toDF.toDF("backend", "seq", "line")),
+      emitTransaction = true)
+    val name = s"graft_thr_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val warm = lines.take(lines.size / 4)
+      mem.addData(warm: _*)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      mem.addData(lines.drop(warm.size): _*)
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = lines.size - warm.size
+      val tx = spark.table(name)
+        .filter(col("kind") === "transaction").count()
+      Result(n, secs, n / secs, tx)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name) // free the sink's driver memory
+    }
+  }
+}

@@ -42,16 +42,21 @@ class ScalingTableSpec extends AnyFunSuite {
     assert(fitted.nonEmpty, "no fitted exponents in the table — the " +
       "work metric should fit most of the risk list; regenerate")
     val rowExps = readRowExponents(raw)
-    val controls = readControls(raw, "control_points",
-      "control_flattened", "exponent_scaled_partitions")
-    val strategies = readControls(raw, "nobroadcast_points",
-      "nobroadcast_flattened", "exponent_no_broadcast")
+    val sizesOf = readPoints(raw).map { case (n, (_, sz, _, _)) => n -> sz }
+    val controls = deriveControls(raw, sizesOf,
+      "control_work", "control_work_spread")
+    val strategies = deriveControls(raw, sizesOf,
+      "nobroadcast_work", "nobroadcast_work_spread")
     val over = fitted.filter { case (name, e) =>
       val bound = graft.ScalingSweep.bounds.getOrElse(name, 1.6)
-      // each control's own recorded point count and flattened flag,
-      // not assumptions: a control that lost a rung, or whose fit was
-      // refused by sample scatter rather than flattening, supports
-      // nothing (the r10 ADVICE findings — both laundering paths).
+      // each control's evidence is RE-DERIVED here from its own
+      // recorded work/spread points (same floors as the primary
+      // refit) — points, exponent, AND the flattened flag: the r11
+      // ADVICE's laundering residual was that a hand-edited or stale
+      // control SUMMARY (points/flattened/exponent with no underlying
+      // measurements) could still downgrade an over-bound committed
+      // fit. An entry without recorded control points (legacy table)
+      // derives nothing and supports nothing, forcing regeneration.
       // EITHER mechanism control may exculpate: scaled partitions
       // (working-set step) or no-broadcast (planner flip).
       def okIn(m: Map[String, Control]) = m.get(name).exists(c =>
@@ -97,6 +102,64 @@ class ScalingTableSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       "committed fits the current audit rules would not produce " +
         "(regenerate the table under HEAD):\n" + stale.mkString("\n"))
+  }
+
+  test("every recorded control SUMMARY field (points / flattened / " +
+      "exponent) matches what its own recorded points re-derive under " +
+      "the current floors — the display fields must be the evidence, " +
+      "not a separate claim") {
+    import org.json4s._
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d)  => Some(d)
+      case JInt(i)     => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
+    val sizesOf = readPoints(raw).map { case (n, (_, sz, _, _)) => n -> sz }
+    val entries = (org.json4s.jackson.JsonMethods.parse(raw) \ "queries")
+      .asInstanceOf[JObject].obj
+    val bad = for {
+      (prefix, pointsKey, flatKey, expKey) <- Seq(
+        ("control", "control_points", "control_flattened",
+          "exponent_scaled_partitions"),
+        ("nobroadcast", "nobroadcast_points", "nobroadcast_flattened",
+          "exponent_no_broadcast"))
+      derived = deriveControls(raw, sizesOf,
+        s"${prefix}_work", s"${prefix}_work_spread")
+      (name, body: JObject) <- entries
+      m = body.obj.toMap if m.contains(expKey)
+      problem <- {
+        derived.get(name) match {
+          case None => Seq(s"$name: $expKey recorded with no " +
+            s"${prefix}_work/${prefix}_work_spread points to back it")
+          case Some(c) =>
+            val recPoints = m.get(pointsKey).flatMap(num).map(_.toInt)
+            val recFlat = m.get(flatKey).contains(JBool(true))
+            val recExp = m.get(expKey).flatMap(num)
+            Seq(
+              recPoints.filter(_ != c.points).map(p =>
+                s"$name: $pointsKey=$p but ${c.points} points recorded"),
+              if (recFlat != c.flattened)
+                Some(s"$name: $flatKey=$recFlat but points re-derive " +
+                  s"${c.flattened}")
+              else None,
+              (recExp, c.exponent) match {
+                case (Some(r), Some(d)) if math.abs(r - d) > 0.005 =>
+                  Some(f"$name: $expKey=$r%.3f but points refit $d%.3f")
+                case (Some(r), None) =>
+                  Some(f"$name: $expKey=$r%.3f but the current floors " +
+                    "refuse the recorded control points")
+                case (None, Some(d)) =>
+                  Some(f"$name: $expKey=null but the points fit $d%.3f")
+                case _ => None
+              }).flatten
+        }
+      }
+    } yield problem
+    assert(bad.isEmpty,
+      "control summary fields diverge from their own recorded points " +
+        "(hand edit or stale table — regenerate under HEAD):\n" +
+        bad.mkString("\n"))
   }
 
   test("every entry carries at least one measured growth axis — a " +
@@ -155,29 +218,48 @@ class ScalingTableSpec extends AnyFunSuite {
       flattened: Boolean)
 
   /** Per-query mechanism-control evidence (scaled-partitions or
-    * no-broadcast, selected by field names). Present iff the entry
-    * records that control's exponent key; `points` and `flattened`
-    * come from the entry's own fields — an entry that predates them
-    * (legacy table) reads points = 0 / flattened = false, i.e. a
+    * no-broadcast, selected by the work/spread field names), DERIVED
+    * from the control's own recorded measurement points — never read
+    * from the entry's summary fields: `points` = the recorded work
+    * array's length, `exponent` = a fresh `fitSized` over
+    * (control work, the entry's own sizes — the control ran the same
+    * dirs/primary table — control spread) under the CURRENT floors,
+    * `flattened` = a fresh [[ScalingAudit.flattened]] check when that
+    * fit refuses. An entry that records only the summary fields with
+    * no points (legacy table, hand edit) derives nothing here — a
     * control that can support nothing, forcing regeneration under
-    * HEAD. */
-  private def readControls(json: String, pointsKey: String,
-      flattenedKey: String, expKey: String): Map[String, Control] = {
+    * HEAD. The summary fields still ride in the artifact for readers;
+    * the consistency test below pins them to these derivations. */
+  private def deriveControls(json: String, sizesOf: Map[String, Seq[Long]],
+      workKey: String, spreadKey: String): Map[String, Control] = {
     import org.json4s._
-    def num(v: JValue): Option[Double] = v match {
-      case JDouble(d)  => Some(d)
-      case JInt(i)     => Some(i.toDouble)
-      case JDecimal(d) => Some(d.toDouble)
-      case _           => None
+    def nums(v: JValue): Option[Seq[Double]] = v match {
+      case JArray(xs) =>
+        val ds = xs.flatMap {
+          case JDouble(d)  => Some(d)
+          case JInt(i)     => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case _           => None
+        }
+        if (ds.size == xs.size) Some(ds) else None
+      case _ => None
     }
     (org.json4s.jackson.JsonMethods.parse(json) \ "queries") match {
-      case JObject(fields) => fields.collect {
-        case (name, JObject(body)) if body.exists(_._1 == expKey) =>
+      case JObject(fields) => fields.flatMap {
+        case (name, JObject(body)) =>
           val m = body.toMap
-          name -> Control(
-            m.get(pointsKey).flatMap(num).fold(0)(_.toInt),
-            m.get(expKey).flatMap(num),
-            m.get(flattenedKey).contains(JBool(true)))
+          for {
+            work <- m.get(workKey).flatMap(nums)
+            spread <- m.get(spreadKey).flatMap(nums)
+            sizes <- sizesOf.get(name)
+          } yield {
+            val e = ScalingAudit.fitSized(work,
+              sizes.take(work.size), spreads = spread)
+            name -> Control(work.size, e,
+              e.isEmpty && ScalingAudit.flattened(work,
+                sizes.take(work.size)))
+          }
+        case _ => None
       }.toMap
       case _ => Map.empty
     }

@@ -20,48 +20,21 @@ class CdcThroughputSpec extends SparkSpec {
   import spark.implicits._
 
   test("full dispatch pipeline sustains >10k events/s on the test session") {
-    implicit val sqlCtx = spark.sqlContext
+    // the measurement lives in ThroughputProbe (shared with Bench's
+    // per-round streaming_events_per_sec emission — one definition,
+    // two consumers); this test owns the regression floor and the
+    // every-tx-assembled sanity
     val nTx = 20000 // 3 lines per tx → 60k lines
-    val lines = (0 until nTx).iterator.flatMap { i =>
-      Iterator(
-        ("pg1", i * 3L, s"""{"begin": $i}"""),
-        ("pg1", i * 3L + 1,
-          s"""{"insert": {"id": $i, "v": "x$i"}, "table": "t"}"""),
-        ("pg1", i * 3L + 2,
-          s"""{"commit": $i, "t": "2024-01-01 00:00:00"}"""))
-    }.toSeq
-    val mem = MemoryStream[(String, Long, String)]
-    val out = CdcPipeline.run(
-      TxAssembly.decodeToEvents(mem.toDF.toDF("backend", "seq", "line")),
-      emitTransaction = true)
-    val name = s"thr_${System.nanoTime()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      // Warm-up must be a REAL batch, not a token one: plan/codegen
-      // compiles on the first rows, but the C2 JIT only compiles the hot
-      // interpreted paths (JsonToStructs is CodegenFallback) after
-      // thousands of iterations — a 3-line warm-up leaves the timed batch
-      // 3-10x slower than steady state (measured: 9k ev/s cold vs ~40k
-      // warm on this box) and makes the tripwire fire on JIT luck.
-      val warm = lines.take(lines.size / 4)
-      mem.addData(warm: _*)
-      q.processAllAvailable()
-      val t0 = System.nanoTime()
-      mem.addData(lines.drop(warm.size): _*)
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val n = lines.size - warm.size
-      val rate = n / secs
-      info(f"pipeline throughput: $n%d events in $secs%.2fs = $rate%.0f ev/s")
-      println(f"[throughput] cdc dispatch pipeline: $rate%.0f events/s " +
-        f"($n%d events, $secs%.2fs, local[4] test session)")
-      assert(rate > 10000, f"$rate%.0f ev/s below the 10k floor")
-      // sanity: every tx assembled
-      val txCount = spark.table(name)
-        .filter(col("kind") === "transaction").count()
-      assert(txCount == nTx)
-    } finally q.stop()
+    val r = ThroughputProbe.run(spark, nTx)
+    info(f"pipeline throughput: ${r.events}%d events in ${r.secs}%.2fs = " +
+      f"${r.eventsPerSec}%.0f ev/s")
+    println(f"[throughput] cdc dispatch pipeline: " +
+      f"${r.eventsPerSec}%.0f events/s " +
+      f"(${r.events}%d events, ${r.secs}%.2fs, local[4] test session)")
+    assert(r.eventsPerSec > 10000,
+      f"${r.eventsPerSec}%.0f ev/s below the 10k floor")
+    assert(r.transactions == nTx, // sanity: every tx assembled
+      s"${r.transactions} assembled transactions, expected $nTx")
   }
 
   test("the stateful dispatch stage spreads its work across one task per " +

@@ -108,17 +108,26 @@ def main():
     # approx_err.json (written by graft.Verify): the measured numeric
     # error of the rows-only sketch/codec entries, each with its
     # documented bound — a measurement over its bound is a FAIL, so the
-    # no-oracle entries are certified, not merely row-counted.
+    # no-oracle entries are certified, not merely row-counted. Verify
+    # writes the file unconditionally (err=null for a measurement that
+    # crashed), so a MISSING file on an unrestricted run means Verify
+    # itself died before the dump — count that as a FAIL too.
     try:
         with open(f"{out_dir}/approx_err.json") as f:
             errs = json.load(f)
     except FileNotFoundError:
         errs = {}
+        if not only:
+            print("FAIL approx_err.json missing (Verify did not finish)")
+            n_fail += 1
     for name in sorted(errs):
         if only and name not in only:
             continue
         e, bound = errs[name]["err"], errs[name]["bound"]
-        if e <= bound:
+        if e is None:
+            print(f"FAIL {name} approx err measurement crashed (err=null)")
+            n_fail += 1
+        elif e <= bound:
             print(f"PASS {name} approx err={e:.6f} <= bound {bound}")
             n_pass += 1
         else:
