@@ -25,9 +25,13 @@ object Prof {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        if (ms > 500)
+        // `stages` arg: print EVERY stage with its task count and input
+        // records — the scan-parallelism diagnostic (a single-row-group
+        // parquet file caps the scan stage at one effective task)
+        if (ms > 500 || args.contains("stages"))
           println(s"[prof-stage] id=${si.stageId} tasks=${si.numTasks} " +
-            s"wall=${ms}ms name=${si.name.take(90)}")
+            s"wall=${ms}ms inRecords=${si.taskMetrics.inputMetrics.recordsRead} " +
+            s"name=${si.name.take(90)}")
       }
     })
     if (name == "_decode_rate") {
