@@ -231,4 +231,18 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(BenchRecord.readStreaks(rec).isEmpty)
     assert(BenchRecord.readStreaks("garbage{").isEmpty)
   }
+
+  test("priorStreamingRate reads the recorded throughput, and returns " +
+      "None on the -1 skip sentinel, absence, or garbage — so a subset " +
+      "run carries the last measured rate instead of clobbering it") {
+    val j = """{"sf":"/x","streaming_events_per_sec":41732.5,"queries":{}}"""
+    assert(BenchRecord.priorStreamingRate(j).contains(41732.5))
+    val skipped = """{"sf":"/x","streaming_events_per_sec":-1.000}"""
+    assert(BenchRecord.priorStreamingRate(skipped).isEmpty)
+    assert(BenchRecord.priorStreamingRate(rec).isEmpty) // field absent
+    assert(BenchRecord.priorStreamingRate("garbage{").isEmpty)
+    // integral rate (hand-edited records), same leniency as priorQueries
+    assert(BenchRecord.priorStreamingRate(
+      """{"streaming_events_per_sec":41000}""").contains(41000.0))
+  }
 }
