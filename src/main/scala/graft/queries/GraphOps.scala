@@ -51,7 +51,13 @@ object GraphOps {
     * iteration moves Θ(m) rows) is what separates that constant-regime
     * drift from a real quadratic (ScalingAudit's regime rule; pinning
     * shuffle_hash here was measured SLOWER at every rung and is the
-    * wrong trade). */
+    * wrong trade). MEASURED on the graph ladder (orders 50k→5M, r12):
+    * planner-chosen plan fits 1.78 with the flip inside the decade;
+    * the same plan with the strategy HELD in the shuffle regime
+    * (autoBroadcastJoinThreshold −1) fits 1.38 — under the 1.6 bound —
+    * and rows fit 1.23: the excess IS the flip, exactly as documented
+    * above, now as numbers in scaling_exponents.json rather than
+    * prose. */
   private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))

@@ -28,12 +28,17 @@ class ScalingDataSpec extends SparkSpec {
     for (l <- ScalingData.ladders; r <- 0 to 1) {
       val a = ScalingData.sizes(l, r)
       val b = ScalingData.sizes(l, r + 1)
-      if (l != "vec")
+      if (l != "vec" && l != "graph")
         assert(b("documents") == 10 * a("documents"), s"$l r$r")
-      if (l != "heaps")
+      if (l != "heaps" && l != "graph")
         assert(b("embeddings") == 10 * a("embeddings"), s"$l r$r")
-      else
+      if (l == "heaps")
         assert(b("part") == 10 * a("part"), s"$l r$r")
+      if (l == "graph") { // orders+customers grow in the 10:1 ratio
+        assert(b("orders") == 10 * a("orders"), s"$l r$r")
+        assert(b("customer") == 10 * a("customer"), s"$l r$r")
+        assert(a("orders") == 10 * a("customer"), s"$l r$r")
+      }
     }
     val core1 = ScalingData.sizes("core", 0)
     val big3 = ScalingData.sizes("big", 2)
@@ -46,7 +51,11 @@ class ScalingDataSpec extends SparkSpec {
     for (t <- Seq("customer", "supplier", "part", "orders", "events",
         "documents"))
       assert(vec3(t) == core1(t), t)
+    val graph3 = ScalingData.sizes("graph", 2)
+    for (t <- Seq("supplier", "part", "events", "documents", "embeddings"))
+      assert(graph3(t) == core1(t), t)
     assert(ScalingData.sizes("core", 2)("orders") == 1500000L)
+    assert(graph3("orders") == 5000000L)
   }
 
   test("heaps documents follow Heaps/Zipf: vocabulary grows ~sqrt(10)x " +
