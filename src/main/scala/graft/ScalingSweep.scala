@@ -408,13 +408,42 @@ object ScalingSweep {
         .map(t => tableRows((ladderOf(name), t))).getOrElse(Nil)
     def fnOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
       SparkEntry.queries(queryOf(name))
-    val fits = selected.map { name =>
+    val rawFits = selected.map { name =>
       val sizes = sizesOf(name)
       val f = ScalingAudit.fit(spark, name, fnOf(name),
         dirsOf(name), math.max(runs, extraRuns.getOrElse(name, 0)),
         sizes = sizes)
       println(entryJson(name, f, sizes, basisOf(name), withName = true))
       f
+    }
+    // STRICTLY-LAST NOISE RETRY (Bench's confirmation-retry
+    // discipline): every entry whose fresh fit sits over its bound is
+    // re-measured ONCE after the whole sweep — minutes away from its
+    // original sampling window — and the two runs fold by per-rung
+    // work minimum ([[graft.plans.ScalingAudit.foldMin]]) before any
+    // verdict pass runs. This host's noise arrives in sustained
+    // multi-minute windows the within-run spread floors cannot see
+    // (both graph-ladder entries of one r12 check run measured
+    // 1.5-1.9x their reproduced cross-run work at the top rung, with
+    // clean spreads, and one read a fatal 2.04); a window folds away,
+    // a genuine regression reproduces in both runs and keeps its
+    // finding. Bounded: one retry, bound-flagged entries only, same
+    // sample count as the original.
+    val fits = rawFits.map { f =>
+      if (!f.exponent.exists(_ > bounds.getOrElse(f.name, 1.6))) f
+      else {
+        System.err.println(f"[scaling] ${f.name}: preliminary fit " +
+          f"${f.exponent.get}%.2f over bound ${bounds.getOrElse(f.name, 1.6)}%.2f" +
+          " — strictly-last re-measure")
+        val again = ScalingAudit.fit(spark, s"${f.name}[retry]",
+          fnOf(f.name), dirsOf(f.name),
+          math.max(runs, extraRuns.getOrElse(f.name, 0)),
+          sizes = sizesOf(f.name))
+        val folded = ScalingAudit.foldMin(f, again, sizesOf(f.name))
+        println(entryJson(f.name, folded, sizesOf(f.name),
+          basisOf(f.name), withName = true))
+        folded
+      }
     }
     val overRaw = ScalingAudit.auditExponents(fits, bounds = bounds)
     val overNames = overRaw.map(_.subject).toSet

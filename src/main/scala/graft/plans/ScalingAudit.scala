@@ -380,6 +380,42 @@ object ScalingAudit {
     ScalingFit(name, points, e)
   }
 
+  /** Fold two measurement runs of the SAME entry into one fit by
+    * per-rung work MINIMUM (wall folds too; each rung keeps the spread
+    * of the run that provided its min work), then refit under the
+    * same floors. The sweep's strictly-last noise retry uses this the
+    * way Bench folds its confirmation-retry samples: this host's noise
+    * arrives in sustained multi-minute windows, so an entry whose
+    * whole sampling window was noisy carries a stable-LOOKING wrong
+    * minimum (within-run spread floors see reproduction, not truth —
+    * observed: q41_pagerank's top rung measured 87.0/87.3/93.2 s of
+    * work across three runs and 142.9 s with spread 1.08 inside one
+    * window, reading a fatal 2.04 on untouched code). A later
+    * re-measure minutes away folds a clean minimum in; a genuine
+    * regression reproduces in both runs and keeps its number. A retry
+    * that lost a rung folds nothing — partial evidence never replaces
+    * a complete measurement. */
+  def foldMin(a: ScalingFit, b: ScalingFit, sizes: Seq[Long],
+      noiseFloorSec: Double = 0.1): ScalingFit = {
+    if (b.points.size != a.points.size ||
+        a.points.map(_.dir) != b.points.map(_.dir)) return a
+    val pts = a.points.zip(b.points).map { case (p, q) =>
+      val (w, s) =
+        if (q.workSec < p.workSec) (q.workSec, q.workSpread)
+        else (p.workSec, p.workSpread)
+      Point(p.dir, math.min(p.wallSec, q.wallSec), w, s)
+    }
+    val work = pts.map(_.workSec)
+    val spreads = pts.map(_.workSpread)
+    val e =
+      if (pts.size < 3) None
+      else if (sizes.nonEmpty)
+        fitSized(work, sizes, noiseFloorSec, spreads = spreads)
+      else fitExponent(work(0), work(1), work(2), noiseFloorSec,
+        spreads = spreads)
+    ScalingFit(a.name, pts, e)
+  }
+
   /** Fold fits to findings: every fitted exponent above its bound
     * (`bounds` override per query — documented super-linear designs —
     * else `defaultBound`). Unfit queries are never findings: no

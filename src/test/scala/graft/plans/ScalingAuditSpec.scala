@@ -373,4 +373,37 @@ class ScalingAuditSpec extends SparkSpec {
     assert(graft.ScalingSweep.readTable(json) == Map("q41_pagerank" -> 1.08))
     assert(graft.ScalingSweep.readTable("garbage{").isEmpty)
   }
+
+  test("foldMin: a noise-window run folds away against a clean retry " +
+      "(per-rung work min), a reproduced slow number keeps its fit, " +
+      "and a retry that lost a rung folds nothing") {
+    import ScalingAudit.{Point, ScalingFit, foldMin}
+    val sizes = Seq(100L, 1000L, 10000L)
+    def fitOf(work: Seq[Double]) = ScalingFit("q",
+      work.zipWithIndex.map { case (w, i) => Point(s"r${i + 1}", w, w) },
+      ScalingAudit.fitSized(work, sizes))
+    // linear truth: work 1 -> 10 -> 100; the noisy run's top rung read 170
+    val noisy = fitOf(Seq(1.0, 10.0, 170.0))
+    val clean = fitOf(Seq(1.1, 10.2, 100.0))
+    val folded = foldMin(noisy, clean, sizes)
+    assert(folded.points.map(_.workSec) == Seq(1.0, 10.0, 100.0))
+    assert(math.abs(folded.exponent.get - 1.0) < 0.01, folded)
+    // the wall also folds by min
+    assert(folded.points.map(_.wallSec) == Seq(1.0, 10.0, 100.0))
+    // a genuine regression reproduces: both runs read the slow rung
+    val again = fitOf(Seq(1.0, 10.0, 168.0))
+    val confirmed = foldMin(noisy, again, sizes)
+    assert(confirmed.exponent.get > 1.2, confirmed)
+    // retry lost a rung: partial evidence never replaces the original
+    val partial = ScalingFit("q",
+      Seq(Point("r1", 0.5, 0.5), Point("r2", 5.0, 5.0)), None)
+    assert(foldMin(noisy, partial, sizes) eq noisy)
+    // each folded rung keeps the spread of the run that provided its min
+    val spreadA = ScalingFit("q", Seq(Point("r1", 1, 1.0, 1.5),
+      Point("r2", 10, 10.0, 1.1), Point("r3", 170, 170.0, 1.05)), None)
+    val spreadB = ScalingFit("q", Seq(Point("r1", 2, 2.0, 1.0),
+      Point("r2", 11, 11.0, 1.0), Point("r3", 100, 100.0, 1.2)), None)
+    val fs = foldMin(spreadA, spreadB, sizes)
+    assert(fs.points.map(_.workSpread) == Seq(1.5, 1.1, 1.2))
+  }
 }
