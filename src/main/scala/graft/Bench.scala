@@ -304,21 +304,43 @@ object Bench {
     // analogue of the query sweep's min-of-2); runs strictly after
     // the confirmation retries so it cannot pollute them. Subset runs
     // skip it (-1) and the FILE record carries the prior measured
-    // rate forward, same spirit as the per-query merge; a probe
-    // failure records -1 and never kills the bench.
-    val streamRate: Double =
-      if (only.nonEmpty) -1.0
+    // values forward, same spirit as the per-query merge; a probe
+    // failure records -1 and never kills the bench. Beside the rate,
+    // the probe's small-batch phase yields per-microbatch end-to-end
+    // latency percentiles — the reference's single published number
+    // is a LATENCY (BASELINE.md 1–3 ms relay), and throughput alone
+    // doesn't answer "how stale is a relayed event".
+    val streamProbe: Option[graft.streaming.ThroughputProbe.Result] =
+      if (only.nonEmpty) None
       else (0 until 2).flatMap { _ =>
-        try Some(graft.streaming.ThroughputProbe.run(spark).eventsPerSec)
+        try Some(graft.streaming.ThroughputProbe.run(spark))
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
           None
         }
-      }.foldLeft(-1.0)(math.max)
-    val recordedStreamRate: Double =
-      if (streamRate >= 0) streamRate
-      else recordJson.flatMap(BenchRecord.priorStreamingRate)
+      }.sortBy(_.eventsPerSec).lastOption
+    val streamRate: Double = streamProbe.fold(-1.0)(_.eventsPerSec)
+    val streamP50: Double = streamProbe.fold(-1.0)(_.latencyP50Ms)
+    val streamP99: Double = streamProbe.fold(-1.0)(_.latencyP99Ms)
+    // carry-forward applies ONLY when the probe was SKIPPED (subset
+    // run): on a FULL run where both probe attempts failed, the
+    // record gets the -1 sentinel — a persistently crashing probe
+    // must read as "unmeasured", not keep a stale rate in the
+    // official record indefinitely, indistinguishable from a fresh
+    // measurement (r12 ADVICE). streaming_carried marks the subset
+    // carry in the artifact either way.
+    def carried(field: String, v: Double): Double =
+      if (v >= 0) v
+      else if (only.isEmpty) -1.0
+      else recordJson.flatMap(BenchRecord.priorStreamingField(_, field))
         .getOrElse(-1.0)
+    val recordedStreamRate: Double =
+      carried("streaming_events_per_sec", streamRate)
+    val recordedStreamP50: Double =
+      carried("streaming_batch_p50_ms", streamP50)
+    val recordedStreamP99: Double =
+      carried("streaming_batch_p99_ms", streamP99)
+    val streamingCarried = streamRate < 0 && recordedStreamRate >= 0
     // the official record's noise ledger: queries whose ENTIRE in-sweep
     // sampling window a later isolated re-measure (immediate re-audit,
     // contention requeue, or the strictly-last confirmation retry) beat
@@ -438,7 +460,7 @@ object Bench {
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
     val rebaseJson = cappedJson(rebaselined.toSeq.sorted)
-    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"streaming_events_per_sec":${f3(streamRate)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
+    val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"streaming_events_per_sec":${f3(streamRate)},"streaming_batch_p50_ms":${f3(streamP50)},"streaming_batch_p99_ms":${f3(streamP99)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record
     // (a subset run updates only what it measured; see BenchRecord) —
     // its value/n_queries describe the MERGED map so the file stays
@@ -475,7 +497,7 @@ object Bench {
     if (fullRun || priorMins.nonEmpty || !priorFileExists) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"streaming_events_per_sec":${f3(recordedStreamRate)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson,"slower_streak":$streaksJson,"queries":$allQs}""" + "\n")
+        (s"""{"metric":"total","value":${f3(mergedTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${merged.size},"n_carried":$nCarried,"streaming_events_per_sec":${f3(recordedStreamRate)},"streaming_batch_p50_ms":${f3(recordedStreamP50)},"streaming_batch_p99_ms":${f3(recordedStreamP99)},"streaming_carried":$streamingCarried,"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson,"slower_streak":$streaksJson,"queries":$allQs}""" + "\n")
           .getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: $e")

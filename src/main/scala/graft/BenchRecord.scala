@@ -138,9 +138,15 @@ object BenchRecord {
     * SUBSET run (which skips the probe) carries the last measured
     * rate forward instead of clobbering it. */
   def priorStreamingRate(json: String): Option[Double] =
+    priorStreamingField(json, "streaming_events_per_sec")
+
+  /** Any top-level non-negative numeric field of the record — the
+    * streaming rate and the microbatch latency percentiles share the
+    * same carry rule (skipped probe ⇒ keep the last measured value);
+    * None on absence, a -1 sentinel, or parse failure. */
+  def priorStreamingField(json: String, field: String): Option[Double] =
     try {
-      (org.json4s.jackson.JsonMethods.parse(json) \
-          "streaming_events_per_sec") match {
+      (org.json4s.jackson.JsonMethods.parse(json) \ field) match {
         case JDouble(v) if v >= 0  => Some(v)
         case JInt(v) if v >= 0     => Some(v.toDouble)
         case JDecimal(v) if v >= 0 => Some(v.toDouble)

@@ -138,10 +138,15 @@ object ScalingSweep {
     * check fit (1.86) needed the full advisory machinery for what its
     * 256-partition control (1.14) says is a working-set step. On this
     * band the per-iteration joins' data term clears every floor at
-    * BOTH steps. The lineitem-based graph entries (q41c components,
-    * q41d k-core) stay on core: their co-purchase pair mass depends on
-    * the part universe, which this ladder pins. */
-  val graphLadder: Set[String] = Set("q41_pagerank", "q44_triangles")
+    * BOTH steps. q41b_lpa joined in r13 (the r12 verdict's item 4):
+    * same shape as pagerank — its committed core fit (1.558) vs
+    * --check refits (1.762-with-advisory) straddled the default bound
+    * on core-ladder bottom-rung first differences that sat inside
+    * sample scatter. The lineitem-based graph entries (q41c
+    * components, q41d k-core) stay on core: their co-purchase pair
+    * mass depends on the part universe, which this ladder pins. */
+  val graphLadder: Set[String] =
+    Set("q41_pagerank", "q41b_lpa", "q44_triangles")
 
   /** Queries ADDITIONALLY measured on the `heaps` ladder (growing
     * vocabulary — see [[ScalingData]]), recorded as `<name>@heaps`
@@ -215,9 +220,12 @@ object ScalingSweep {
     // This entry exists for the fixed-k semantics and its oracle;
     // the 100 TB path is q23_semdedup_adaptive. 2.25 = the
     // definitional 2.0 plus the same constant-regime scatter the
-    // other heavy pair kernels show run to run; its ROW volume (the
-    // within-cluster pair stream) is quadratic too, so the regime
-    // rule never exculpates a regression past this bound.
+    // other heavy pair kernels show run to run. Rows measure 1.31 at
+    // these rungs (the n·k·d assignment term dominates the row axis
+    // before the n²/k pair stream does — see rowsBounds), so the
+    // backstop past this bound is the regime rule's ABSOLUTE CAP:
+    // any fit over 2.25 is over 1.9 and stays fatal whatever the
+    // rows/control evidence says.
     "q23_semdedup" -> 2.25,
     // the production-sizing twin: k grows with ⌈√n⌉, so assignment
     // (n·k·d) and within-cluster pairs (n²/k) are BOTH Θ(n^1.5) BY
@@ -292,8 +300,9 @@ object ScalingSweep {
     // thousands of documents, and no complete filter for Jaccard ≥ 0.5
     // can prune below shared-shingle co-occurrence. On natural text
     // |U| grows with the corpus (Heaps' law) and the same plan prunes;
-    // on THIS corpus the honest exponent is ≈2 (rows quadratic — a
-    // true data property, not a plan bug; the @heaps twin measures
+    // on THIS corpus the honest exponent is ≈2 (candidate rows fit
+    // 1.8 — the materialized shared-shingle stream, a data property
+    // the rows bound below pins, not a plan bug; the @heaps twin measures
     // the same plan at 1.4 on natural-text vocabulary growth and
     // carries the real-world claim under the strict default bound).
     // 2.3 = the definitional 2.0 plus the constant-regime scatter
@@ -322,9 +331,57 @@ object ScalingSweep {
     // see the q22_dedup_embed scaladoc. 2.25 = the definitional 2.0
     // plus the same constant-regime drift every heavy aggregation
     // carries on this fixed-resource ladder (measured 2.09–2.16 run
-    // to run; its ROW volume reads quadratic too, so the regime rule
-    // never exculpates a further regression)
+    // to run). Its n² is COMPUTE fused inside the blocked join's
+    // condition, so the rows axis sees only survivors (measured
+    // 0.92 — the compute-bound-quadratic class the RegimeDrift doc
+    // warns rows cannot see); the backstop past this bound is the
+    // regime rule's ABSOLUTE CAP: any fit over 2.25 is over 1.9 and
+    // stays fatal whatever the rows/control evidence says.
     "q22_dedup_embed" -> 2.25)
+
+  /** Per-entry ROWS-exponent bounds — the recorded backstop behind
+    * the widened "definitional + measured scatter" WORK bounds above
+    * (the r12 verdict's item 3: a gate, not scaladoc prose).
+    *
+    * RESIDUAL DETECTION FLOOR of the work axis (the r12 ADVICE's
+    * ask, stated once): for the four entries here, the work bound
+    * sits 0.25–0.3 of exponent above the definitional 2.0, and the
+    * strictly-last noise retry folds by per-rung work MINIMUM — so a
+    * real work-side regression must push the folded exponent past
+    * ~2.25–2.3 in BOTH runs to fail the work gate; anything smaller
+    * can fold away as host noise. Two mechanisms close that gap:
+    *
+    *   - the ROWS bound here — rows are EXACT (one deterministic run
+    *     per rung: no sampling scatter, no min-fold, no noise-retry),
+    *     so a MATERIALIZED blowup cannot ratchet past it. What each
+    *     entry's rows axis actually sees (r13 measurements):
+    *     ngram/contain materialize their candidate pair stream
+    *     (exploded prefix-index join — rows fit 1.80 both); semdedup
+    *     rows fit 1.31 (the n·k·d assignment term dominates the row
+    *     axis before the n²/k pair stream does); embed's n² is
+    *     compute FUSED inside the blocked join's condition, so rows
+    *     see only survivors (0.92) and gate un-fused candidate
+    *     streams / survivor blowups, not the kernel itself;
+    *   - the regime rule's ABSOLUTE CAP (1.9): for these wide bounds
+    *     any over-bound fit is ≥ 1.9, so it stays FATAL regardless
+    *     of rows or control evidence — the work gate past the bound
+    *     cannot be laundered into an advisory.
+    *
+    * The sweep measures rows for these entries on EVERY ladder run
+    * (not just when work flags), records them with the bound in the
+    * committed table, and [[graft.plans.ScalingAudit
+    * .rowsBoundFindings]] fails the --check gate — and
+    * ScalingTableSpec the committed table — on a rows exponent over
+    * its bound or a rows axis that stopped fitting. Bound 2.15 = the
+    * definitional ceiling (the summed row metric's linear scan/
+    * shuffle components dilute a pure n² stream to just under 2.0,
+    * measured 1.80 max) plus margin over the definitional limit, NOT
+    * over observed scatter — rows have none. */
+  val rowsBounds: Map[String, Double] = Map(
+    "q22_dedup_ngram" -> 2.15,
+    "q22_dedup_contain" -> 2.15,
+    "q23_semdedup" -> 2.15,
+    "q22_dedup_embed" -> 2.15)
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
@@ -429,6 +486,13 @@ object ScalingSweep {
     // a genuine regression reproduces in both runs and keeps its
     // finding. Bounded: one retry, bound-flagged entries only, same
     // sample count as the original.
+    // when the fold CHANGES the verdict (the original fit was over
+    // bound, the folded one is not), the original number is kept in
+    // the artifact/table as exponent_prefold + retry_disagreed=true —
+    // the r12 ADVICE's point: the min-fold is one-sided, so a retry
+    // that disagrees with its original must leave a flagged record a
+    // reader can audit, not silently take the smaller number
+    val prefold = scala.collection.mutable.Map[String, (Double, Boolean)]()
     val fits = rawFits.map { f =>
       if (!f.exponent.exists(_ > bounds.getOrElse(f.name, 1.6))) f
       else {
@@ -440,6 +504,14 @@ object ScalingSweep {
           math.max(runs, extraRuns.getOrElse(f.name, 0)),
           sizes = sizesOf(f.name))
         val folded = ScalingAudit.foldMin(f, again, sizesOf(f.name))
+        val disagreed =
+          !folded.exponent.exists(_ > bounds.getOrElse(f.name, 1.6))
+        prefold(f.name) = (f.exponent.get, disagreed)
+        if (disagreed)
+          System.err.println(f"[scaling] ${f.name}: retry DISAGREED — " +
+            f"prefold ${f.exponent.get}%.2f over bound, folded ${
+              folded.exponent.map(e => f"$e%.2f").getOrElse("unfit")} " +
+            "under; recording both (one-sided fold, see rowsBounds doc)")
         println(entryJson(f.name, folded, sizesOf(f.name),
           basisOf(f.name), withName = true))
         folded
@@ -486,8 +558,16 @@ object ScalingSweep {
     // work refusal). One untimed run per rung, unfit queries only.
     val unfitFull = fits.filter(f => f.exponent.isEmpty &&
       f.points.size == ScalingData.rungs.size).map(_.name)
+    // rows-BOUNDED entries measure rows on EVERY run, flagged or not:
+    // their wide work bounds rest on the rows axis (see rowsBounds),
+    // so the backstop must be a standing measurement, not one that
+    // only exists when work happens to flag. Ladder mode only — the
+    // legacy flat fixture's degenerate documents axis (500 rows at
+    // two rungs) cannot fit rows and would fail spuriously.
+    val rowsBounded =
+      if (flatMode) Nil else selected.filter(rowsBounds.contains)
     val rowFits: Map[String, (Seq[Long], Option[Double])] =
-      (candidates ++ unfitFull).distinct.sorted.map { name =>
+      (candidates ++ unfitFull ++ rowsBounded).distinct.sorted.map { name =>
         val rows = ScalingAudit.rowVolumes(spark, fnOf(name), dirsOf(name))
         val e =
           if (rows.size < ScalingData.rungs.size) None
@@ -592,15 +672,20 @@ object ScalingSweep {
       }
     val failed = ScalingAudit.auditMeasurementFailures(fits,
       ScalingData.rungs.size)
-    (over ++ regime ++ failed).foreach(f =>
+    // the rows-bound gate (fatal, never regime-downgradable): rows
+    // are exact, so there is no noise for a control to exculpate
+    val rowsOver =
+      ScalingAudit.rowsBoundFindings(rowFits, rowsBounds, rowsBounded)
+    (over ++ regime ++ failed ++ rowsOver).foreach(f =>
       System.err.println(s"[scaling] [${f.kind}] ${f.detail}"))
     drift.foreach(f =>
       System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
     driftRegime.foreach(f =>
       System.err.println(s"[scaling] [${f.kind}] (drift) ${f.detail}"))
     val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
-    val findings = (over ++ regime ++ failed ++ drift ++ driftRegime)
-      .map(f => s"[${f.kind}] ${f.detail}")
+    val findings =
+      (over ++ regime ++ failed ++ rowsOver ++ drift ++ driftRegime)
+        .map(f => s"[${f.kind}] ${f.detail}")
     val runMode = if (flatMode) "flat" else "ladder"
     // COUNTING RULE (the r11 verdict's bookkeeping nit): "fitted" =
     // n_fit = every entry whose exponent is non-null, INCLUDING fits
@@ -617,6 +702,7 @@ object ScalingSweep {
       s""""n_over_bound":${over.size},"n_regime_drift":${
         regime.size + driftRegime.size},""" +
       s""""n_failed":${failed.size},"n_drift":${drift.size},""" +
+      s""""n_rows_over_bound":${rowsOver.size},""" +
       s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
         .mkString("[", ",", "]")}}"""
     println(summary)
@@ -630,7 +716,9 @@ object ScalingSweep {
         strategy = strategyFits.get(f.name)
           .map(c => StrategyRecord(c.points.size, c.exponent,
             flattenedIn(strategyFits, f.name),
-            c.points.map(_.workSec), c.points.map(_.workSpread))))
+            c.points.map(_.workSec), c.points.map(_.workSpread))),
+        rowsBound = rowsBounds.get(f.name),
+        prefold = prefold.get(f.name))
     // the per-round artifact: summary + findings + every fit, one file
     outPath.foreach { p =>
       val qJson = fits.map(f => s""""${f.name}":${fullEntry(f)}""")
@@ -645,7 +733,7 @@ object ScalingSweep {
     }
     if (check) {
       spark.stop()
-      val gate = drift ++ over ++ failed
+      val gate = drift ++ over ++ failed ++ rowsOver
       if (gate.nonEmpty) sys.exit(1)
     } else {
       // MERGE into the prior table, never clobber: a subset run
@@ -736,13 +824,27 @@ object ScalingSweep {
       sizes: Seq[Long], basis: String, withName: Boolean = false,
       rowsInfo: Option[(Seq[Long], Option[Double])] = None,
       control: Option[ControlRecord] = None,
-      strategy: Option[StrategyRecord] = None): String = {
+      strategy: Option[StrategyRecord] = None,
+      rowsBound: Option[Double] = None,
+      prefold: Option[(Double, Boolean)] = None): String = {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val head = if (withName) s""""query":"$name",""" else ""
     val rowsPart = rowsInfo.map { case (rows, e) =>
       s""""rows":${rows.mkString("[", ",", "]")},"rows_exponent":${
         e.map(f3).getOrElse("null")},"""
+    }.getOrElse("")
+    // the recorded rows BOUND rides beside the measurement so the
+    // committed table carries the gate's number, not a code-only map
+    // a reader would have to cross-reference (ScalingTableSpec pins
+    // the two equal)
+    val rowsBoundPart = rowsBound
+      .map(b => s""""rows_bound":${f3(b)},""").getOrElse("")
+    // the strictly-last retry's one-sided fold, kept auditable: the
+    // ORIGINAL over-bound exponent and whether the fold changed the
+    // verdict (see the retry block in main)
+    val prefoldPart = prefold.map { case (e, disagreed) =>
+      s""""exponent_prefold":${f3(e)},"retry_disagreed":$disagreed,"""
     }.getOrElse("")
     val controlPart = control.map { c =>
       s""""control_partitions":${c.partitions},""" +
@@ -768,7 +870,7 @@ object ScalingSweep {
         f.points.map(p => f3(p.workSec)).mkString(",")}],""" +
       s""""work_spread":[${
         f.points.map(p => f3(p.workSpread)).mkString(",")}],""" +
-      rowsPart + controlPart + strategyPart +
+      rowsPart + rowsBoundPart + prefoldPart + controlPart + strategyPart +
       s""""exponent":${f.exponent.map(f3).getOrElse("null")}}"""
   }
 

@@ -43,16 +43,44 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL approx-entry inventory, independent of `only`: the
+    // manifest tools/check.py validates approx_err.json's KEYS against
+    // on unrestricted runs — without it, a subset Verify that rewrote
+    // the file with fewer entries would pass the next full gate run on
+    // whatever keys remained (the r12 ADVICE's silent-drop hole: the
+    // missing-file check alone cannot see missing ENTRIES)
+    Files.writeString(Paths.get(s"$outDir/approx_manifest.json"),
+      SparkEntry.approxErrors.keys.toSeq.sorted
+        .map(q).mkString("[", ",", "]"))
     // measured numeric error of the rows-only sketch/codec entries —
     // the artifact that certifies the sketches, not just their shape
-    // (tools/check.py fails on a measurement over its bound). Written
-    // UNCONDITIONALLY (prior file deleted first) so a stale file from
-    // an earlier run can never be validated against newer code, and a
-    // THROWING measurement is recorded as an explicit err=null entry
-    // that check.py counts as FAIL — a regression that crashes the
-    // measurement must fail the gate, not silently drop its cert.
-    Files.deleteIfExists(Paths.get(s"$outDir/approx_err.json"))
-    val errs = SparkEntry.approxErrors.toSeq.sortBy(_._1)
+    // (tools/check.py fails on a measurement over its bound). A FULL
+    // run rewrites the file from scratch (prior deleted first, so a
+    // crash mid-measure leaves no stale file to validate against newer
+    // code); a SUBSET run MERGES its measurements over the prior file
+    // instead of replacing it — before this, `Verify out sf q01_scan`
+    // clobbered a complete file with `{}` and the next unrestricted
+    // check.py iterated zero entries and passed with every sketch
+    // certification silently gone. A THROWING measurement is recorded
+    // as an explicit err=null entry that check.py counts as FAIL — a
+    // regression that crashes the measurement must fail the gate, not
+    // silently drop its cert.
+    val errPath = Paths.get(s"$outDir/approx_err.json")
+    val prior: Map[String, String] =
+      if (only.isEmpty || !Files.exists(errPath)) Map.empty
+      else try {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(
+            Files.readString(errPath)) match {
+          case JObject(fields) => fields.map { case (k, v) =>
+            k -> org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(v))
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    Files.deleteIfExists(errPath)
+    val fresh = SparkEntry.approxErrors.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, (bound, fn)) =>
         val e = try fn(spark, sfDir).toString
@@ -61,10 +89,11 @@ object Verify {
               ex.getMessage)
             "null"
           } finally Harness.dropPinnedRdds(spark)
-        s"${q(name)}: {${q("err")}: $e, ${q("bound")}: $bound}"
-      }
-    Files.writeString(Paths.get(s"$outDir/approx_err.json"),
-      errs.mkString("{", ",", "}"))
+        name -> s"{${q("err")}: $e, ${q("bound")}: $bound}"
+      }.toMap
+    val errs = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (name, body) => s"${q(name)}: $body" }
+    Files.writeString(errPath, errs.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -481,6 +481,55 @@ object ScalingAudit {
     fitSized(rows.map(_.toDouble), sizes,
       noiseFloorSec = 1.0, relFloor = 0.0)
 
+  /** FATAL finding kind: a ROWS-BOUNDED entry's measured row-volume
+    * exponent exceeds its recorded bound, or could not be fitted at
+    * all. The entries whose WORK bounds are "definitional quadratic +
+    * measured min-estimator scatter" (the widened 2.25–2.3 band) rest
+    * their regression detection on the rows axis — rows are EXACT
+    * (one deterministic run per rung: no sampling scatter, no
+    * min-fold bias, no noise-window retries), so the rows bound is
+    * the gate that cannot be ratcheted by host noise. An unfittable
+    * rows axis on such an entry is itself fatal: "no signal" is a
+    * property the exact rows metric only acquires when a rung failed
+    * to run or the ladder degenerated — both must fail loudly, or
+    * the backstop the wide work bounds lean on silently vanishes. */
+  val RowsOverBound = "rows-over-bound"
+
+  /** Fold measured row volumes against per-entry ROWS bounds into
+    * fatal findings (see [[RowsOverBound]]): for every selected entry
+    * carrying a rows bound — missing measurement, refused fit, or a
+    * fitted rows exponent above the bound each yield a finding.
+    * Pure (measurements in, findings out) so the failing-positive
+    * path is unit-testable without a sweep. */
+  def rowsBoundFindings(
+      rows: Map[String, (Seq[Long], Option[Double])],
+      rowsBounds: Map[String, Double],
+      selected: Seq[String]): Seq[PlanAudit.Finding] =
+    selected.filter(rowsBounds.contains).sorted.flatMap { name =>
+      val bound = rowsBounds(name)
+      rows.get(name) match {
+        case None | Some((_, None)) =>
+          Some(PlanAudit.Finding(RowsOverBound,
+            f"$name: rows-bounded entry has no fitted rows exponent " +
+              f"(bound $bound%.2f) — rows are exact, so a refusal " +
+              "means a rung failed or the ladder degenerated; the " +
+              "backstop its wide work bound leans on must not " +
+              "silently vanish" +
+              rows.get(name).map(r =>
+                s" (measured rows ${r._1.mkString(" -> ")})")
+                .getOrElse(""),
+            subject = name))
+        case Some((vols, Some(e))) if e > bound =>
+          Some(PlanAudit.Finding(RowsOverBound,
+            f"$name: rows exponent $e%.2f > rows bound $bound%.2f " +
+              s"(rows ${vols.mkString(" -> ")}) — a materialized " +
+              "candidate blowup past the documented definitional " +
+              "growth",
+            subject = name))
+        case _ => None
+      }
+    }
+
   /** The regime rule's ROW half (see [[RegimeDrift]] — conditions 1
     * and 2): is an over-bound work exponent still FATAL given the
     * row-growth fit alone? Fatal when rows did not fit (no

@@ -254,14 +254,17 @@ object Relational {
     * pins, as hash-green driver rows: per event type, the sketch
     * estimate sits within 5% of the exact distinct-user count; and on
     * the `__all__` row, union-of-parts agrees with sketch-of-whole
-    * within 1e-6 relative (register STATE is path-independent under
+    * within 1% relative (register STATE is path-independent under
     * max-merge at fixed lgK, but the library's estimator may take a
-    * different path — HIP vs composite — for a merged union than for a
-    * directly-built sketch, so exact `===` on the estimates could go
-    * red spuriously at other sizes/partitionings even when both
-    * sketches are correct) AND sits within 5% of the exact overall
-    * distinct — the 5%-vs-exact clause stays the hard bound. The
-    * oracle asserts the literal `true` per row. */
+    * different path — HIP for a directly-built sketch vs composite
+    * for a union result — and those typically diverge by ~0.1–1% in
+    * HLL mode, so the clause's tolerance must be the ESTIMATOR-
+    * divergence scale: the r12 check's 1e-6 only covered the case
+    * where both paths coincide and would have gone red spuriously at
+    * other sizes/partitionings even with both sketches correct) AND
+    * sits within 5% of the exact overall distinct — the 5%-vs-exact
+    * clause stays the hard accuracy bound. The oracle asserts the
+    * literal `true` per row. */
   def q04c_hll_err(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val per = ev.groupBy("event_type")
@@ -277,7 +280,7 @@ object Relational {
       .crossJoin(broadcast(whole)) // one row × one row
       .select(lit("__all__").as("event_type"),
         (abs(hll_sketch_estimate(col("sku")) - hll_sketch_estimate(col("skw")))
-           <= hll_sketch_estimate(col("skw")) * lit(1e-6)
+           <= hll_sketch_estimate(col("skw")) * lit(0.01)
           && abs(hll_sketch_estimate(col("sku")) - col("exactw"))
              <= col("exactw") * lit(0.05)).as("err_ok"))
     perOk.unionByName(allOk).orderBy("event_type")

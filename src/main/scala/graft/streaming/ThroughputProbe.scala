@@ -30,9 +30,14 @@ object ThroughputProbe {
 
   /** events/secs over the timed batch; `transactions` = assembled tx
     * rows observed at the sink (the correctness sanity: every tx in
-    * the timed+warm stream must assemble exactly once). */
+    * the timed+warm stream must assemble exactly once).
+    * `latencyP50Ms`/`latencyP99Ms` = per-microbatch end-to-end wall
+    * latency percentiles from the small-batch phase — the reference's
+    * ONE published number is a relay latency (BASELINE.md: 1–3 ms per
+    * event, single-process), and a throughput figure alone doesn't
+    * answer "how stale is a relayed event" under microbatching. */
   case class Result(events: Long, secs: Double, eventsPerSec: Double,
-      transactions: Long)
+      transactions: Long, latencyP50Ms: Double, latencyP99Ms: Double)
 
   def run(spark: SparkSession, nTx: Int = 20000): Result = {
     import spark.implicits._
@@ -63,7 +68,36 @@ object ThroughputProbe {
       val n = lines.size - warm.size
       val tx = spark.table(name)
         .filter(col("kind") === "transaction").count()
-      Result(n, secs, n / secs, tx)
+      // LATENCY phase: the big timed batch measures THROUGHPUT (events
+      // drained per second at saturation); a relayed event's staleness
+      // is a different number — the end-to-end wall time of one small
+      // microbatch (arrive → decode → assemble → sink visible), which
+      // at saturation is hidden inside the batch. 40 batches of 50 tx
+      // (150 events — a realistic per-trigger CDC trickle), each timed
+      // addData→processAllAvailable; p50/p99 over the batch walls.
+      // Fresh tx ids past nTx keep pk/assembly semantics intact. Runs
+      // strictly after the throughput measurement so it can't slow it.
+      val latBatches = 40
+      val latTx = 50
+      val latencies = (0 until latBatches).map { b =>
+        val rows = (0 until latTx).flatMap { j =>
+          val i = nTx + b * latTx + j
+          Seq(
+            ("pg1", i * 3L, s"""{"begin": $i}"""),
+            ("pg1", i * 3L + 1,
+              s"""{"insert": {"id": $i, "v": "x$i"}, "table": "t"}"""),
+            ("pg1", i * 3L + 2,
+              s"""{"commit": $i, "t": "2024-01-01 00:00:00"}"""))
+        }
+        val b0 = System.nanoTime()
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        (System.nanoTime() - b0) / 1e6
+      }.sorted
+      def pct(p: Double): Double =
+        latencies(math.min(latencies.size - 1,
+          math.ceil(p * latencies.size).toInt - 1))
+      Result(n, secs, n / secs, tx, pct(0.50), pct(0.99))
     } finally {
       q.stop()
       spark.catalog.dropTempView(name) // free the sink's driver memory

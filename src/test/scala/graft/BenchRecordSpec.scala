@@ -245,4 +245,18 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(BenchRecord.priorStreamingRate(
       """{"streaming_events_per_sec":41000}""").contains(41000.0))
   }
+
+  test("priorStreamingField generalizes the carry rule to the probe's " +
+      "latency percentiles — same None on sentinel/absence/garbage") {
+    val j = """{"streaming_batch_p50_ms":42.5,"streaming_batch_p99_ms":97.0}"""
+    assert(BenchRecord.priorStreamingField(j, "streaming_batch_p50_ms")
+      .contains(42.5))
+    assert(BenchRecord.priorStreamingField(j, "streaming_batch_p99_ms")
+      .contains(97.0))
+    assert(BenchRecord.priorStreamingField(
+      """{"streaming_batch_p50_ms":-1.0}""", "streaming_batch_p50_ms")
+      .isEmpty)
+    assert(BenchRecord.priorStreamingField(j, "absent_field").isEmpty)
+    assert(BenchRecord.priorStreamingField("garbage{", "x").isEmpty)
+  }
 }

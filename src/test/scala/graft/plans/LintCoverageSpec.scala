@@ -94,6 +94,8 @@ class LintCoverageSpec extends AnyFunSuite {
     ("StreamAudit.audit", "streaming state",
       Seq("src/test/scala/graft/plans/StreamAuditSpec.scala")),
     ("auditExponents", "scaling exponents",
+      Seq("src/main/scala/graft/ScalingSweep.scala")),
+    ("rowsBoundFindings", "rows-bound gate (exact-rows backstop)",
       Seq("src/main/scala/graft/ScalingSweep.scala")))
 
   test("every audit producer is invoked by its repo-wide sweep — " +

@@ -318,6 +318,27 @@ class ScalingAuditSpec extends SparkSpec {
     assert(drift.map(_.subject) == Seq("over"))
   }
 
+  test("rowsBoundFindings — the failing-positive control for the " +
+      "rows gate: an over-bound rows exponent, a refused rows fit, " +
+      "and a missing measurement are each FATAL on a rows-bounded " +
+      "entry; under-bound fits and unbounded entries are silent") {
+    val bounds = Map("a" -> 2.15, "b" -> 2.15, "c" -> 2.15, "d" -> 2.15)
+    val rows = Map(
+      "a" -> ((Seq(100L, 10000L, 3000000L), Some(2.38))), // over bound
+      "b" -> ((Seq(100L, 110L, 120L), None)),             // fit refused
+      // "c" never measured at all
+      "d" -> ((Seq(100L, 10000L, 1000000L), Some(2.0))),  // under bound
+      "e" -> ((Seq(1L, 100L, 10000L), Some(9.9))))        // no bound
+    val fs = ScalingAudit.rowsBoundFindings(rows, bounds,
+      Seq("e", "d", "c", "b", "a"))
+    assert(fs.map(_.subject) == Seq("a", "b", "c"), fs)
+    assert(fs.forall(_.kind == ScalingAudit.RowsOverBound))
+    assert(fs.head.detail.contains("2.38") &&
+      fs.head.detail.contains("2.15"), fs.head.detail)
+    // the happy path really is silent
+    assert(ScalingAudit.rowsBoundFindings(rows, bounds, Seq("d")).isEmpty)
+  }
+
   test("fitRows fits exact row counts across valid steps and refuses " +
       "flat or degenerate axes") {
     assert(math.abs(ScalingAudit.fitRows(

@@ -181,6 +181,75 @@ class ScalingTableSpec extends AnyFunSuite {
       s"entries with neither a work nor a rows growth fit: $blind")
   }
 
+  test("every rows-BOUNDED entry (ScalingSweep.rowsBounds — the " +
+      "recorded backstop behind the widened definitional work bounds) " +
+      "records its rows measurement, the bound itself, and a fitted " +
+      "rows exponent AT OR UNDER that bound; the recorded bound must " +
+      "equal the code's map and the exponent must re-derive from the " +
+      "recorded rows/sizes — a gate on the committed table, not " +
+      "scaladoc prose") {
+    import org.json4s._
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d)  => Some(d)
+      case JInt(i)     => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
+    def longs(v: JValue): Option[Seq[Long]] = v match {
+      case JArray(xs) =>
+        val ls = xs.flatMap(num).map(_.toLong)
+        if (ls.size == xs.size) Some(ls) else None
+      case _ => None
+    }
+    val entries = (org.json4s.jackson.JsonMethods.parse(raw) \ "queries")
+      .asInstanceOf[JObject].obj.collect {
+        case (name, body: JObject) => name -> body.obj.toMap
+      }.toMap
+    val problems = graft.ScalingSweep.rowsBounds.toSeq.sortBy(_._1)
+      .flatMap { case (name, bound) =>
+        entries.get(name) match {
+          case None => Seq(s"$name: rows-bounded entry absent from " +
+            "the table — regenerate with graft.ScalingSweep")
+          case Some(m) =>
+            val rows = m.get("rows").flatMap(longs)
+            val sizes = m.get("sizes").flatMap(longs)
+            val recBound = m.get("rows_bound").flatMap(num)
+            val recExp = m.get("rows_exponent").flatMap(num)
+            Seq(
+              if (rows.isEmpty)
+                Some(s"$name: no recorded rows measurement — the " +
+                  "backstop its widened work bound leans on is missing")
+              else None,
+              if (!recBound.exists(b => math.abs(b - bound) < 1e-9))
+                Some(s"$name: recorded rows_bound $recBound != the " +
+                  s"code's rowsBounds value $bound")
+              else None,
+              (recExp, rows, sizes) match {
+                case (None, _, _) =>
+                  Some(s"$name: no fitted rows_exponent — rows are " +
+                    "exact, a refusal means a failed rung or a " +
+                    "degenerate ladder; regenerate")
+                case (Some(e), _, _) if e > bound =>
+                  Some(f"$name: rows_exponent $e%.3f > rows bound " +
+                    f"$bound%.2f — a materialized candidate blowup " +
+                    "was committed into the table")
+                case (Some(e), Some(r), Some(sz)) =>
+                  ScalingAudit.fitRows(r, sz.take(r.size)) match {
+                    case Some(d) if math.abs(d - e) <= 0.005 => None
+                    case other =>
+                      Some(f"$name: recorded rows_exponent $e%.3f " +
+                        s"but the recorded rows/sizes refit to $other " +
+                        "— the table does not match its own points")
+                  }
+                case _ => None
+              }).flatten
+        }
+      }
+    assert(problems.isEmpty,
+      "rows-bound violations in the committed table:\n" +
+        problems.mkString("\n"))
+  }
+
   test("the heaps variants carry FITTED exponents under the default " +
       "bound — the natural-text growth numbers the corpus-bound " +
       "exponents defer to must exist and be sub-quadratic, not " +

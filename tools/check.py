@@ -120,6 +120,26 @@ def main():
         if not only:
             print("FAIL approx_err.json missing (Verify did not finish)")
             n_fail += 1
+    # unrestricted runs also validate the file's KEYS against the
+    # manifest Verify writes from the full (unfiltered) approxErrors
+    # inventory: a subset Verify run merges now, but a file that
+    # nevertheless lost entries (older Verify, hand edit, crash between
+    # the two writes) must fail here BY NAME — the missing-file check
+    # alone cannot see missing entries (r12 ADVICE).
+    if not only:
+        try:
+            with open(f"{out_dir}/approx_manifest.json") as f:
+                expected = json.load(f)
+        except FileNotFoundError:
+            expected = []
+            print("FAIL approx_manifest.json missing (Verify did not "
+                  "finish, or predates the manifest)")
+            n_fail += 1
+        for name in expected:
+            if name not in errs:
+                print(f"FAIL {name} missing from approx_err.json "
+                      "(entry dropped — subset overwrite or crash)")
+                n_fail += 1
     for name in sorted(errs):
         if only and name not in only:
             continue
