@@ -1479,7 +1479,21 @@ object Relational {
     * hash aggregate, same cost class as q03), cast to double ONCE, then
     * the textbook formulas evaluated in an identical expression order on
     * both engines. Bit-reproducible at any partitioning — what a 100 TB
-    * nightly metrics job actually wants. */
+    * nightly metrics job actually wants.
+    *
+    * The derived statistics are emitted at 12 SIGNIFICANT digits
+    * (per-column `round` decimal places sized to each column's
+    * magnitude band): the moments are exact as decimals, but once a
+    * scaled-integer moment passes 2⁵³ (syy does from ~60k rows) the
+    * decimal→double CAST itself double-rounds differently across
+    * engines (DuckDB divides an int128 by 10^scale in doubles; the
+    * JVM correctly rounds the decimal), and the 1–2 ulp operand
+    * difference surfaces in whichever statistic touches that moment —
+    * found by the r13 sf0.001 cross-check, where corr alone
+    * hash-failed at the 16th significant digit while every
+    * sxx/sy-derived column matched. Rounding BOTH engines' results at
+    * 12 significant digits pins the compare to the formula, not the
+    * engines' cast tie-breaking, and holds at any SF. */
   def q19c_stats(s: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
@@ -1495,14 +1509,14 @@ object Relational {
       .select(
         col("l_returnflag"),
         col("n").cast(LongType).as("n_rows"),
-        (col("sx") / col("n")).as("mean_qty"),
-        ((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - lit(1.0)))).as("var_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round(col("sx") / col("n"), 10).as("mean_qty"),
+        round((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0))), 9).as("var_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12)
           .as("corr_qty_price"))
-      .withColumn("stddev_qty", sqrt(col("var_qty")))
+      .withColumn("stddev_qty", round(sqrt(col("var_qty")), 10))
       .orderBy("l_returnflag")
   }
 
@@ -1516,7 +1530,13 @@ object Relational {
     * partition merge order (the q19c argument); decimal sums make the
     * moments exact, and the identical double-formula text on both
     * engines makes the derived values bit-reproducible at any
-    * partitioning. Scale: one partial+final hash aggregate, |groups|
+    * partitioning. Like q19c, the derived values are emitted at 12
+    * significant digits (per-column round places) because the
+    * decimal→double cast of the >2⁵³ scaled moments (syy, sxy)
+    * double-rounds engine-dependently — r² alone hash-failed the r13
+    * sf0.001 cross-check at the 16th digit. The intercept derives
+    * from the ROUNDED slope on both engines, so the chain stays
+    * identical. Scale: one partial+final hash aggregate, |groups|
     * rows through the shuffle. */
   def q19d_regression(s: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
@@ -1533,17 +1553,18 @@ object Relational {
       .select(
         col("l_returnflag"),
         col("n").cast(LongType).as("n_rows"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 10).as("slope"),
         col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
         col("sxy"))
       .select(
         col("l_returnflag"), col("n_rows"), col("slope"),
-        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
-        (((col("n") * col("sxy") - col("sx") * col("sy")) *
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 7)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
           (col("n") * col("sxy") - col("sx") * col("sy"))) /
           ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+            (col("n") * col("syy") - col("sy") * col("sy"))), 12).as("r2"))
       .orderBy("l_returnflag")
   }
 
@@ -1557,13 +1578,13 @@ object Relational {
        |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sxy
        |  FROM lineitem GROUP BY l_returnflag),
        |s AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS slope,
        |    n, sx, sy, sxx, syy, sxy
        |  FROM m)
        |SELECT l_returnflag, n_rows, slope,
-       |  (sy - slope * sx) / n AS intercept,
-       |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |  round((sy - slope * sx) / n, 7) AS intercept,
+       |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r2
        |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** CHI-SQUARED contingency cells — independence test between order
@@ -1630,11 +1651,11 @@ object Relational {
        |  CAST(SUM(CAST(l_extendedprice AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS syy,
        |  CAST(SUM(CAST(l_quantity AS $D18) * CAST(l_extendedprice AS $D18)) AS DOUBLE) AS sxy
        |  FROM lineitem GROUP BY l_returnflag)
-       |SELECT *, sqrt(var_qty) AS stddev_qty FROM (
+       |SELECT *, round(sqrt(var_qty), 10) AS stddev_qty FROM (
        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       |    sx / n AS mean_qty,
-       |    (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
-       |    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |    round(sx / n, 10) AS mean_qty,
+       |    round((n * sxx - sx * sx) / (n * (n - 1.0)), 9) AS var_qty,
+       |    round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
        |      AS corr_qty_price
        |  FROM m)
        |ORDER BY l_returnflag""".stripMargin
