@@ -310,18 +310,29 @@ object Bench {
     // latency percentiles — the reference's single published number
     // is a LATENCY (BASELINE.md 1–3 ms relay), and throughput alone
     // doesn't answer "how stale is a relayed event".
-    val streamProbe: Option[graft.streaming.ThroughputProbe.Result] =
-      if (only.nonEmpty) None
-      else (0 until 2).flatMap { _ =>
-        try Some(graft.streaming.ThroughputProbe.run(spark))
+    // Latency phase runs ONLY on the LAST attempt (r13 ADVICE: with it
+    // inline per-attempt, attempt 1's 100 extra microbatches sat right
+    // before attempt 2's timed throughput window, and the official
+    // rate dropped 21.7% in the same commit that added the phase).
+    // Throughput = best attempt; latency = the last attempt's phase,
+    // measured after every throughput window has closed.
+    val streamAttempts: Seq[graft.streaming.ThroughputProbe.Result] =
+      if (only.nonEmpty) Nil
+      else (0 until 2).flatMap { i =>
+        try Some(graft.streaming.ThroughputProbe.run(spark,
+          measureLatency = i == 1))
         catch { case e: Throwable =>
           System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
           None
         }
-      }.sortBy(_.eventsPerSec).lastOption
-    val streamRate: Double = streamProbe.fold(-1.0)(_.eventsPerSec)
-    val streamP50: Double = streamProbe.fold(-1.0)(_.latencyP50Ms)
-    val streamP99: Double = streamProbe.fold(-1.0)(_.latencyP99Ms)
+      }
+    val streamRate: Double =
+      if (streamAttempts.isEmpty) -1.0
+      else streamAttempts.map(_.eventsPerSec).max
+    val streamP50: Double = streamAttempts
+      .filter(_.latencyP50Ms >= 0).lastOption.fold(-1.0)(_.latencyP50Ms)
+    val streamP99: Double = streamAttempts
+      .filter(_.latencyP99Ms >= 0).lastOption.fold(-1.0)(_.latencyP99Ms)
     // carry-forward applies ONLY when the probe was SKIPPED (subset
     // run): on a FULL run where both probe attempts failed, the
     // record gets the -1 sentinel — a persistently crashing probe

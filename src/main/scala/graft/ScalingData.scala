@@ -253,27 +253,34 @@ object ScalingData {
       java.time.ZoneOffset.UTC)
 
   // ----------------------------------------------- per-row functions
-  private[graft] def customer(id: Long): Customer = {
-    val r = rng(id, 0xC0C0L)
+  // Every generator takes `off` (default 0 = the byte-deterministic
+  // ladder stream): XOR'd into the per-table salt before the splitmix
+  // scramble, it yields a fully decorrelated value stream per seed —
+  // the reseeded float-risk fixture (r13 verdict item 5) re-rolls the
+  // data magnitudes that a byte-deterministic fixture would pin, so a
+  // cast-divergence class (the q19c bug) can't stay masked until a
+  // size change happens to trip it.
+  private[graft] def customer(id: Long, off: Long = 0L): Customer = {
+    val r = rng(id, 0xC0C0L ^ off)
     Customer(id, f"Customer#$id%09d", r.nextInt(25),
       round2(-1000 + r.nextDouble() * 11000), segments(r.nextInt(5)))
   }
 
-  private[graft] def supplier(id: Long): Supplier = {
-    val r = rng(id, 0x50FFL)
+  private[graft] def supplier(id: Long, off: Long = 0L): Supplier = {
+    val r = rng(id, 0x50FFL ^ off)
     Supplier(id, f"Supplier#$id%09d", r.nextInt(25),
       round2(-1000 + r.nextDouble() * 11000))
   }
 
-  private[graft] def part(id: Long): Part = {
-    val r = rng(id, 0x9A27L)
+  private[graft] def part(id: Long, off: Long = 0L): Part = {
+    val r = rng(id, 0x9A27L ^ off)
     Part(id, s"${adjs(r.nextInt(8))} ${nouns(r.nextInt(8))}",
       s"Brand#${1 + r.nextInt(25)}", ptypes(r.nextInt(6)),
       1 + r.nextInt(50), 900.0 + 0.1 * (id % 1000))
   }
 
-  private[graft] def order(id: Long, nCust: Long): Order = {
-    val r = rng(id, 0x08DEL)
+  private[graft] def order(id: Long, nCust: Long, off: Long = 0L): Order = {
+    val r = rng(id, 0x08DEL ^ off)
     Order(id, math.floorMod(r.nextLong(), nCust), statuses(r.nextInt(3)),
       round2(1000 + r.nextDouble() * 499000),
       ts((orderEpochDay + r.nextInt(orderDays + 1)) * dayUs),
@@ -282,9 +289,9 @@ object ScalingData {
 
   /** The Poisson(4) basket for one order — the joint (basket, item)
     * structure q41d_kcore / q42b_triples peel. */
-  private[graft] def lines(orderId: Long, nPart: Long, nSupp: Long)
-      : Seq[Line] = {
-    val r = rng(orderId, 0x11EAL)
+  private[graft] def lines(orderId: Long, nPart: Long, nSupp: Long,
+      off: Long = 0L): Seq[Line] = {
+    val r = rng(orderId, 0x11EAL ^ off)
     (0 until poisson4(r)).map { i =>
       Line(orderId, math.floorMod(r.nextLong(), nPart),
         math.floorMod(r.nextLong(), nSupp), 1 + (i % 7),
@@ -300,8 +307,8 @@ object ScalingData {
     * fixture's event_id IS the ts order) without a generation-time
     * sort; the 30-day window is FIXED across rungs, like the driver
     * fixture across SFs — event density, not duration, scales. */
-  private[graft] def event(id: Long, n: Long): Event = {
-    val r = rng(id, 0xE7E7L)
+  private[graft] def event(id: Long, n: Long, off: Long = 0L): Event = {
+    val r = rng(id, 0xE7E7L ^ off)
     val users = math.max(1L, (n * 15) / 1000) // measured 1.5% of rows
     val t = eventsStartUs +
       ((id.toDouble + r.nextDouble()) * eventsWindowUs / n).toLong
@@ -320,20 +327,20 @@ object ScalingData {
 
   /** A doc's ORIGINAL word salad — pure in id so a duplicate row can
     * re-derive its source text without a join. */
-  private def baseWords(id: Long): Array[String] = {
-    val r = rng(id, 0xD0C5L)
+  private def baseWords(id: Long, off: Long = 0L): Array[String] = {
+    val r = rng(id, 0xD0C5L ^ off)
     Array.fill(8 + r.nextInt(93))(docVocab(r.nextInt(docVocab.length)))
   }
 
-  private[graft] def doc(id: Long): Doc = {
-    val r = rng(id, 0x0D0CL)
+  private[graft] def doc(id: Long, off: Long = 0L): Doc = {
+    val r = rng(id, 0x0D0CL ^ off)
     val roll = r.nextDouble()
     def sourceId: Long = id - 1 - math.floorMod(r.nextLong(),
       math.min(id, 2000L))
     val words =
-      if (id < 10 || roll >= 0.010) baseWords(id)
-      else if (roll < 0.004) baseWords(sourceId) // exact copy
-      else baseWords(sourceId).map(w => // mutated near-copy
+      if (id < 10 || roll >= 0.010) baseWords(id, off)
+      else if (roll < 0.004) baseWords(sourceId, off) // exact copy
+      else baseWords(sourceId, off).map(w => // mutated near-copy
         if (r.nextDouble() < 0.05) docVocab(r.nextInt(docVocab.length))
         else w)
     val text = words.mkString(" ")
@@ -443,8 +450,8 @@ object ScalingData {
       v.map(_ / n)
     }
 
-  private[graft] def vec(id: Long): Vec = {
-    val r = rng(id, 0xE3B0L)
+  private[graft] def vec(id: Long, off: Long = 0L): Vec = {
+    val r = rng(id, 0xE3B0L ^ off)
     val label = r.nextInt(10)
     val c = centroids(label)
     val raw = Array.tabulate(64)(i => r.nextGaussian() + 0.5 * c(i))
@@ -462,24 +469,25 @@ object ScalingData {
     spark.range(0, n, 1, genSlices)
 
   private[graft] def table(spark: SparkSession, name: String,
-      sz: Map[String, Long], heaps: Boolean = false): DataFrame = {
+      sz: Map[String, Long], heaps: Boolean = false,
+      off: Long = 0L): DataFrame = {
     import spark.implicits._
     def n = sz(name) // lineitem's row count is derived, not in the map
     name match {
-      case "customer" => ids(spark, n).map(id => customer(id)).toDF()
-      case "supplier" => ids(spark, n).map(id => supplier(id)).toDF()
+      case "customer" => ids(spark, n).map(id => customer(id, off)).toDF()
+      case "supplier" => ids(spark, n).map(id => supplier(id, off)).toDF()
       case "part" =>
         if (heaps) { val np = n; ids(spark, np).map(id => partHeaps(id, np)).toDF() }
-        else ids(spark, n).map(id => part(id)).toDF()
+        else ids(spark, n).map(id => part(id, off)).toDF()
       case "orders" =>
-        ids(spark, n).map(id => order(id, sz("customer"))).toDF()
+        ids(spark, n).map(id => order(id, sz("customer"), off)).toDF()
       case "lineitem" => ids(spark, sz("orders"))
-        .flatMap(id => lines(id, sz("part"), sz("supplier"))).toDF()
-      case "events" => ids(spark, n).map(id => event(id, n)).toDF()
+        .flatMap(id => lines(id, sz("part"), sz("supplier"), off)).toDF()
+      case "events" => ids(spark, n).map(id => event(id, n, off)).toDF()
       case "documents" =>
         if (heaps) { val nd = n; ids(spark, nd).map(id => docHeaps(id, nd)).toDF() }
-        else ids(spark, n).map(id => doc(id)).toDF()
-      case "embeddings" => ids(spark, n).map(id => vec(id)).toDF()
+        else ids(spark, n).map(id => doc(id, off)).toDF()
+      case "embeddings" => ids(spark, n).map(id => vec(id, off)).toDF()
       case other => throw new IllegalArgumentException(s"table: $other")
     }
   }
@@ -521,6 +529,32 @@ object ScalingData {
         Files.write(marker(dir), Array.emptyByteArray)
       }
 
+  /** Reseeded sf0.001-equivalent fixture (r13 verdict item 5): the
+    * driver-fixture table sizes, every row-function salt XOR'd with
+    * `seed` — a different value stream per seed, deterministic within
+    * one. tools/float_risk_check.sh generates one per round (seed =
+    * round number) and runs the float-risk Verify subset against it,
+    * so cross-engine cast/tie divergences that depend on specific data
+    * magnitudes get re-rolled every round instead of staying masked by
+    * the byte-deterministic driver fixture until a size change trips
+    * them (how the q19c corr bug stayed invisible for 12 rounds). */
+  def reseeded(spark: SparkSession, dir: String, seed: Long,
+      fixtureSf: String = "/root/testdata/sf0.001"): Unit = {
+    val sz = Map( // the measured driver sf0.001 row counts
+      "customer" -> 150L, "supplier" -> 10L, "part" -> 200L,
+      "orders" -> 1500L, "events" -> 1000L, "documents" -> 500L,
+      "embeddings" -> 500L)
+    System.err.println(s"[fixture] reseeded sf0.001-equivalent at $dir " +
+      s"(seed=$seed)")
+    Files.createDirectories(Paths.get(dir))
+    copyFixture(fixtureSf, dir, "region")
+    copyFixture(fixtureSf, dir, "nation")
+    generated.foreach { t =>
+      table(spark, t, sz, off = seed)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_LADDER_BASE")).getOrElse(defaultBase)
@@ -533,6 +567,24 @@ object ScalingData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ensure(spark, base)
+    spark.stop()
+  }
+}
+
+/** `tools/run_main.sh graft.FloatFixture <dir> <seed>` — generate the
+  * reseeded float-risk fixture (see [[ScalingData.reseeded]]). */
+object FloatFixture {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, seedStr) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScalingData.reseeded(spark, dir, java.lang.Long.parseLong(seedStr))
     spark.stop()
   }
 }

@@ -91,7 +91,34 @@ object Verify {
           } finally Harness.dropPinnedRdds(spark)
         name -> s"{${q("err")}: $e, ${q("bound")}: $bound}"
       }.toMap
-    val errs = (prior ++ fresh).toSeq.sortBy(_._1)
+    // Carried (prior, not re-measured) entries are re-rendered against
+    // the CURRENT inventory: their recorded bound is rewritten from
+    // SparkEntry.approxErrors and tagged "carried": true. Before this,
+    // a subset Verify after a code-side bound TIGHTENING carried the
+    // old looser bound verbatim, and the next unrestricted check.py
+    // validated the stale measurement against it — the invariant "a
+    // stale file can never be validated against newer code" held only
+    // for full runs (r13 ADVICE). Prior entries whose key left the
+    // inventory are dropped (the manifest check would not miss them —
+    // it only checks presence of EXPECTED keys).
+    val currentBounds: Map[String, Double] =
+      SparkEntry.approxErrors.map { case (k, (b, _)) => k -> b }
+    val carriedPrior: Map[String, String] = (prior -- fresh.keys)
+      .flatMap { case (name, body) =>
+        currentBounds.get(name).map { bound =>
+          val err = try {
+            import org.json4s._
+            org.json4s.jackson.JsonMethods.parse(body) \ "err" match {
+              case JNothing | JNull => "null"
+              case v => org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(v))
+            }
+          } catch { case _: Throwable => "null" }
+          name ->
+            s"{${q("err")}: $err, ${q("bound")}: $bound, ${q("carried")}: true}"
+        }
+      }
+    val errs = (carriedPrior ++ fresh).toSeq.sortBy(_._1)
       .map { case (name, body) => s"${q(name)}: $body" }
     Files.writeString(errPath, errs.mkString("{", ",", "}"))
     spark.stop()

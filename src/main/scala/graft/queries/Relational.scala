@@ -1492,8 +1492,15 @@ object Relational {
     * found by the r13 sf0.001 cross-check, where corr alone
     * hash-failed at the 16th significant digit while every
     * sxx/sy-derived column matched. Rounding BOTH engines' results at
-    * 12 significant digits pins the compare to the formula, not the
-    * engines' cast tie-breaking, and holds at any SF. */
+    * 12 significant digits removes the observed divergence class (a
+    * 1–2 ulp operand wobble moves digits ~16, four orders below the
+    * pin). Residual risk, not a guarantee: a ulp difference landing
+    * exactly on a decimal rounding tie can still round apart, and
+    * Spark's round (BigDecimal HALF_UP) and DuckDB's double-scaled
+    * round are not bit-identical procedures — the tie-boundary
+    * probability is ~10⁻⁴ per value per SF, guarded by the off-tier
+    * float-risk cross-check in tools/round_close.sh, not by this
+    * comment. */
   def q19c_stats(s: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))

@@ -35,11 +35,23 @@ object ThroughputProbe {
     * latency percentiles from the small-batch phase — the reference's
     * ONE published number is a relay latency (BASELINE.md: 1–3 ms per
     * event, single-process), and a throughput figure alone doesn't
-    * answer "how stale is a relayed event" under microbatching. */
+    * answer "how stale is a relayed event" under microbatching.
+    * -1 sentinels when `measureLatency = false`.
+    *
+    * `measureLatency` exists so a caller taking best-of-N throughput
+    * probes can run the latency phase ONLY on the LAST attempt: the
+    * r13 sweep ran it inline between the two attempts, and the
+    * official number dropped 27,595 → 21,617 ev/s in that same commit
+    * (the 100 extra microbatches before attempt 2's timed window are
+    * a plausible perturbation of a max-of-2 measurement — r13 ADVICE;
+    * the driver's independent run of the same code measured 28,568).
+    * With the phase after the last attempt, no throughput window ever
+    * has latency batches in front of it. */
   case class Result(events: Long, secs: Double, eventsPerSec: Double,
       transactions: Long, latencyP50Ms: Double, latencyP99Ms: Double)
 
-  def run(spark: SparkSession, nTx: Int = 20000): Result = {
+  def run(spark: SparkSession, nTx: Int = 20000,
+      measureLatency: Boolean = true, latBatches: Int = 100): Result = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val lines = (0 until nTx).iterator.flatMap { i =>
@@ -72,32 +84,37 @@ object ThroughputProbe {
       // drained per second at saturation); a relayed event's staleness
       // is a different number — the end-to-end wall time of one small
       // microbatch (arrive → decode → assemble → sink visible), which
-      // at saturation is hidden inside the batch. 40 batches of 50 tx
+      // at saturation is hidden inside the batch. 100 batches of 50 tx
       // (150 events — a realistic per-trigger CDC trickle), each timed
       // addData→processAllAvailable; p50/p99 over the batch walls.
+      // 100 samples make pct(0.99) index 98 — a real second-worst-case
+      // percentile, not the sample maximum that 40 samples gave (one
+      // GC pause used to DEFINE the recorded p99 — r13 ADVICE).
       // Fresh tx ids past nTx keep pk/assembly semantics intact. Runs
       // strictly after the throughput measurement so it can't slow it.
-      val latBatches = 40
-      val latTx = 50
-      val latencies = (0 until latBatches).map { b =>
-        val rows = (0 until latTx).flatMap { j =>
-          val i = nTx + b * latTx + j
-          Seq(
-            ("pg1", i * 3L, s"""{"begin": $i}"""),
-            ("pg1", i * 3L + 1,
-              s"""{"insert": {"id": $i, "v": "x$i"}, "table": "t"}"""),
-            ("pg1", i * 3L + 2,
-              s"""{"commit": $i, "t": "2024-01-01 00:00:00"}"""))
-        }
-        val b0 = System.nanoTime()
-        mem.addData(rows: _*)
-        q.processAllAvailable()
-        (System.nanoTime() - b0) / 1e6
-      }.sorted
-      def pct(p: Double): Double =
-        latencies(math.min(latencies.size - 1,
-          math.ceil(p * latencies.size).toInt - 1))
-      Result(n, secs, n / secs, tx, pct(0.50), pct(0.99))
+      if (!measureLatency) Result(n, secs, n / secs, tx, -1.0, -1.0)
+      else {
+        val latTx = 50
+        val latencies = (0 until latBatches).map { b =>
+          val rows = (0 until latTx).flatMap { j =>
+            val i = nTx + b * latTx + j
+            Seq(
+              ("pg1", i * 3L, s"""{"begin": $i}"""),
+              ("pg1", i * 3L + 1,
+                s"""{"insert": {"id": $i, "v": "x$i"}, "table": "t"}"""),
+              ("pg1", i * 3L + 2,
+                s"""{"commit": $i, "t": "2024-01-01 00:00:00"}"""))
+          }
+          val b0 = System.nanoTime()
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+          (System.nanoTime() - b0) / 1e6
+        }.sorted
+        def pct(p: Double): Double =
+          latencies(math.min(latencies.size - 1,
+            math.ceil(p * latencies.size).toInt - 1))
+        Result(n, secs, n / secs, tx, pct(0.50), pct(0.99))
+      }
     } finally {
       q.stop()
       spark.catalog.dropTempView(name) // free the sink's driver memory

@@ -106,7 +106,7 @@ class ScalingDataSpec extends SparkSpec {
       "words, lang weights (en ~0.40), source = src(id % 20), n_chars " +
       "= text length, and a small exact+near duplicate mass") {
     val n = 20000
-    val docs = (0L until n.toLong).map(ScalingData.doc)
+    val docs = (0L until n.toLong).map(ScalingData.doc(_))
     assert(docs.forall(d => d.n_chars == d.text.length))
     assert(docs.forall(d => d.source == s"src${d.doc_id % 20}"))
     val words = docs.flatMap(_.text.split(" "))
@@ -127,7 +127,7 @@ class ScalingDataSpec extends SparkSpec {
       "own label centroid ~0.065, nothing clustered enough to plant " +
       "near-dups)") {
     val n = 4000
-    val vs = (0L until n.toLong).map(ScalingData.vec)
+    val vs = (0L until n.toLong).map(ScalingData.vec(_))
     assert(vs.forall(_.embedding.length == 64))
     assert(vs.forall(v =>
       math.abs(v.embedding.map(x => x.toDouble * x).sum - 1.0) < 1e-4))

@@ -25,7 +25,11 @@ class CdcThroughputSpec extends SparkSpec {
     // two consumers); this test owns the regression floor and the
     // every-tx-assembled sanity
     val nTx = 20000 // 3 lines per tx → 60k lines
-    val r = ThroughputProbe.run(spark, nTx)
+    // latBatches=5 keeps the latency phase a smoke (the path compiles,
+    // runs, yields positive walls) without the bench's 100-sample
+    // percentile cost on the 4-thread test session; the meaningful
+    // p50/p99 live in the official Bench run.
+    val r = ThroughputProbe.run(spark, nTx, latBatches = 5)
     info(f"pipeline throughput: ${r.events}%d events in ${r.secs}%.2fs = " +
       f"${r.eventsPerSec}%.0f ev/s")
     println(f"[throughput] cdc dispatch pipeline: " +
@@ -35,6 +39,8 @@ class CdcThroughputSpec extends SparkSpec {
       f"${r.eventsPerSec}%.0f ev/s below the 10k floor")
     assert(r.transactions == nTx, // sanity: every tx assembled
       s"${r.transactions} assembled transactions, expected $nTx")
+    assert(r.latencyP50Ms > 0 && r.latencyP99Ms >= r.latencyP50Ms,
+      s"latency phase sanity: p50=${r.latencyP50Ms} p99=${r.latencyP99Ms}")
   }
 
   test("the stateful dispatch stage spreads its work across one task per " +

@@ -13,6 +13,7 @@ value-only), row count, and exact values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -38,8 +39,14 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; repo-generated fixtures
+        # (scaling ladder rungs, the reseeded float fixture) are
+        # Spark-written DIRECTORIES — DuckDB needs the glob form there
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')")
+                f"read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
@@ -112,11 +119,13 @@ def main():
     # writes the file unconditionally (err=null for a measurement that
     # crashed), so a MISSING file on an unrestricted run means Verify
     # itself died before the dump — count that as a FAIL too.
+    err_file_missing = False
     try:
         with open(f"{out_dir}/approx_err.json") as f:
             errs = json.load(f)
     except FileNotFoundError:
         errs = {}
+        err_file_missing = True
         if not only:
             print("FAIL approx_err.json missing (Verify did not finish)")
             n_fail += 1
@@ -126,7 +135,10 @@ def main():
     # nevertheless lost entries (older Verify, hand edit, crash between
     # the two writes) must fail here BY NAME — the missing-file check
     # alone cannot see missing entries (r12 ADVICE).
-    if not only:
+    # ... unless approx_err.json itself was missing: one FAIL already
+    # names that root cause, and a per-name FAIL for every expected
+    # entry would bury it under dozens of consequences (r13 ADVICE).
+    if not only and not err_file_missing:
         try:
             with open(f"{out_dir}/approx_manifest.json") as f:
                 expected = json.load(f)

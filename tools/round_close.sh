@@ -12,7 +12,11 @@
 #       in the failure message;
 #   (c) the COMMITTED scaling table would be refused by HEAD's own
 #       audit floors (ScalingTableSpec: coverage, bounds + re-derived
-#       control evidence, refit backstop, growth axes, heaps fits).
+#       control evidence, refit backstop, growth axes, heaps fits);
+#   (d) the off-tier float-risk cross-check fails — the float-deriving
+#       Verify subset at sf0.001 + sf0.1 + a per-round reseeded
+#       fixture (tools/float_risk_check.sh; mechanizes the manual run
+#       that caught the r13 q19c/q19d cast-divergence bug).
 #
 # Driver artifacts generated AFTER the round's last commit cannot be
 # committed this round — this gate exists so that state is loud, and
@@ -21,6 +25,8 @@
 #
 # ROUND_CLOSE_SKIP_SBT=1 skips (c) for a fast tree-only check (e.g.
 # when sbt is already running a sweep and would contend for the lock).
+# ROUND_CLOSE_SKIP_FLOAT=1 skips (d) likewise (it needs compiled
+# classes and ~3 min of Spark runs).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 fail=0
@@ -52,8 +58,18 @@ if [ "${ROUND_CLOSE_SKIP_SBT:-0}" != "1" ]; then
   fi
 fi
 
+if [ "${ROUND_CLOSE_SKIP_FLOAT:-0}" != "1" ]; then
+  echo "[round-close] off-tier float-risk cross-check..."
+  if ! bash tools/float_risk_check.sh >/tmp/round_close_float.log 2>&1; then
+    echo "ROUND-CLOSE FAIL: float-risk cross-check red:"
+    grep -E 'FAIL' /tmp/round_close_float.log | head -20
+    echo "(full log: /tmp/round_close_float.log)"
+    fail=1
+  fi
+fi
+
 if [ "$fail" = 0 ]; then
   echo "[round-close] OK: tree clean, artifacts tracked, committed" \
-    "table reproducible under HEAD"
+    "table reproducible under HEAD, float-risk subset green off-tier"
 fi
 exit $fail
