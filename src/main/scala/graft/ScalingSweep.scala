@@ -285,6 +285,29 @@ object ScalingSweep {
     // over support 2) and peel depth grows with density — per-round
     // work stays O(m); mechanism documented in the q41d scaladoc
     "q41d_kcore" -> 1.75,
+    // pagerank (8 fixed iterations, two shuffle joins + one partial
+    // agg per iteration): per-iteration work is O(m) and rows measure
+    // 1.23 EXACTLY (the graph densifies mildly as orders outgrow the
+    // pinned 10:1 customer universe), but the measured work exponent
+    // lives in a constant-regime band the first-difference fit cannot
+    // see through at these rungs — 1.67/1.78/1.83 across three clean
+    // rounds, with the two mechanism controls measuring 1.38 (join
+    // strategy held shuffle-regime at every rung: the honest
+    // algorithmic growth, under the default bound) and 1.48–1.66
+    // (256 partitions: the per-task working-set step, drifting as the
+    // r3 working set grows). Three rounds of the same advisory with a
+    // wobbling exponent is evidence-weak (the r13 verdict's one weak
+    // item), so the disposition is RECORDED instead of re-derived:
+    // the work bound equals the regime rule's ABSOLUTE CAP — past
+    // 1.9 nothing exculpates, under it the work axis asserts only
+    // "not a compute blowup" — and the FORMAL regression gate is the
+    // exact rows axis (rowsBounds: 1.35 over the measured 1.23),
+    // which a genuine edge/candidate blowup must cross. Decisive
+    // amortization evidence would need a 4th decade (50M orders,
+    // ~870 s work per sample) this harness cannot afford per round;
+    // the recorded-bound pattern is the same one the widened dedup
+    // bounds use (rows as backstop, cap as ceiling).
+    "q41_pagerank" -> 1.9,
     // large-star/small-star CC: per-round work is O(m) but the ROUND
     // COUNT is the graph's convergence depth (O(log² n) worst case,
     // data-dependent) — in this SF range it steps 2→4 while m also
@@ -381,7 +404,41 @@ object ScalingSweep {
     "q22_dedup_ngram" -> 2.15,
     "q22_dedup_contain" -> 2.15,
     "q23_semdedup" -> 2.15,
-    "q22_dedup_embed" -> 2.15)
+    "q22_dedup_embed" -> 2.15,
+    // pagerank's formal regression gate (see its work-bound note):
+    // per-iteration join row volume measures 1.229 exactly and
+    // reproduces across runs; 1.35 (= the regime rule's RowBound)
+    // is linear-ish growth with the graph-densification margin — an
+    // edge blowup or a candidate-stream regression crosses it while
+    // the constant-regime work wobble never touches the rows axis
+    "q41_pagerank" -> 1.35)
+
+  /** FLOOR-DOCUMENTED entries (r13 verdict item 4) — the committed
+    * growth verdict for queries whose per-rung work DIFFERENCES sit
+    * under the sweep's detection floors at every rung (wall flat,
+    * `exponent: null` is the honest fit refusal), while their EXACT
+    * rows axis fits ~1.0: the disposition "linear — flat wall under
+    * a recorded work floor, rows exactly linear" rides in the table
+    * (`work_floor` + `rows_bound` + the standing rows measurement)
+    * instead of a blank where a verdict should be. value =
+    * (workFloorSec, rowsBound):
+    *   - workFloorSec: the per-rung WORK ceiling under which "unfit"
+    *     is the healthy reading — ~3× the measured top-rung work, so
+    *     a code change that makes the entry genuinely grow fails
+    *     [[graft.plans.ScalingAudit.floorFindings]] by name instead
+    *     of hiding behind the unfit refusal;
+    *   - rowsBound 1.15: linearity with margin over the exact,
+    *     scatter-free rows fit (all three measure 0.95–1.02).
+    * q17b_fuzzy (0.14–0.15 s work, rows 1.00) and q36c_anonymity
+    * (0.14 s, rows 1.00) are sub-floor everywhere; q27_shuffle's
+    * work (1.2→2.8 s on big, a per-row shuffle whose exponent
+    * coin-flips between ~1.0 and refusal on bottom-rung scatter)
+    * gets the same treatment with its floor above the measured band
+    * — whichever way the fit lands, the entry carries a verdict. */
+  val floorBounds: Map[String, (Double, Double)] = Map(
+    "q17b_fuzzy" -> ((0.5, 1.15)),
+    "q36c_anonymity" -> ((0.5, 1.15)),
+    "q27_shuffle" -> ((4.5, 1.15)))
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
@@ -566,8 +623,14 @@ object ScalingSweep {
     // two rungs) cannot fit rows and would fail spuriously.
     val rowsBounded =
       if (flatMode) Nil else selected.filter(rowsBounds.contains)
+    // floor-documented entries likewise measure rows on EVERY run:
+    // the linear-rows half of their committed disposition must be a
+    // standing measurement (see floorBounds)
+    val floorDocumented =
+      if (flatMode) Nil else selected.filter(floorBounds.contains)
     val rowFits: Map[String, (Seq[Long], Option[Double])] =
-      (candidates ++ unfitFull ++ rowsBounded).distinct.sorted.map { name =>
+      (candidates ++ unfitFull ++ rowsBounded ++ floorDocumented)
+        .distinct.sorted.map { name =>
         val rows = ScalingAudit.rowVolumes(spark, fnOf(name), dirsOf(name))
         val e =
           if (rows.size < ScalingData.rungs.size) None
@@ -676,7 +739,14 @@ object ScalingSweep {
     // are exact, so there is no noise for a control to exculpate
     val rowsOver =
       ScalingAudit.rowsBoundFindings(rowFits, rowsBounds, rowsBounded)
-    (over ++ regime ++ failed ++ rowsOver).foreach(f =>
+    // the floor-breach gate (fatal, like the rows bound: the floor
+    // disposition is a committed verdict, and its both halves — work
+    // under the documented floor, rows linear — are exact enough
+    // that a breach is a real change, not noise to exculpate)
+    val floorOver =
+      ScalingAudit.floorFindings(fits, rowFits, floorBounds,
+        floorDocumented)
+    (over ++ regime ++ failed ++ rowsOver ++ floorOver).foreach(f =>
       System.err.println(s"[scaling] [${f.kind}] ${f.detail}"))
     drift.foreach(f =>
       System.err.println(s"[scaling] DRIFT [${f.kind}] ${f.detail}"))
@@ -684,8 +754,8 @@ object ScalingSweep {
       System.err.println(s"[scaling] [${f.kind}] (drift) ${f.detail}"))
     val unfit = fits.filter(_.exponent.isEmpty).map(_.name)
     val findings =
-      (over ++ regime ++ failed ++ rowsOver ++ drift ++ driftRegime)
-        .map(f => s"[${f.kind}] ${f.detail}")
+      (over ++ regime ++ failed ++ rowsOver ++ floorOver ++ drift ++
+        driftRegime).map(f => s"[${f.kind}] ${f.detail}")
     val runMode = if (flatMode) "flat" else "ladder"
     // COUNTING RULE (the r11 verdict's bookkeeping nit): "fitted" =
     // n_fit = every entry whose exponent is non-null, INCLUDING fits
@@ -703,6 +773,7 @@ object ScalingSweep {
         regime.size + driftRegime.size},""" +
       s""""n_failed":${failed.size},"n_drift":${drift.size},""" +
       s""""n_rows_over_bound":${rowsOver.size},""" +
+      s""""n_floor_breach":${floorOver.size},""" +
       s""""unfit":${unfit.take(12).map("\"" + _ + "\"")
         .mkString("[", ",", "]")}}"""
     println(summary)
@@ -717,7 +788,9 @@ object ScalingSweep {
           .map(c => StrategyRecord(c.points.size, c.exponent,
             flattenedIn(strategyFits, f.name),
             c.points.map(_.workSec), c.points.map(_.workSpread))),
-        rowsBound = rowsBounds.get(f.name),
+        rowsBound = rowsBounds.get(f.name)
+          .orElse(floorBounds.get(f.name).map(_._2)),
+        workFloor = floorBounds.get(f.name).map(_._1),
         prefold = prefold.get(f.name))
     // the per-round artifact: summary + findings + every fit, one file
     outPath.foreach { p =>
@@ -733,7 +806,7 @@ object ScalingSweep {
     }
     if (check) {
       spark.stop()
-      val gate = drift ++ over ++ failed ++ rowsOver
+      val gate = drift ++ over ++ failed ++ rowsOver ++ floorOver
       if (gate.nonEmpty) sys.exit(1)
     } else {
       // MERGE into the prior table, never clobber: a subset run
@@ -826,6 +899,7 @@ object ScalingSweep {
       control: Option[ControlRecord] = None,
       strategy: Option[StrategyRecord] = None,
       rowsBound: Option[Double] = None,
+      workFloor: Option[Double] = None,
       prefold: Option[(Double, Boolean)] = None): String = {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -840,6 +914,12 @@ object ScalingSweep {
     // the two equal)
     val rowsBoundPart = rowsBound
       .map(b => s""""rows_bound":${f3(b)},""").getOrElse("")
+    // the floor-documented disposition (see floorBounds): the work
+    // ceiling under which `exponent: null` is the committed verdict
+    // "flat wall, linear rows", gated by ScalingAudit.floorFindings
+    // and pinned to the code's map by ScalingTableSpec
+    val floorPart = workFloor
+      .map(w => s""""work_floor":${f3(w)},""").getOrElse("")
     // the strictly-last retry's one-sided fold, kept auditable: the
     // ORIGINAL over-bound exponent and whether the fold changed the
     // verdict (see the retry block in main)
@@ -870,7 +950,8 @@ object ScalingSweep {
         f.points.map(p => f3(p.workSec)).mkString(",")}],""" +
       s""""work_spread":[${
         f.points.map(p => f3(p.workSpread)).mkString(",")}],""" +
-      rowsPart + rowsBoundPart + prefoldPart + controlPart + strategyPart +
+      rowsPart + rowsBoundPart + floorPart + prefoldPart + controlPart +
+      strategyPart +
       s""""exponent":${f.exponent.map(f3).getOrElse("null")}}"""
   }
 

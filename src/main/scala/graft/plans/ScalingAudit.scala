@@ -530,6 +530,62 @@ object ScalingAudit {
       }
     }
 
+  /** FATAL finding kind: a FLOOR-DOCUMENTED entry
+    * ([[graft.ScalingSweep.floorBounds]] — wall flat under the
+    * work-fit detection floor, exact rows linear) breached its
+    * recorded disposition: a measured work point grew past the
+    * documented work floor, the rows axis stopped fitting, or the
+    * rows exponent exceeded its linearity bound. */
+  val FloorBreach = "work-floor-breach"
+
+  /** Fold floor-documented entries' measurements into fatal findings
+    * (see [[FloorBreach]]). The disposition "honestly unfit — per-rung
+    * work under the detection floor, rows exactly linear" is a
+    * committed growth verdict, not a blank (r13 verdict item 4), and
+    * it is only valid while BOTH halves hold: if a code change makes
+    * the entry's work grow past the floor, the gate fails BY NAME
+    * instead of the entry silently staying `exponent: null` — the
+    * same can't-silently-rot principle as [[rowsBoundFindings]].
+    * Pure (measurements in, findings out) so the failing-positive
+    * path is unit-testable without a sweep. */
+  def floorFindings(
+      fits: Seq[ScalingFit],
+      rows: Map[String, (Seq[Long], Option[Double])],
+      floors: Map[String, (Double, Double)],
+      selected: Seq[String]): Seq[PlanAudit.Finding] =
+    selected.filter(floors.contains).sorted.flatMap { name =>
+      val (workFloor, rowsBound) = floors(name)
+      val workFinding = fits.find(_.name == name).toSeq
+        .flatMap(_.points.map(_.workSec)).filter(_ > workFloor)
+        .sorted.lastOption.map { w =>
+          PlanAudit.Finding(FloorBreach,
+            f"$name: measured work $w%.3f s over the documented work " +
+              f"floor $workFloor%.2f s — the entry grew out of its " +
+              "flat-wall regime; give it a real fit/bound (or " +
+              "re-measure and raise the floor with a ledgered cause) " +
+              "instead of keeping the floor disposition",
+            subject = name)
+        }
+      val rowFinding = rows.get(name) match {
+        case None | Some((_, None)) =>
+          Some(PlanAudit.Finding(FloorBreach,
+            f"$name: floor-documented entry has no fitted rows " +
+              f"exponent (bound $rowsBound%.2f) — rows are exact; a " +
+              "refusal means a failed rung or a degenerate ladder, " +
+              "and the linear-rows half of the disposition must not " +
+              "silently vanish",
+            subject = name))
+        case Some((vols, Some(e))) if e > rowsBound =>
+          Some(PlanAudit.Finding(FloorBreach,
+            f"$name: rows exponent $e%.2f > rows bound $rowsBound%.2f " +
+              s"(rows ${vols.mkString(" -> ")}) — the linear-rows " +
+              "half of the floor disposition no longer holds",
+            subject = name))
+        case _ => None
+      }
+      workFinding.toSeq ++ rowFinding
+    }
+
   /** The regime rule's ROW half (see [[RegimeDrift]] — conditions 1
     * and 2): is an over-bound work exponent still FATAL given the
     * row-growth fit alone? Fatal when rows did not fit (no

@@ -96,6 +96,8 @@ class LintCoverageSpec extends AnyFunSuite {
     ("auditExponents", "scaling exponents",
       Seq("src/main/scala/graft/ScalingSweep.scala")),
     ("rowsBoundFindings", "rows-bound gate (exact-rows backstop)",
+      Seq("src/main/scala/graft/ScalingSweep.scala")),
+    ("floorFindings", "work-floor gate (floor-documented entries)",
       Seq("src/main/scala/graft/ScalingSweep.scala")))
 
   test("every audit producer is invoked by its repo-wide sweep — " +

@@ -339,6 +339,42 @@ class ScalingAuditSpec extends SparkSpec {
     assert(ScalingAudit.rowsBoundFindings(rows, bounds, Seq("d")).isEmpty)
   }
 
+  test("floorFindings — the failing-positive control for the floor-" +
+      "documented gate: work past the documented floor, a refused " +
+      "rows fit, a missing rows measurement, and an over-bound rows " +
+      "exponent are each FATAL; a sub-floor entry with linear rows " +
+      "is silent, as is an entry without a floor") {
+    def fit(name: String, work: Double*) = ScalingAudit.ScalingFit(
+      name, work.zipWithIndex.map { case (w, i) =>
+        ScalingAudit.Point(s"r${i + 1}", w, w) }, None)
+    val floors = Map(
+      "a" -> ((0.5, 1.15)), "b" -> ((0.5, 1.15)),
+      "c" -> ((0.5, 1.15)), "d" -> ((0.5, 1.15)), "e" -> ((0.5, 1.15)))
+    val fits = Seq(
+      fit("a", 0.14, 0.15, 0.61), // work breach at r3
+      fit("b", 0.14, 0.14, 0.15), // sub-floor, rows refused below
+      fit("c", 0.14, 0.14, 0.15), // sub-floor, rows never measured
+      fit("d", 0.14, 0.14, 0.15), // sub-floor, rows over bound below
+      fit("e", 0.14, 0.14, 0.15), // healthy: sub-floor + linear rows
+      fit("z", 9.99, 9.99, 9.99)) // no floor -> not this gate's business
+    val rows = Map(
+      "a" -> ((Seq(100L, 1000L, 10000L), Some(1.0))),
+      "b" -> ((Seq(100L, 110L, 120L), None)),
+      "d" -> ((Seq(100L, 10000L, 1000000L), Some(2.0))),
+      "e" -> ((Seq(100L, 1000L, 10000L), Some(1.0))))
+    val fs = ScalingAudit.floorFindings(fits, rows, floors,
+      Seq("z", "e", "d", "c", "b", "a"))
+    assert(fs.map(_.subject) == Seq("a", "b", "c", "d"), fs)
+    assert(fs.forall(_.kind == ScalingAudit.FloorBreach))
+    assert(fs.head.detail.contains("0.610") &&
+      fs.head.detail.contains("0.50"), fs.head.detail)
+    assert(fs.last.detail.contains("2.00") &&
+      fs.last.detail.contains("1.15"), fs.last.detail)
+    // the happy path really is silent
+    assert(ScalingAudit.floorFindings(fits, rows, floors,
+      Seq("e")).isEmpty)
+  }
+
   test("fitRows fits exact row counts across valid steps and refuses " +
       "flat or degenerate axes") {
     assert(math.abs(ScalingAudit.fitRows(

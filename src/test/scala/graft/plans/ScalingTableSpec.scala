@@ -250,6 +250,99 @@ class ScalingTableSpec extends AnyFunSuite {
         problems.mkString("\n"))
   }
 
+  test("every FLOOR-DOCUMENTED entry (ScalingSweep.floorBounds — the " +
+      "committed 'flat wall under a recorded work floor, rows exactly " +
+      "linear' growth verdict that replaces a bare exponent:null) " +
+      "records the floor, the rows bound, a rows measurement whose " +
+      "fitted exponent sits at or under the bound and re-derives from " +
+      "its own points, and work points all at or under the floor — " +
+      "the disposition is a gate on the committed table, so an entry " +
+      "whose wall cost grows past its floor cannot silently stay " +
+      "unfit") {
+    import org.json4s._
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d)  => Some(d)
+      case JInt(i)     => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _           => None
+    }
+    def longs(v: JValue): Option[Seq[Long]] = v match {
+      case JArray(xs) =>
+        val ls = xs.flatMap(num).map(_.toLong)
+        if (ls.size == xs.size) Some(ls) else None
+      case _ => None
+    }
+    def doubles(v: JValue): Option[Seq[Double]] = v match {
+      case JArray(xs) =>
+        val ds = xs.flatMap(num)
+        if (ds.size == xs.size) Some(ds) else None
+      case _ => None
+    }
+    val entries = (org.json4s.jackson.JsonMethods.parse(raw) \ "queries")
+      .asInstanceOf[JObject].obj.collect {
+        case (name, body: JObject) => name -> body.obj.toMap
+      }.toMap
+    val problems = graft.ScalingSweep.floorBounds.toSeq.sortBy(_._1)
+      .flatMap { case (name, (workFloor, rowsBound)) =>
+        entries.get(name) match {
+          case None => Seq(s"$name: floor-documented entry absent " +
+            "from the table — regenerate with graft.ScalingSweep")
+          case Some(m) =>
+            val rows = m.get("rows").flatMap(longs)
+            val sizes = m.get("sizes").flatMap(longs)
+            val work = m.get("work").flatMap(doubles)
+            val recFloor = m.get("work_floor").flatMap(num)
+            val recBound = m.get("rows_bound").flatMap(num)
+            val recExp = m.get("rows_exponent").flatMap(num)
+            Seq(
+              if (!recFloor.exists(f => math.abs(f - workFloor) < 1e-9))
+                Some(s"$name: recorded work_floor $recFloor != the " +
+                  s"code's floorBounds value $workFloor")
+              else None,
+              if (!recBound.exists(b => math.abs(b - rowsBound) < 1e-9))
+                Some(s"$name: recorded rows_bound $recBound != the " +
+                  s"code's floorBounds value $rowsBound")
+              else None,
+              work match {
+                case None => Some(s"$name: no recorded work points")
+                case Some(ws) => ws.filter(_ > workFloor).sorted
+                  .lastOption.map(w =>
+                    f"$name: recorded work $w%.3f s over the " +
+                      f"documented floor $workFloor%.2f s — the flat-" +
+                      "wall half of the committed disposition is " +
+                      "stale; re-measure and give the entry a real " +
+                      "fit/bound or a ledgered floor raise")
+              },
+              if (rows.isEmpty)
+                Some(s"$name: no recorded rows measurement — the " +
+                  "linear-rows half of the disposition is missing")
+              else None,
+              (recExp, rows, sizes) match {
+                case (None, _, _) =>
+                  Some(s"$name: no fitted rows_exponent — rows are " +
+                    "exact, a refusal means a failed rung or a " +
+                    "degenerate ladder; regenerate")
+                case (Some(e), _, _) if e > rowsBound =>
+                  Some(f"$name: rows_exponent $e%.3f > rows bound " +
+                    f"$rowsBound%.2f — the linear-rows verdict no " +
+                    "longer holds")
+                case (Some(e), Some(r), Some(sz)) =>
+                  ScalingAudit.fitRows(r, sz.take(r.size)) match {
+                    case Some(d) if math.abs(d - e) <= 0.005 => None
+                    case other =>
+                      Some(f"$name: recorded rows_exponent $e%.3f " +
+                        s"but the recorded rows/sizes refit to $other " +
+                        "— the table does not match its own points")
+                  }
+                case _ => None
+              }).flatten
+        }
+      }
+    assert(problems.isEmpty,
+      "floor-disposition violations in the committed table:\n" +
+        problems.mkString("\n"))
+  }
+
   test("the heaps variants carry FITTED exponents under the default " +
       "bound — the natural-text growth numbers the corpus-bound " +
       "exponents defer to must exist and be sub-quadratic, not " +
