@@ -423,10 +423,15 @@ object ScalingSweep {
     * instead of a blank where a verdict should be. value =
     * (workFloorSec, rowsBound):
     *   - workFloorSec: the per-rung WORK ceiling under which "unfit"
-    *     is the healthy reading — ~3× the measured top-rung work, so
-    *     a code change that makes the entry genuinely grow fails
+    *     is the healthy reading — ~3× the top of the entry's measured
+    *     cross-round work band, so a code change that makes the
+    *     entry genuinely grow (at these rungs a real regression is an
+    *     order of magnitude, not 1.5×) fails
     *     [[graft.plans.ScalingAudit.floorFindings]] by name instead
-    *     of hiding behind the unfit refusal;
+    *     of hiding behind the unfit refusal, while a sustained
+    *     host-noise window (the r12 lesson: 2–3× spikes can survive
+    *     a rung's min-of-3) cannot coin-flip the gate red on
+    *     untouched code;
     *   - rowsBound 1.15: linearity with margin over the exact,
     *     scatter-free rows fit (all three measure 0.95–1.02).
     * q17b_fuzzy (0.14–0.15 s work, rows 1.00) and q36c_anonymity
@@ -439,10 +444,10 @@ object ScalingSweep {
     * sit above the measured work band, so whichever way the fit
     * lands, the entry carries a verdict and a gate. */
   val floorBounds: Map[String, (Double, Double)] = Map(
-    "q17b_fuzzy" -> ((0.5, 1.15)),
-    "q36c_anonymity" -> ((0.5, 1.15)),
-    "q27_shuffle" -> ((4.5, 1.15)),
-    "q14g_pareto" -> ((9.0, 1.15)))
+    "q17b_fuzzy" -> ((0.5, 1.15)),     // band 0.09–0.15 s
+    "q36c_anonymity" -> ((0.5, 1.15)), // band 0.12–0.14 s
+    "q27_shuffle" -> ((9.0, 1.15)),    // band 0.9–3.2 s
+    "q14g_pareto" -> ((20.0, 1.15)))   // band 4.6–6.8 s
 
   def main(args: Array[String]): Unit = {
     val check = args.contains("--check")
