@@ -1128,11 +1128,16 @@ object FunnelOps {
       // snapshot it so the deviation scan below (forked into the dev2
       // histogram and the final outlier count) doesn't replay it
       .localCheckpoint()
-    val d = v.join(m, "et")
+    // deviation pass rides the FIRST histogram, not the corpus: every
+    // (et, vus) bucket maps whole to one dev2 bucket, so summing the
+    // bucket counts is bit-identical to re-counting corpus rows — the
+    // previous shape re-scanned events twice more (once for the dev2
+    // histogram, once for the outlier count; guide §1.2: 3 passes → 1)
+    val d = hist.join(broadcast(m), "et")
       .select(col("et"), abs(lit(2) * col("vus") - col("med2")).as("dev2"),
-        col("med2"), col("n"))
+        col("cnt"), col("med2"), col("n"))
     val hist2 = d.groupBy("et", "dev2")
-      .agg(count(lit(1)).as("cnt"), max("med2").as("med2"), max("n").as("n"))
+      .agg(sum("cnt").as("cnt"), max("med2").as("med2"), max("n").as("n"))
       .localCheckpoint()
     val c2 = PrefixSum.exclusiveRunningSum(hist2, "cnt", "below2",
         seqCol = "dev2", keys = Seq("et"))
@@ -1141,10 +1146,10 @@ object FunnelOps {
       (min(when(col("cum") >= expr("(n + 1) div 2"), col("dev2"))) +
         min(when(col("cum") >= expr("(n + 2) div 2"), col("dev2"))))
         .as("mad4"))
-    d.join(broadcast(m2), "et")
+    hist2.join(broadcast(m2), "et")
       .groupBy("et")
       .agg(max("n").as("n"), max("med2").as("med2"), max("mad4").as("mad4"),
-        sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+        sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), col("cnt"))
           .otherwise(0L)).as("n_outliers"))
       .orderBy("et")
   }

@@ -289,6 +289,13 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      // snapshot: the triangle core reads the edge set from FOUR
+      // subtrees (both degree-union branches, the orientation join
+      // input, the closure probe) and column pruning makes them
+      // non-identical, so ReuseExchange can't share the distinct —
+      // without this the orders scan + dedup exchange runs 4× (the
+      // q44b shape, which already checkpointed here)
+      .localCheckpoint()
     triangles(edges)
   }
 
@@ -461,12 +468,23 @@ object GraphOps {
       minSupport = 2).select("a", "b")
     val eds = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
       .localCheckpoint()
+    // peel keeps the degree column: the round that CONFIRMS convergence
+    // computed its degrees over edges restricted to the SAME node set it
+    // returned (alive_r == alive_{r-1}), so those degrees ARE the
+    // within-core degrees — re-running the two restriction joins + agg
+    // after the loop (the previous shape) recomputed a result the final
+    // round already held (guide §1.2: don't compute things you already
+    // have). One full round of work saved per invocation. (Pinning the
+    // eds partitioning / reordering the restriction joins was measured
+    // SLOWER at sf0.1: the alive side broadcasts, so the "saved"
+    // exchange never existed, and an explicit repartition defeats AQE
+    // coalescing on every downstream stage.)
     def peel(alive: DataFrame): DataFrame = eds
-      .join(alive.withColumnRenamed("node", "u"), "u")
-      .join(alive.withColumnRenamed("node", "v"), "v")
+      .join(alive.select(col("node").as("u")), "u")
+      .join(alive.select(col("node").as("v")), "v")
       .groupBy("u").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
-      .select(col("u").as("node"))
+      .select(col("u").as("node"), col("deg"))
     var alive = eds.select(col("u").as("node")).distinct().localCheckpoint()
     var nAlive = alive.count()
     var round = 0
@@ -477,13 +495,17 @@ object GraphOps {
       converged = nNext == nAlive
       alive = next; nAlive = nNext; round += 1
     }
-    require(converged || peel(alive).count() == nAlive,
-      s"q41d_kcore: peeling not converged within $KcoreRounds rounds — " +
-        "raise KcoreRounds (and regenerate the unrolled oracle)")
-    eds.join(alive.withColumnRenamed("node", "u"), "u")
-      .join(alive.withColumnRenamed("node", "v"), "v")
-      .groupBy("u").agg(count(lit(1)).as("core_deg"))
-      .select(col("u").as("node"), col("core_deg"))
+    if (!converged) {
+      // round-bound exit: one more peel both verifies the fixpoint AND
+      // refreshes the degrees onto the confirmed set (the loop's last
+      // degrees were computed over the pre-final set)
+      val confirm = peel(alive).localCheckpoint()
+      require(confirm.count() == nAlive,
+        s"q41d_kcore: peeling not converged within $KcoreRounds rounds — " +
+          "raise KcoreRounds (and regenerate the unrolled oracle)")
+      alive = confirm
+    }
+    alive.select(col("node"), col("deg").as("core_deg"))
       .orderBy("node")
   }
 

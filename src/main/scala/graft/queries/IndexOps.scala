@@ -42,9 +42,23 @@ object IndexOps {
     * counts. */
   private[graft] def pairCounts(items: DataFrame,
       minSupport: Long): DataFrame =
+    pairsFromSets(basketSets(items), minSupport)
+
+  /** The per-basket sorted distinct item sets — the one corpus-scale
+    * aggregation every lattice level starts from. Split out so q42b
+    * (pairs + triples) and q42c (pairs + per-item counts) can compute
+    * it ONCE and fan out from a snapshot instead of re-running the
+    * collect_set shuffle per consumer (guide §1.2/§2.4). */
+  private[graft] def basketSets(items: DataFrame): DataFrame =
     items
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
+
+  /** Pair supports from a (basket, ps) set frame — row-local (a < b)
+    * pair generation, then one partial-agg groupBy. */
+  private[graft] def pairsFromSets(sets: DataFrame,
+      minSupport: Long): DataFrame =
+    sets
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)),
@@ -98,8 +112,13 @@ object IndexOps {
     * with known Jaccard structure. */
   private[graft] def relatedItems(items: DataFrame, minSupport: Long,
       k: Int): DataFrame = {
-    val pairs = pairCounts(items, minSupport)
-    val cnt = items.distinct()
+    // ONE basket aggregation feeds both the pair supports and the
+    // per-item basket counts: explode of the distinct per-basket sets
+    // ≡ items.distinct() row-for-row, so nb is unchanged, and the
+    // second corpus scan + its distinct exchange disappear (guide §1.2)
+    val sets = basketSets(items).localCheckpoint()
+    val pairs = pairsFromSets(sets, minSupport)
+    val cnt = sets.select(explode(col("ps")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("nb"))
     val sym = pairs.select(col("a").as("item"), col("b").as("other"), col("n"))
       .union(pairs.select(col("b").as("item"), col("a").as("other"), col("n")))
@@ -230,14 +249,17 @@ object IndexOps {
 
   private[graft] def frequentTriples(items: DataFrame,
       minSupport: Long): DataFrame = {
-    val pairsCk = pairCounts(items, minSupport).select("a", "b")
+    // ONE basket aggregation shared by the pair level and the triple
+    // level — the previous shape ran the corpus-scale collect_set
+    // groupBy twice, once inside pairCounts and once for the triple
+    // generator (guide §1.2/§2.4: share the exchange, halve the scans)
+    val sets = basketSets(items).localCheckpoint()
+    val pairsCk = pairsFromSets(sets, minSupport).select("a", "b")
       .localCheckpoint()
     val hint: DataFrame => DataFrame =
       if (pairsCk.count() <= maxBroadcastPairs) broadcast else identity
     val pairs = pairsCk
-    val triples = items
-      .groupBy("basket")
-      .agg(sort_array(collect_set(col("item"))).as("ps"))
+    val triples = sets
       .select(explode(expr(
         """flatten(flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)), (y, j) ->

@@ -1759,6 +1759,15 @@ object Relational {
   private[graft] val q19kPairs: Seq[(String, String)] =
     Seq(("click", "error"), ("purchase", "view"), ("signup", "view"))
 
+  // OPTIMIZATION NOTE (r14, measured and REJECTED): sharing one
+  // (event_type, value-µunit) histogram across the q19k/q19l pair
+  // branches looks like a 3-scans→1 win, but `value` is a continuous
+  // double so the histogram is corpus-sized — the shared
+  // localCheckpoint + per-pair regroups shuffled MORE bytes than the
+  // three cheap column-pruned parquet re-scans they replaced
+  // (measured at sf0.1: q19k 1.75→2.31 s, q19l 2.88→3.74 s). The
+  // per-pair conditional partial aggs below stay.
+
   /** MANN–WHITNEY U rank-sum test (q19k) — the nonparametric A/B
     * comparison of `value` between declared event-type cohorts: U₁/U₂
     * (doubled, so midrank ties stay integer) from pooled ranks. The
