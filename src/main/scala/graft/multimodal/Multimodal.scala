@@ -300,28 +300,37 @@ object Multimodal {
       }
       .toDF()
       .localCheckpoint() // bands + verify both read it
-    // all masks of Hamming weight ≤ 2 over 15 bits: 1 + 15 + 105
-    val masks: Seq[Long] = 0L +:
-      ((0 until 15).map(1L << _) ++
-        (for { i <- 0 until 15; j <- (i + 1) until 15 }
-          yield (1L << i) | (1L << j)))
-    val bands = sigs.select(col("media_id"), col("hash"),
+    // SPLIT mask expansion (r14): any e with |e| ≤ 2 factors as
+    // e1 ⊕ e2 with |e1|,|e2| ≤ 1, so expanding BOTH sides by the 16
+    // weight-≤1 masks meets every band-distance-≤2 pair at the equi key
+    // x ⊕ e1 = y ⊕ e2 — the same candidate predicate as probing one
+    // side with all 121 weight-≤2 masks, at 2·16 = 32 shuffled rows per
+    // band row instead of 1 + 121 (and ReuseExchange shares the ONE
+    // exploded exchange across both join sides, so the shuffle runs
+    // once). Verified identical candidate SET: multiplicities differ,
+    // the distinct below already absorbed them.
+    val masks1: Seq[Long] = 0L +: (0 until 15).map(1L << _)
+    val expanded = sigs.select(col("media_id"), col("hash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("band_val",
         expr("hash div shiftleft(1L, 15 * b) % 32768"))
-    val probes = bands
-      .withColumn("mask", explode(typedlit(masks)))
-      .select(col("b"), expr("band_val ^ mask").as("band_val"),
-        col("media_id").as("id_b"), col("hash").as("hb"))
-    val cand = bands.select(col("b"), col("band_val"),
-        col("media_id").as("id_a"), col("hash").as("ha"))
-      .join(probes, Seq("b", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("mask", explode(typedlit(masks1)))
+      .select(col("b"), expr("band_val ^ mask").as("bv"),
+        col("media_id"), col("hash"))
+    val cand = expanded.as("L")
+      .join(expanded.as("R"), col("L.b") === col("R.b") &&
+        col("L.bv") === col("R.bv") &&
+        col("L.media_id") < col("R.media_id"))
+      .select(col("L.media_id").as("id_a"), col("R.media_id").as("id_b"),
+        col("L.hash").as("ha"), col("R.hash").as("hb"))
     cand
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      // verify BEFORE the dedup exchange: hamming is determined by the
+      // pair, so filtering first shuffles only true near-dups into the
+      // distinct instead of every band-collision candidate
       .filter(col("hamming") <= 8)
       .select("id_a", "id_b", "hamming")
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

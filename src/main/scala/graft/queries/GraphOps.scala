@@ -63,9 +63,16 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val withDeg = edges.join(deg, "src").localCheckpoint()
     var scores = nodes.select(col("node"), lit(1000000L).as("s"))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(scores.withColumnRenamed("node", "src"), "src")
+    for (i <- 1 to iters) {
+      // round 1 rides a projection, not a join: every node's score is
+      // the 1000000 constant, so joining the score frame onto the edge
+      // list just annotates each edge with that constant — the one
+      // edge-scale join of the round collapses away (guide §1.2; edge
+      // srcs are order custkeys ⊆ customer, the q36d-audited FK, so the
+      // inner join never filtered anything)
+      val srcScored = if (i == 1) withDeg.withColumn("s", lit(1000000L))
+        else withDeg.join(scores.withColumnRenamed("node", "src"), "src")
+      val contrib = srcScored
         .select(col("dst").as("node"), expr("s div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
       scores = nodes.join(contrib, Seq("node"), "left")
@@ -150,9 +157,17 @@ object GraphOps {
     // classifies the resulting work-exponent drift as constant-regime,
     // not algorithmic
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
-      val votes = undEdges
-        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+    for (i <- 1 to iters) {
+      // round 1 rides a projection, not a join: every node's label IS
+      // its id, so the label pickup join over the edge list is the
+      // identity annotation lbl = src — the round's one edge-scale join
+      // collapses away (guide §1.2; every endpoint is a customer key
+      // or a synthetic dst in [1, nCust], both ⊆ nodes, so the inner
+      // join never filtered anything)
+      val picked = if (i == 1) undEdges.withColumn("lbl", col("src"))
+        else undEdges
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+      val votes = picked
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       val best = votes
@@ -485,10 +500,22 @@ object GraphOps {
       .groupBy("u").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
       .select(col("u").as("node"), col("deg"))
-    var alive = eds.select(col("u").as("node")).distinct().localCheckpoint()
+    // round 1 rides the raw degree histogram, not the restriction
+    // joins: the initial alive set IS the set of edge endpoints, so
+    // both round-1 restriction joins are identity (every u and every v
+    // of the symmetric edge list is itself an endpoint) — the first
+    // peel is just groupBy(u).count, and that grouped frame's row count
+    // doubles as the initial node count, so the separate distinct-
+    // endpoints exchange disappears too (guide §1.2: two edge-scale
+    // joins + one distinct exchange removed from round 1)
+    val hist = eds.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nAll = hist.count()
+    var alive = hist.filter(col("deg") >= 2)
+      .select(col("u").as("node"), col("deg"))
     var nAlive = alive.count()
-    var round = 0
-    var converged = false
+    var converged = nAlive == nAll
+    var round = 1
     while (round < KcoreRounds && !converged) {
       val next = peel(alive).localCheckpoint()
       val nNext = next.count()
