@@ -805,17 +805,23 @@ object CdcOps {
   private[graft] def ivmJoinMaintain(dOrd: DataFrame, dCus: DataFrame,
       cut: Long): DataFrame = {
     // pre-cut Z-set states and the batch deltas, each collapsed to net
-    // multiplicities (narrow attr, m rows)
-    def net(d: DataFrame, pre: Boolean, attrs: Seq[String], mc: String) = {
-      val f = if (pre) d.filter(col("seq") < cut)
-              else d.filter(col("seq") >= cut)
-      f.groupBy(attrs.map(col): _*).agg(sum("m").as(mc))
+    // multiplicities (narrow attr, m rows). ONE grouped pass per side:
+    // grouping on (attrs, seq < cut) and filtering the flag afterwards
+    // is row-for-row the two separate pre/post aggregations — the
+    // previous shape scanned each delta checkpoint twice and paid two
+    // exchanges per side for sums the finer grouping already separates
+    // (guide §1.2: one pass, fan out from the snapshot)
+    def net(d: DataFrame, attrs: Seq[String], mc: String) =
+      d.groupBy(attrs.map(col) :+ (col("seq") < cut).as("pre"): _*)
+        .agg(sum("m").as(mc))
         .filter(col(mc) =!= 0)
-    }
-    val aPre = net(dOrd, pre = true, Seq("ck", "st"), "ma").localCheckpoint()
-    val bPre = net(dCus, pre = true, Seq("ck", "nat"), "mb").localCheckpoint()
-    val dA = net(dOrd, pre = false, Seq("ck", "st"), "ma")
-    val dB = net(dCus, pre = false, Seq("ck", "nat"), "mb")
+        .localCheckpoint()
+    val ordNet = net(dOrd, Seq("ck", "st"), "ma")
+    val cusNet = net(dCus, Seq("ck", "nat"), "mb")
+    val aPre = ordNet.filter(col("pre")).drop("pre")
+    val bPre = cusNet.filter(col("pre")).drop("pre")
+    val dA = ordNet.filter(!col("pre")).drop("pre")
+    val dB = cusNet.filter(!col("pre")).drop("pre")
     // the maintained view state as of the cut (at scale: the stored MV)
     val vPre = aPre.join(bPre, "ck")
       .groupBy("nat", "st").agg(sum(col("ma") * col("mb")).as("m"))
@@ -870,13 +876,16 @@ object CdcOps {
     * staying positive all cross correctly). */
   private[graft] def ivmDistinctMaintain(deltas: DataFrame,
       cut: Long): DataFrame = {
-    def net(pre: Boolean) = {
-      val f = if (pre) deltas.filter(col("seq") < cut)
-              else deltas.filter(col("seq") >= cut)
-      f.groupBy("st", "ck").agg(sum("m").as("m")).filter(col("m") =!= 0)
-    }
-    val zPre = net(pre = true).localCheckpoint() // view + crossing join
-    val dZ = net(pre = false)
+    // one grouped pass for both the pre-cut support state and the batch
+    // delta (the cdc10 shape): group on (st, ck, seq < cut), filter the
+    // flag afterwards — row-identical to the two separate aggregations,
+    // one delta scan + one exchange instead of two of each
+    val zBoth = deltas
+      .groupBy(col("st"), col("ck"), (col("seq") < cut).as("pre"))
+      .agg(sum("m").as("m")).filter(col("m") =!= 0)
+      .localCheckpoint() // view + crossing join + batch all read it
+    val zPre = zBoth.filter(col("pre")).drop("pre")
+    val dZ = zBoth.filter(!col("pre")).drop("pre")
     // the stored view as of the cut
     val vPre = zPre.filter(col("m") > 0)
       .groupBy("st").agg(count(lit(1)).as("n"))
