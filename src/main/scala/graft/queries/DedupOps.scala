@@ -329,7 +329,12 @@ object DedupOps {
     * generation + exact verification — integer-only threshold math so
     * both engines agree exactly. */
   def q22_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir)
+    // snapshot like q22_dedup_cluster: candidate generation (via
+    // shingleEx) and both verify lookups consume `sh`, and their
+    // differently-pruned branches can't share a scan — without this
+    // the corpus is re-shingled per branch (scan=6 in the r14 before
+    // plan; guide §1.2)
+    val sh = shingleSets(s, dir).localCheckpoint()
     verified(candidatePairs(shingleEx(sh)), sh)
       .orderBy("doc_a", "doc_b")
   }
@@ -387,7 +392,10 @@ object DedupOps {
   }
 
   def q22_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir)
+    // snapshot (the q22_dedup_cluster shape): the band build and both
+    // verify lookups each re-shingled the corpus without it (scan=4 in
+    // the r14 before plan)
+    val sh = shingleSets(s, dir).localCheckpoint()
     val bands = minhashBands(sh)
     val cand = bands.as("L").join(bands.as("R"),
         col("L.band") === col("R.band") &&

@@ -2545,10 +2545,21 @@ object Relational {
     * work, all |pairs| branches in ONE unioned job (the q36 audit
     * discipline: no driver count() round trips). */
   def q36d_inclusion(s: SparkSession, dir: String): DataFrame = {
+    // each distinct key set computed ONCE: 6 of the 8 (table, column)
+    // sides appear in two declared pairs (as child in one, parent in
+    // another), and without the shared snapshot every branch re-ran
+    // its scan + distinct exchange — 14 scans / 14 distinct aggs for
+    // 8 key sets (guide §1.2). The snapshot is each table's distinct
+    // key column — bounded by key cardinality, not row count.
+    val keySets: Map[(String, String), DataFrame] =
+      q36dPairs.flatMap { case (ct, cc, pt, pc) => Seq(ct -> cc, pt -> pc) }
+        .distinct.map { case (tb, c) =>
+          (tb, c) -> t(s, dir, tb).select(col(c).cast("long").as("k"))
+            .distinct().localCheckpoint()
+        }.toMap
     val branches = q36dPairs.map { case (ct, cc, pt, pc) =>
-      val c = t(s, dir, ct).select(col(cc).cast("long").as("k")).distinct()
-      val p = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
-        .withColumn("hit", lit(1))
+      val c = keySets((ct, cc))
+      val p = keySets((pt, pc)).withColumn("hit", lit(1))
       c.join(p, Seq("k"), "left")
         .agg(count(lit(1)).as("n_child_keys"),
           count(col("hit")).as("n_matched"))
