@@ -136,7 +136,12 @@ object DedupOps {
     * driven by the df of rare shingles, not the hot tail. Exact
     * set-intersection verification then runs on candidates only. */
   def q22_dedup_contain(s: SparkSession, dir: String): DataFrame =
-    containPairs(shingleSets(s, dir)).orderBy("doc_a", "doc_b")
+    // snapshot (the q22_dedup_cluster shape): containPairs reads the
+    // shingle frame from five pruned branches (df count, prefix build,
+    // full-index probe, both verify lookups) — scan=5 re-shingles in
+    // the r14 before plan without it
+    containPairs(shingleSets(s, dir).localCheckpoint())
+      .orderBy("doc_a", "doc_b")
 
   /** Core of q22_dedup_contain over any (doc_id, shingles) frame —
     * split out so specs can run it on planted corpora. */

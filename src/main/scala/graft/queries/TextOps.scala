@@ -927,11 +927,17 @@ object TextOps {
           |  (x, i) -> struct(x AS x, element_at(tk, i + 2) AS y))"""
           .stripMargin)).as("b"))
       .select(col("b.x").as("x"), col("b.y").as("y"))
+    // the pair-count aggregate snapshots once (vocab²-scale), and the
+    // TOTAL bigram mass derives from it (Σ n_xy ≡ count over the
+    // exploded corpus) — the previous shape re-ran the corpus-scale
+    // bigram explode twice more, once for the require scalar and once
+    // for the crossJoin's total frame (guide §1.2: 3 corpus passes → 1)
     val nxy = bi.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
     val uni = Tables.load(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val nTotal = bi.agg(count(lit(1)).as("n_big"))
+    val nTotal = nxy.agg(coalesce(sum("n_xy"), lit(0L)).as("n_big"))
     val bigN = nTotal.head().getLong(0)
     require(bigN < 9200000000000L,
       "q24_collocations: bigram mass overflows the ppm lift grid — " +
