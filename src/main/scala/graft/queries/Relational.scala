@@ -1234,7 +1234,9 @@ object Relational {
     // and b 3× (intersect + both excepts), and each consumption
     // re-scanned customer without the snapshot (scan=6 in the r14
     // before plan; guide §1.2). The set operators themselves stay —
-    // only their input is materialized once.
+    // only their input is materialized once. (The same move on q16b's
+    // lineitem-scale input was measured slower and rejected — the
+    // snapshot there is corpus-scale; this one is a filtered key set.)
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), (col("c_acctbal") > 5000).as("ia"),
         (col("c_mktsegment") === "BUILDING").as("ib"))
@@ -1267,16 +1269,15 @@ object Relational {
     * (no join): one shuffle on the value, per-key counts from each side,
     * then replicate — the bag algebra at aggregate cost. */
   def q16b_setops_all(s: SparkSession, dir: String): DataFrame = {
-    // one flagged scan feeds both bag-op inputs twice each (the q16
-    // shape; scan=4 before). Multiplicities ride the snapshot rows
-    // unchanged — the bag operators still see the same input bags.
+    // OPTIMIZATION NOTE (r14, measured and REJECTED): feeding both bag
+    // operators from one flagged localCheckpoint (the q16 move) is a
+    // LOSS here — the qualifying set is most of lineitem, so the
+    // snapshot write is itself a corpus-scale pass, and the official
+    // sweep confirmed 1.66× vs record (back-to-back A/B flat at best).
+    // Narrow pruned re-scans win when the filter doesn't reduce.
     val l = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), (col("l_quantity") > 25).as("ia"),
-        (col("l_returnflag") === "R").as("ib"))
-      .filter(col("ia") || col("ib"))
-      .localCheckpoint()
-    val a = l.filter(col("ia")).select("l_orderkey")
-    val b = l.filter(col("ib")).select("l_orderkey")
+    val a = l.filter(col("l_quantity") > 25).select("l_orderkey")
+    val b = l.filter(col("l_returnflag") === "R").select("l_orderkey")
     val both = a.intersectAll(b).withColumn("op", lit("both"))
     val onlyA = a.exceptAll(b).withColumn("op", lit("only_a"))
     both.unionAll(onlyA)
@@ -2566,21 +2567,19 @@ object Relational {
     * work, all |pairs| branches in ONE unioned job (the q36 audit
     * discipline: no driver count() round trips). */
   def q36d_inclusion(s: SparkSession, dir: String): DataFrame = {
-    // each distinct key set computed ONCE: 6 of the 8 (table, column)
-    // sides appear in two declared pairs (as child in one, parent in
-    // another), and without the shared snapshot every branch re-ran
-    // its scan + distinct exchange — 14 scans / 14 distinct aggs for
-    // 8 key sets (guide §1.2). The snapshot is each table's distinct
-    // key column — bounded by key cardinality, not row count.
-    val keySets: Map[(String, String), DataFrame] =
-      q36dPairs.flatMap { case (ct, cc, pt, pc) => Seq(ct -> cc, pt -> pc) }
-        .distinct.map { case (tb, c) =>
-          (tb, c) -> t(s, dir, tb).select(col(c).cast("long").as("k"))
-            .distinct().localCheckpoint()
-        }.toMap
+    // OPTIMIZATION NOTE (r14, measured and REJECTED): sharing the 8
+    // distinct key sets behind localCheckpoints (6 of them appear in
+    // two declared pairs) looked like 14 scans → 8, but each snapshot
+    // is its own BLOCKING materialization job, and ReuseExchange
+    // already shares identical distinct subtrees across the union
+    // branches at runtime — measured 2.695 s vs 1.670 s reverted in a
+    // back-to-back A/B whose untouched control moved only 24% the
+    // other way, and the official sweep confirmed 1.61× vs record.
+    // The per-branch shape below stays.
     val branches = q36dPairs.map { case (ct, cc, pt, pc) =>
-      val c = keySets((ct, cc))
-      val p = keySets((pt, pc)).withColumn("hit", lit(1))
+      val c = t(s, dir, ct).select(col(cc).cast("long").as("k")).distinct()
+      val p = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        .withColumn("hit", lit(1))
       c.join(p, Seq("k"), "left")
         .agg(count(lit(1)).as("n_child_keys"),
           count(col("hit")).as("n_matched"))
