@@ -470,6 +470,24 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"detail_part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
+    // THIS-RUN per-query artifact (r14 verdict "What's wrong #3"): the
+    // driver keeps only a 2000-char stdout tail, which truncates the
+    // detail_part lines above to the last 1-2 of ~11 — so round-over-
+    // round per-query diffs were impossible from the artifacts alone.
+    // bench_last.json records the just-finished run's per-query minima
+    // verbatim (NO rolling-min merge — that is bench_full.json's job),
+    // committed each round so PERF can diff queries against the prior
+    // round's file. Additive only: stdout shape and bench_full.json
+    // semantics are unchanged.
+    val lastQs = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"full_run":${only.isEmpty},"load_before":$loadBefore,"streaming_events_per_sec":${f3(streamRate)},"streaming_batch_p50_ms":${f3(streamP50)},"streaming_batch_p99_ms":${f3(streamP99)},"queries":$lastQs}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: $e")
+    }
     val rebaseJson = cappedJson(rebaselined.toSeq.sorted)
     val metricLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"streaming_events_per_sec":${f3(streamRate)},"streaming_batch_p50_ms":${f3(streamP50)},"streaming_batch_p99_ms":${f3(streamP99)},"n_contended":${suspect.size},"n_noise_folded":${noiseSuspects.size},"load_before":$loadBefore,"load_after":$loadAfter,"contention_warnings":$warnJson,"noise_suspects":$noiseJson,"n_regressed_vs_record":${regressedVsRecord.size},"regressed_vs_record":$regJson,"retry_clean":$retryClean,"n_confirmed_slower":${confirmedSlower.size},"n_slower_unconfirmed":$nSlowerUnconfirmed,"n_rebaselined":${rebaselined.size},"rebaselined":$rebaseJson,"flagged_ratios":$ratioJson}"""
     // the FILE record merges this run into the prior same-sf record

@@ -668,15 +668,15 @@ object Relational {
       .drop("l_quantity")
     val binned = li.select(col("l_partkey"), col("l_orderkey"),
       col("l_linenumber"), col("sd"), col("ed"),
-      explode(expr("sequence(sd div 32, (ed - 1) div 32)")).as("bin"))
-    binned.as("a").join(binned.as("b"),
+      explode(expr("sequence(sd div 64, (ed - 1) div 64)")).as("bin"))
+    binned.as("a").join(binned.as("b").hint("shuffle_hash"),
         col("a.l_partkey") === col("b.l_partkey") &&
         col("a.bin") === col("b.bin") &&
         (col("a.l_orderkey") < col("b.l_orderkey") ||
           (col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_linenumber") < col("b.l_linenumber"))) &&
         col("a.sd") < col("b.ed") && col("b.sd") < col("a.ed") &&
-        col("a.bin") === expr("greatest(a.sd, b.sd) div 32"))
+        col("a.bin") === expr("greatest(a.sd, b.sd) div 64"))
       .select(col("a.l_partkey").as("l_partkey"),
         (least(col("a.ed"), col("b.ed")) -
           greatest(col("a.sd"), col("b.sd"))).as("overlap"))
